@@ -1,0 +1,77 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets
+
+/** Parquet sink carrying the reference's `last_modified` stamp.
+  *
+  * The reference stores the WRDS "Last modified" string in parquet key-value
+  * schema metadata (wrds2pg/files/parquet.py:28-40, 92-95) and uses it to skip
+  * up-to-date tables. Spark's parquet writer doesn't expose file-level
+  * key-value metadata, so graft keeps identical *semantics* with a
+  * `_graft_meta.json` sidecar inside the output directory (SURVEY §5) —
+  * one tiny driver-side file per table, invisible to parquet readers
+  * (underscore-prefixed files are ignored by Spark/Hive/DuckDB scans).
+  */
+object ParquetSink {
+  private val MetaFile = "_graft_meta.json"
+
+  def write(df: DataFrame, path: String, lastModified: String): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    setModified(df.sparkSession, path, lastModified)
+  }
+
+  def setModified(spark: SparkSession, path: String, lastModified: String): Unit = {
+    val p = new Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"last_modified": ${jsonStr(lastModified)}}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back the stamp; "" if absent (matches get_modified_pq, parquet.py:28-40). */
+  def getModified(spark: SparkSession, path: String): String = {
+    val p = new Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return ""
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    // minimal parse of {"last_modified": "..."}
+    val m = """"last_modified"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    m.findFirstMatchIn(text).map(g => unescape(g.group(1))).getOrElse("")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o => sb += o; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.pipeline.Update
+import graft.sinks.{CsvSink, ParquetSink, PgDdl}
+import graft.sources.{Catalog, SasCsvReader, SasTypes}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class IoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("SasCsvReader: fix_missing turns SAS special missings into NULL, fix_cr strips CRs") {
+    val dir = tmp("csv")
+    val csv = s"$dir/in.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "id,val,note\n1,1.5,ok\n2,.,dot\n3,.A,special\n4,B,bare\n5,,empty\n6,2.5,\"li\rne\"\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("val", DoubleType), StructField("note", StringType)))
+
+    val out = SasCsvReader.read(spark, csv, schema, fixMissing = true, fixCr = true)
+      .orderBy("id").collect()
+    assert(out.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq ==
+      Seq(1.5, null, null, null, null, 2.5))
+    assert(out(5).getString(2) == "line")
+
+    // without fixMissing, only "." and "" are missing; ".A"/"B" fail the cast → null anyway,
+    // mirroring COPY-side behavior being stricter than parquet-side
+    val out2 = SasCsvReader.read(spark, csv, schema, fixMissing = false, fixCr = true)
+      .orderBy("id").collect()
+    assert(out2.count(_.isNullAt(1)) == 4)
+  }
+
+  test("CsvSink → SasCsvReader roundtrip preserves typed values") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("roundtrip") + "/out"
+    val df = Seq((1L, 10.5, "a"), (2L, -0.25, null.asInstanceOf[String])).toDF("k", "v", "s")
+    CsvSink.write(df, dir)
+    val back = SasCsvReader.read(spark, dir, df.schema).orderBy("k").collect()
+    assert(back(0).getDouble(1) == 10.5 && back(1).getDouble(1) == -0.25)
+    assert(back(1).isNullAt(2))
+  }
+
+  test("ParquetSink last_modified stamp roundtrip + Update skip/force") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("pq") + "/t"
+    val stamp = "Last modified: 03/01/2024 10:00:00"
+    var builds = 0
+    def src = { builds += 1; Seq((1, "x")).toDF("a", "b") }
+
+    assert(ParquetSink.getModified(spark, dir) == "")
+    assert(Update.updateParquet(spark, src, dir, stamp) == Update.Updated)
+    assert(builds == 1)
+    assert(ParquetSink.getModified(spark, dir) == stamp)
+    // up-to-date: source must not even be constructed
+    assert(Update.updateParquet(spark, src, dir, stamp) == Update.UpToDate)
+    assert(builds == 1)
+    assert(Update.updateParquet(spark, src, dir, stamp, force = true) == Update.Forced)
+    assert(builds == 2)
+    // new stamp → rebuild
+    assert(Update.updateParquet(spark, src, dir, "Last modified: 03/02/2024 10:00:00") == Update.Updated)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("modified stamp encode/decode matches reference semantics (America/Chicago)") {
+    // 2024-03-01 10:00:00 America/Chicago is CST (UTC-6) → 16:00 UTC
+    val stamp = "Last modified: 03/01/2024 10:00:00"
+    val epoch = Update.modifiedEncode(stamp)
+    assert(epoch == java.time.Instant.parse("2024-03-01T16:00:00Z").getEpochSecond.toDouble)
+    assert(Update.modifiedDecode(epoch) == stamp)
+    // DST: July is CDT (UTC-5)
+    val july = Update.modifiedEncode("Last modified: 07/01/2024 10:00:00")
+    assert(july == java.time.Instant.parse("2024-07-01T15:00:00Z").getEpochSecond.toDouble)
+  }
+
+  test("PgDdl: create/grant/comment SQL mirrors reference strings") {
+    val st = StructType(Seq(
+      StructField("permno", LongType), StructField("ret", DoubleType),
+      StructField("date", DateType), StructField("comnam", StringType)))
+    assert(PgDdl.createTableSql("crsp", "dsf", st) ==
+      """CREATE TABLE "crsp"."dsf" ("permno" bigint, "ret" float8, "date" date, "comnam" text)""")
+    assert(PgDdl.grantSql("crsp", "dsf") == Seq(
+      """ALTER TABLE "crsp"."dsf" OWNER TO "crsp"""",
+      """GRANT SELECT ON "crsp"."dsf" TO "crsp_access""""))
+    assert(PgDdl.setCommentSql("crsp", "dsf", "it's new") ==
+      """COMMENT ON TABLE "crsp"."dsf" IS 'it''s new'""")
+    assert(PgDdl.splitStatements("a;\n b ; ;c") == Seq("a", "b", "c"))
+  }
+
+  test("Catalog.listTables lists parquet tables sorted, ignoring sidecars") {
+    assert(Catalog.listTables(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier"))
+  }
+
+  test("inferSchema drives a typed CSV read end-to-end") {
+    val dir = tmp("infer")
+    val csv = s"$dir/in.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "PERMNO,PRC,DATE\n10001,1.25,2024-01-02\n10002,.,2024-01-03\n")
+    val rows = Seq(
+      SasTypes.ContentsRow("PERMNO", 1, "", formatl = 8),
+      SasTypes.ContentsRow("PRC", 1, "", formatl = 8, formatd = 2),
+      SasTypes.ContentsRow("DATE", 1, "YYMMDD10."))
+    val schema = SasTypes.inferSchema(rows)
+    val out = SasCsvReader.read(spark, csv, schema).orderBy("permno").collect()
+    assert(out(0).getInt(0) == 10001)
+    assert(out(0).getDouble(1) == 1.25)
+    assert(out(0).getDate(2).toString == "2024-01-02")
+    assert(out(1).isNullAt(1))
+  }
+}
