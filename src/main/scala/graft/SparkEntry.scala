@@ -1,9 +1,11 @@
 package graft
 
 import graft.core.Tables
+import graft.operators.{AsOfJoin, Sessionize}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -144,6 +146,116 @@ object Queries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** 4-way star join; dims broadcast explicitly (nation always; customer is a
+    * dim at this shape — broadcast locally, shuffle-join at 100 TB where it
+    * no longer fits; AQE re-plans either way). */
+  def q11JoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+
+  /** Fact-fact shuffle join + agg; AQE handles runtime partition sizing. */
+  def q12JoinShuffle(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  /** Global top-N: orderBy+limit → TakeOrderedAndProject (no full sort). */
+  def q13TopN(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Per-key window rank, keep top 3 (deterministic tiebreak on key). */
+  def q14WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Distinct projection (hash-agg, map-side partial). */
+  def q15Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Left-anti join: customers with no orders. */
+  def q16AntiSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Union of labeled subqueries. */
+  def q17UnionLabel(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(lit("customer").as("kind"), col("c_name").as("name"))
+      .unionByName(
+        t(spark, dir, "supplier").select(lit("supplier").as("kind"), col("s_name").as("name")))
+      .orderBy("kind", "name")
+
+  /** Manual pivot via sum(case when) — single pass, no pivot shuffle. */
+  def q18Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(lit(0.0))), 2).as("qty_f"),
+        round(sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(lit(0.0))), 2).as("qty_o"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP grouping sets. */
+  def q19Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** As-of join: each event → the user's most recent signup at-or-before it
+    * (operators.AsOfJoin union+window plan; DuckDB ASOF LEFT JOIN oracle). */
+  def q20AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    AsOfJoin.leftAsOf(
+      events.select("event_id", "user_id", "ts", "event_type"),
+      signups,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
+  def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.summarize(
+      t(spark, dir, "events"),
+      key = "user_id", time = "ts", gapSeconds = 1800, tiebreak = "event_id")
+      .orderBy("user_id", "session_id")
+
+  /** Tumbling-window time aggregation (built-in window(), 1 hour). */
+  def q22TimeWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -156,7 +268,19 @@ object Queries {
     "q07_parquet_modified" -> q07ParquetModified _,
     "q08_type_inference" -> q08TypeInference _,
     "q09_list_tables" -> q09ListTables _,
-    "q10_agg_pricing" -> q10AggPricing _
+    "q10_agg_pricing" -> q10AggPricing _,
+    "q11_join_broadcast" -> q11JoinBroadcast _,
+    "q12_join_shuffle" -> q12JoinShuffle _,
+    "q13_topn" -> q13TopN _,
+    "q14_window_rank" -> q14WindowRank _,
+    "q15_distinct" -> q15Distinct _,
+    "q16_anti_semi" -> q16AntiSemi _,
+    "q17_union_label" -> q17UnionLabel _,
+    "q18_pivot" -> q18Pivot _,
+    "q19_rollup" -> q19Rollup _,
+    "q20_asof_join" -> q20AsofJoin _,
+    "q21_sessionize" -> q21Sessionize _,
+    "q22_time_window" -> q22TimeWindow _
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +325,78 @@ object Queries {
         |       ROUND(AVG(l_discount), 6) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_join_broadcast" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q12_join_shuffle" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q13_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q14_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+    "q15_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q16_anti_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_union_label" ->
+      """SELECT 'customer' AS kind, c_name AS name FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS kind, s_name AS name FROM supplier
+        |ORDER BY kind, name""".stripMargin,
+    "q18_pivot" ->
+      """SELECT l_returnflag,
+        |       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_f,
+        |       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q19_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q20_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q21_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q22_time_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

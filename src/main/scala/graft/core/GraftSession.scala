@@ -19,6 +19,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
@@ -30,6 +31,21 @@ object GraftSession {
 
 /** Loads the benchmark tables (one parquet per table under a scale-factor dir). */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  import org.apache.spark.sql.functions.{expr, timestamp_micros}
+  import org.apache.spark.sql.types.LongType
+
+  /** Columns written as parquet TIMESTAMP(NANOS), which Spark only reads via
+    * nanosAsLong (the session must set that conf). Converted losslessly to
+    * microsecond timestamps on load (`div` keeps integer math — a double
+    * division would corrupt epoch-nano magnitudes past 2^53). */
+  private val nanoTsCols = Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    nanoTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of (point-in-time) join.
+  *
+  * For every left row, attaches the right row with the greatest
+  * `rightTime <= leftTime` within the same key (DuckDB `ASOF LEFT JOIN`
+  * semantics, inclusive). Left rows with no prior right row get NULLs.
+  *
+  * Scale design (SURVEY §4): implemented as union + window — ONE shuffle on
+  * the key, then a linear in-order scan per key — instead of a range
+  * join, whose candidate explosion is O(left × right-per-key) and whose
+  * planning falls back to broadcast-nested-loop at 100 TB. The union stream
+  * sorts right rows before left rows at equal timestamps so the inclusive
+  * match is honored, and `last(_, ignoreNulls)` propagates the most recent
+  * right-side values forward.
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns to carry onto matching left rows
+    *                   (must not collide with left column names) */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)), "valueCols collide with left columns")
+
+    // Common layout: key, t, side marker, all left cols, all right value cols.
+    val l = left.select(
+      (col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(0).as("_r") +:
+        leftCols.map(col)) ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(1).as("_r") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++ valueCols.map(col): _*)
+
+    // Right rows first at equal t (inclusive <=); _r desc gives that.
+    val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_r") === 0).select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+}

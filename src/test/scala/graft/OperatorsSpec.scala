@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{AsOfJoin, Sessionize}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("AsOfJoin: inclusive backward match, NULL before first right row") {
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "a", ts("2024-01-01 01:00:00")),
+      (3L, "a", ts("2024-01-01 02:00:00")),
+      (4L, "b", ts("2024-01-01 00:30:00"))
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2024-01-01 01:00:00"), 10.0), // equal-ts: inclusive
+      ("a", ts("2024-01-01 01:30:00"), 20.0),
+      ("b", ts("2024-01-01 01:00:00"), 30.0)  // after b's only left row
+    ).toDF("k", "rt", "v")
+
+    val out = AsOfJoin.leftAsOf(left, right, "k", "k", "t", "rt", Seq("v"))
+      .orderBy("id").select("id", "v").as[(Long, Option[Double])].collect()
+    assert(out === Seq(1L -> None, 2L -> Some(10.0), 3L -> Some(20.0), 4L -> None))
+  }
+
+  test("AsOfJoin: ties among right rows resolve to latest value at that time") {
+    val left = Seq((1L, "a", ts("2024-01-01 02:00:00"))).toDF("id", "k", "t")
+    val right = Seq(("a", ts("2024-01-01 01:00:00"), 1.0), ("a", ts("2024-01-01 01:00:00"), 1.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "k", "t", "rt", Seq("v"))
+    assert(out.select("v").as[Double].collect() === Array(1.0))
+  }
+
+  test("Sessionize: gap threshold is exclusive, per-key sessions are 1-based") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00")),
+      (2L, 7L, ts("2024-01-01 00:29:00")), // 29 min gap: same session
+      (3L, 7L, ts("2024-01-01 00:59:00")), // 30 min gap exactly: same (exclusive >)
+      (4L, 7L, ts("2024-01-01 01:29:01")), // 30m1s: new session
+      (5L, 9L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Sessionize.assign(ev, "user_id", "ts", 1800, "event_id")
+      .orderBy("event_id").select("event_id", "session_id").as[(Long, Long)].collect()
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("Sessionize.summarize aggregates per session") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00")),
+      (2L, 7L, ts("2024-01-01 00:10:00")),
+      (3L, 7L, ts("2024-01-01 05:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Sessionize.summarize(ev, "user_id", "ts", 1800, "event_id")
+      .orderBy("session_id")
+      .select("session_id", "n_events", "session_start", "session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+    assert(got === Seq(
+      (1L, 2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      (2L, 1L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:00"))))
+  }
+}
