@@ -1,7 +1,8 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.multimodal.Binary
+import graft.operators.{AsOfJoin, Dedup, MinHashLSH, Sessionize, SimHash, Similarity, TextAnalysis}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -256,6 +257,105 @@ object Queries {
       .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
       .orderBy("window_start")
 
+  // ---------------------------------------------------------------- §2.3
+
+  /** Exact dedup over a corpus with planted duplicates (documents doubled
+    * with offset ids): min-id survivor per text, one hash-agg shuffle. */
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Dedup.exact(doubled, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Word-3-gram Jaccard near-dup pairs at tau=0.6 (shingle equi-join). */
+  def q31DedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
+      .orderBy("a", "b")
+
+  /** Embedding cosine near-dup pairs at tau=0.45 (exact; oracle-checked). */
+  def q34DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
+      .orderBy("a", "b")
+
+  /** MinHash (k=64) + LSH banding (b=16, r=4) candidates, Jaccard-verified
+    * at tau=0.6. Rows-only oracle (LSH is sampling-free but approximate in
+    * recall); spec checks it finds the planted >=0.9 pairs exactly. */
+  def q32DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, k = 64, bands = 16, tau = 0.6)
+      .orderBy("a", "b")
+
+  /** 64-bit SimHash, Hamming <= 3 pairs via 4x16 pigeonhole block join.
+    * Rows-only oracle; spec cross-checks against n-gram Jaccard pairs. */
+  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("a", "b")
+
+  // ---------------------------------------------------------------- §2.4
+
+  private def queryVec(spark: SparkSession, dir: String, id: Long): Seq[Double] =
+    t(spark, dir, "embeddings").where(col("vec_id") === id)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+
+  /** Brute-force cosine top-10 for the vec_id=0 query vector: one codegen'd
+    * O(N) scan + TakeOrdered, no corpus shuffle. */
+  def q50AnnBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir, 0L), k = 10, excludeId = Some(0L))
+
+  /** IVF ANN: 8 deterministic centroids (vec_id 0..7), nprobe=2. Rows-only
+    * oracle (approximate); spec measures recall vs q50. */
+  def q51AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val centroids = (0L until 8L).map(queryVec(spark, dir, _))
+    Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      centroids, queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
+  }
+
+  // ---------------------------------------------------------------- §2.5
+
+  /** Whitespace + BPE-ish token counts per document. */
+  def q40TokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
+  /** Quality scores: char length, punct ratio, stopword ratio, mean word len. */
+  def q41TextQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"))
+      .orderBy("doc_id")
+
+  /** Marker-word language ID with deterministic argmax. */
+  def q42LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Normalization fingerprint (md5 of canonical form). */
+  def q43Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- §2.6
+
+  /** Binary payload column + per-partition feature extraction (multimodal
+    * plumbing; decode stubbed — see multimodal.Binary scaladoc). */
+  def q70BinaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    Binary.extractFeatures(
+      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id")
+      .withColumn("mean_byte", round(col("mean_byte"), 6))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,7 +380,19 @@ object Queries {
     "q19_rollup" -> q19Rollup _,
     "q20_asof_join" -> q20AsofJoin _,
     "q21_sessionize" -> q21Sessionize _,
-    "q22_time_window" -> q22TimeWindow _
+    "q22_time_window" -> q22TimeWindow _,
+    "q30_dedup_exact" -> q30DedupExact _,
+    "q31_dedup_ngram" -> q31DedupNgram _,
+    "q32_dedup_minhash" -> q32DedupMinhash _,
+    "q33_dedup_simhash" -> q33DedupSimhash _,
+    "q34_dedup_embedding" -> q34DedupEmbedding _,
+    "q50_ann_brute" -> q50AnnBrute _,
+    "q51_ann_ivf" -> q51AnnIvf _,
+    "q40_token_count" -> q40TokenCount _,
+    "q41_text_quality" -> q41TextQuality _,
+    "q42_lang_id" -> q42LangId _,
+    "q43_fingerprint" -> q43Fingerprint _,
+    "q70_binary_features" -> q70BinaryFeatures _
   )
 
   val oracles: Map[String, String] = Map(
@@ -397,6 +509,105 @@ object Queries {
     "q22_time_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
         |       ROUND(SUM(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q31_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM (
+        |  SELECT a, b,
+        |         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+        |             JOIN sizes sb ON pairs.b = sb.doc_id)
+        |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+    "q34_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         list_reduce(list_prepend(0.0, list_transform(range(1, len(x.ve) + 1),
+        |             i -> x.ve[i] * y.ve[i])), (p, q) -> p + q) /
+        |         (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(x.ve) + 1),
+        |             i -> x.ve[i] * x.ve[i])), (p, q) -> p + q)) *
+        |          sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(y.ve) + 1),
+        |             i -> y.ve[i] * y.ve[i])), (p, q) -> p + q))) AS cosine
+        |  FROM v x JOIN v y ON x.vec_id < y.vec_id)
+        |SELECT a, b, ROUND(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin,
+    "q40_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_text_quality" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        |       ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |             / length(text), 6) AS punct_ratio,
+        |       ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                    t -> list_contains(['the','a','an','and','of','is','in','to'], t))) AS DOUBLE)
+        |             / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+        |       ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |             / len(string_split_regex(trim(text), '\s+')), 6) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+        |    len(list_filter(w, t -> list_contains(['the','a','is','and','of'], t))) AS s_en,
+        |    len(list_filter(w, t -> list_contains(['el','la','los','las','y'], t))) AS s_es,
+        |    len(list_filter(w, t -> list_contains(['le','les','et','est','une'], t))) AS s_fr,
+        |    len(list_filter(w, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |  FROM s)
+        |SELECT doc_id,
+        |       CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |            ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q43_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                               '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q50_ann_brute" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+        |           FROM embeddings),
+        |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(ve) + 1),
+        |        i -> ve[i] * qv[i])), (p, s) -> p + s) /
+        |    (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ve) + 1),
+        |        i -> ve[i] * ve[i])), (p, s) -> p + s)) *
+        |     sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+        |        i -> qv[i] * qv[i])), (p, s) -> p + s))), 6) AS cosine
+        |FROM v, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q70_binary_features" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
+        |       md5(text) AS content_md5,
+        |       ROUND(CAST(list_reduce(list_prepend(0, list_transform(
+        |             range(1, length(text) + 1), i -> ord(substr(text, i, 1)))),
+        |           (a, b) -> a + b) AS DOUBLE) / length(text), 6) AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design (SURVEY §4): brute force is a single O(N) scan with a
+  * codegen'd dot product against the (tiny, literal-broadcast) query vector,
+  * finished by TakeOrdered top-k — no shuffle of the corpus. IVF buckets the
+  * corpus by nearest centroid (broadcast centroid list, argmax in
+  * expressions); a query then scans only the `nprobe` closest buckets. On a
+  * real cluster the assignment is written bucket-partitioned so a probe
+  * prunes to nprobe partitions of ~N/C vectors.
+  */
+object Similarity {
+
+  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Cosine between a vector column and a literal query vector. */
+  def cosineToQuery(vecCol: Column, query: Seq[Double]): Column =
+    Dedup.cosine(vecCol, litVec(query))
+
+  /** Exact top-k by cosine against `query` (excluding `excludeId` if set). */
+  def bruteTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val base = excludeId.map(i => df.where(col(idCol) =!= i)).getOrElse(df)
+    base
+      .withColumn("cosine", round(cosineToQuery(col(vecCol), query), 6))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Assigns each vector to its nearest centroid (cosine argmax; ties take
+    * the lowest centroid index). Centroids are a driver-side list — they are
+    * tiny (C × dim) and become literal expressions, i.e. broadcast for free. */
+  def assignBuckets(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      cosineToQuery(col(vecCol), c).as(s"_c$i")
+    }
+    val best = greatest(centroids.indices.map(i => col(s"_c$i")): _*)
+    val bucket = coalesce(centroids.indices.map(i =>
+      when(col(s"_c$i") === best, lit(i))): _*)
+    df.select((col(idCol) +: col(vecCol).as("_vec") +: sims): _*)
+      .withColumn("bucket", bucket)
+      .select(col(idCol), col("_vec").as(vecCol), col("bucket"))
+  }
+
+  /** IVF top-k: search only the `nprobe` buckets whose centroids are closest
+    * to the query. Approximate — recall vs bruteTopK is measured in specs. */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], query: Seq[Double],
+      nprobe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probe = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(c, query), i) }
+      .take(nprobe).map(_._2)
+    val buckets = assignBuckets(df, idCol, vecCol, centroids)
+      .where(col("bucket").isin(probe: _*))
+    bruteTopK(buckets, idCol, vecCol, query, k, excludeId)
+  }
+}
