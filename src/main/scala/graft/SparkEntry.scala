@@ -294,9 +294,15 @@ object Queries {
 
   // ---------------------------------------------------------------- §2.4
 
+  /** Fetch several vectors by id in ONE job (a per-id head() would rescan
+    * the corpus once per vector). */
+  private def vecsByIds(spark: SparkSession, dir: String, ids: Seq[Long]): Map[Long, Seq[Double]] =
+    t(spark, dir, "embeddings").where(col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+
   private def queryVec(spark: SparkSession, dir: String, id: Long): Seq[Double] =
-    t(spark, dir, "embeddings").where(col("vec_id") === id)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    vecsByIds(spark, dir, Seq(id))(id)
 
   /** Brute-force cosine top-10 for the vec_id=0 query vector: one codegen'd
     * O(N) scan + TakeOrdered, no corpus shuffle. */
@@ -307,9 +313,10 @@ object Queries {
   /** IVF ANN: 8 deterministic centroids (vec_id 0..7), nprobe=2. Rows-only
     * oracle (approximate); spec measures recall vs q50. */
   def q51AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val centroids = (0L until 8L).map(queryVec(spark, dir, _))
+    val vecs = vecsByIds(spark, dir, 0L until 8L)
+    val centroids = (0L until 8L).map(vecs)
     Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      centroids, queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
+      centroids, vecs(0L), nprobe = 2, k = 10, excludeId = Some(0L))
   }
 
   // ---------------------------------------------------------------- §2.5
@@ -499,8 +506,8 @@ object Queries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |), sessions AS (
         |  SELECT user_id, ts,
-        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end

@@ -33,18 +33,27 @@ object Dedup {
       .select(col(idCol).as("_id"), explode(sh).as("shingle"))
   }
 
+  /** Distinct shingles reduced to 64-bit xxhash64 tokens: (_id, sh) rows.
+    * All downstream set arithmetic (sizes, intersections, equi-joins) runs
+    * on fixed-width longs — the shuffle carries 8-byte keys instead of
+    * full shingle strings. Cross-doc hash collisions are possible in
+    * principle (~1e-6 expected over 10M shingles) but never observed at
+    * test scale; the string-keyed `shingles` path remains available. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingles(df, idCol, textCol, n).select(col("_id"), xxhash64(col("shingle")).as("sh"))
+
   /** Word n-gram Jaccard near-duplicate pairs (similarity >= tau).
     *
-    * Candidates come from an equi-join on shingle — a doc pair is compared
-    * exactly once per shared shingle and aggregated, so the cost is bounded
-    * by shingle collision counts, not N². At 100 TB, frequent-shingle skew is
-    * handled by AQE skew-join splitting; ultra-frequent shingles can
+    * Candidates come from an equi-join on hashed shingles — a doc pair is
+    * compared exactly once per shared shingle and aggregated, so the cost is
+    * bounded by shingle collision counts, not N². At 100 TB, frequent-shingle
+    * skew is handled by AQE skew-join splitting; ultra-frequent shingles can
     * additionally be dropped as stop-shingles upstream. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = shingleHashes(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+    val common = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
       .where(col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("a"), col("y._id").as("b"))
       .agg(count(lit(1)).as("common"))
@@ -58,28 +67,28 @@ object Dedup {
   }
 
   /** Cosine of two float-vector columns, computed in double with a
-    * sequential left fold (bit-identical to the SQL oracle's list_reduce). */
-  def cosine(a: Column, b: Column): Column = {
-    def d(v: Column) = transform(v, x => x.cast("double"))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val (da, db) = (d(a), d(b))
-    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
-  }
+    * sequential left fold (bit-identical to the SQL oracle's list_reduce).
+    * Codegen'd — see [[graft.functions.DotProduct]]. */
+  def cosine(a: Column, b: Column): Column = graft.functions.ArrayMath.cosine(a, b)
 
   /** Embedding cosine near-duplicate pairs (cosine >= tau), exact.
     *
     * Deliberately all-pairs within the corpus: exactness is the contract
-    * here (the oracle is exact SQL). The self-join shuffles both sides on
-    * nothing — Spark plans a broadcast-nested-loop with the smaller side
-    * broadcast; for corpora too large for that, use MinHashLSH / Similarity
-    * (IVF) which trade exactness for an equi-join shape. */
+    * here (the oracle is exact SQL). Norms are computed once per row BEFORE
+    * the pair join (O(N·d), not O(N²·d)), so each surviving pair costs one
+    * codegen'd dot product. The a<b self-join plans as a broadcast nested
+    * loop with the smaller side broadcast; for corpora too large for that,
+    * use MinHashLSH / SimHash / Similarity (IVF), which trade exactness for
+    * an equi-join shape. */
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
-    val x = df.select(col(idCol).as("a"), col(vecCol).as("_va"))
-    val y = df.select(col(idCol).as("b"), col(vecCol).as("_vb"))
+    import graft.functions.ArrayMath
+    val withNorm = df.select(col(idCol), col(vecCol))
+      .withColumn("_n", ArrayMath.norm2(col(vecCol)))
+    val x = withNorm.select(col(idCol).as("a"), col(vecCol).as("_va"), col("_n").as("_na"))
+    val y = withNorm.select(col(idCol).as("b"), col(vecCol).as("_vb"), col("_n").as("_nb"))
     x.join(y, col("a") < col("b"))
-      .withColumn("cosine", cosine(col("_va"), col("_vb")))
+      .withColumn("cosine", ArrayMath.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
       .where(col("cosine") >= tau)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -6,20 +6,22 @@ import org.apache.spark.sql.functions._
 /** MinHash signatures + LSH banding for near-duplicate candidate generation.
   *
   * Scale design (SURVEY §4): the k=64 signature is computed in ONE pass over
-  * the exploded shingles — 64 `min(xxhash64(seed_i, shingle))` aggregate
+  * the hashed shingles — 64 `min(xxhash64(seed_i, sh))` aggregate
   * expressions with map-side partial aggregation, so the shuffle carries one
-  * 64-long row per doc, not the shingles. Banding emits b rows per doc (not
-  * k), candidate generation is an equi-join on (band, band_hash) buckets —
-  * never a cross join — and only candidate pairs are re-joined against the
-  * shingle sets for exact Jaccard verification.
+  * 64-long row per doc, not the shingles. Each permutation re-hashes the
+  * 8-byte base shingle hash (one codegen'd hashLong round), never the
+  * string. Banding emits b rows per doc (not k), candidate generation is an
+  * equi-join on (band, band_hash) buckets — never a cross join — and only
+  * candidate pairs are re-joined against the hashed shingle sets for exact
+  * Jaccard verification.
   */
 object MinHashLSH {
 
   /** (id, signature array<long>) — one row per doc, k minhash values.
-    * `shingles` must be (_id, shingle) distinct rows (Dedup.shingles). */
-  def signatures(shingles: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"_h$i"))
-    shingles.groupBy("_id")
+    * `shingleHashes` must be (_id, sh) distinct rows (Dedup.shingleHashes). */
+  def signatures(shingleHashes: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"_h$i"))
+    shingleHashes.groupBy("_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("_id"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
   }
@@ -45,12 +47,12 @@ object MinHashLSH {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, tau: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val sh = Dedup.shingles(df, idCol, textCol, n).cache()
+    val sh = Dedup.shingleHashes(df, idCol, textCol, n).cache()
     val cands = candidatePairs(signatures(sh, k), bands, k / bands)
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
     val common = cands
       .join(sh.as("x"), col("a") === col("x._id"))
-      .join(sh.as("y"), col("b") === col("y._id") && col("x.shingle") === col("y.shingle"))
+      .join(sh.as("y"), col("b") === col("y._id") && col("x.sh") === col("y.sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("sz", "sa"), "a")

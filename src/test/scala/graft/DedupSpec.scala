@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.ArrayMath
+import graft.operators.{Dedup, MinHashLSH, SimHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val got = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(got === Seq(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("ngram jaccard finds the planted near-dup pair and nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set(1L -> 2L, 1L -> 4L, 2L -> 4L))
+  }
+
+  test("minhash LSH candidates verify to the same pairs as exact ngram jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect()
+    val lsh = MinHashLSH.nearDupPairs(docs, "doc_id", "text", n = 3, k = 64, bands = 16, tau = 0.6)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect()
+    // high-similarity pairs (>=0.9 jaccard) are guaranteed; here ALL planted
+    // pairs are >= 0.8 so LSH recall should be total, with identical jaccards
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs not paired") {
+    val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 4L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash mapPartitions signature equals the declarative xxhash64 form") {
+    // independently recompute one signature with Spark SQL primitives
+    val toks = docs.where(col("doc_id") === 1L)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(xxhash64(col("tok")).as("h")).as[Long].collect()
+    var expected = 0L
+    (0 until 64).foreach { i =>
+      val votes = toks.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
+      if (votes > 0) expected |= (1L << i)
+    }
+    val got = SimHash.simhashes(docs.where(col("doc_id") === 1L), "doc_id", "text")
+      .select("simhash").as[Long].head()
+    assert(got === expected)
+  }
+
+  test("embedding cosine pairs: exact values, norm precompute matches direct") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), // cosine(1,2) ~ 0.9939
+      (3L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 1
+      (4L, Array(-1.0f, 0.0f, 0.0f)) // opposite
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) === Set(1L -> 2L))
+    val c = got.head._3
+    assert(math.abs(c - 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)) < 1e-6)
+  }
+
+  test("DotProduct expression: codegen result equals scala fold, null-safe") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)),
+      (Array(0.5f, -1.5f, 2.0f), Array(1.0, 1.0, 1.0))
+    ).toDF("a", "b")
+    val got = df.select(ArrayMath.dot(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) === (1.0 * 4 + 2.0 * 5 + 3.0 * 6))
+    assert(got(1) === (0.5 - 1.5 + 2.0))
+    val withNull = df.select(ArrayMath.dot(col("a"), lit(null).cast("array<double>")))
+      .collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{EventSessions, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming sessionize: gap close within batch, timeout close via watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventSessions.sessionize(
+      input.toDF().toDF("user_id", "ts"), gapSeconds = 1800, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out").outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: user 7 has two sessions split by a >30min gap (first closes
+      // in-batch); user 9 opens one.
+      input.addData(
+        7L -> ts("2024-01-01 00:00:00"),
+        7L -> ts("2024-01-01 00:10:00"),
+        7L -> ts("2024-01-01 01:00:00"),
+        9L -> ts("2024-01-01 00:05:00"))
+      q.processAllAvailable()
+      // the >30min in-batch gap closes user 7's first session immediately
+      // (user 9's may also close here via the post-batch watermark bump)
+      val afterB1 = spark.table("sess_out").as[SessionOut].collect().toSet
+      assert(afterB1.contains(
+        SessionOut(7L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L)))
+
+      // Batch 2: push the watermark far past end+gap → open sessions time out.
+      input.addData(1L -> ts("2024-01-01 09:00:00"))
+      q.processAllAvailable()
+      // Batch 3: one more batch so timed-out state is flushed.
+      input.addData(1L -> ts("2024-01-01 23:00:00"))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[SessionOut].collect().toSet
+      assert(all.contains(SessionOut(7L, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00"), 1L)))
+      assert(all.contains(SessionOut(9L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:05:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize matches batch Sessionize on a replayed slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts")).orderBy("ts").limit(500)
+    val rows = events.as[(Long, Timestamp)].collect()
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventSessions.sessionize(
+        input.toDF().toDF("user_id", "ts"), gapSeconds = 1800, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_replay")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      // A far-future event forces every open session to close.
+      input.addData(-1L -> ts("2030-01-01 00:00:00"))
+      q.processAllAvailable()
+      input.addData(-1L -> ts("2031-01-01 00:00:00"))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_replay").as[SessionOut].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+
+      val batch = graft.operators.Sessionize
+        .summarize(events.withColumn("event_id", col("user_id")), "user_id", "ts", 1800, "event_id")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg emits closed tumbling windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val q = EventSessions.windowedAgg(
+        input.toDF().toDF("ts", "value"), windowLength = "1 hour", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ts("2024-01-01 00:10:00") -> 1.5,
+        ts("2024-01-01 00:50:00") -> 2.0,
+        ts("2024-01-01 01:10:00") -> 4.0)
+      q.processAllAvailable()
+      input.addData(ts("2024-01-01 03:00:00") -> 0.0) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 00:00:00"), 2L, 3.5)))
+      assert(rows.contains((ts("2024-01-01 01:00:00"), 1L, 4.0)))
+    } finally q.stop()
+  }
+}
