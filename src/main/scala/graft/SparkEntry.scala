@@ -249,6 +249,33 @@ object Queries {
       key = "user_id", time = "ts", gapSeconds = 1800, tiebreak = "event_id")
       .orderBy("user_id", "session_id")
 
+  /** Left-semi join: customers that DO have orders (EXISTS oracle). */
+  def q23ExistsSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Scalar-subquery shape: orders above the global midrange price. The
+    * scalar aggregate is a 1-row broadcast joined under every row — midrange
+    * (min+max)/2 is used instead of avg so the threshold is bit-exact
+    * regardless of partition-order float association. */
+  def q24ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mid = orders.agg(((min("o_totalprice") + max("o_totalprice")) / 2.0).as("_mid"))
+    orders.crossJoin(broadcast(mid))
+      .where(col("o_totalprice") > col("_mid"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** CUBE grouping sets over two dims. */
+  def q25Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Tumbling-window time aggregation (built-in window(), 1 hour). */
   def q22TimeWindow(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -277,6 +304,12 @@ object Queries {
   def q34DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
       .orderBy("a", "b")
+
+  /** Near-dup clusters: connected components over the q31 pair graph; every
+    * doc labeled with its cluster's min doc_id (DuckDB recursive-CTE oracle). */
+  def q35DedupCluster(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
+      .orderBy("doc_id")
 
   /** MinHash (k=64) + LSH banding (b=16, r=4) candidates, Jaccard-verified
     * at tau=0.6. Rows-only oracle (LSH is sampling-free but approximate in
@@ -319,6 +352,15 @@ object Queries {
       centroids, vecs(0L), nprobe = 2, k = 10, excludeId = Some(0L))
   }
 
+  /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
+    * (broadcast queries, precomputed norms, one window shuffle). */
+  def q52KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- §2.5
 
   /** Whitespace + BPE-ish token counts per document. */
@@ -353,6 +395,13 @@ object Queries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Corpus-wide top-20 3-gram shingles by document frequency. */
+  def q45NgramTopk(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(t(spark, dir, "documents"), "doc_id", "text", n = 3)
+      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("shingle").asc)
+      .limit(20)
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -362,6 +411,16 @@ object Queries {
       spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id")
       .withColumn("mean_byte", round(col("mean_byte"), 6))
       .orderBy("doc_id")
+
+  /** Frame sampling over binary payloads: 32-byte windows every 64 bytes,
+    * fingerprinted per frame (1 row in → many out, payload pruned before the
+    * downstream shuffle). Oracle is byte-exact because the corpus is ASCII;
+    * the operator itself is byte-based and encoding-agnostic. */
+  def q71FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Binary.frameSample(
+      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
+      frameBytes = 32, stride = 64)
+      .orderBy("doc_id", "frame_idx")
 
   // ---------------------------------------------------------------- registry
 
@@ -388,18 +447,25 @@ object Queries {
     "q20_asof_join" -> q20AsofJoin _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
+    "q23_exists_semi" -> q23ExistsSemi _,
+    "q24_scalar_subquery" -> q24ScalarSubquery _,
+    "q25_cube" -> q25Cube _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_dedup_ngram" -> q31DedupNgram _,
     "q32_dedup_minhash" -> q32DedupMinhash _,
     "q33_dedup_simhash" -> q33DedupSimhash _,
     "q34_dedup_embedding" -> q34DedupEmbedding _,
+    "q35_dedup_cluster" -> q35DedupCluster _,
     "q50_ann_brute" -> q50AnnBrute _,
     "q51_ann_ivf" -> q51AnnIvf _,
+    "q52_knn_join" -> q52KnnJoin _,
     "q40_token_count" -> q40TokenCount _,
+    "q45_ngram_topk" -> q45NgramTopk _,
     "q41_text_quality" -> q41TextQuality _,
     "q42_lang_id" -> q42LangId _,
     "q43_fingerprint" -> q43Fingerprint _,
-    "q70_binary_features" -> q70BinaryFeatures _
+    "q70_binary_features" -> q70BinaryFeatures _,
+    "q71_frame_sample" -> q71FrameSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -517,6 +583,19 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
         |       ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_exists_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q24_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT (MIN(o_totalprice) + MAX(o_totalprice)) / 2 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q25_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, text FROM documents
@@ -556,6 +635,67 @@ object Queries {
         |  FROM v x JOIN v y ON x.vec_id < y.vec_id)
         |SELECT a, b, ROUND(cosine, 6) AS cosine FROM p
         |WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin,
+    "q35_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), cpairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), jpairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        |    FROM cpairs JOIN sizes sa ON cpairs.a = sa.doc_id
+        |                JOIN sizes sb ON cpairs.b = sb.doc_id)
+        |  WHERE jaccard >= 0.6
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM jpairs UNION ALL SELECT b, a FROM jpairs
+        |), cc(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst WHERE cc.comp < e.src
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(m.comp, d.doc_id) AS BIGINT) AS cluster_id
+        |FROM documents d
+        |LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id
+        |ORDER BY doc_id""".stripMargin,
+    "q52_knn_join" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q.query_id, v.vec_id,
+        |         list_reduce(list_prepend(0.0, list_transform(range(1, len(ve) + 1),
+        |             i -> ve[i] * qv[i])), (acc, s) -> acc + s) /
+        |         (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ve) + 1),
+        |             i -> ve[i] * ve[i])), (acc, s) -> acc + s)) *
+        |          sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+        |             i -> qv[i] * qv[i])), (acc, s) -> acc + s))) AS cosine
+        |  FROM v, q WHERE v.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+        |  SELECT query_id, vec_id, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM p)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q45_ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(w) >= 3
+        |)
+        |SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
+        |ORDER BY n_docs DESC, shingle ASC LIMIT 20""".stripMargin,
     "q40_token_count" ->
       """SELECT doc_id,
         |       len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
@@ -615,6 +755,13 @@ object Queries {
         |       ROUND(CAST(list_reduce(list_prepend(0, list_transform(
         |             range(1, length(text) + 1), i -> ord(substr(text, i, 1)))),
         |           (a, b) -> a + b) AS DOUBLE) / length(text), 6) AS mean_byte
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q71_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(length(substring(text, CAST(f * 64 + 1 AS BIGINT), 32)) AS BIGINT) AS frame_bytes,
+        |       md5(substring(text, CAST(f * 64 + 1 AS BIGINT), 32)) AS frame_md5
+        |FROM documents,
+        |     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -44,6 +44,39 @@ object Binary {
     StructField("content_md5", StringType),
     StructField("mean_byte", DoubleType)))
 
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_bytes", LongType),
+    StructField("frame_md5", StringType)))
+
+  /** Frame sampling over an opaque "video" payload: every `stride` bytes,
+    * take a `frameBytes` window and fingerprint it. The decode step is
+    * stubbed (fixed-size byte windows stand in for decoded frames) but the
+    * plumbing is the real shape: one row in → many frame rows out via a
+    * per-partition flatMap, decoder state (here the digest) allocated once
+    * per partition, output exploded AFTER the payload column is pruned away
+    * so the shuffle never carries payload bytes. */
+  def frameSample(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    val rows = df.select(col(idCol).cast(LongType), col("payload"))
+    val out = rows.rdd.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        (0 until payload.length by stride).iterator.zipWithIndex.map { case (off, idx) =>
+          val frame = payload.slice(off, math.min(off + frameBytes, payload.length))
+          md.reset()
+          Row(id, idx.toLong, frame.length.toLong,
+            md.digest(frame).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+    spark.createDataFrame(out, frameSchema)
+  }
+
   /** Per-partition feature extraction over (id, payload) rows: byte length,
     * header peek, content hash, stubbed decode feature. The MessageDigest is
     * allocated once per partition — the setup-amortization pattern a real

@@ -66,6 +66,56 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list, as (id, comp) with
+    * comp = the minimum node id reachable from `id`. Min-label propagation:
+    * each round joins the frontier labels across edges and keeps the
+    * per-node minimum, converging in O(component diameter) rounds —
+    * duplicate clusters are shallow (stars/chains of copies), so this is
+    * 2-4 rounds in practice. `localCheckpoint` truncates lineage each round
+    * so plans don't grow with iterations. At much larger diameters,
+    * alternating star contraction (Kiveris et al., "Connected Components in
+    * MapReduce") halves rounds; not needed at cluster shapes seen here. */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .cache()
+    var labels = sym.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = sym.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("comp").as("pcomp"))
+        .select(col("src").as("pid"), col("pcomp"))
+      val next = labels.join(prop, col("id") === col("pid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id").as("oid"), col("comp").as("ocomp")), col("id") === col("oid"))
+        .where(col("comp") =!= col("ocomp")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters: every document labeled with the minimum doc id
+    * of its n-gram-Jaccard component (singletons label themselves). This is
+    * the "keep one per cluster" primitive a corpus dedup pipeline ends with:
+    * survivors are rows where doc_id = cluster_id. */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, tau)
+    val comp = connectedComponents(pairs, "a", "b")
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Cosine of two float-vector columns, computed in double with a
     * sequential left fold (bit-identical to the SQL oracle's list_reduce).
     * Codegen'd — see [[graft.functions.DotProduct]]. */

@@ -33,6 +33,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join: for every query row, the k nearest corpus rows by
+    * cosine. The query side is broadcast (queries are the small side by
+    * construction); corpus and query norms are computed ONCE per row before
+    * the pair expansion, so each of the |Q|·|N| candidate pairs costs a
+    * single codegen'd dot product. Per-query top-k is a window row_number —
+    * the only shuffle, keyed by query_id. */
+  def knnJoin(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    import graft.functions.ArrayMath
+    val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
+      .withColumn("_cn", ArrayMath.norm2(col("_cv")))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("_qv"))
+      .withColumn("_qn", ArrayMath.norm2(col("_qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol).asc)
+    c.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("cosine", ArrayMath.dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Assigns each vector to its nearest centroid (cosine argmax; ties take
     * the lowest centroid index). Centroids are a driver-side list — they are
     * tiny (C × dim) and become literal expressions, i.e. broadcast for free. */
