@@ -38,9 +38,49 @@ object Dedup {
     * on fixed-width longs — the shuffle carries 8-byte keys instead of
     * full shingle strings. Cross-doc hash collisions are possible in
     * principle (~1e-6 expected over 10M shingles) but never observed at
-    * test scale; the string-keyed `shingles` path remains available. */
-  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingles(df, idCol, textCol, n).select(col("_id"), xxhash64(col("shingle")).as("sh"))
+    * test scale; the string-keyed `shingles` path remains available.
+    *
+    * Computed in one fused mapPartitions pass (tokenize → window → hash →
+    * per-doc dedup) instead of the declarative explode(array_distinct(
+    * transform(...))) chain: the higher-order functions are interpreted and
+    * allocate a string per shingle, which made this the dominant cost (and
+    * GC load) of every shingle-based operator. Hashes are identical to SQL
+    * `xxhash64(shingle)` (seed 42), so results are unchanged. The input is
+    * repartitioned to the session default parallelism first — local corpus
+    * files arrive as a single split, which would otherwise serialize this
+    * CPU-bound pass on one core (at scale, inputs are already split). */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[Long]()
+            val sb = new java.lang.StringBuilder()
+            (0 to toks.length - n).iterator.flatMap { i =>
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j))
+                j += 1
+              }
+              val u = UTF8String.fromString(sb.toString)
+              val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+              if (seen.add(h)) Iterator.single((id, h)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("_id", "sh")
+  }
 
   /** Word n-gram Jaccard near-duplicate pairs (similarity >= tau).
     *
@@ -135,7 +175,10 @@ object Dedup {
     import graft.functions.ArrayMath
     val withNorm = df.select(col(idCol), col(vecCol))
       .withColumn("_n", ArrayMath.norm2(col(vecCol)))
-    val x = withNorm.select(col(idCol).as("a"), col(vecCol).as("_va"), col("_n").as("_na"))
+    // stream side repartitioned: a single-file corpus would otherwise probe
+    // the whole broadcast nested loop from one task
+    val x = withNorm.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("a"), col(vecCol).as("_va"), col("_n").as("_na"))
     val y = withNorm.select(col(idCol).as("b"), col(vecCol).as("_vb"), col("_n").as("_nb"))
     x.join(y, col("a") < col("b"))
       .withColumn("cosine", ArrayMath.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))

@@ -53,11 +53,14 @@ object SimHash {
     sim
   }
 
-  /** (_id, simhash long) per document — one narrow pass, no shuffle. */
+  /** (_id, simhash long) per document — one fused pass. The input is
+    * repartitioned to default parallelism first: local single-file corpora
+    * otherwise run this CPU-bound pass on one core. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, simhashOf(text)) })
       .toDF("_id", "simhash")

@@ -1,8 +1,10 @@
 package graft.pipeline
 
-import graft.sinks.ParquetSink
+import graft.sinks.{CsvSink, ParquetSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Paths}
 import java.time.{LocalDateTime, ZoneId, ZonedDateTime}
 import java.time.format.DateTimeFormatter
 
@@ -54,6 +56,35 @@ object Update {
     else {
       ParquetSink.write(source, pqPath, modified)
       if (force && existing == modified) Forced else Updated
+    }
+  }
+
+  /** The stamp a CSV artifact carries, or None if it doesn't exist yet. Like
+    * the reference (wrds2pg/files/csv.py:45-83), the stamp is encoded in the
+    * artifact's mtime — here the output directory's, since graft writes a
+    * parallel directory of gzipped parts rather than one stream. */
+  def csvModified(csvPath: String): Option[String] = {
+    val p = Paths.get(csvPath)
+    if (Files.exists(p)) Some(modifiedDecode(Files.getLastModifiedTime(p).toMillis / 1000.0))
+    else None
+  }
+
+  /** Rebuild the gzipped-CSV artifact unless its mtime-encoded stamp already
+    * equals `modified` (`wrds_update_csv` semantics, skip/force included). */
+  def updateCsv(
+      spark: SparkSession,
+      source: => DataFrame,
+      csvPath: String,
+      modified: String,
+      force: Boolean = false
+  ): Outcome = {
+    val existing = csvModified(csvPath)
+    if (existing.contains(modified) && !force) UpToDate
+    else {
+      CsvSink.write(source, csvPath)
+      Files.setLastModifiedTime(
+        Paths.get(csvPath), FileTime.fromMillis((modifiedEncode(modified) * 1000).toLong))
+      if (force && existing.contains(modified)) Forced else Updated
     }
   }
 }

@@ -67,6 +67,27 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("updateCsv: mtime-encoded stamp drives skip/rebuild/force") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("csvup") + "/t"
+    val stamp = "Last modified: 03/01/2024 10:00:00"
+    var builds = 0
+    def src = { builds += 1; Seq((1, "x")).toDF("a", "b") }
+
+    assert(Update.csvModified(dir).isEmpty)
+    assert(Update.updateCsv(spark, src, dir, stamp) == Update.Updated)
+    assert(builds == 1)
+    assert(Update.csvModified(dir).contains(stamp))
+    assert(Update.updateCsv(spark, src, dir, stamp) == Update.UpToDate)
+    assert(builds == 1)
+    assert(Update.updateCsv(spark, src, dir, stamp, force = true) == Update.Forced)
+    assert(builds == 2)
+    assert(Update.updateCsv(spark, src, dir, "Last modified: 03/02/2024 10:00:00") == Update.Updated)
+    assert(SasCsvReader.read(spark, dir,
+      StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))).count() == 1)
+  }
+
   test("modified stamp encode/decode matches reference semantics (America/Chicago)") {
     // 2024-03-01 10:00:00 America/Chicago is CST (UTC-6) → 16:00 UTC
     val stamp = "Last modified: 03/01/2024 10:00:00"
