@@ -130,13 +130,15 @@ object Dedup {
       val prop = sym.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("comp").as("pcomp"))
         .select(col("src").as("pid"), col("pcomp"))
+      // carry the previous label through the checkpoint so convergence is a
+      // filter over the materialized frame, not another join job
       val next = labels.join(prop, col("id") === col("pid"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .select(col("id"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
+          col("comp").as("ocomp"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("id").as("oid"), col("comp").as("ocomp")), col("id") === col("oid"))
-        .where(col("comp") =!= col("ocomp")).count()
-      labels = next
+      changed = next.where(col("comp") =!= col("ocomp")).count()
+      labels = next.select("id", "comp")
       iter += 1
     }
     sym.unpersist()

@@ -60,6 +60,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("connectedComponents: chain and triangle collapse to min label") {
+    // chain 10-20-30-40 (needs multiple propagation rounds) + triangle 1-2-3
+    val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
+  }
+
+  test("nearDupClusters labels singletons with their own id") {
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text", n = 3, tau = 0.6)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L))
+  }
+
   test("embedding cosine pairs: exact values, norm precompute matches direct") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
