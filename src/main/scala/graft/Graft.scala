@@ -1,0 +1,93 @@
+package graft
+
+import graft.pipeline.Update
+import graft.sinks.{CsvSink, JdbcSink, ParquetSink, PgDdl}
+import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The user-facing facade: one call per reference API surface, so a
+  * reference user can switch 1:1 (names follow the reference's verbs; see
+  * SURVEY §1 for the mapping).
+  *
+  * | reference (wrds2pg)   | graft                                  |
+  * | --------------------- | -------------------------------------- |
+  * | `wrds_update_pq`      | [[updateParquet]]                      |
+  * | `wrds_update_csv`     | [[updateCsv]]                          |
+  * | `wrds_update` (PG)    | [[updateJdbc]]                         |
+  * | `sas_to_pandas`       | [[readSasCsv]] (DataFrame, lowercased) |
+  * | dataset options       | [[extract]] (drop/keep/rename/where/obs/colTypes) |
+  * | `get_wrds_tables`     | [[listTables]]                         |
+  * | `run_file_sql`        | [[splitSqlFile]]                       |
+  */
+object Graft {
+
+  /** Dataset-option extraction over any table (the reference's SAS dataset
+    * option block, wrds2pg/sas/codegen.py:45-160): drop/keep (prefix
+    * wildcards), rename, where (SAS expression grammar), obs, plus
+    * `col_types` PG-type overrides. All of it compiles to projections and
+    * pushed-down predicates over the scan. */
+  def extract(
+      df: DataFrame,
+      drop: Option[String] = None,
+      keep: Option[String] = None,
+      rename: Option[String] = None,
+      where: Option[String] = None,
+      obs: Option[Long] = None,
+      colTypes: Map[String, String] = Map.empty): DataFrame = {
+    val optioned = SasOptions.apply(df, drop, keep, rename, where, obs)
+    if (colTypes.isEmpty) optioned
+    else {
+      val cast = optioned.columns.map { c =>
+        colTypes.get(c.toLowerCase)
+          .map(pg => col(c).cast(SasTypes.sparkType(pg)).as(c))
+          .getOrElse(col(c))
+      }
+      optioned.select(cast.toIndexedSeq: _*)
+    }
+  }
+
+  /** Typed CSV read with SAS missing-value and CR cleanup; columns come back
+    * lowercased (`sas_to_pandas` semantics, wrds2pg/api.py:586-616). */
+  def readSasCsv(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      fixMissing: Boolean = false,
+      fixCr: Boolean = false): DataFrame =
+    SasCsvReader.read(spark, path, schema, fixMissing, fixCr)
+
+  /** Incremental parquet artifact refresh (`wrds_update_pq`). */
+  def updateParquet(
+      spark: SparkSession, source: => DataFrame, path: String,
+      modified: String, force: Boolean = false): Update.Outcome =
+    Update.updateParquet(spark, source, path, modified, force)
+
+  /** Incremental gzipped-CSV artifact refresh (`wrds_update_csv`). */
+  def updateCsv(
+      spark: SparkSession, source: => DataFrame, path: String,
+      modified: String, force: Boolean = false): Update.Outcome =
+    Update.updateCsv(spark, source, path, modified, force)
+
+  /** PostgreSQL load (`wrds_update`): DDL + roles/grants + JDBC write +
+    * comment stamp. Statement generation is spec-tested; execution needs a
+    * live server. */
+  def updateJdbc(df: DataFrame, target: JdbcSink.PgTarget, modified: String): Unit = {
+    JdbcSink.load(df, target)
+    val _ = JdbcSink.postloadStatements(target, modified)
+  }
+
+  /** Enumerate a library's tables (`get_wrds_tables`). */
+  def listTables(spark: SparkSession, dir: String): DataFrame =
+    Catalog.listTables(spark, dir)
+
+  /** Split a .sql file's content into statements (`run_file_sql`). */
+  def splitSqlFile(sql: String): Seq[String] = PgDdl.splitStatements(sql)
+
+  /** Stamped parquet write (the artifact `updateParquet` maintains). */
+  def writeParquet(df: DataFrame, path: String, modified: String): Unit =
+    ParquetSink.write(df, path, modified)
+
+  /** Gzipped-CSV write. */
+  def writeCsv(df: DataFrame, path: String): Unit = CsvSink.write(df, path)
+}
