@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Dedup, MinHashLSH, Sessionize, SimHash, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, MinHashLSH, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -284,6 +284,48 @@ object Queries {
       .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
       .orderBy("window_start")
 
+  /** JSON property extraction from the events props column + aggregate
+    * (training pipelines parse JSON metadata constantly; get_json_object
+    * is codegen'd, no UDF). */
+  def q26JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"))
+      .orderBy("event_type")
+
+  /** Per-customer running revenue: in-order window accumulation (bit-exact
+    * across engines because the fold order is fixed by the total ordering). */
+  def q27RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Exact distinct-count aggregate (expand + two-phase agg under the hood). */
+  def q28CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Salted skew join: same aggregate as q12 through operators.SkewJoin —
+    * the oracle is the PLAIN join, proving salt-replication preserves
+    * results exactly. */
+  def q29SaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedJoin(
+        t(spark, dir, "lineitem"), t(spark, dir, "orders"),
+        "l_orderkey", "o_orderkey", buckets = 8, saltBy = col("l_linenumber"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
   // ---------------------------------------------------------------- §2.3
 
   /** Exact dedup over a corpus with planted duplicates (documents doubled
@@ -450,6 +492,10 @@ object Queries {
     "q23_exists_semi" -> q23ExistsSemi _,
     "q24_scalar_subquery" -> q24ScalarSubquery _,
     "q25_cube" -> q25Cube _,
+    "q26_json_extract" -> q26JsonExtract _,
+    "q27_running_sum" -> q27RunningSum _,
+    "q28_count_distinct" -> q28CountDistinct _,
+    "q29_salted_join" -> q29SaltedJoin _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_dedup_ngram" -> q31DedupNgram _,
     "q32_dedup_minhash" -> q32DedupMinhash _,
@@ -596,6 +642,24 @@ object Queries {
         |       ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q26_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q28_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q29_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, text FROM documents

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, Sessionize, SkewJoin}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -47,6 +47,18 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Sessionize.assign(ev, "user_id", "ts", 1800, "event_id")
       .orderBy("event_id").select("event_id", "session_id").as[(Long, Long)].collect()
     assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("SkewJoin.saltedJoin equals the plain join, including unmatched-left rows") {
+    val probe = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
+      .toDF("k", "tag") // key 1 is the heavy hitter
+    val build = Seq((1L, 10), (2L, 20)).toDF("bk", "v")
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("k", "tag", "v").orderBy("k", "tag").collect().toSeq
+    val salted = SkewJoin.saltedJoin(probe, build, "k", "bk", buckets = 4, saltBy = col("tag"))
+      .select("k", "tag", "v").orderBy("k", "tag").collect().toSeq
+    assert(salted === plain)
+    assert(salted.map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
   test("Sessionize.summarize aggregates per session") {
