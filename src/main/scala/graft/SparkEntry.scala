@@ -385,13 +385,14 @@ object Queries {
     Similarity.bruteTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
       queryVec(spark, dir, 0L), k = 10, excludeId = Some(0L))
 
-  /** IVF ANN: 8 deterministic centroids (vec_id 0..7), nprobe=2. Rows-only
-    * oracle (approximate); spec measures recall vs q50. */
+  /** IVF ANN: 8 k-means centroids (deterministic init = first 8 vectors,
+    * 2 Lloyd rounds), nprobe=2. Rows-only oracle (approximate); spec
+    * measures recall vs q50. */
   def q51AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vecsByIds(spark, dir, 0L until 8L)
-    val centroids = (0L until 8L).map(vecs)
-    Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      centroids, vecs(0L), nprobe = 2, k = 10, excludeId = Some(0L))
+    val emb = t(spark, dir, "embeddings")
+    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+      centroids, queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
   }
 
   /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors

@@ -73,6 +73,42 @@ object Similarity {
       .select(col(idCol), col("_vec").as(vecCol), col("bucket"))
   }
 
+  /** Deterministic k-means-lite (Lloyd) centroid training for IVF.
+    *
+    * Init is the first C vectors by id (deterministic, no RNG); each round
+    * assigns every vector to its nearest centroid (codegen cosine argmax,
+    * broadcast centroids) and recomputes centroids as per-bucket means —
+    * ONE groupBy shuffle per round carrying C×dim doubles per partition
+    * after map-side partial aggregation. Rounds are few and fixed (the
+    * centroids only gate recall, not correctness). Empty buckets keep
+    * their previous centroid. */
+  def kMeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      c: Int, iters: Int): Seq[Seq[Double]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(c)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = assignBuckets(df, idCol, vecCol, centroids)
+      val sums = assigned
+        .select(col("bucket"), transform(col(vecCol), x => x.cast("double")).as("_v"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("_n"),
+          array((0 until dim).map(i => sum(col("_v").getItem(i))): _*).as("_s"))
+        .collect()
+      val next = centroids.toArray
+      sums.foreach { r =>
+        val b = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        next(b) = r.getSeq[Double](2).map(_ / n).toSeq
+      }
+      centroids = next.toSeq
+    }
+    centroids
+  }
+
   /** IVF top-k: search only the `nprobe` buckets whose centroids are closest
     * to the query. Approximate — recall vs bruteTopK is measured in specs. */
   def ivfTopK(

@@ -22,6 +22,17 @@ object ParquetSink {
     setModified(df.sparkSession, path, lastModified)
   }
 
+  /** Hive-layout partitioned write (`partitionBy` directories). At 100 TB
+    * this is how the artifact should land: partition columns (date, source,
+    * language, ...) become directories, so downstream reads with a
+    * partition-column filter prune whole subtrees before any I/O. The
+    * modified stamp still lives once at the table root. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String], lastModified: String): Unit = {
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    setModified(df.sparkSession, path, lastModified)
+  }
+
   def setModified(spark: SparkSession, path: String, lastModified: String): Unit = {
     val p = new Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

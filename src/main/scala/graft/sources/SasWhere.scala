@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *               | IS [NOT] (MISSING|NULL))
   *               | 'missing(' ident ')'
   *   sum      := prod (('+'|'-') prod)* ;  prod := atom (('*'|'/') atom)*
-  *   atom     := number | string | ident | '(' expr ')'
+  *   atom     := number | string | date | datetime | ident | '(' expr ')'
+  *   date     := 'ddMONyyyy'd ;  datetime := 'ddMONyyyy:HH:MM:SS'dt
   * Identifiers are case-insensitive (lowercased, as everywhere in graft).
   */
 object SasWhere {
@@ -31,11 +32,31 @@ object SasWhere {
   sealed trait Tok
   final case class TNum(v: Double) extends Tok
   final case class TStr(v: String) extends Tok
+  final case class TDate(v: java.sql.Date) extends Tok          // '01JAN2024'd
+  final case class TTimestamp(v: java.sql.Timestamp) extends Tok // '01JAN2024:10:30:00'dt
   final case class TId(v: String) extends Tok   // lowercased identifier / keyword
   final case class TOp(v: String) extends Tok   // punctuation operator
   case object TLParen extends Tok
   case object TRParen extends Tok
   case object TComma extends Tok
+
+  private val DateFmt = java.time.format.DateTimeFormatter.ofPattern(
+    "ddMMMuuuu", java.util.Locale.US)
+  private val DtFmt = java.time.format.DateTimeFormatter.ofPattern(
+    "ddMMMuuuu:HH:mm:ss", java.util.Locale.US)
+
+  /** SAS date/datetime constants: '01JAN2024'd / '01JAN2024:10:30:00'dt. */
+  private def dateTok(raw: String, suffix: String): Tok = {
+    // SAS month abbreviations are case-insensitive; normalize to Title case
+    val norm = raw.take(2) + raw.slice(2, 5).toUpperCase.charAt(0) +
+      raw.slice(3, 5).toLowerCase + raw.drop(5)
+    suffix match {
+      case "d" => TDate(java.sql.Date.valueOf(
+        java.time.LocalDate.parse(norm, DateFmt)))
+      case "dt" => TTimestamp(java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.parse(norm, DtFmt)))
+    }
+  }
 
   def tokenize(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer[Tok]()
@@ -61,7 +82,14 @@ object SasWhere {
             else { done = true; i += 1 }
           } else { sb += ch; i += 1 }
         }
-        out += TStr(sb.toString)
+        // date/datetime constant suffix: '…'d or '…'dt (immediately after quote)
+        def idChar(j: Int) = j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')
+        val isDt = i + 1 < n && "dD".indexOf(s.charAt(i)) >= 0 &&
+          "tT".indexOf(s.charAt(i + 1)) >= 0 && !idChar(i + 2)
+        val isD = !isDt && i < n && "dD".indexOf(s.charAt(i)) >= 0 && !idChar(i + 1)
+        if (isDt) { out += dateTok(sb.toString, "dt"); i += 2 }
+        else if (isD) { out += dateTok(sb.toString, "d"); i += 1 }
+        else out += TStr(sb.toString)
       }
       else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
         val start = i
@@ -152,6 +180,8 @@ object SasWhere {
             next() match {
               case TNum(v) => vals += v
               case TStr(v) => vals += v
+              case TDate(v) => vals += v
+              case TTimestamp(v) => vals += v
               case t => throw new IllegalArgumentException(s"bad IN list element: $t")
             }
             peek match {
@@ -230,6 +260,8 @@ object SasWhere {
     private def atom(): Column = next() match {
       case TNum(v) => if (v == v.toLong.toDouble) lit(v.toLong) else lit(v)
       case TStr(v) => lit(v)
+      case TDate(v) => lit(v)
+      case TTimestamp(v) => lit(v)
       case TId(name) => col(name)
       case TLParen =>
         val e = orExpr()

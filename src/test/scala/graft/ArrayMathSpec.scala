@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.ArrayMath
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style check (seeded): the codegen DotProduct equals a strict
+  * left-fold in double over the same elements, bit for bit, for random
+  * float vectors of varied lengths and magnitudes. */
+class ArrayMathSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("DotProduct == sequential double fold for random float vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 30).map { _ =>
+      val n = 1 + rnd.nextInt(65)
+      val scale = math.pow(10, rnd.nextInt(9) - 4).toFloat
+      (Array.fill(n)((rnd.nextFloat() - 0.5f) * scale),
+        Array.fill(n)((rnd.nextFloat() - 0.5f) * scale))
+    }
+    val got = cases.toDF("a", "b")
+      .select(ArrayMath.dot(col("a"), col("b"))).as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), g) =>
+      var expected = 0.0
+      a.indices.foreach(i => expected += a(i).toDouble * b(i).toDouble)
+      assert(java.lang.Double.compare(g, expected) == 0, s"dot mismatch: $g vs $expected")
+    }
+  }
+
+  test("cosine matches oracle association order dot/(sqrt*sqrt)") {
+    val s = spark
+    import s.implicits._
+    val a = Array(0.3f, -1.7f, 2.9f, 0.0f)
+    val b = Array(1.1f, 0.2f, -0.4f, 5.5f)
+    def fold(x: Array[Float], y: Array[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    val expected = fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(ArrayMath.cosine(col("a"), col("b"))).as[Double].head()
+    assert(java.lang.Double.compare(got, expected) == 0)
+  }
+
+  test("mismatched lengths use the common prefix; empty arrays give 0") {
+    val s = spark
+    import s.implicits._
+    val got = Seq((Array(1.0f, 2.0f, 3.0f), Array(10.0, 20.0)))
+      .toDF("a", "b").select(ArrayMath.dot(col("a"), col("b"))).as[Double].head()
+    assert(got === 50.0)
+    val empty = Seq((Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b").select(ArrayMath.dot(col("a"), col("b"))).as[Double].head()
+    assert(empty === 0.0)
+  }
+}

@@ -67,6 +67,20 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("writePartitioned: hive layout, partition pruning reaches the scan") {
+    val dir = tmp("part") + "/t"
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    ParquetSink.writePartitioned(docs, dir, Seq("lang"), "Last modified: 01/01/2024 00:00:00")
+    assert(ParquetSink.getModified(spark, dir) == "Last modified: 01/01/2024 00:00:00")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val one = back.where(org.apache.spark.sql.functions.col("lang") === "en")
+    // partition filter must prune directories, not scan+filter rows
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"))
+    assert(one.count() == docs.where(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+
   test("updateCsv: mtime-encoded stamp drives skip/rebuild/force") {
     val s = spark
     import s.implicits._

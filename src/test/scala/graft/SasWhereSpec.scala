@@ -4,6 +4,23 @@ import graft.sources.SasWhere
 import org.scalatest.funsuite.AnyFunSuite
 
 class SasWhereSpec extends AnyFunSuite {
+
+  test("date and datetime literals: 'ddMONyyyy'd / '...'dt forms") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), java.sql.Timestamp.valueOf("2024-01-01 09:00:00")),
+      (2L, java.sql.Date.valueOf("2024-06-15"), java.sql.Timestamp.valueOf("2024-06-15 12:30:00")),
+      (3L, java.sql.Date.valueOf("2025-01-01"), java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    ).toDF("id", "d", "ts")
+    def ids(w: String) =
+      df.filter(SasWhere.compile(w)).select(col("id")).as[Long].collect().toSet
+    assert(ids("d ge '15JUN2024'd") === Set(2L, 3L))
+    assert(ids("d between '01jan2024'd and '31DEC2024'd") === Set(1L, 2L))
+    assert(ids("ts gt '01JAN2024:10:00:00'dt") === Set(2L, 3L))
+    assert(ids("d in ('01JAN2024'd, '01JAN2025'd)") === Set(1L, 3L))
+  }
   private lazy val spark = TestSpark.spark
 
   private def df = {

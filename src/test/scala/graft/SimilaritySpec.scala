@@ -34,6 +34,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
 
+  test("kMeans: deterministic across runs, right shape, assigns all buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val c1 = Similarity.kMeans(emb, "vec_id", "embedding", c = 4, iters = 2)
+    val c2 = Similarity.kMeans(emb, "vec_id", "embedding", c = 4, iters = 2)
+    assert(c1 === c2)
+    assert(c1.length === 4 && c1.forall(_.length === 64))
+    val buckets = Similarity.assignBuckets(emb, "vec_id", "embedding", c1)
+      .select("bucket").distinct().as[Int].collect().toSet
+    assert(buckets.nonEmpty && buckets.subsetOf((0 until 4).toSet))
+  }
+
   test("IVF recall vs brute force on the sf0.001 embeddings corpus") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
