@@ -81,6 +81,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-seen fingerprints within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.StreamingDedup.distinctDocs(
+        input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox", ts("2024-01-01 00:00:00")),
+        (2L, "The quick brown fox!", ts("2024-01-01 00:05:00")), // same fingerprint
+        (3L, "something else entirely", ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids.size === 2)
+      assert(ids.contains(3L))
+      assert((ids & Set(1L, 2L)).size === 1) // exactly one of the dup pair survives
+    } finally q.stop()
+  }
+
   test("streaming windowed agg emits closed tumbling windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
