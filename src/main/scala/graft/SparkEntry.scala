@@ -438,6 +438,15 @@ object Queries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing-style rolling-hash fingerprint: min polynomial hash over
+    * 16-byte windows (codegen functions.RollingMinHash; the polynomial form
+    * is reproducible in plain SQL, so the oracle computes the same value). */
+  def q44RollingFp(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextHashes.rollingMinHash(col("text"), k = 16).as("rolling_fp"))
+      .orderBy("doc_id")
+
   /** Corpus-wide top-20 3-gram shingles by document frequency. */
   def q45NgramTopk(spark: SparkSession, dir: String): DataFrame =
     Dedup.shingles(t(spark, dir, "documents"), "doc_id", "text", n = 3)
@@ -464,6 +473,13 @@ object Queries {
       spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
       frameBytes = 32, stride = 64)
       .orderBy("doc_id", "frame_idx")
+
+  /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
+    * 16-byte signature per payload (decode stubbed; shape/batching real). */
+  def q72Resize(spark: SparkSession, dir: String): DataFrame =
+    Binary.resizeStub(
+      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id", target = 16)
+      .orderBy("doc_id")
 
   // ---------------------------------------------------------------- registry
 
@@ -507,12 +523,14 @@ object Queries {
     "q51_ann_ivf" -> q51AnnIvf _,
     "q52_knn_join" -> q52KnnJoin _,
     "q40_token_count" -> q40TokenCount _,
+    "q44_rolling_fp" -> q44RollingFp _,
     "q45_ngram_topk" -> q45NgramTopk _,
     "q41_text_quality" -> q41TextQuality _,
     "q42_lang_id" -> q42LangId _,
     "q43_fingerprint" -> q43Fingerprint _,
     "q70_binary_features" -> q70BinaryFeatures _,
-    "q71_frame_sample" -> q71FrameSample _
+    "q71_frame_sample" -> q71FrameSample _,
+    "q72_resize" -> q72Resize _
   )
 
   val oracles: Map[String, String] = Map(
@@ -750,6 +768,16 @@ object Queries {
         |                            ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM p)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q44_rolling_fp" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 16 THEN
+        |    list_min(list_transform(range(1, length(text) - 16 + 2),
+        |      i -> list_reduce(
+        |             list_transform(range(0, 16),
+        |                            j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+        |             (a, b) -> (a * 31 + b) % 1000000007)))
+        |  ELSE NULL END AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q45_ngram_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -827,6 +855,13 @@ object Queries {
         |       md5(substring(text, CAST(f * 64 + 1 AS BIGINT), 32)) AS frame_md5
         |FROM documents,
         |     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(f)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q72_resize" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 16 THEN
+        |    array_to_string(list_transform(range(0, 16),
+        |      i -> printf('%02x', ord(substr(text, CAST(i * length(text) // 16 AS INT) + 1, 1)))), '')
+        |  ELSE NULL END AS sig_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -77,6 +77,40 @@ object Binary {
     spark.createDataFrame(out, frameSchema)
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig_hex", StringType)))
+
+  /** "Resize" stub: nearest-neighbor downsample of the payload byte stream
+    * to a fixed `target`-byte signature (out[i] = payload[floor(i*len/target)]),
+    * hex-encoded. A real pipeline would decode pixels and resample here; the
+    * deterministic byte form keeps the exact shape (fixed-size output per
+    * row, per-partition batch loop) testable end-to-end against a SQL
+    * oracle. Rows shorter than `target` bytes produce no signature (null). */
+  def resizeStub(
+      spark: SparkSession, df: DataFrame, idCol: String, target: Int): DataFrame = {
+    val rows = df.select(col(idCol).cast(LongType), col("payload"))
+    val out = rows.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val sig =
+          if (payload.length < target) null
+          else {
+            val b = new Array[Byte](target)
+            var i = 0
+            while (i < target) {
+              b(i) = payload((i.toLong * payload.length / target).toInt)
+              i += 1
+            }
+            b.map("%02x".format(_)).mkString
+          }
+        Row(id, sig)
+      }
+    }
+    spark.createDataFrame(out, resizeSchema)
+  }
+
   /** Per-partition feature extraction over (id, payload) rows: byte length,
     * header peek, content hash, stubbed decode feature. The MessageDigest is
     * allocated once per partition — the setup-amortization pattern a real

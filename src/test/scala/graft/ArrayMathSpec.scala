@@ -42,6 +42,28 @@ class ArrayMathSpec extends AnyFunSuite {
     assert(java.lang.Double.compare(got, expected) == 0)
   }
 
+  test("RollingMinHash: codegen equals hand fold; null under window size") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextHashes
+    val texts = Seq("the quick brown fox jumps over the lazy dog", "short", "x" * 16)
+    val got = texts.toDF("t")
+      .select(TextHashes.rollingMinHash(col("t"), 16)).collect()
+    def ref(t: String): Option[Long] = {
+      val bs = t.getBytes("UTF-8"); val k = 16; val M = 1000000007L
+      if (bs.length < k) None
+      else Some((0 to bs.length - k).map { i =>
+        bs.slice(i, i + k).foldLeft(0L)((h, b) => (h * 31 + (b & 0xFF)) % M)
+      }.min)
+    }
+    texts.zip(got).foreach { case (t, row) =>
+      ref(t) match {
+        case None => assert(row.isNullAt(0), s"expected null for '$t'")
+        case Some(v) => assert(row.getLong(0) === v, s"mismatch for '$t'")
+      }
+    }
+  }
+
   test("mismatched lengths use the common prefix; empty arrays give 0") {
     val s = spark
     import s.implicits._
