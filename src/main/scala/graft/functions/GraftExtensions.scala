@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Registers graft's custom Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works anywhere the DataFrame
+  * helpers do. Installed via `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` — see [[graft.core.GraftSession]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b) takes two array arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_min_hash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rolling_min_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_rolling_min_hash(text, k) takes two arguments")
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_min_hash window must be an integer literal, got $other")
+        }
+        RollingMinHash(exprs.head, k)
+      }))
+  }
+}

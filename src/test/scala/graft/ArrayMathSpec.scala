@@ -64,6 +64,20 @@ class ArrayMathSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL registration via SparkSessionExtensions: graft_dot + rolling hash") {
+    val s = spark
+    import s.implicits._
+    val dot = s.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(3.0D, 4.0D))")
+      .as[Double].head()
+    assert(dot === 11.0)
+    val fp = s.sql("SELECT graft_rolling_min_hash('the quick brown fox jumps', 16)")
+      .as[Long].head()
+    val viaColumn = Seq("the quick brown fox jumps").toDF("t")
+      .select(graft.functions.TextHashes.rollingMinHash(col("t"), 16)).as[Long].head()
+    assert(fp === viaColumn)
+  }
+
   test("mismatched lengths use the common prefix; empty arrays give 0") {
     val s = spark
     import s.implicits._

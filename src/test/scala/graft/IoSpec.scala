@@ -127,6 +127,46 @@ class IoSpec extends AnyFunSuite {
     assert(PgDdl.splitStatements("a;\n b ; ;c") == Seq("a", "b", "c"))
   }
 
+  test("JdbcSink statements mirror the reference's load order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x")).toDF("permno", "comnam")
+    val t = graft.sinks.JdbcSink.PgTarget("jdbc:postgresql://h/db", "u", "p", "crsp", "dsf")
+    val pre = graft.sinks.JdbcSink.preloadStatements(df, t)
+    assert(pre === Seq(
+      """CREATE SCHEMA "crsp"""",
+      """CREATE ROLE "crsp"""",
+      """CREATE ROLE "crsp_access"""",
+      """DROP TABLE IF EXISTS "crsp"."dsf" CASCADE""",
+      """CREATE TABLE "crsp"."dsf" ("permno" bigint, "comnam" text)"""))
+    val post = graft.sinks.JdbcSink.postloadStatements(t, "Last modified: 01/01/2024 00:00:00")
+    assert(post.last === """COMMENT ON TABLE "crsp"."dsf" IS 'Last modified: 01/01/2024 00:00:00'""")
+  }
+
+  test("bucketed tables: co-located join plans with zero shuffle exchanges") {
+    val s = spark
+    import s.implicits._
+    // managed tables land in the session's spark-warehouse (gitignored);
+    // dropped in the finally block below
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 1.5)).toDF("k", "id", "v")
+    val dims = (0L until 50L).map(i => (i, s"dim_$i")).toDF("k", "name")
+    facts.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_facts_b")
+    dims.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_dims_b")
+    try {
+      // disable broadcast so the join would normally shuffle both sides
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("graft_facts_b").join(s.table("graft_dims_b"), "k")
+      val exchanges = joined.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      assert(exchanges === 0, "bucketed join must not shuffle either side")
+      assert(joined.count() === 1000L)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS graft_facts_b")
+      s.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+
   test("Catalog.listTables lists parquet tables sorted, ignoring sidecars") {
     assert(Catalog.listTables(spark, "/root/testdata/sf0.001")
       .collect().map(_.getString(0)).toSeq ==
