@@ -326,6 +326,30 @@ object Queries {
       .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("o_orderpriority")
 
+  /** Exact interpolated percentiles per group (two-phase: sort-based
+    * percentile agg after partial collection per key). */
+  def q46Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Fixed-width histogram over a value column: bin ids + counts are pure
+    * integer/deterministic arithmetic off a broadcast (min, max) scalar. */
+  def q47Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mm = orders.agg(min("o_totalprice").as("_mn"), max("o_totalprice").as("_mx"))
+    orders.crossJoin(broadcast(mm))
+      .select(least(
+        floor((col("o_totalprice") - col("_mn")) / ((col("_mx") - col("_mn")) / 10.0)),
+        lit(9L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_orders"))
+      .orderBy("bin")
+  }
+
   // ---------------------------------------------------------------- §2.3
 
   /** Exact dedup over a corpus with planted duplicates (documents doubled
@@ -513,6 +537,8 @@ object Queries {
     "q27_running_sum" -> q27RunningSum _,
     "q28_count_distinct" -> q28CountDistinct _,
     "q29_salted_join" -> q29SaltedJoin _,
+    "q46_percentiles" -> q46Percentiles _,
+    "q47_histogram" -> q47Histogram _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_dedup_ngram" -> q31DedupNgram _,
     "q32_dedup_minhash" -> q32DedupMinhash _,
@@ -679,6 +705,17 @@ object Queries {
       """SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q46_percentiles" ->
+      """SELECT o_orderpriority,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q47_histogram" ->
+      """WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+        |SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9) AS bin,
+        |       COUNT(*) AS n_orders
+        |FROM orders, mm GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, text FROM documents
