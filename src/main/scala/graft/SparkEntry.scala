@@ -242,6 +242,24 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Same as-of join as [[q20AsofJoin]], planned natively: graft's custom
+    * `AsOfJoinPlan` logical node → `AsOfMergeJoinExec` streaming merge
+    * (strategy injected by `GraftExtensions`). One co-partitioned shuffle per
+    * side, O(1) per-partition state, columns pruned through the node by
+    * `PruneAsOfJoinColumns`. */
+  def q49AsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    AsOfJoin.leftAsOfNative(
+      events.select("event_id", "user_id", "ts", "event_type"),
+      signups,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("signup_ts"))
+      .orderBy("event_id")
+  }
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -528,6 +546,7 @@ object Queries {
     "q18_pivot" -> q18Pivot _,
     "q19_rollup" -> q19Rollup _,
     "q20_asof_join" -> q20AsofJoin _,
+    "q49_asof_native" -> q49AsofNative _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,
@@ -648,6 +667,12 @@ object Queries {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q20_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q49_asof_native" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
         |FROM events e
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s

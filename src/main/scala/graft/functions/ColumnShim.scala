@@ -3,12 +3,23 @@
 // (non-Connect) API. No Spark internals are modified.
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridges graft's custom Catalyst expressions into the public Column API. */
+/** Bridges graft's custom Catalyst expressions/plans into the public API. */
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wraps a (resolved) logical plan as a DataFrame — the classic API's
+    * `Dataset.ofRows`, which the public surface does not expose. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (for building composite plans). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
 }

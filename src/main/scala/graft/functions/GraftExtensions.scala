@@ -5,14 +5,19 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-/** Registers graft's custom Catalyst expressions as SQL functions, so
-  * `spark.sql("SELECT graft_dot(a, b) ...")` works anywhere the DataFrame
-  * helpers do. Installed via `SparkSession.builder().withExtensions(new
-  * GraftExtensions)` — see [[graft.core.GraftSession]].
+/** Registers graft's Catalyst extensions: custom expressions as SQL functions
+  * (`spark.sql("SELECT graft_dot(a, b) ...")`), the planner strategy for
+  * graft's custom logical operators ([[graft.plans.GraftStrategy]]), and the
+  * optimizer rule that prunes columns through them
+  * ([[graft.plans.PruneAsOfJoinColumns]]). Installed via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` — see
+  * [[graft.core.GraftSession]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

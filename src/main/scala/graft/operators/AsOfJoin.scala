@@ -49,4 +49,54 @@ object AsOfJoin {
     }
     filled.where(col("_r") === 0).select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** Native-plan variant of [[leftAsOf]]: same semantics, planned as a
+    * [[graft.plans.AsOfMergeJoinExec]] streaming merge (custom logical node +
+    * planner strategy) instead of the union+window encoding. Requires a
+    * session built with [[graft.functions.GraftExtensions]]
+    * ([[graft.core.GraftSession]] installs it).
+    *
+    * Compared to [[leftAsOf]] at scale: the right side shuffles only its own
+    * rows (not a null-padded union of both schemas), per-partition state is
+    * O(1) instead of a window frame, and the merge emits left rows in key
+    * order so downstream per-key operators reuse both the partitioning and
+    * the ordering.
+    */
+  def leftAsOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.plans.AsOfJoinPlan
+
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)), "valueCols collide with left columns")
+
+    val lPlan = ColumnShim.analyzed(left)
+    // Fresh expr IDs on the whole right side so self-joins (same source both
+    // sides, as in events-vs-signups) never alias across the join.
+    val rSource = ColumnShim.analyzed(right)
+    val rPlan = Project(rSource.output.map(a => Alias(a, a.name)()), rSource)
+
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in ${out.map(_.name)}"))
+
+    val joinPlan = AsOfJoinPlan(
+      lPlan, rPlan,
+      Seq(attr(lPlan.output, leftKey)), Seq(attr(rPlan.output, rightKey)),
+      attr(lPlan.output, leftTime), attr(rPlan.output, rightTime))
+    // Keep left columns + requested right value columns, referencing the
+    // join's own output attributes (right side already nullable there).
+    val byId = joinPlan.output.map(a => a.exprId -> a).toMap
+    val keep = lPlan.output.map(a => byId(a.exprId)) ++
+      valueCols.map(c => byId(attr(rPlan.output, c).exprId))
+    ColumnShim.ofRows(left.sparkSession, Project(keep, joinPlan))
+  }
 }

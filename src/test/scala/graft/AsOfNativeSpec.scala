@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.plans.AsOfMergeJoinExec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of join (custom AsOfJoinPlan → AsOfMergeJoinExec) must agree
+  * with the union+window encoding on every input shape, plan through the
+  * injected strategy, and prune columns through the custom node.
+  */
+class AsOfNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark = TestSpark.spark
+
+  private def trades: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq( // (id, key, t, qty)
+      (1, "a", 10L, 100), (2, "a", 20L, 200), (3, "a", 30L, 300),
+      (4, "b", 5L, 50), (5, "b", 15L, 150),
+      (6, "c", 7L, 70), // key with no quotes at all
+      (7, "a", 1L, 10) // before any quote for its key
+    ).toDF("id", "key", "t", "qty")
+  }
+
+  private def quotes: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq( // (key, t, px)
+      ("a", 2L, 1.0), ("a", 20L, 2.0), ("a", 25L, 3.0),
+      ("b", 5L, 4.0), // equal-timestamp match (inclusive <=)
+      ("d", 1L, 9.0) // key with no trades
+    ).toDF("key", "t", "px")
+  }
+
+  private def runNative(l: DataFrame, r: DataFrame): DataFrame =
+    AsOfJoin.leftAsOfNative(l, r, "key", "key", "t", "t", Seq("px"))
+
+  test("native merge matches union+window encoding and hand oracle") {
+    val native = runNative(trades, quotes).orderBy("id").collect()
+    val composed = AsOfJoin
+      .leftAsOf(trades, quotes, "key", "key", "t", "t", Seq("px"))
+      .orderBy("id").collect()
+    assert(native.toSeq == composed.toSeq)
+    val byId = native.map(row => row.getInt(0) -> Option(row.get(4))).toMap
+    assert(byId == Map(
+      1 -> Some(1.0), // t=10: quote at 2
+      2 -> Some(2.0), // t=20: equal-timestamp quote (inclusive)
+      3 -> Some(3.0), // t=30: quote at 25
+      4 -> Some(4.0), // t=5: equal-timestamp quote
+      5 -> Some(4.0), // t=15: still the t=5 quote
+      6 -> None, // key with no quotes
+      7 -> None // before any quote for its key
+    ))
+  }
+
+  test("plans as AsOfMergeJoinExec with co-partitioned children") {
+    val df = runNative(trades, quotes)
+    df.collect() // materialize so AQE finalizes the plan
+    val execs = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: AsOfMergeJoinExec => e
+    }
+    assert(execs.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("empty right side leaves all left rows unmatched") {
+    val out = runNative(trades, quotes.where(col("px") < 0)).collect()
+    assert(out.length == trades.count())
+    assert(out.forall(_.isNullAt(4)))
+  }
+
+  test("null keys and null times never match") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1, Option("a"), Option(10L)), (2, Option.empty[String], Option(10L)),
+      (3, Option("a"), Option.empty[Long])).toDF("id", "key", "t")
+    val r = Seq((Option("a"), Option(5L), 1.0), (Option.empty[String], Option(1L), 2.0),
+      (Option("a"), Option.empty[Long], 3.0)).toDF("key", "t", "px")
+    val got = AsOfJoin.leftAsOfNative(l, r, "key", "key", "t", "t", Seq("px"))
+      .orderBy("id").collect()
+    assert(Option(got(0).get(3)) == Some(1.0)) // normal match
+    assert(got(1).isNullAt(3)) // null left key
+    assert(got(2).isNullAt(3)) // null left time
+  }
+
+  test("PruneAsOfJoinColumns drops unreferenced columns below the join") {
+    val l = trades.withColumn("heavy_l", lit("x" * 10))
+    val r = quotes.withColumn("heavy_r", lit("y" * 10))
+    val thin = AsOfJoin.leftAsOfNative(l, r, "key", "key", "t", "t", Seq("px"))
+      .select("id", "px")
+    val optimized = thin.queryExecution.optimizedPlan
+    val joinNode = optimized.collect { case j: graft.plans.AsOfJoinPlan => j }.head
+    val colsBelow = (joinNode.left.output ++ joinNode.right.output).map(_.name).toSet
+    assert(!colsBelow.contains("heavy_l") && !colsBelow.contains("heavy_r"), optimized.toString)
+    assert(colsBelow.contains("key") && colsBelow.contains("t"))
+    // Semantics unchanged after pruning.
+    assert(thin.orderBy("id").collect().map(r0 => Option(r0.get(1))).toSeq ==
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(4.0), None, None))
+  }
+
+  test("self-join (same source both sides) resolves without ambiguity") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1, "u1", 10L, "view"), (2, "u1", 5L, "signup"),
+      (3, "u2", 7L, "view")).toDF("event_id", "user_id", "ts", "event_type")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    val out = AsOfJoin.leftAsOfNative(
+      ev.select("event_id", "user_id", "ts", "event_type"), signups,
+      "user_id", "user_id", "ts", "ts", Seq("signup_ts"))
+      .orderBy("event_id").collect()
+    assert(Option(out(0).get(4)) == Some(5L)) // u1 view at 10 sees signup at 5
+    assert(Option(out(1).get(4)) == Some(5L)) // the signup row matches itself (<=)
+    assert(out(2).isNullAt(4)) // u2 never signed up
+  }
+}
