@@ -22,4 +22,10 @@ object ColumnShim {
   /** The analyzed logical plan of a DataFrame (for building composite plans). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Whether the session's planner carries the given strategy (used to fail
+    * fast with a useful message when GraftExtensions was not installed). */
+  def hasStrategy(spark: SparkSession, strategy: AnyRef): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.strategies.exists(_ eq strategy)
 }

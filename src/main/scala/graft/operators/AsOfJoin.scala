@@ -77,6 +77,9 @@ object AsOfJoin {
 
     val leftCols = left.columns.toSeq
     require(valueCols.forall(!leftCols.contains(_)), "valueCols collide with left columns")
+    require(ColumnShim.hasStrategy(left.sparkSession, graft.plans.GraftStrategy),
+      "leftAsOfNative needs GraftExtensions installed on the session " +
+        "(use graft.core.GraftSession.builder, or .withExtensions(new GraftExtensions))")
 
     val lPlan = ColumnShim.analyzed(left)
     // Fresh expr IDs on the whole right side so self-joins (same source both

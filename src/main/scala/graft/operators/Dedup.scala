@@ -107,19 +107,52 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list, as (id, comp) with
-    * comp = the minimum node id reachable from `id`. Min-label propagation:
-    * each round joins the frontier labels across edges and keeps the
-    * per-node minimum, converging in O(component diameter) rounds —
-    * duplicate clusters are shallow (stars/chains of copies), so this is
-    * 2-4 rounds in practice. `localCheckpoint` truncates lineage each round
-    * so plans don't grow with iterations. At much larger diameters,
-    * alternating star contraction (Kiveris et al., "Connected Components in
-    * MapReduce") halves rounds; not needed at cluster shapes seen here. */
+    * comp = the minimum node id reachable from `id`.
+    *
+    * Hybrid by edge count — the right call at 100 TB, not just locally: a
+    * near-dup EDGE list is orders of magnitude smaller than the corpus (edges
+    * exist only where pairs passed a similarity gate), so the common case is
+    * a few thousand-to-million edges hanging off billions of documents.
+    * - `<= driverEdgeLimit` edges (checked with a limit-probe, not a full
+    *   count): collect and run union-find (path compression + min-root
+    *   union, so every root is its component's minimum id) — one Spark job
+    *   total, and the resulting label table is broadcast-sized for the
+    *   downstream join.
+    * - larger: distributed min-label propagation — each round joins frontier
+    *   labels across edges and keeps the per-node minimum, converging in
+    *   O(component diameter) rounds (2-4 for the shallow stars/chains real
+    *   duplicate clusters form). `localCheckpoint` truncates lineage each
+    *   round so plans don't grow. At much larger diameters, alternating star
+    *   contraction (Kiveris et al., "Connected Components in MapReduce")
+    *   halves rounds; not needed at cluster shapes seen here.
+    * Both paths produce identical deterministic labels. */
   def connectedComponents(
-      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 50): DataFrame = {
-    val sym = edges
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 50,
+      driverEdgeLimit: Int = 1 << 20): DataFrame = {
+    val typed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .unionByName(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+    val probe = typed.limit(driverEdgeLimit + 1).collect()
+    if (probe.length <= driverEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != cur) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      probe.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = probe.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct.sorted
+      return nodes.map(nd => (nd, find(nd))).toSeq.toDF("id", "comp")
+    }
+    val sym = typed
+      .unionByName(typed.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
     var labels = sym.groupBy("src").agg(min("dst").as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("comp"))

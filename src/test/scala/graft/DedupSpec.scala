@@ -70,6 +70,19 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
   }
 
+  test("connectedComponents: driver union-find and distributed paths agree") {
+    // chain, triangle, cross-link, self-loop, reversed-order edges
+    val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 20L), (1L, 2L),
+      (3L, 2L), (1L, 3L), (5L, 5L), (100L, 7L)).toDF("a", "b")
+    val fast = Dedup.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect()
+    val dist = Dedup.connectedComponents(edges, "a", "b", driverEdgeLimit = 0)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(fast === dist)
+    assert(fast.toMap.apply(100L) === 7L)
+    assert(fast.toMap.apply(40L) === 10L)
+  }
+
   test("nearDupClusters labels singletons with their own id") {
     val got = Dedup.nearDupClusters(docs, "doc_id", "text", n = 3, tau = 0.6)
       .orderBy("doc_id").as[(Long, Long)].collect()
