@@ -260,6 +260,23 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Inner as-of join (DuckDB `ASOF JOIN` default semantics): only events
+    * with a prior signup survive. Same custom merge operator as
+    * [[q49AsofNative]] with unmatched left rows dropped in the merge —
+    * no post-join filter, no null-padding ever materialized. */
+  def q48AsofInner(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    AsOfJoin.innerAsOfNative(
+      events.select("event_id", "user_id", "ts", "event_type"),
+      signups,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("signup_ts"))
+      .orderBy("event_id")
+  }
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -546,6 +563,7 @@ object Queries {
     "q18_pivot" -> q18Pivot _,
     "q19_rollup" -> q19Rollup _,
     "q20_asof_join" -> q20AsofJoin _,
+    "q48_asof_inner" -> q48AsofInner _,
     "q49_asof_native" -> q49AsofNative _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
@@ -670,6 +688,12 @@ object Queries {
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
         |FROM events e
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q48_asof_inner" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
+        |FROM events e
+        |ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.event_id""".stripMargin,
     "q49_asof_native" ->

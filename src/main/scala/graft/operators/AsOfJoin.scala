@@ -69,7 +69,35 @@ object AsOfJoin {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    asOfNative(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
+      inner = false, tolerance)
+
+  /** Inner as-of join (DuckDB `ASOF JOIN` default): like [[leftAsOfNative]]
+    * but left rows with no match are dropped instead of null-padded. */
+  def innerAsOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    asOfNative(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
+      inner = true, tolerance)
+
+  private def asOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      inner: Boolean,
+      tolerance: Option[Long]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graftshim.ColumnShim
@@ -94,7 +122,8 @@ object AsOfJoin {
     val joinPlan = AsOfJoinPlan(
       lPlan, rPlan,
       Seq(attr(lPlan.output, leftKey)), Seq(attr(rPlan.output, rightKey)),
-      attr(lPlan.output, leftTime), attr(rPlan.output, rightTime))
+      attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
+      isInner = inner, tolerance = tolerance)
     // Keep left columns + requested right value columns, referencing the
     // join's own output attributes (right side already nullable there).
     val byId = joinPlan.output.map(a => a.exprId -> a).toMap

@@ -20,13 +20,20 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * converting SAS `proc sql` joins (wrds2pg/wrds2pg.py:409 get_wrds_sas);
   * the as-of shape is the canonical downstream query on such tables.
   */
+/** @param isInner   drop left rows with no as-of match (DuckDB `ASOF JOIN`
+  *                   default) instead of null-padding them (`ASOF LEFT JOIN`)
+  * @param tolerance  max allowed `leftTime - rightTime`, in the time column's
+  *                   native unit (µs for timestamps, days for dates); `None`
+  *                   = unbounded staleness */
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    isInner: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,

@@ -29,6 +29,8 @@ case class AsOfMergeJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    isInner: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -66,6 +68,17 @@ case class AsOfMergeJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val inner = isInner
+    val tol = tolerance
+    // Tolerance needs a numeric time delta, not just an ordering.
+    tol.foreach { _ =>
+      import org.apache.spark.sql.types._
+      lTimeExpr.dataType match {
+        case TimestampType | TimestampNTZType | LongType | IntegerType | DateType =>
+        case other => throw new IllegalArgumentException(
+          s"as-of tolerance unsupported for time type $other")
+      }
+    }
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -76,6 +89,19 @@ case class AsOfMergeJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
+      // Numeric staleness check, resolved once per partition from the time
+      // type; null when tolerance is unbounded.
+      val tolOk: (UnsafeRow, UnsafeRow) => Boolean = tol match {
+        case None => null
+        case Some(t) =>
+          import org.apache.spark.sql.types._
+          lTimeExpr.dataType match {
+            case TimestampType | TimestampNTZType | LongType =>
+              (lt, rt) => lt.getLong(0) - rt.getLong(0) <= t
+            case _ => // IntegerType | DateType, pre-validated above
+              (lt, rt) => lt.getInt(0).toLong - rt.getInt(0).toLong <= t
+          }
+      }
 
       new Iterator[InternalRow] {
         // Lookahead right row. `rRow` references the shuffle reader's reused
@@ -89,6 +115,9 @@ case class AsOfMergeJoinExec(
         // Latest right row consumed whose key may still match (owned copies).
         private var matchRow: InternalRow = _
         private var matchKey: UnsafeRow = _
+        private var matchTime: UnsafeRow = _
+
+        private var ready: InternalRow = _
 
         private def advanceRight(): Unit = {
           rRow = null
@@ -103,36 +132,56 @@ case class AsOfMergeJoinExec(
         }
         advanceRight()
 
-        override def hasNext: Boolean = lIter.hasNext
+        /** Next output row, or null when the left side is drained (inner
+          * joins skip unmatched left rows here). */
+        private def findNext(): InternalRow = {
+          while (lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            val lTime = lTimeProj(l)
+            val lTimeNull = lTime.isNullAt(0)
+            // Consume right rows at-or-before (lKey, lTime); the last
+            // consumed row with an equal key is the as-of match.
+            var advancing = rRow != null
+            while (advancing) {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) {
+                advanceRight() // right key already passed by the left cursor
+              } else if (c == 0 && !lTimeNull && timeOrd.compare(rTime, lTime) <= 0) {
+                matchRow = rRow.copy()
+                matchKey = rKey.copy()
+                matchTime = rTime.copy()
+                advanceRight()
+              } else {
+                advancing = false
+              }
+              if (rRow == null) advancing = false
+            }
+            val matched = matchRow != null && !lKey.anyNull &&
+              keyOrd.compare(matchKey, lKey) == 0 &&
+              (tolOk == null || (!lTimeNull && tolOk(lTime, matchTime)))
+            if (matched) {
+              numOutput += 1; numMatched += 1
+              return joined(l, matchRow)
+            } else if (!inner) {
+              numOutput += 1
+              return joined(l, nullRight)
+            }
+            // inner + unmatched: fall through to the next left row
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (ready == null) ready = findNext()
+          ready != null
+        }
 
         override def next(): InternalRow = {
-          val l = lIter.next()
-          val lKey = lKeyProj(l)
-          val lTime = lTimeProj(l)
-          val lTimeNull = lTime.isNullAt(0)
-          // Consume right rows at-or-before (lKey, lTime); the last consumed
-          // row with an equal key is the as-of match.
-          var advancing = rRow != null
-          while (advancing) {
-            val c = keyOrd.compare(rKey, lKey)
-            if (c < 0) {
-              advanceRight() // right key already passed by the left cursor
-            } else if (c == 0 && !lTimeNull && timeOrd.compare(rTime, lTime) <= 0) {
-              matchRow = rRow.copy()
-              matchKey = rKey.copy()
-              advanceRight()
-            } else {
-              advancing = false
-            }
-            if (rRow == null) advancing = false
-          }
-          numOutput += 1
-          if (matchRow != null && !lKey.anyNull && keyOrd.compare(matchKey, lKey) == 0) {
-            numMatched += 1
-            joined(l, matchRow)
-          } else {
-            joined(l, nullRight)
-          }
+          if (!hasNext) throw new NoSuchElementException("drained as-of merge")
+          val out = ready
+          ready = null
+          out
         }
       }
     }

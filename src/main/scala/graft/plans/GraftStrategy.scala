@@ -10,8 +10,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case j: AsOfJoinPlan =>
+      AsOfMergeJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+        j.isInner, j.tolerance, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }

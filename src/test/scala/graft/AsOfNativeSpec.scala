@@ -100,6 +100,48 @@ class AsOfNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(4.0), None, None))
   }
 
+  test("inner as-of drops unmatched left rows; agrees with left variant") {
+    val innerRows = AsOfJoin.innerAsOfNative(trades, quotes, "key", "key", "t", "t", Seq("px"))
+      .orderBy("id").collect()
+    val leftMatched = runNative(trades, quotes)
+      .where(col("px").isNotNull).orderBy("id").collect()
+    assert(innerRows.toSeq == leftMatched.toSeq)
+    assert(innerRows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5)) // ids 6,7 unmatched
+  }
+
+  test("tolerance bounds staleness (left: null-padded; inner: dropped)") {
+    // staleness per id: 1→8, 2→0, 3→5, 4→0, 5→10; tolerance 5 is inclusive
+    val tol = Some(5L)
+    val l = AsOfJoin.leftAsOfNative(trades, quotes, "key", "key", "t", "t", Seq("px"), tol)
+      .orderBy("id").collect().map(r => r.getInt(0) -> Option(r.get(4))).toMap
+    assert(l(1) == None && l(2) == Some(2.0) && l(3) == Some(3.0) && l(5) == None)
+    val i = AsOfJoin.innerAsOfNative(trades, quotes, "key", "key", "t", "t", Seq("px"), tol)
+      .collect().map(_.getInt(0)).toSet
+    assert(i == Set(2, 3, 4)) // 1 and 5 too stale, 6/7 unmatched
+  }
+
+  test("PushFilterThroughAsOfJoin: left predicate reaches the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("asof_push").toString
+    trades.write.mode("overwrite").parquet(s"$dir/trades")
+    quotes.write.mode("overwrite").parquet(s"$dir/quotes")
+    val df = runNative(
+      spark.read.parquet(s"$dir/trades"), spark.read.parquet(s"$dir/quotes"))
+      .where(col("qty") > 100 && col("px") > 1.0)
+    assert(df.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(2, 3, 5))
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // left-only predicate (qty) pushed through the join into the trades scan
+    val tradeScan = scans.find(_.output.exists(_.name == "qty")).get
+    assert(tradeScan.metadata("PushedFilters").contains("GreaterThan(qty,100)"),
+      tradeScan.metadata.toString)
+    // right-side predicate (px) must NOT be pushed — it would change which
+    // quote is "latest at-or-before" — so the quotes scan stays unfiltered
+    val quoteScan = scans.find(_.output.exists(_.name == "px")).get
+    assert(!quoteScan.metadata("PushedFilters").contains("px"),
+      quoteScan.metadata.toString)
+  }
+
   test("self-join (same source both sides) resolves without ambiguity") {
     val s = spark
     import s.implicits._
