@@ -277,6 +277,24 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** As-of enrichment with a broadcast right side: `broadcast(signups)`
+    * selects `AsOfBroadcastJoinExec` — the events fact table is never
+    * shuffled or sorted; each partition resolves matches against the
+    * broadcast index (hash + binary search). The zero-shuffle path a
+    * 100 TB fact × small-reference enrichment should take. */
+  def q53AsofBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    AsOfJoin.leftAsOfNative(
+      events.select("event_id", "user_id", "ts", "event_type"),
+      broadcast(signups),
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("signup_ts"))
+      .orderBy("event_id")
+  }
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -565,6 +583,7 @@ object Queries {
     "q20_asof_join" -> q20AsofJoin _,
     "q48_asof_inner" -> q48AsofInner _,
     "q49_asof_native" -> q49AsofNative _,
+    "q53_asof_broadcast" -> q53AsofBroadcast _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,
@@ -685,6 +704,12 @@ object Queries {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q20_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q53_asof_broadcast" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
         |FROM events e
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s

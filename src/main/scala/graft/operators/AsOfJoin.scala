@@ -61,6 +61,10 @@ object AsOfJoin {
     * O(1) instead of a window frame, and the merge emits left rows in key
     * order so downstream per-key operators reuse both the partitioning and
     * the ordering.
+    *
+    * Passing `broadcast(right)` selects the zero-shuffle broadcast exec
+    * ([[graft.plans.AsOfBroadcastJoinExec]]): the left side never moves —
+    * the enrichment path for a huge fact table + small reference table.
     */
   def leftAsOfNative(
       left: DataFrame,
@@ -99,20 +103,26 @@ object AsOfJoin {
       inner: Boolean,
       tolerance: Option[Long]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
-    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Project, ResolvedHint}
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.plans.AsOfJoinPlan
 
     val leftCols = left.columns.toSeq
     require(valueCols.forall(!leftCols.contains(_)), "valueCols collide with left columns")
     require(ColumnShim.hasStrategy(left.sparkSession, graft.plans.GraftStrategy),
-      "leftAsOfNative needs GraftExtensions installed on the session " +
+      "asOfNative needs GraftExtensions installed on the session " +
         "(use graft.core.GraftSession.builder, or .withExtensions(new GraftExtensions))")
 
     val lPlan = ColumnShim.analyzed(left)
+    // A user `broadcast(right)` hint selects the zero-shuffle broadcast exec.
+    // Consumed here because the optimizer drops hint nodes no built-in
+    // operator claimed (EliminateResolvedHint) before our strategy runs.
+    val (rSource, useBroadcast) = ColumnShim.analyzed(right) match {
+      case ResolvedHint(child, hints) if hints.strategy.contains(BROADCAST) => (child, true)
+      case other => (other, false)
+    }
     // Fresh expr IDs on the whole right side so self-joins (same source both
     // sides, as in events-vs-signups) never alias across the join.
-    val rSource = ColumnShim.analyzed(right)
     val rPlan = Project(rSource.output.map(a => Alias(a, a.name)()), rSource)
 
     def attr(out: Seq[Attribute], name: String): Attribute =
@@ -123,7 +133,7 @@ object AsOfJoin {
       lPlan, rPlan,
       Seq(attr(lPlan.output, leftKey)), Seq(attr(rPlan.output, rightKey)),
       attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
-      isInner = inner, tolerance = tolerance)
+      isInner = inner, tolerance = tolerance, broadcastRight = useBroadcast)
     // Keep left columns + requested right value columns, referencing the
     // join's own output attributes (right side already nullable there).
     val byId = joinPlan.output.map(a => a.exprId -> a).toMap

@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Broadcast backward as-of join: the small right side is broadcast once,
+  * indexed per partition as key → time-sorted rows, and every left row
+  * resolves its match with a hash lookup + binary search.
+  *
+  * Scale design (SURVEY §4): this is the zero-shuffle enrichment path — the
+  * canonical 100 TB case of attaching a GB-sized reference table (quotes,
+  * rates, dimension history) to a fact stream. The left side never moves:
+  * no shuffle, no sort, partitioning and ordering pass through untouched, so
+  * the as-of enrichment composes with upstream scans and downstream
+  * aggregations without an extra stage boundary. Only the broadcast (one
+  * `BroadcastExchange`, AQE-managed) is paid, exactly as for Spark's own
+  * broadcast-hash equi-join.
+  *
+  * The per-partition index build is O(R log R) over broadcast rows — bounded
+  * by the broadcast size the user already accepted by hinting; match
+  * semantics (ties, NULL keys/times, inclusive <=, tolerance) are identical
+  * to [[AsOfMergeJoinExec]] and spec-checked equal.
+  */
+case class AsOfBroadcastJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    isInner: Boolean,
+    tolerance: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutput = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedRows")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val inner = isInner
+    val tol = tolerance
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val tolOk: (UnsafeRow, UnsafeRow) => Boolean = tol match {
+        case None => null
+        case Some(t) =>
+          import org.apache.spark.sql.types._
+          lTimeExpr.dataType match {
+            case TimestampType | TimestampNTZType | LongType =>
+              (lt, rt) => lt.getLong(0) - rt.getLong(0) <= t
+            case IntegerType | DateType =>
+              (lt, rt) => lt.getInt(0).toLong - rt.getInt(0).toLong <= t
+            case other => throw new IllegalArgumentException(
+              s"as-of tolerance unsupported for time type $other")
+          }
+      }
+
+      // key → (times sorted ascending, rows in the same order). Broadcast
+      // rows are stable copies (IdentityBroadcastMode), safe to reference.
+      val index = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
+      broadcastRows.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTimeProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]
+            index.put(k.copy(), buf)
+          }
+          buf += ((t.copy(), r))
+        }
+      }
+      index.values().forEach(buf => buf.sortInPlaceWith((a, b) => timeOrd.compare(a._1, b._1) < 0))
+
+      lIter.flatMap { l =>
+        val lKey = lKeyProj(l)
+        val lTime = lTimeProj(l)
+        var matchRow: InternalRow = null
+        if (!lKey.anyNull && !lTime.isNullAt(0)) {
+          val arr = index.get(lKey)
+          if (arr != null) {
+            // greatest i with time(i) <= lTime (rightmost on ties, matching
+            // the merge path's last-consumed semantics)
+            var lo = 0
+            var hi = arr.length - 1
+            var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(arr(mid)._1, lTime) <= 0) { found = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (found >= 0 && (tolOk == null || tolOk(lTime, arr(found)._1)))
+              matchRow = arr(found)._2
+          }
+        }
+        if (matchRow != null) {
+          numOutput += 1; numMatched += 1
+          Iterator.single(joined(l, matchRow))
+        } else if (!inner) {
+          numOutput += 1
+          Iterator.single(joined(l, nullRight))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfBroadcastJoinExec =
+    copy(left = newLeft, right = newRight)
+}

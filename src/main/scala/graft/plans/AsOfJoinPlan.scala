@@ -24,7 +24,12 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *                   default) instead of null-padding them (`ASOF LEFT JOIN`)
   * @param tolerance  max allowed `leftTime - rightTime`, in the time column's
   *                   native unit (µs for timestamps, days for dates); `None`
-  *                   = unbounded staleness */
+  *                   = unbounded staleness
+  * @param broadcastRight plan as [[AsOfBroadcastJoinExec]] (zero left-side
+  *                   shuffle) instead of the co-partitioned merge. Set from a
+  *                   user `broadcast(right)` hint at API level, because the
+  *                   optimizer's `EliminateResolvedHint` strips hint nodes
+  *                   that no built-in operator consumed before planning. */
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -33,7 +38,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     isInner: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    broadcastRight: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,

@@ -10,6 +10,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoinPlan if j.broadcastRight =>
+      AsOfBroadcastJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+        j.isInner, j.tolerance, planLater(j.left), planLater(j.right)) :: Nil
     case j: AsOfJoinPlan =>
       AsOfMergeJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
         j.isInner, j.tolerance, planLater(j.left), planLater(j.right)) :: Nil

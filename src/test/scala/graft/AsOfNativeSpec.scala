@@ -142,6 +142,28 @@ class AsOfNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       quoteScan.metadata.toString)
   }
 
+  test("broadcast path agrees with merge path and shuffles nothing") {
+    import org.apache.spark.sql.functions.broadcast
+    val viaBroadcast = AsOfJoin.leftAsOfNative(
+      trades, broadcast(quotes), "key", "key", "t", "t", Seq("px"))
+    val got = viaBroadcast.orderBy("id").collect()
+    val viaMerge = runNative(trades, quotes).orderBy("id").collect()
+    assert(got.toSeq == viaMerge.toSeq)
+    viaBroadcast.collect()
+    val plan = viaBroadcast.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: graft.plans.AsOfBroadcastJoinExec => e
+    }.nonEmpty, plan.toString)
+    assert(collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, plan.toString) // left side must not move
+    // inner + tolerance semantics match the merge exec too
+    val ib = AsOfJoin.innerAsOfNative(
+      trades, broadcast(quotes), "key", "key", "t", "t", Seq("px"), Some(5L))
+      .collect().map(_.getInt(0)).toSet
+    assert(ib == Set(2, 3, 4))
+  }
+
   test("self-join (same source both sides) resolves without ambiguity") {
     val s = spark
     import s.implicits._
