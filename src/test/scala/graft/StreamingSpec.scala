@@ -13,6 +13,41 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streaming as-of enrichment against a static reference table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rates = Seq( // (ccy, valid_from, rate)
+      ("eur", ts("2024-01-01 00:00:00"), 1.09),
+      ("eur", ts("2024-01-02 00:00:00"), 1.10),
+      ("jpy", ts("2024-01-01 12:00:00"), 0.007)
+    ).toDF("ccy", "valid_from", "rate")
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val enriched = graft.streaming.StreamingAsOf.enrich(
+      input.toDF().toDF("pay_ccy", "pay_ts", "amount"), rates,
+      streamKey = "pay_ccy", staticKey = "ccy",
+      streamTime = "pay_ts", staticTime = "valid_from",
+      valueCols = Seq("rate"))
+    val q = enriched.writeStream
+      .format("memory").queryName("asof_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ("eur", ts("2024-01-01 06:00:00"), 100.0), // before Jan-2 bump → 1.09
+        ("eur", ts("2024-01-02 06:00:00"), 100.0), // after → 1.10
+        ("jpy", ts("2024-01-01 06:00:00"), 500.0)) // before first jpy rate → null
+      q.processAllAvailable()
+      input.addData(("jpy", ts("2024-01-01 18:00:00"), 500.0)) // second batch → 0.007
+      q.processAllAvailable()
+      val out = spark.table("asof_out")
+        .select("pay_ccy", "pay_ts", "rate").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)))).toSet
+      assert(out == Set(
+        ("eur", ts("2024-01-01 06:00:00"), Some(1.09)),
+        ("eur", ts("2024-01-02 06:00:00"), Some(1.10)),
+        ("jpy", ts("2024-01-01 06:00:00"), None),
+        ("jpy", ts("2024-01-01 18:00:00"), Some(0.007))))
+    } finally q.stop()
+  }
+
   test("streaming sessionize: gap close within batch, timeout close via watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
