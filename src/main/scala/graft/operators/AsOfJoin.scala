@@ -92,11 +92,58 @@ object AsOfJoin {
     asOfNative(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
       inner = true, tolerance)
 
+  /** Skew-sharded variant of [[leftAsOfNative]] for hot keys (one key owning
+    * a large fraction of all left rows — a bot user, a default account).
+    *
+    * AQE's skew-join splitting only rewrites Spark's own join execs, so the
+    * custom merge is sharded explicitly, with the same trick as
+    * [[SkewJoin.saltedJoin]]: every left row gets a deterministic salt
+    * (`xxhash64(saltBy) % buckets`), the right side is replicated once per
+    * salt, and the merge keys on (key, salt). Each shard sees the FULL right
+    * history for its key, so every left row resolves exactly the match it
+    * would have seen unsalted (spec-proven equal) — the hot key's left rows
+    * now spread over `buckets` partitions at the cost of `buckets`× the
+    * (small) right side, the standard trade at 100 TB.
+    */
+  def leftAsOfNativeSalted(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      buckets: Int,
+      saltBy: String): DataFrame = {
+    require(buckets > 1, "salting needs at least 2 buckets")
+    val salt = "_asof_salt"
+    require(!left.columns.contains(salt) && !right.columns.contains(salt),
+      s"column name $salt is reserved")
+    val l2 = left.withColumn(salt, pmod(xxhash64(col(saltBy)), lit(buckets)).cast("int"))
+    val r2 = right.withColumn(salt, explode(sequence(lit(0), lit(buckets - 1))))
+    asOfNativeKeys(l2, r2, Seq(leftKey, salt), Seq(rightKey, salt),
+      leftTime, rightTime, valueCols, inner = false, tolerance = None)
+      .drop(salt)
+  }
+
   private def asOfNative(
       left: DataFrame,
       right: DataFrame,
       leftKey: String,
       rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      inner: Boolean,
+      tolerance: Option[Long]): DataFrame =
+    asOfNativeKeys(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      valueCols, inner, tolerance)
+
+  private def asOfNativeKeys(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
       leftTime: String,
       rightTime: String,
       valueCols: Seq[String],
@@ -131,7 +178,7 @@ object AsOfJoin {
 
     val joinPlan = AsOfJoinPlan(
       lPlan, rPlan,
-      Seq(attr(lPlan.output, leftKey)), Seq(attr(rPlan.output, rightKey)),
+      leftKeys.map(attr(lPlan.output, _)), rightKeys.map(attr(rPlan.output, _)),
       attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
       isInner = inner, tolerance = tolerance, broadcastRight = useBroadcast)
     // Keep left columns + requested right value columns, referencing the

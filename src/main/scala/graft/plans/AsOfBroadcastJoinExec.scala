@@ -20,10 +20,10 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * `BroadcastExchange`, AQE-managed) is paid, exactly as for Spark's own
   * broadcast-hash equi-join.
   *
-  * The per-partition index build is O(R log R) over broadcast rows — bounded
-  * by the broadcast size the user already accepted by hinting; match
-  * semantics (ties, NULL keys/times, inclusive <=, tolerance) are identical
-  * to [[AsOfMergeJoinExec]] and spec-checked equal.
+  * The O(R log R) index build over broadcast rows is memoized per executor
+  * on the broadcast id (see companion), so concurrent tasks share one build;
+  * match semantics (ties, NULL keys/times, inclusive <=, tolerance) are
+  * identical to [[AsOfMergeJoinExec]] and spec-checked equal.
   */
 case class AsOfBroadcastJoinExec(
     leftKeys: Seq[Expression],
@@ -86,20 +86,26 @@ case class AsOfBroadcastJoinExec(
 
       // key → (times sorted ascending, rows in the same order). Broadcast
       // rows are stable copies (IdentityBroadcastMode), safe to reference.
-      val index = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
-      broadcastRows.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTimeProj(r)
-        if (!k.anyNull && !t.isNullAt(0)) {
-          var buf = index.get(k)
-          if (buf == null) {
-            buf = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]
-            index.put(k.copy(), buf)
+      // Built once per executor per broadcast (memoized on broadcast id) —
+      // tasks of this stage, and any later stage reusing the exchange, share
+      // the build instead of paying O(R log R) each.
+      val index = AsOfBroadcastJoinExec.cachedIndex(broadcastRows.id, () => {
+        val m = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
+        broadcastRows.value.foreach { r =>
+          val k = rKeyProj(r)
+          val t = rTimeProj(r)
+          if (!k.anyNull && !t.isNullAt(0)) {
+            var buf = m.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]
+              m.put(k.copy(), buf)
+            }
+            buf += ((t.copy(), r))
           }
-          buf += ((t.copy(), r))
         }
-      }
-      index.values().forEach(buf => buf.sortInPlaceWith((a, b) => timeOrd.compare(a._1, b._1) < 0))
+        m.values().forEach(buf => buf.sortInPlaceWith((a, b) => timeOrd.compare(a._1, b._1) < 0))
+        m
+      })
 
       lIter.flatMap { l =>
         val lKey = lKeyProj(l)
@@ -136,4 +142,28 @@ case class AsOfBroadcastJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfBroadcastJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfBroadcastJoinExec {
+  private type Index =
+    java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
+
+  /** Per-executor index memo, keyed by broadcast id. SoftReferences let the
+    * JVM reclaim an index under memory pressure (it is rebuilt on demand);
+    * a racing double-build is benign — both results are identical and the
+    * loser is collected. Read-only after publication, so sharing the plain
+    * HashMap across tasks is safe. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[Index]]()
+
+  private[plans] def cachedIndex(broadcastId: Long, build: () => Index): Index = {
+    val ref = indexCache.get(broadcastId)
+    val hit = if (ref != null) ref.get() else null
+    if (hit != null) hit
+    else {
+      val built = build()
+      indexCache.put(broadcastId, new java.lang.ref.SoftReference(built))
+      built
+    }
+  }
 }

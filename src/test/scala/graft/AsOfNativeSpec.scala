@@ -164,6 +164,25 @@ class AsOfNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(ib == Set(2, 3, 4))
   }
 
+  test("salted as-of equals unsalted on skewed and uniform keys") {
+    val s = spark
+    import s.implicits._
+    val plain = runNative(trades, quotes).orderBy("id").collect()
+    val salted = AsOfJoin.leftAsOfNativeSalted(
+      trades, quotes, "key", "key", "t", "t", Seq("px"), buckets = 3, saltBy = "id")
+      .orderBy("id").collect()
+    assert(salted.toSeq == plain.toSeq)
+    // hot-key shape: every left row on one key, many right rows
+    val hotL = (1 to 200).map(i => (i, "hot", i.toLong * 2)).toDF("id", "key", "t")
+    val hotR = (0 to 50).map(i => ("hot", i.toLong * 7, i * 1.0)).toDF("key", "t", "px")
+    val hotPlain = AsOfJoin.leftAsOfNative(hotL, hotR, "key", "key", "t", "t", Seq("px"))
+      .orderBy("id").collect()
+    val hotSalted = AsOfJoin.leftAsOfNativeSalted(
+      hotL, hotR, "key", "key", "t", "t", Seq("px"), buckets = 4, saltBy = "id")
+      .orderBy("id").collect()
+    assert(hotSalted.toSeq == hotPlain.toSeq)
+  }
+
   test("self-join (same source both sides) resolves without ambiguity") {
     val s = spark
     import s.implicits._
