@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Dedup, MinHashLSH, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -295,6 +295,15 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Deterministic 80/10/10 train/val/test split by portable integer-hash
+    * arithmetic — partitioning-independent (a row keeps its split across
+    * repartition/scale-up, unlike rand(seed) sampling) and reproducible in
+    * any 64-bit-SQL engine, which is what the DuckDB oracle checks. */
+  def q54SplitSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSplit(
+      t(spark, dir, "documents").select("doc_id"), "doc_id", trainPct = 80, valPct = 10)
+      .orderBy("doc_id")
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -584,6 +593,7 @@ object Queries {
     "q48_asof_inner" -> q48AsofInner _,
     "q49_asof_native" -> q49AsofNative _,
     "q53_asof_broadcast" -> q53AsofBroadcast _,
+    "q54_split_sample" -> q54SplitSample _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,
@@ -715,6 +725,12 @@ object Queries {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q54_split_sample" ->
+      """SELECT doc_id,
+        |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80 THEN 'train'
+        |       WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q48_asof_inner" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
         |FROM events e

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, partitioning-independent sampling/splitting for dataset
+  * curation.
+  *
+  * `rand(seed)`-based sampling (`df.sample`, `sampleBy`) draws per-row in
+  * partition order, so the SAME row can land in a different split after a
+  * repartition, a scale-up, or a source re-bucketing — unacceptable for
+  * train/val/test hygiene where a row must keep its assignment for the life
+  * of the corpus. Hash-based assignment depends only on the row's id: a
+  * narrow codegen'd projection, no shuffle, no state, stable at any scale.
+  *
+  * The mix is plain modular arithmetic (Knuth multiplicative hashing modulo
+  * a prime) rather than xxhash64 so the exact assignment is reproducible in
+  * ANY engine with 64-bit integer SQL — the id is reduced mod p first, so
+  * the product stays below 2^63 for any id (no overflow wrap to depend on).
+  *
+  * Reference behavior: wrds2pg has no sampling surface (it copies tables
+  * whole, wrds2pg/wrds2pg.py:553 wrds_update); this is part of the
+  * training-data-pipeline extension surface.
+  */
+object Sampling {
+
+  private val P = 1000000007L // prime modulus
+  private val A = 2654435761L // Knuth's 2^32 / phi multiplier
+
+  /** Uniform bucket in [0, buckets) from an integral id — the SQL-portable
+    * mix `((id mod p) * a mod p) mod buckets`. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(pmod(pmod(id.cast("long"), lit(P)) * lit(A), lit(P)), lit(buckets))
+
+  /** Adds a `split` column ("train"/"val"/"test") with the given percentage
+    * cut points over 100 hash buckets, e.g. (80, 10) → 80/10/10. */
+  def deterministicSplit(
+      df: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 < valPct, trainPct + valPct < 100")
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test"))
+  }
+
+  /** Deterministic fraction sample: keeps ids whose bucket (out of `den`)
+    * falls below `num` — e.g. (1, 10) keeps a stable 10%. */
+  def hashSample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame = {
+    require(num > 0 && num < den, "need 0 < num < den")
+    df.where(hashBucket(col(idCol), den) < num)
+  }
+}

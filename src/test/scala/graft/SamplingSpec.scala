@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ids(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("split proportions approximate 80/10/10 and cover every row") {
+    val out = Sampling.deterministicSplit(ids(10000), "id", 80, 10)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 10000L)
+    assert(out("train") > 7800 && out("train") < 8200, out.toString)
+    assert(out("val") > 800 && out("val") < 1200, out.toString)
+    assert(out("test") > 800 && out("test") < 1200, out.toString)
+  }
+
+  test("assignment is stable under repartitioning (rand-sample is not)") {
+    val base = Sampling.deterministicSplit(ids(2000), "id", 80, 10)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shuffled = Sampling.deterministicSplit(ids(2000).repartition(7), "id", 80, 10)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(base == shuffled)
+  }
+
+  test("hashSample keeps a stable subset consistent with its fraction") {
+    val kept = Sampling.hashSample(ids(10000), "id", 1, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.size > 800 && kept.size < 1200, kept.size.toString)
+    // idempotent: sampling again keeps exactly the same rows
+    val again = Sampling.hashSample(ids(10000), "id", 1, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+  }
+
+  test("split column is a pure projection: no shuffle in the plan") {
+    val df = Sampling.deterministicSplit(ids(100), "id", 80, 10)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, plan.toString)
+  }
+}
