@@ -304,6 +304,32 @@ object Queries {
       t(spark, dir, "documents").select("doc_id"), "doc_id", trainPct = 80, valPct = 10)
       .orderBy("doc_id")
 
+  /** Latest row per key as a partial-aggregatable argmax: max over a
+    * (ts, event_id, event_type) struct is a lexicographic max, so the
+    * "current version per entity" question is ONE hash aggregate with
+    * map-side combine — no per-key window sort, no skew cliff (a hot key
+    * reduces to one struct per map task before the shuffle). The oracle is
+    * the equivalent window row_number()=1 form. */
+  def q55LatestPerKey(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event_id"), col("m.event_type").as("last_event_type"))
+      .orderBy("user_id")
+
+  /** SCD-2-style validity intervals: each per-key event becomes a
+    * [valid_from, valid_to) version row via lead() — the point-in-time
+    * dimension-history shape the reference's research tables feed (one
+    * shuffle on the key; open intervals keep NULL valid_to). */
+  def q56ScdIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -594,6 +620,8 @@ object Queries {
     "q49_asof_native" -> q49AsofNative _,
     "q53_asof_broadcast" -> q53AsofBroadcast _,
     "q54_split_sample" -> q54SplitSample _,
+    "q55_latest_per_key" -> q55LatestPerKey _,
+    "q56_scd_intervals" -> q56ScdIntervals _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,
@@ -725,6 +753,17 @@ object Queries {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q55_latest_per_key" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |       event_type AS last_event_type
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q56_scd_intervals" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "q54_split_sample" ->
       """SELECT doc_id,
         |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80 THEN 'train'
