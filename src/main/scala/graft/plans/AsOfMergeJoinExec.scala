@@ -43,8 +43,10 @@ case class AsOfMergeJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  // Merge order: key, then event time. Catalyst inserts the sorts; if the
-  // child is already bucketed+sorted parquet they are elided entirely.
+  // Merge order: key, then event time. Catalyst inserts the sorts; over
+  // bucketed tables sorted by (key, time) both the exchanges AND the sorts
+  // are elided (sort elision needs
+  // spark.sql.legacy.bucketedTableScan.outputOrdering=true — spec-proven).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))

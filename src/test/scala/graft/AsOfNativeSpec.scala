@@ -183,6 +183,38 @@ class AsOfNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(hotSalted.toSeq == hotPlain.toSeq)
   }
 
+  test("bucketed+sorted tables: as-of merge plans with zero exchanges") {
+    val s = spark
+    import s.implicits._
+    // repartition on the bucket expression first → one file per bucket, so
+    // the scan reports both hash partitioning AND the (key, t) sort order
+    val l = (1L to 400L).map(i => (i % 20, i, i * 3 % 97)).toDF("key", "id", "t")
+      .repartition(8, col("key"))
+    val r = (1L to 100L).map(i => (i % 20, i * 7 % 89, i * 1.0)).toDF("key", "t", "px")
+      .repartition(8, col("key"))
+    l.write.mode("overwrite").bucketBy(8, "key").sortBy("key", "t").saveAsTable("graft_asof_lb")
+    r.write.mode("overwrite").bucketBy(8, "key").sortBy("key", "t").saveAsTable("graft_asof_rb")
+    try {
+      // scans only report bucket sort order behind this (off-by-default) conf
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val lt = s.table("graft_asof_lb")
+      val rt = s.table("graft_asof_rb")
+      val native = AsOfJoin.leftAsOfNative(lt, rt, "key", "key", "t", "t", Seq("px"))
+      val expected = AsOfJoin.leftAsOf(lt, rt, "key", "key", "t", "t", Seq("px"))
+      assert(native.orderBy("id").collect().toSeq == expected.orderBy("id").collect().toSeq)
+      native.collect()
+      val planStr = native.queryExecution.executedPlan.toString
+      assert(!planStr.linesIterator.exists(_.contains("Exchange")),
+        s"bucketed as-of must not shuffle either side\n$planStr")
+      assert(!planStr.linesIterator.exists(_.contains("Sort [")),
+        s"bucket sort order should elide merge sorts\n$planStr")
+    } finally {
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      s.sql("DROP TABLE IF EXISTS graft_asof_lb")
+      s.sql("DROP TABLE IF EXISTS graft_asof_rb")
+    }
+  }
+
   test("self-join (same source both sides) resolves without ambiguity") {
     val s = spark
     import s.implicits._
