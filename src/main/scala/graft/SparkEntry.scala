@@ -330,6 +330,30 @@ object Queries {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** Point-in-interval (range) join expressed as the native as-of: each
+    * event finds its containing signup "era" ([valid_from, next signup)).
+    * A literal range join `ON t >= from AND t < to` explodes
+    * O(rows-per-key²) candidates and falls back to broadcast-nested-loop;
+    * for non-overlapping intervals the containing interval IS the
+    * latest-start-at-or-before one, so one as-of merge replaces the range
+    * join outright. The oracle is DuckDB's explicit range-predicate join —
+    * proving the rewrite, not just the operator. */
+  def q57IntervalLookup(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events").select("event_id", "user_id", "ts")
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from").asc, col("sid").asc)
+    val eras = t(spark, dir, "events").where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("valid_from"), col("event_id").as("sid"))
+      .withColumn("era", row_number().over(w))
+      .select(col("user_id"), col("valid_from"), col("era"),
+        col("valid_from").as("era_start"))
+    AsOfJoin.leftAsOfNative(
+      events, eras,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "valid_from",
+      valueCols = Seq("era", "era_start"))
+      .orderBy("event_id")
+  }
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -622,6 +646,7 @@ object Queries {
     "q54_split_sample" -> q54SplitSample _,
     "q55_latest_per_key" -> q55LatestPerKey _,
     "q56_scd_intervals" -> q56ScdIntervals _,
+    "q57_interval_lookup" -> q57IntervalLookup _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,
@@ -752,6 +777,18 @@ object Queries {
         |FROM events e
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q57_interval_lookup" ->
+      """WITH eras AS (
+        |  SELECT user_id, ts AS valid_from,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS era,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id, e.ts, i.era, i.valid_from AS era_start
+        |FROM (SELECT event_id, user_id, ts FROM events) e
+        |LEFT JOIN eras i
+        |  ON e.user_id = i.user_id AND e.ts >= i.valid_from
+        |     AND (i.valid_to IS NULL OR e.ts < i.valid_to)
         |ORDER BY e.event_id""".stripMargin,
     "q55_latest_per_key" ->
       """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
