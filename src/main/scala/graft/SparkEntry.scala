@@ -354,6 +354,14 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Deflate compression ratio as a repetitiveness/quality signal — fused
+    * per-partition pass, text dropped before any shuffle. Rows-only check
+    * (deflate is not reproducible across engines); exact values are
+    * spec-pinned against a direct Deflater fold. */
+  def q58CompressRatio(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionRatio(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -647,6 +655,7 @@ object Queries {
     "q55_latest_per_key" -> q55LatestPerKey _,
     "q56_scd_intervals" -> q56ScdIntervals _,
     "q57_interval_lookup" -> q57IntervalLookup _,
+    "q58_compress_ratio" -> q58CompressRatio _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,

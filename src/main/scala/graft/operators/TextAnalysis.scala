@@ -68,4 +68,38 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Deflate compression ratio per document — the classic repetitiveness /
+    * boilerplate signal (highly repetitive machine text compresses far below
+    * natural prose; quality filters threshold on it).
+    *
+    * A narrow fused per-partition pass like the shingle hashers: one reused
+    * `Deflater` (default level, no per-row allocation beyond the output
+    * buffer walk), emitting fixed-width numerics only — the text column is
+    * dropped before anything downstream shuffles. Deterministic for a given
+    * zlib level, but not reproducible across engines, so the driver check is
+    * rows-only (no DuckDB oracle exists for deflate).
+    */
+  def compressionRatio(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater()
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio = if (bytes.length == 0) 1.0 else compressed.toDouble / bytes.length
+          (id, bytes.length.toLong, compressed, math.rint(ratio * 1e6) / 1e6)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "compress_ratio")
+  }
 }
