@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Dedup, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, GlobalIndex, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -362,6 +362,15 @@ object Queries {
     TextAnalysis.compressionRatio(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Global row numbering without the single-partition window: range
+    * shuffle + per-partition offsets (see `operators.GlobalIndex`). The
+    * DuckDB oracle is the plain global ROW_NUMBER() — bit-identical. */
+  def q59GlobalRownum(spark: SparkSession, dir: String): DataFrame =
+    GlobalIndex.withRowNumbers(
+      t(spark, dir, "events").select("event_id", "user_id", "ts"),
+      order = Seq("ts", "event_id"), rnCol = "rn")
+      .orderBy("rn")
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -656,6 +665,7 @@ object Queries {
     "q56_scd_intervals" -> q56ScdIntervals _,
     "q57_interval_lookup" -> q57IntervalLookup _,
     "q58_compress_ratio" -> q58CompressRatio _,
+    "q59_global_rownum" -> q59GlobalRownum _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,
@@ -787,6 +797,10 @@ object Queries {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q59_global_rownum" ->
+      """SELECT event_id, user_id, ts,
+        |       ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) AS rn
+        |FROM events ORDER BY rn""".stripMargin,
     "q57_interval_lookup" ->
       """WITH eras AS (
         |  SELECT user_id, ts AS valid_from,

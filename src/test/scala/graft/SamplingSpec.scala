@@ -40,6 +40,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept == again)
   }
 
+  test("GlobalIndex equals a single-partition row_number, without one") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 5000L).map(i => ((i * 2654435761L) % 9973, i)).toDF("v", "id")
+      .repartition(7)
+    val got = graft.operators.GlobalIndex.withRowNumbers(df, Seq("v", "id"), "rn")
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+    assert(got.orderBy("rn").collect().toSeq == expected.orderBy("rn").collect().toSeq)
+    got.collect()
+    val planStr = got.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SinglePartition"),
+      s"global numbering must not shuffle to one partition\n$planStr")
+  }
+
   test("split column is a pure projection: no shuffle in the plan") {
     val df = Sampling.deterministicSplit(ids(100), "id", 80, 10)
     val plan = df.queryExecution.executedPlan
