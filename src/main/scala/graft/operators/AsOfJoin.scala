@@ -37,9 +37,14 @@ object AsOfJoin {
     val l = left.select(
       (col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(0).as("_r") +:
         leftCols.map(col)) ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val r = right.select(
-      (col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(1).as("_r") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++ valueCols.map(col): _*)
+    // NULL right keys/times never match under SQL comparison semantics, but
+    // would here: a NULL _t sorts FIRST under asc, so last(ignoreNulls) would
+    // leak its value to every left row of the key. Drop them up front.
+    val r = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(1).as("_r") +:
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++ valueCols.map(col): _*)
 
     // Right rows first at equal t (inclusive <=); _r desc gives that.
     val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_r").desc)
