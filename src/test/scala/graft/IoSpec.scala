@@ -143,6 +143,35 @@ class IoSpec extends AnyFunSuite {
     assert(post.last === """COMMENT ON TABLE "crsp"."dsf" IS 'Last modified: 01/01/2024 00:00:00'""")
   }
 
+  test("JdbcSink.load round-trips through embedded Derby") {
+    val s = spark
+    import s.implicits._
+    // Derby's embedded engine ships on Spark's classpath (metastore dep) —
+    // the closest thing to a live server this environment allows, so the
+    // actual distributed write path (driver class, props, batched append)
+    // runs for real; the PG-specific DDL strings stay unit-tested above.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE SCHEMA "wrds"""")
+      st.execute(
+        """CREATE TABLE "wrds"."dsf" ("permno" BIGINT, "comnam" VARCHAR(64), "prc" DOUBLE)""")
+      st.close()
+    } finally conn.close()
+    val df = Seq((10001L, "ACME", 1.25), (10002L, "BETA", 2.5)).toDF("permno", "comnam", "prc")
+    graft.sinks.JdbcSink.load(
+      df, graft.sinks.JdbcSink.PgTarget(url, "app", "", "wrds", "dsf"), driver = driver)
+    val back = s.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", """"wrds"."dsf"""").load()
+    assert(back.orderBy("permno").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((10001L, "ACME", 1.25), (10002L, "BETA", 2.5)))
+  }
+
   test("bucketed tables: co-located join plans with zero shuffle exchanges") {
     val s = spark
     import s.implicits._
