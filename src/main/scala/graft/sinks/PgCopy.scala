@@ -1,0 +1,46 @@
+package graft.sinks
+
+/** PostgreSQL `COPY FROM STDIN` loader — the reference's actual load
+  * mechanism (wrds2pg/postgres/copy.py:57-247 streams a gzipped CSV pipe
+  * into COPY).
+  *
+  * graft's equivalent streams each part file of a [[CsvSink]] directory
+  * through one `psql \copy` process. Parts load sequentially here; the scale
+  * story is per-part concurrency (COPY parallelizes across connections), and
+  * the fully-distributed alternative is [[JdbcSink.load]] — executors write
+  * batched inserts directly. CSV conventions match CsvSink: header row,
+  * empty string = NULL, standard quoting.
+  */
+object PgCopy {
+
+  /** Loads every CSV part file under `dir` into the (pre-created) table.
+    * @param psqlBase psql invocation prefix, e.g.
+    *                 `Seq("psql", "-h", sockDir, "-U", user, "dbname")`
+    * @return total rows copied (summed from psql's `COPY n` tags) */
+  def loadCsvDir(
+      dir: String, schema: String, table: String,
+      psqlBase: Seq[String], header: Boolean = true): Long = {
+    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".csv.gz") || f.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    parts.map { f =>
+      val headerOpt = if (header) ", HEADER" else ""
+      val cmd = psqlBase ++ Seq("-v", "ON_ERROR_STOP=1", "-tA", "-c",
+        s"""\\copy "$schema"."$table" FROM pstdin WITH (FORMAT csv$headerOpt)""")
+      val proc = new ProcessBuilder(cmd: _*).start()
+      val in: java.io.InputStream =
+        if (f.getName.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+        else new java.io.FileInputStream(f)
+      val out = proc.getOutputStream
+      try in.transferTo(out) finally { in.close(); out.close() }
+      val stdout = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+      val stderr = new String(proc.getErrorStream.readAllBytes(), "UTF-8").trim
+      require(proc.waitFor() == 0, s"psql COPY failed for ${f.getName}: $stderr")
+      stdout.linesIterator.toSeq.lastOption match {
+        case Some(s"COPY $n") => n.trim.toLong
+        case _ => 0L
+      }
+    }.sum
+  }
+}

@@ -172,6 +172,51 @@ class IoSpec extends AnyFunSuite {
       Seq((10001L, "ACME", 1.25), (10002L, "BETA", 2.5)))
   }
 
+  test("generated PG DDL + CSV COPY load run against a real PostgreSQL") {
+    import scala.sys.process._
+    val s = spark
+    import s.implicits._
+    // postgres refuses to run as root: the throwaway cluster runs as
+    // 'nobody'. Skipped (assume) wherever the binaries or user are absent.
+    val bins = new java.io.File("/usr/local/bin/initdb")
+    assume(bins.exists, "no postgres binaries in this environment")
+    val root = Files.createTempDirectory("graft-pg").toFile
+    val data = s"$root/data"
+    val sock = s"$root/sock"
+    new java.io.File(sock).mkdirs()
+    def su(cmd: String): Int =
+      Process(Seq("su", "-s", "/bin/sh", "nobody", "-c", cmd), new java.io.File("/tmp")).!
+    assume(Process(Seq("chown", "-R", "nobody", root.toString), new java.io.File("/tmp")).! == 0,
+      "cannot chown as this user")
+    assume(su(s"/usr/local/bin/initdb -D $data >$root/initdb.log 2>&1") == 0, "initdb failed")
+    assume(su(s"/usr/local/bin/pg_ctl -D $data -o '-c listen_addresses= " +
+      s"-c unix_socket_directories=$sock' -l $root/pg.log start") == 0, "pg_ctl start failed")
+    try {
+      val psql = Seq("psql", "-h", sock, "-U", "nobody", "postgres", "-v", "ON_ERROR_STOP=1")
+      def run(sql: String): Unit =
+        assert(Process(psql ++ Seq("-q", "-c", sql), new java.io.File("/tmp")).! == 0, sql)
+      def query(sql: String): String =
+        Process(psql ++ Seq("-tA", "-c", sql), new java.io.File("/tmp")).!!.trim
+
+      val df = Seq((10001L, "ACME", 1.25), (10002L, "BE,TA", 2.5), (10003L, null, 0.0))
+        .toDF("permno", "comnam", "prc")
+      val t = graft.sinks.JdbcSink.PgTarget("", "nobody", "", "crsp", "dsf")
+      // the generated DDL (schema, roles, drop-if-exists, create table) must
+      // be accepted by a real PostgreSQL, not just string-compared
+      graft.sinks.JdbcSink.preloadStatements(df, t).foreach(run)
+      val dir = tmp("pgcopy") + "/csv"
+      CsvSink.write(df.repartition(2), dir)
+      val copied = graft.sinks.PgCopy.loadCsvDir(dir, "crsp", "dsf", psql)
+      assert(copied == 3L)
+      assert(query("""SELECT count(*) || '|' || coalesce(sum(prc), 0) FROM "crsp"."dsf"""") == "3|3.75")
+      assert(query("""SELECT count(*) FROM "crsp"."dsf" WHERE comnam IS NULL""") == "1")
+      assert(query("""SELECT comnam FROM "crsp"."dsf" WHERE permno = 10002""") == "BE,TA")
+      // post-load: grants to the generated roles + the modified-stamp comment
+      graft.sinks.JdbcSink.postloadStatements(t, "Last modified: 01/01/2024").foreach(run)
+      assert(query("""SELECT obj_description('"crsp"."dsf"'::regclass)""") == "Last modified: 01/01/2024")
+    } finally su(s"/usr/local/bin/pg_ctl -D $data stop -m immediate")
+  }
+
   test("bucketed tables: co-located join plans with zero shuffle exchanges") {
     val s = spark
     import s.implicits._
