@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.col
   * | --------------------- | -------------------------------------- |
   * | `wrds_update_pq`      | [[updateParquet]]                      |
   * | `wrds_update_csv`     | [[updateCsv]]                          |
-  * | `wrds_update` (PG)    | [[updateJdbc]]                         |
+  * | `wrds_update` (PG)    | [[updatePg]] (COPY, stamp-skip) / [[updateJdbc]] (distributed) |
   * | `sas_to_pandas`       | [[readSasCsv]] (DataFrame, lowercased) |
   * | dataset options       | [[extract]] (drop/keep/rename/where/obs/colTypes) |
   * | `get_wrds_tables`     | [[listTables]]                         |
@@ -76,6 +76,14 @@ object Graft {
     JdbcSink.load(df, target)
     val _ = JdbcSink.postloadStatements(target, modified)
   }
+
+  /** Full `wrds_update` to PostgreSQL via COPY FROM STDIN (the reference's
+    * own mechanism): comment-stamp skip, DDL, staged gz-CSV COPY, grants,
+    * restamp. Integration-tested against a live throwaway cluster. */
+  def updatePg(
+      source: => DataFrame, target: JdbcSink.PgTarget, modified: String,
+      psqlBase: Seq[String], stagingDir: String, force: Boolean = false): Update.Outcome =
+    graft.pipeline.UpdatePg.updateCopy(source, target, modified, psqlBase, stagingDir, force)
 
   /** Enumerate a library's tables (`get_wrds_tables`). */
   def listTables(spark: SparkSession, dir: String): DataFrame =

@@ -13,6 +13,34 @@ package graft.sinks
   */
 object PgCopy {
 
+  /** Executes one SQL statement via psql; throws with stderr on failure. */
+  def runSql(psqlBase: Seq[String], sql: String): Unit = {
+    val proc = new ProcessBuilder(
+      (psqlBase ++ Seq("-v", "ON_ERROR_STOP=1", "-q", "-c", sql)): _*).start()
+    proc.getOutputStream.close()
+    val stderr = new String(proc.getErrorStream.readAllBytes(), "UTF-8").trim
+    require(proc.waitFor() == 0, s"psql failed for [$sql]: $stderr")
+  }
+
+  /** One-row query via psql -tA; returns trimmed stdout. */
+  def querySql(psqlBase: Seq[String], sql: String): String = {
+    val proc = new ProcessBuilder(
+      (psqlBase ++ Seq("-v", "ON_ERROR_STOP=1", "-tA", "-c", sql)): _*).start()
+    proc.getOutputStream.close()
+    val stdout = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+    val stderr = new String(proc.getErrorStream.readAllBytes(), "UTF-8").trim
+    require(proc.waitFor() == 0, s"psql failed for [$sql]: $stderr")
+    stdout
+  }
+
+  /** The table's comment stamp, or None when the table or comment is absent
+    * (to_regclass avoids erroring on a missing table). */
+  def tableComment(psqlBase: Seq[String], schema: String, table: String): Option[String] = {
+    val out = querySql(psqlBase,
+      s"""SELECT coalesce(obj_description(to_regclass('"$schema"."$table"')), '')""")
+    if (out.isEmpty) None else Some(out)
+  }
+
   /** Loads every CSV part file under `dir` into the (pre-created) table.
     * @param psqlBase psql invocation prefix, e.g.
     *                 `Seq("psql", "-h", sockDir, "-U", user, "dbname")`

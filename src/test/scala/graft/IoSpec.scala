@@ -214,6 +214,19 @@ class IoSpec extends AnyFunSuite {
       // post-load: grants to the generated roles + the modified-stamp comment
       graft.sinks.JdbcSink.postloadStatements(t, "Last modified: 01/01/2024").foreach(run)
       assert(query("""SELECT obj_description('"crsp"."dsf"'::regclass)""") == "Last modified: 01/01/2024")
+
+      // full wrds_update control flow: refresh → stamp-skip → force
+      import graft.pipeline.{Update, UpdatePg}
+      val t2 = graft.sinks.JdbcSink.PgTarget("", "nobody", "", "crsp", "msf")
+      var built = 0
+      def src = { built += 1; Seq((1L, 10.0), (2L, 20.0)).toDF("permno", "ret") }
+      val stamp = "Last modified: 02/03/2024 04:05:06"
+      assert(UpdatePg.updateCopy(src, t2, stamp, psql, tmp("upg1")) == Update.Updated)
+      assert(query("""SELECT count(*) FROM "crsp"."msf"""") == "2")
+      assert(UpdatePg.updateCopy(src, t2, stamp, psql, tmp("upg2")) == Update.UpToDate)
+      assert(built == 1, "a stamp-skip must not even build the source plan")
+      assert(UpdatePg.updateCopy(src, t2, stamp, psql, tmp("upg3"), force = true) == Update.Forced)
+      assert(query("""SELECT count(*) FROM "crsp"."msf"""") == "2")
     } finally su(s"/usr/local/bin/pg_ctl -D $data stop -m immediate")
   }
 
