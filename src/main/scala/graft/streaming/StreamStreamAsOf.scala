@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One row of either input, tagged by side (0 = left/event, 1 = right/ref). */
+case class AsOfStreamIn(side: Int, key: Long, ts: Timestamp, id: Long, v: Double)
+
+/** Per-key buffers between micro-batches (epoch micros). Lefts await
+  * finalization; rights are the reference history still able to win. */
+case class AsOfStreamState(lefts: Seq[(Long, Long)], rights: Seq[(Long, Double)])
+
+/** A finalized enrichment: the left event with the latest right value at or
+  * before its event time (None when no prior right row exists). */
+case class AsOfStreamOut(id: Long, key: Long, ts: Timestamp, v: Option[Double])
+
+/** Stream-STREAM as-of join — both sides moving, watermarked state.
+  *
+  * The stream-static case is [[StreamingAsOf]] (stateless broadcast). With a
+  * moving right side, correctness forces buffering: a left event at time t
+  * is only final once the watermark passes t (no right row <= t can still
+  * arrive), so lefts buffer until the watermark releases them — the same
+  * bargain Spark's own stream-stream interval join makes, specialized to
+  * as-of ("latest at-or-before") semantics, which Spark does not offer.
+  *
+  * Scale design (SURVEY §4): state per key is O(pending lefts within the
+  * watermark delay) + O(rights above the watermark) + exactly ONE right row
+  * below it — each trigger evicts every older right row, because a right row
+  * older than the newest sub-watermark right can never again be "latest
+  * at-or-before" for any future left (future lefts have t > watermark).
+  * Emission is append-mode and deterministic: each left is emitted exactly
+  * once, with the value the batch operator would have attached.
+  */
+object StreamStreamAsOf {
+
+  /** @param left  streaming DataFrame with (id, key, ts)
+    * @param right streaming DataFrame with (key, ts, v)
+    * @param watermarkDelay max expected lateness on BOTH streams */
+  def enrich(
+      left: DataFrame, right: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[AsOfStreamOut] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val l = left
+      .select(col("id").cast("long"), col("key").cast("long"), col("ts").cast("timestamp"))
+      .select(lit(0).as("side"), col("key"), col("ts"), col("id"), lit(0.0).as("v"))
+    val r = right
+      .select(col("key").cast("long"), col("ts").cast("timestamp"), col("v").cast("double"))
+      .select(lit(1).as("side"), col("key"), col("ts"), lit(0L).as("id"), col("v"))
+
+    // ONE watermark over the union, not one per side: with per-side
+    // watermarks the global minimum stalls whenever one stream goes quiet,
+    // deferring every finalization indefinitely. A single event-time budget
+    // covers lateness on both streams; rows later than it are dropped —
+    // the standard lateness trade, stated once instead of hidden in a min().
+    l.unionByName(r)
+      .withWatermark("ts", watermarkDelay)
+      .as[AsOfStreamIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfStreamState, AsOfStreamOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, batch: Iterator[AsOfStreamIn], state) =>
+          def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          def toTs(us: Long): Timestamp = {
+            val t = new Timestamp(us / 1000)
+            t.setNanos(((us % 1000000L) * 1000L).toInt)
+            t
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+
+          var st = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
+          batch.foreach { e =>
+            if (e.side == 0) st = st.copy(lefts = st.lefts :+ ((toUs(e.ts), e.id)))
+            else st = st.copy(rights = st.rights :+ ((toUs(e.ts), e.v)))
+          }
+
+          // Finalize lefts the watermark has passed: every right row <= their
+          // time has arrived, so the match is the batch operator's match.
+          val (ready, pending) = st.lefts.partition(_._1 <= wmUs)
+          val out = ready.sortBy(identity).map { case (lt, id) =>
+            val m = st.rights.filter(_._1 <= lt).sortBy(_._1).lastOption
+            AsOfStreamOut(id, key, toTs(lt), m.map(_._2))
+          }
+
+          // Evict rights: keep everything above the watermark plus the single
+          // latest at-or-below it (the only one still able to win).
+          val (rOld, rLive) = st.rights.partition(_._1 <= wmUs)
+          val rights = (rOld.sortBy(_._1).lastOption.toSeq ++ rLive).sortBy(_._1)
+
+          if (pending.isEmpty && rights.isEmpty) {
+            state.remove()
+          } else {
+            state.update(AsOfStreamState(pending, rights))
+            // Wake when the watermark passes the earliest pending left, so
+            // finalization never needs another row on this key.
+            pending.map(_._1).minOption.foreach(us => state.setTimeoutTimestamp(us / 1000L + 1L))
+          }
+          out.iterator
+      }
+  }
+}

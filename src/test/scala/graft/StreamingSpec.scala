@@ -48,6 +48,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream as-of: watermark finalization, eviction, timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Long, Long, Timestamp)] // (id, key, ts)
+    val rights = MemoryStream[(Long, Timestamp, Double)] // (key, ts, v)
+    val out = graft.streaming.StreamStreamAsOf.enrich(
+      lefts.toDF().toDF("id", "key", "ts"),
+      rights.toDF().toDF("key", "ts", "v"),
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream
+      .format("memory").queryName("ss_asof").outputMode(OutputMode.Append()).start()
+    try {
+      def collected(): Map[Long, Option[Double]] =
+        spark.table("ss_asof").as[graft.streaming.AsOfStreamOut]
+          .collect().map(o => o.id -> o.v).toMap
+      // B1: a quote then a trade after it — nothing final yet (wm behind)
+      rights.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      lefts.addData((1L, 1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // B2: trade at 11:00 runs with wm=10:05 → id=1 finalizes with 1.0
+      lefts.addData((2L, 1L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      assert(collected().get(1L).contains(Some(1.0)))
+      // B3: quote at 11:30 runs with wm=11:00 → id=2 finalizes against the
+      // 10:00 quote (the 11:30 one is after its event time)
+      rights.addData((1L, ts("2024-01-01 11:30:00"), 2.0))
+      q.processAllAvailable()
+      assert(collected().get(2L).contains(Some(1.0)))
+      // B4/B5: pending trades on key 1 (12:30) and key 2 (no quotes ever)
+      lefts.addData((3L, 1L, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      lefts.addData((4L, 2L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // B6: key-3 traffic advances the wm → key-1's TIMEOUT fires and id=3
+      // must see the evicted-down-to-latest 11:30 quote
+      lefts.addData((5L, 3L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      assert(collected().get(3L).contains(Some(2.0)))
+      // B7: wm passes 13:00 → key-2's timeout finalizes id=4 with no match
+      lefts.addData((6L, 3L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      assert(collected().get(4L).contains(None))
+    } finally q.stop()
+  }
+
   test("streaming sessionize: gap close within batch, timeout close via watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
