@@ -627,6 +627,24 @@ object Queries {
       frameBytes = 32, stride = 64)
       .orderBy("doc_id", "frame_idx")
 
+  /** Video-dedup primitive over the multimodal plumbing: payload pairs
+    * sharing >= 3 sampled-frame fingerprints (the frame-hash-overlap test a
+    * video pipeline runs before expensive perceptual comparison). Reuses
+    * q71's frame sampling; the join is on the 16-byte digest, so candidate
+    * cost tracks true overlap, not payload count². */
+  def q73FrameOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val f = Binary.frameSample(
+      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
+      frameBytes = 32, stride = 64)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    f.as("a").join(f.as("b"), "frame_md5")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
     * 16-byte signature per payload (decode stubbed; shape/batching real). */
   def q72Resize(spark: SparkSession, dir: String): DataFrame =
@@ -694,7 +712,8 @@ object Queries {
     "q43_fingerprint" -> q43Fingerprint _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
-    "q72_resize" -> q72Resize _
+    "q72_resize" -> q72Resize _,
+    "q73_frame_overlap" -> q73FrameOverlap _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1082,6 +1101,17 @@ object Queries {
         |FROM documents,
         |     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q73_frame_overlap" ->
+      """WITH f AS (
+        |  SELECT DISTINCT doc_id,
+        |         md5(substring(text, CAST(fi * 64 + 1 AS BIGINT), 32)) AS m
+        |  FROM documents,
+        |       unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(fi))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(COUNT(*) AS BIGINT) AS shared_frames
+        |FROM f a JOIN f b ON a.m = b.m AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
     "q72_resize" ->
       """SELECT doc_id,
         |  CASE WHEN length(text) >= 16 THEN
