@@ -371,6 +371,24 @@ object Queries {
       order = Seq("ts", "event_id"), rnCol = "rn")
       .orderBy("rn")
 
+  /** Deterministic stratified sample: exactly 20 events per event_type,
+    * chosen by smallest id-hash — stable under repartitioning (unlike
+    * sampleBy) and pre-pruned map-side by WindowGroupLimit. */
+  def q60StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+      t(spark, dir, "events").select("event_type", "event_id"),
+      stratumCol = "event_type", idCol = "event_id", perStratum = 20)
+      .orderBy("event_type", "event_id")
+
+  /** Exact NTILE(7) over a total order, computed distributed (GlobalIndex
+    * rank + closed-form bucket arithmetic) — no single-partition window. */
+  def q61Ntile(spark: SparkSession, dir: String): DataFrame =
+    GlobalIndex.withNtile(
+      t(spark, dir, "events").select("event_id", "ts"),
+      order = Seq("ts", "event_id"), k = 7, bucketCol = "bucket")
+      .select("event_id", "bucket")
+      .orderBy("event_id")
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -684,6 +702,8 @@ object Queries {
     "q57_interval_lookup" -> q57IntervalLookup _,
     "q58_compress_ratio" -> q58CompressRatio _,
     "q59_global_rownum" -> q59GlobalRownum _,
+    "q60_stratified_sample" -> q60StratifiedSample _,
+    "q61_ntile" -> q61Ntile _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,
@@ -816,6 +836,18 @@ object Queries {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q60_stratified_sample" ->
+      """SELECT event_type, event_id FROM (
+        |  SELECT event_type, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY (((event_id % 1000000007) * 2654435761) % 1000000007) ASC,
+        |                    event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn <= 20 ORDER BY event_type, event_id""".stripMargin,
+    "q61_ntile" ->
+      """SELECT event_id,
+        |       NTILE(7) OVER (ORDER BY ts ASC, event_id ASC) AS bucket
+        |FROM events ORDER BY event_id""".stripMargin,
     "q59_global_rownum" ->
       """SELECT event_id, user_id, ts,
         |       ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) AS rn

@@ -30,7 +30,29 @@ object GlobalIndex {
     *                 numbering under a partial order is nondeterministic in
     *                 any engine)
     * @param rnCol    name of the appended 1-based global row number */
-  def withRowNumbers(df: DataFrame, order: Seq[String], rnCol: String): DataFrame = {
+  def withRowNumbers(df: DataFrame, order: Seq[String], rnCol: String): DataFrame =
+    withRowNumbersAndTotal(df, order, rnCol)._1
+
+  /** Exact NTILE(k) in the same distributed fashion: global rank plus the
+    * closed-form SQL-standard bucket arithmetic (the first n mod k buckets
+    * take one extra row), so no single-partition window ever exists.
+    * Matches `NTILE(k) OVER (ORDER BY ...)` bit-for-bit for total orders. */
+  def withNtile(df: DataFrame, order: Seq[String], k: Int, bucketCol: String): DataFrame = {
+    require(k > 0, "need k > 0")
+    val rn = "_gi_ntile_rn"
+    val (numbered, n) = withRowNumbersAndTotal(df, order, rn)
+    val q = n / k
+    val r = n % k
+    val bucket =
+      if (q == 0) col(rn) // fewer rows than buckets: rank IS the bucket
+      else expr(s"""CASE WHEN ($rn - 1) < ${(q + 1) * r}
+                   |  THEN ($rn - 1) div ${q + 1} + 1
+                   |  ELSE $r + (($rn - 1) - ${(q + 1) * r}) div $q + 1 END""".stripMargin)
+    numbered.withColumn(bucketCol, bucket.cast("int")).drop(rn)
+  }
+
+  private def withRowNumbersAndTotal(
+      df: DataFrame, order: Seq[String], rnCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val ordCols = order.map(col)
     val pid = "_gi_pid"
@@ -47,10 +69,11 @@ object GlobalIndex {
     // Pass 2: partition-local window (each task sorts its own slice only)
     // + broadcast offset join.
     val w = Window.partitionBy(pid).orderBy(ordCols.map(_.asc): _*)
-    ranged
+    val numbered = ranged
       .withColumn("_gi_local", row_number().over(w))
       .join(broadcast(offsetDf), col(pid) === col(pid + "_k"))
       .withColumn(rnCol, col("_gi_offset") + col("_gi_local"))
       .drop(pid, pid + "_k", "_gi_offset", "_gi_local")
+    (numbered, counts.map(_._2).sum)
   }
 }

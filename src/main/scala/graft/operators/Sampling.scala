@@ -49,4 +49,22 @@ object Sampling {
     require(num > 0 && num < den, "need 0 < num < den")
     df.where(hashBucket(col(idCol), den) < num)
   }
+
+  /** Deterministic stratified sample: exactly `perStratum` rows from each
+    * stratum (fewer when the stratum is smaller), chosen as the rows with
+    * the smallest id-hash — so membership is stable under repartitioning and
+    * re-runs, unlike `sampleBy`. Balanced-corpus curation (per language, per
+    * domain) at scale: the rank-limit filter triggers Spark's partial+final
+    * `WindowGroupLimit`, so each map task keeps at most `perStratum` rows
+    * per stratum before the shuffle. */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, idCol: String, perStratum: Int): DataFrame = {
+    require(perStratum > 0, "need perStratum > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), 1000000007).asc, col(idCol).asc)
+    df.withColumn("_ss_rn", row_number().over(w))
+      .where(col("_ss_rn") <= perStratum)
+      .drop("_ss_rn")
+  }
 }

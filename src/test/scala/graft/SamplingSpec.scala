@@ -56,6 +56,38 @@ class SamplingSpec extends AnyFunSuite {
       s"global numbering must not shuffle to one partition\n$planStr")
   }
 
+  test("withNtile edge cases: fewer rows than buckets; remainder spread") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // n=3 < k=5: rank is the bucket
+    val tiny = Seq(30L, 10L, 20L).toDF("v")
+    val got3 = graft.operators.GlobalIndex.withNtile(tiny, Seq("v"), 5, "b")
+      .orderBy("v").collect().map(_.getInt(1)).toSeq
+    assert(got3 == Seq(1, 2, 3))
+    // n=10, k=4 → sizes 3,3,2,2 — must equal the built-in ntile
+    val df = (1L to 10L).map(i => (i * 37 % 11, i)).toDF("v", "id").repartition(3)
+    val got = graft.operators.GlobalIndex.withNtile(df, Seq("v", "id"), 4, "b")
+      .orderBy("v", "id").collect().map(_.getInt(2)).toSeq
+    val exp = df.withColumn("b", ntile(4).over(Window.orderBy(col("v").asc, col("id").asc)))
+      .orderBy("v", "id").collect().map(_.getInt(2)).toSeq
+    assert(got == exp)
+  }
+
+  test("stratifiedSample: exact per-stratum counts, stable under repartition") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (s"s${i % 3}", i)).toDF("g", "id")
+    val a = graft.operators.Sampling.stratifiedSample(df, "g", "id", 10)
+    assert(a.groupBy("g").count().collect().map(_.getLong(1)).toSeq == Seq(10L, 10L, 10L))
+    val b = graft.operators.Sampling.stratifiedSample(df.repartition(13), "g", "id", 10)
+    assert(a.orderBy("g", "id").collect().toSeq == b.orderBy("g", "id").collect().toSeq)
+    // stratum smaller than the ask → all of it, no padding
+    val small = graft.operators.Sampling.stratifiedSample(
+      df.where(col("id") <= 5), "g", "id", 10)
+    assert(small.count() == 5)
+  }
+
   test("split column is a pure projection: no shuffle in the plan") {
     val df = Sampling.deterministicSplit(ids(100), "id", 80, 10)
     val plan = df.queryExecution.executedPlan
