@@ -215,6 +215,24 @@ class AsOfNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("API misuse fails fast with actionable messages") {
+    val noCol = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOfNative(trades, quotes, "key", "nope", "t", "t", Seq("px"))
+    }
+    assert(noCol.getMessage.contains("nope") && noCol.getMessage.contains("key"))
+    val typeMismatch = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOfNative(
+        trades, quotes.withColumn("key", col("key").cast("int")),
+        "key", "key", "t", "t", Seq("px"))
+    }
+    assert(typeMismatch.getMessage.toLowerCase.contains("key types differ"))
+    val collide = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOfNative(trades, quotes.withColumnRenamed("px", "qty"),
+        "key", "key", "t", "t", Seq("qty"))
+    }
+    assert(collide.getMessage.contains("collide"))
+  }
+
   test("self-join (same source both sides) resolves without ambiguity") {
     val s = spark
     import s.implicits._
