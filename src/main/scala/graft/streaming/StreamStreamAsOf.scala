@@ -72,11 +72,15 @@ object StreamStreamAsOf {
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
 
-          var st = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
+          val newLefts = Seq.newBuilder[(Long, Long)]
+          val newRights = Seq.newBuilder[(Long, Double)]
           batch.foreach { e =>
-            if (e.side == 0) st = st.copy(lefts = st.lefts :+ ((toUs(e.ts), e.id)))
-            else st = st.copy(rights = st.rights :+ ((toUs(e.ts), e.v)))
+            if (e.side == 0) newLefts += ((toUs(e.ts), e.id))
+            else newRights += ((toUs(e.ts), e.v))
           }
+          val prev = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
+          val st = AsOfStreamState(
+            prev.lefts ++ newLefts.result(), prev.rights ++ newRights.result())
 
           // Finalize lefts the watermark has passed: every right row <= their
           // time has arrived, so the match is the batch operator's match.
