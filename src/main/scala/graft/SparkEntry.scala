@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Dedup, GlobalIndex, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Checks, Dedup, GlobalIndex, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -389,6 +389,16 @@ object Queries {
       .select("event_id", "bucket")
       .orderBy("event_id")
 
+  /** Data-quality constraint report over lineitem: not-null + range checks
+    * in ONE aggregate pass, uniqueness as one surplus-copy count — the
+    * table-level guardrail run before shipping a corpus snapshot. */
+  def q62QualityChecks(spark: SparkSession, dir: String): DataFrame =
+    Checks.report(
+      t(spark, dir, "lineitem"),
+      notNull = Seq("l_orderkey", "l_shipdate"),
+      ranges = Seq(("l_quantity", 1.0, 50.0), ("l_discount", 0.0, 0.08)),
+      unique = Seq(Seq("l_orderkey", "l_linenumber")))
+
   /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
   def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.summarize(
@@ -704,6 +714,7 @@ object Queries {
     "q59_global_rownum" -> q59GlobalRownum _,
     "q60_stratified_sample" -> q60StratifiedSample _,
     "q61_ntile" -> q61Ntile _,
+    "q62_quality_checks" -> q62QualityChecks _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_time_window" -> q22TimeWindow _,
     "q23_exists_semi" -> q23ExistsSemi _,
@@ -844,6 +855,29 @@ object Queries {
         |                    event_id ASC) AS rn
         |  FROM events)
         |WHERE rn <= 20 ORDER BY event_type, event_id""".stripMargin,
+    "q62_quality_checks" ->
+      """SELECT chk, violations FROM (
+        |  SELECT 'notnull:l_orderkey' AS chk,
+        |         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'notnull:l_shipdate',
+        |         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range:l_quantity',
+        |         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range:l_discount',
+        |         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique:l_orderkey,l_linenumber',
+        |         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |  WHERE n > 1)
+        |ORDER BY chk""".stripMargin,
     "q61_ntile" ->
       """SELECT event_id,
         |       NTILE(7) OVER (ORDER BY ts ASC, event_id ASC) AS bucket
