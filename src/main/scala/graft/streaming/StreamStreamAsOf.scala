@@ -38,10 +38,17 @@ object StreamStreamAsOf {
 
   /** @param left  streaming DataFrame with (id, key, ts)
     * @param right streaming DataFrame with (key, ts, v)
-    * @param watermarkDelay max expected lateness on BOTH streams */
+    * @param watermarkDelay max expected lateness on BOTH streams
+    * @param idleStateTtlMs optional event-time TTL for keys with no pending
+    *        lefts: exact as-of semantics need the latest right row retained
+    *        FOREVER (unbounded lookback), which at billions of keys is a
+    *        real cost — with a TTL, a key idle longer than this loses its
+    *        retained match and later lefts see None past the horizon. Off
+    *        (None) by default = exact. */
   def enrich(
       left: DataFrame, right: DataFrame,
-      watermarkDelay: String = "10 minutes"): Dataset[AsOfStreamOut] = {
+      watermarkDelay: String = "10 minutes",
+      idleStateTtlMs: Option[Long] = None): Dataset[AsOfStreamOut] = {
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -74,7 +81,9 @@ object StreamStreamAsOf {
 
           val newLefts = Seq.newBuilder[(Long, Long)]
           val newRights = Seq.newBuilder[(Long, Double)]
+          var sawData = false
           batch.foreach { e =>
+            sawData = true
             if (e.side == 0) newLefts += ((toUs(e.ts), e.id))
             else newRights += ((toUs(e.ts), e.v))
           }
@@ -95,13 +104,26 @@ object StreamStreamAsOf {
           val (rOld, rLive) = st.rights.partition(_._1 <= wmUs)
           val rights = (rOld.sortBy(_._1).lastOption.toSeq ++ rLive).sortBy(_._1)
 
-          if (pending.isEmpty && rights.isEmpty) {
+          val idleExpired = idleStateTtlMs.isDefined && !sawData &&
+            state.hasTimedOut && pending.isEmpty
+          if ((pending.isEmpty && rights.isEmpty) || idleExpired) {
             state.remove()
           } else {
             state.update(AsOfStreamState(pending, rights))
-            // Wake when the watermark passes the earliest pending left, so
-            // finalization never needs another row on this key.
-            pending.map(_._1).minOption.foreach(us => state.setTimeoutTimestamp(us / 1000L + 1L))
+            // Wake when the watermark passes the earliest pending left (so
+            // finalization never needs another row on this key), else — with
+            // a TTL — when the key has sat idle past the horizon.
+            pending.map(_._1).minOption match {
+              case Some(us) => state.setTimeoutTimestamp(us / 1000L + 1L)
+              case None => idleStateTtlMs.foreach { ttl =>
+                // idle horizon counts from the key's own last right row (the
+                // global watermark may lag far behind its event times)
+                val lastMs = rights.map(_._1 / 1000L).maxOption
+                  .getOrElse(state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(
+                  math.max(lastMs + ttl, state.getCurrentWatermarkMs() + 1L))
+              }
+            }
           }
           out.iterator
       }

@@ -93,6 +93,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream as-of: idle-state TTL expires a quiet key's history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Long, Long, Timestamp)]
+    val rights = MemoryStream[(Long, Timestamp, Double)]
+    val out = graft.streaming.StreamStreamAsOf.enrich(
+      lefts.toDF().toDF("id", "key", "ts"),
+      rights.toDF().toDF("key", "ts", "v"),
+      watermarkDelay = "0 seconds",
+      idleStateTtlMs = Some(30L * 60 * 1000)) // 30 min
+    val q = out.writeStream
+      .format("memory").queryName("ss_asof_ttl").outputMode(OutputMode.Append()).start()
+    try {
+      // key 1 gets one quote, then goes idle; key 5 traffic drives the wm
+      rights.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      lefts.addData((9L, 5L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      lefts.addData((10L, 5L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      lefts.addData((11L, 5L, ts("2024-01-01 12:00:00"))) // wm 11:30 > 10:30 TTL
+      q.processAllAvailable()
+      // key 1's retained quote is gone: a late trade finds nothing
+      lefts.addData((7L, 1L, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      lefts.addData((12L, 5L, ts("2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("ss_asof_ttl").as[graft.streaming.AsOfStreamOut]
+        .collect().map(o => o.id -> o.v).toMap
+      assert(got.get(7L).contains(None), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming sessionize: gap close within batch, timeout close via watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
