@@ -576,6 +576,14 @@ object Queries {
       centroids, queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
   }
 
+  /** LSH ANN (random-hyperplane, 6 tables × 4 sign bits, exact-bucket OR) —
+    * the bucketed alternative scale path to q51's IVF. Rows-only oracle
+    * (approximate); spec measures recall vs q50. */
+  def q63AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir, 0L), bitsPerTable = 4, tables = 6, seed = 42L,
+      k = 10, excludeId = Some(0L))
+
   /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
     * (broadcast queries, precomputed norms, one window shuffle). */
   def q52KnnJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -734,6 +742,7 @@ object Queries {
     "q35_dedup_cluster" -> q35DedupCluster _,
     "q50_ann_brute" -> q50AnnBrute _,
     "q51_ann_ivf" -> q51AnnIvf _,
+    "q63_ann_lsh" -> q63AnnLsh _,
     "q52_knn_join" -> q52KnnJoin _,
     "q40_token_count" -> q40TokenCount _,
     "q44_rolling_fp" -> q44RollingFp _,

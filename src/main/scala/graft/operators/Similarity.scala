@@ -126,4 +126,48 @@ object Similarity {
       .where(col("bucket").isin(probe: _*))
     bruteTopK(buckets, idCol, vecCol, query, k, excludeId)
   }
+
+  /** Seeded Gaussian hyperplanes for random-hyperplane (cosine) LSH —
+    * java.util.Random's sequence is specified, so every executor and every
+    * run derives identical planes from the seed. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket of a vector column under the given hyperplanes
+    * (bit j set iff dot(vec, plane_j) >= 0) — one codegen'd dot per plane,
+    * no shuffle. */
+  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(graft.functions.ArrayMath.dot(vecCol, litVec(p)) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Multi-table random-hyperplane LSH ANN — the bucketed alternative scale
+    * path to [[ivfTopK]]. The classic amplification: `tables` independent
+    * sign-hashes of `bitsPerTable` bits each; a corpus vector is a candidate
+    * if it lands in the query's EXACT bucket in ANY table (OR of equality —
+    * few bits per table keeps per-table match probability workable, many
+    * tables drive recall up), then exact cosine runs only over candidates.
+    * Each table's bucket is a pure projection, so at scale the corpus is
+    * written `tables` times partitioned by bucket (or one table with
+    * bucket-array + explode) and a query probes `tables` partitions of
+    * ~N/2^bits rows. Approximate — recall vs [[bruteTopK]] is measured in
+    * specs. */
+  def lshTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], bitsPerTable: Int, tables: Int, seed: Long, k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(bitsPerTable > 0 && bitsPerTable < 31 && tables > 0, "bad LSH shape")
+    val byTable = hyperplanes(bitsPerTable * tables, query.length, seed)
+      .grouped(bitsPerTable).toSeq
+    val candidateCond = byTable.map { planes =>
+      val qBucket = planes.zipWithIndex.map { case (p, j) =>
+        val d = p.zip(query).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+        if (d >= 0) 1 << j else 0
+      }.sum
+      lshBucket(col(vecCol), planes) === lit(qBucket)
+    }.reduce(_ || _)
+    bruteTopK(df.where(candidateCond), idCol, vecCol, query, k, excludeId)
+  }
 }

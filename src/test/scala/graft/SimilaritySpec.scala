@@ -60,4 +60,31 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall@10 too low: $recall (ivf=$ivf brute=$brute)")
   }
+
+  test("LSH recall vs brute force; buckets deterministic across runs") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", q, k = 10,
+      excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q,
+      bitsPerTable = 4, tables = 6, seed = 42L, k = 10, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall@10 too low: $recall (lsh=$lsh brute=$brute)")
+    // determinism: identical plane seed → identical result set
+    val again = Similarity.lshTopK(emb, "vec_id", "embedding", q,
+      bitsPerTable = 4, tables = 6, seed = 42L, k = 10, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh == again)
+    // the query's own bucket must contain the query vector itself
+    val planes = Similarity.hyperplanes(10, q.length, 42L)
+    val selfBucket = Similarity.lshBucket(col("embedding"), planes)
+    val self = emb.where(col("vec_id") === 0L).select(selfBucket).as[Int].head()
+    val qBucket = planes.zipWithIndex.map { case (p, j) =>
+      if (p.zip(q).map { case (a, b) => a * b }.sum >= 0) 1 << j else 0
+    }.sum
+    assert(self == qBucket, "Scala-side and column-side bucket computation must agree")
+  }
 }
