@@ -44,10 +44,11 @@ object PlanLint {
               "q24_scalar_subquery", "q47_histogram").contains(name))
           flag("BroadcastNestedLoopJoin in plan")
         // SinglePartition allowed only for global SCALAR aggregates (q24
-        // threshold, q47 min/max): the exchange moves one partial row per
-        // task, not data. Everything else must stay partitioned.
+        // threshold, q47 min/max, q62's per-constraint violation tallies):
+        // the exchange moves one partial row per task, not data. Everything
+        // else must stay partitioned.
         if (lines.exists(l => l.contains("SinglePartition")) &&
-            !Set("q24_scalar_subquery", "q47_histogram").contains(name))
+            !Set("q24_scalar_subquery", "q47_histogram", "q62_quality_checks").contains(name))
           flag("shuffle to a single partition")
         spark.catalog.clearCache()
       } catch {
