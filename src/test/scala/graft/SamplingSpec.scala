@@ -88,6 +88,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.count() == 5)
   }
 
+  test("GlobalIndex fuzz: rank and ntile match single-partition windows") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 6) {
+      val n = 1 + rnd.nextInt(3000)
+      val k = 1 + rnd.nextInt(12)
+      val parts = 1 + rnd.nextInt(9)
+      // duplicate-heavy order values + unique id tiebreak = total order
+      val df = (1L to n.toLong).map(i => (rnd.nextInt(40).toLong, i))
+        .toDF("v", "id").repartition(parts)
+      val w = Window.orderBy(col("v").asc, col("id").asc)
+      val gotRn = graft.operators.GlobalIndex.withRowNumbers(df, Seq("v", "id"), "rn")
+        .orderBy("id").collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val expRn = df.withColumn("rn", row_number().over(w).cast("long"))
+        .orderBy("id").collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(gotRn == expRn, s"rank mismatch, trial $trial (n=$n parts=$parts)")
+      val gotNt = graft.operators.GlobalIndex.withNtile(df, Seq("v", "id"), k, "b")
+        .orderBy("id").collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      val expNt = df.withColumn("b", ntile(k).over(w))
+        .orderBy("id").collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      assert(gotNt == expNt, s"ntile mismatch, trial $trial (n=$n k=$k parts=$parts)")
+    }
+  }
+
   test("split column is a pure projection: no shuffle in the plan") {
     val df = Sampling.deterministicSplit(ids(100), "id", 80, 10)
     val plan = df.queryExecution.executedPlan
