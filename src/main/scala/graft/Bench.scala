@@ -32,21 +32,31 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Only SUCCESSFUL runs feed the per-query minimum: a throwing query's
+    // near-zero elapsed time must not masquerade as a speedup. A query with
+    // zero successful reps is reported in "failed" (value -1) and excluded
+    // from the total, so a regression that breaks a query is visible in the
+    // JSON rather than flattering it.
     val best = scala.collection.mutable.Map[String, Double]()
+    val everFailed = scala.collection.mutable.Set[String]()
     (1 to reps).foreach { _ =>
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        else everFailed += name
       }
     }
-    val qs = names.map { case (k, _) => "\"" + k + "\":" + best(k) }
+    val failed = names.map(_._1).filterNot(best.contains)
+    val qs = names.map { case (k, _) => "\"" + k + "\":" + best.getOrElse(k, -1.0) }
       .mkString("{", ",", "}")
-    val total = names.map { case (k, _) => best(k) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val total = best.values.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -69,13 +69,15 @@ object Graft {
       modified: String, force: Boolean = false): Update.Outcome =
     Update.updateCsv(spark, source, path, modified, force)
 
-  /** PostgreSQL load (`wrds_update`): DDL + roles/grants + JDBC write +
-    * comment stamp. Statement generation is spec-tested; execution needs a
-    * live server. */
-  def updateJdbc(df: DataFrame, target: JdbcSink.PgTarget, modified: String): Unit = {
-    JdbcSink.load(df, target)
-    val _ = JdbcSink.postloadStatements(target, modified)
-  }
+  /** PostgreSQL load (`wrds_update`) over JDBC: stamp-skip → DDL +
+    * roles → distributed `df.write.jdbc` load → grants → comment restamp,
+    * mirroring [[updatePg]] without needing a psql binary. Integration-tested
+    * end-to-end (create/load/stamp/skip/force) against embedded Derby via a
+    * pluggable dialect; production default speaks PostgreSQL. */
+  def updateJdbc(
+      source: => DataFrame, target: JdbcSink.PgTarget, modified: String,
+      force: Boolean = false): Update.Outcome =
+    graft.pipeline.UpdateJdbc.update(source, target, modified, force)
 
   /** Full `wrds_update` to PostgreSQL via COPY FROM STDIN (the reference's
     * own mechanism): comment-stamp skip, DDL, staged gz-CSV COPY, grants,

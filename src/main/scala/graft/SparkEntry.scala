@@ -972,7 +972,7 @@ object Queries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q26_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q27_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scalable global row numbering / ranking.
   *
@@ -10,19 +10,25 @@ import org.apache.spark.sql.functions._
   * single-partition window — every row moves to ONE task that sorts the
   * whole dataset, the canonical 100 TB non-starter. For a total ordering
   * (include a unique tiebreak column) the same numbering is computed
-  * distributed in two passes over a range shuffle:
+  * distributed in two jobs over ONE range shuffle:
   *
-  *   1. `repartitionByRange(order)` splits the sort order contiguously
-  *      across partitions (boundary sampling is seeded deterministically,
-  *      so both passes see identical boundaries);
-  *   2. a count pass collects per-partition row counts (one tiny row per
-  *      partition) and prefix-sums them into offsets;
-  *   3. the emit pass computes the partition-local row_number — each task
-  *      sorts only its own slice — and adds the broadcast offset.
+  *   1. `repartitionByRange(order).sortWithinPartitions(order)` splits the
+  *      sort order contiguously across partitions and sorts each slice
+  *      locally — the physical plan is instantiated ONCE (a single RDD),
+  *      so the RangePartitioner samples its boundaries a single time and
+  *      the shuffle map output is written once;
+  *   2. a count job reads that shuffle output and collects one long per
+  *      partition, prefix-summed into offsets on the driver;
+  *   3. the emit job reads the SAME shuffle output (Spark reuses map
+  *      output across jobs on the same RDD — the map stage shows as
+  *      "skipped") and streams each partition adding offset + local index.
   *
-  * Global rank = local rank + offset, exactly; q59's DuckDB oracle checks
-  * the full numbering bit-for-bit. Two shuffles of the projected columns
-  * replace one impossible shuffle-to-one.
+  * Because both jobs consume one materialized shuffle, there is no
+  * re-sampling of range boundaries between passes — the failure mode where
+  * pass-1 offsets get added to pass-2's differently-bounded partitions
+  * cannot occur, at any data size, without caching anything in executor
+  * memory. Global rank = local rank + offset, exactly; q59's DuckDB oracle
+  * checks the full numbering bit-for-bit.
   */
 object GlobalIndex {
 
@@ -55,25 +61,30 @@ object GlobalIndex {
       df: DataFrame, order: Seq[String], rnCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val ordCols = order.map(col)
-    val pid = "_gi_pid"
-    val ranged = df.repartitionByRange(ordCols: _*).withColumn(pid, spark_partition_id())
+    val sorted = df
+      .repartitionByRange(ordCols: _*)
+      .sortWithinPartitions(ordCols.map(_.asc): _*)
 
-    // Pass 1: per-partition counts → prefix-sum offsets (driver-side, one
-    // long per partition).
-    val counts = ranged.groupBy(pid).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, n)) => (p, acc + n) }
-    val offsetRows = counts.map(_._1).zip(offsets.map(_._2)).map { case (p, off) => (p, off) }
-    val offsetDf = spark.createDataFrame(offsetRows.toSeq).toDF(pid + "_k", "_gi_offset")
+    // Instantiate the physical plan exactly once. Both jobs below run over
+    // this RDD, so the range shuffle (and its sampled boundaries) exists
+    // once and the emit job reuses the count job's map output from shuffle
+    // files — no persist/localCheckpoint needed.
+    val rdd = sorted.rdd
 
-    // Pass 2: partition-local window (each task sorts its own slice only)
-    // + broadcast offset join.
-    val w = Window.partitionBy(pid).orderBy(ordCols.map(_.asc): _*)
-    val numbered = ranged
-      .withColumn("_gi_local", row_number().over(w))
-      .join(broadcast(offsetDf), col(pid) === col(pid + "_k"))
-      .withColumn(rnCol, col("_gi_offset") + col("_gi_local"))
-      .drop(pid, pid + "_k", "_gi_offset", "_gi_local")
-    (numbered, counts.map(_._2).sum)
+    // Job 1: per-partition counts (one long per partition) → prefix sums.
+    val counts = rdd
+      .mapPartitions(it => Iterator.single(it.foldLeft(0L)((a, _) => a + 1)),
+        preservesPartitioning = true)
+      .collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+
+    // Job 2: stream each (already sorted) partition, appending offset+i.
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = offsets(pid)
+      it.map { row => rn += 1; Row.fromSeq(row.toSeq :+ rn) }
+    }
+    val numbered = spark.createDataFrame(out, sorted.schema.add(rnCol, LongType, nullable = false))
+    (numbered, total)
   }
 }

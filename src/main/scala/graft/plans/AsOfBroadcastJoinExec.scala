@@ -60,6 +60,11 @@ case class AsOfBroadcastJoinExec(
     val rTimeExpr = rightTime
     val inner = isInner
     val tol = tolerance
+    // Broadcast ids are a per-SparkContext counter from 0, so the memo key
+    // must include the application identity: a restarted session in the same
+    // JVM (tests, notebooks, local mode) reuses ids and would otherwise hit
+    // a stale index from the previous context.
+    val appId = sparkContext.applicationId
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
@@ -89,7 +94,7 @@ case class AsOfBroadcastJoinExec(
       // Built once per executor per broadcast (memoized on broadcast id) —
       // tasks of this stage, and any later stage reusing the exchange, share
       // the build instead of paying O(R log R) each.
-      val index = AsOfBroadcastJoinExec.cachedIndex(broadcastRows.id, () => {
+      val index = AsOfBroadcastJoinExec.cachedIndex(appId, broadcastRows.id, () => {
         val m = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
         broadcastRows.value.foreach { r =>
           val k = rKeyProj(r)
@@ -148,21 +153,24 @@ object AsOfBroadcastJoinExec {
   private type Index =
     java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]
 
-  /** Per-executor index memo, keyed by broadcast id. SoftReferences let the
-    * JVM reclaim an index under memory pressure (it is rebuilt on demand);
-    * a racing double-build is benign — both results are identical and the
-    * loser is collected. Read-only after publication, so sharing the plain
-    * HashMap across tasks is safe. */
+  /** Per-executor index memo, keyed by (applicationId, broadcastId) —
+    * broadcast ids alone restart from 0 with every SparkContext, so two
+    * sessions in one JVM would collide on the bare id. SoftReferences let
+    * the JVM reclaim an index under memory pressure (it is rebuilt on
+    * demand); a racing double-build is benign — both results are identical
+    * and the loser is collected. Read-only after publication, so sharing
+    * the plain HashMap across tasks is safe. */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[Index]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.ref.SoftReference[Index]]()
 
-  private[plans] def cachedIndex(broadcastId: Long, build: () => Index): Index = {
-    val ref = indexCache.get(broadcastId)
+  private[graft] def cachedIndex(appId: String, broadcastId: Long, build: () => Index): Index = {
+    val key = (appId, broadcastId)
+    val ref = indexCache.get(key)
     val hit = if (ref != null) ref.get() else null
     if (hit != null) hit
     else {
       val built = build()
-      indexCache.put(broadcastId, new java.lang.ref.SoftReference(built))
+      indexCache.put(key, new java.lang.ref.SoftReference(built))
       built
     }
   }

@@ -248,4 +248,25 @@ class AsOfNativeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(Option(out(1).get(4)) == Some(5L)) // the signup row matches itself (<=)
     assert(out(2).isNullAt(4)) // u2 never signed up
   }
+
+  test("broadcast index memo does not leak across applications sharing a JVM") {
+    // Broadcast ids restart from 0 per SparkContext; two sessions in one JVM
+    // therefore reuse ids. The memo must key on the application identity so
+    // "app B, broadcast 0" never sees the index built for "app A, broadcast 0".
+    def emptyIndex() = new java.util.HashMap[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[(
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+        org.apache.spark.sql.catalyst.InternalRow)]]
+    val m = classOf[graft.plans.AsOfBroadcastJoinExec]
+    val cached = graft.plans.AsOfBroadcastJoinExec // touch companion
+    var builds = 0
+    val a0 = cached.cachedIndex("spec-app-A", 9999999L, () => { builds += 1; emptyIndex() })
+    val a0Again = cached.cachedIndex("spec-app-A", 9999999L, () => { builds += 1; emptyIndex() })
+    assert(builds == 1 && (a0 eq a0Again), "same app + id must memoize")
+    val b0 = cached.cachedIndex("spec-app-B", 9999999L, () => { builds += 1; emptyIndex() })
+    assert(builds == 2, "a second application with the same broadcast id must rebuild")
+    assert(!(b0 eq a0), "app B must not observe app A's index")
+    assert(m != null)
+  }
 }

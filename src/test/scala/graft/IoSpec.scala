@@ -172,6 +172,78 @@ class IoSpec extends AnyFunSuite {
       Seq((10001L, "ACME", 1.25), (10002L, "BETA", 2.5)))
   }
 
+  test("updateJdbc runs the full create/load/stamp/skip/force cycle (Derby)") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Update, UpdateJdbc}
+    // PG's comment/role vocabulary doesn't exist in Derby, so the spec
+    // supplies a side-table stamp dialect; the CONTROL FLOW under test
+    // (stamp-read → skip/force → tolerated+strict DDL → distributed load →
+    // postload restamp) is exactly the production path.
+    val url = "jdbc:derby:memory:ujdb;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val stamps = """"uj"."graft_stamps""""
+    val derby = UpdateJdbc.Dialect(
+      tolerated = (_, t) => Seq(
+        s"""CREATE SCHEMA "${t.schema}"""",
+        s"""CREATE TABLE $stamps ("tbl" VARCHAR(128), "stamp" VARCHAR(256))""",
+        s"""DROP TABLE "${t.schema}"."${t.table}""""), // Derby has no IF EXISTS
+      strict = (df, t) => {
+        val cols = df.schema.fields.map { f =>
+          val ty = f.dataType match {
+            case org.apache.spark.sql.types.LongType => "BIGINT"
+            case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+            case _ => "VARCHAR(256)"
+          }
+          s""""${f.name}" $ty"""
+        }.mkString(", ")
+        Seq(s"""CREATE TABLE "${t.schema}"."${t.table}" ($cols)""")
+      },
+      postload = (t, m) => Seq(
+        s"""DELETE FROM $stamps WHERE "tbl" = '${t.table}'""",
+        s"""INSERT INTO $stamps VALUES ('${t.table}', '$m')"""),
+      readStamp = (conn, t) => {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"""SELECT "stamp" FROM $stamps WHERE "tbl" = '${t.table}'""")
+          if (rs.next()) Option(rs.getString(1)) else None
+        } finally st.close()
+      },
+      driver = driver)
+
+    val t = graft.sinks.JdbcSink.PgTarget(url, "", "", "uj", "prices")
+    val stamp = "Last modified: 02/03/2024 04:05:06"
+    var built = 0
+    def src = { built += 1; Seq((1L, 10.0), (2L, 20.0)).toDF("permno", "ret") }
+
+    // fresh target: stamp surface doesn't exist yet → readStamp throws → None
+    assert(UpdateJdbc.update(src, t, stamp, dialect = derby) == Update.Updated)
+    assert(built == 1)
+    Class.forName(driver)
+    def q(sql: String): Seq[String] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(sql)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (rs.next()) out += rs.getString(1)
+        out.toSeq
+      } finally c.close()
+    }
+    assert(q("""SELECT CAST(count(*) AS CHAR(8)) FROM "uj"."prices"""").head.trim == "2")
+    assert(q(s"""SELECT "stamp" FROM $stamps WHERE "tbl" = 'prices'""") == Seq(stamp))
+    // same stamp → skip without even constructing the source plan
+    assert(UpdateJdbc.update(src, t, stamp, dialect = derby) == Update.UpToDate)
+    assert(built == 1, "a stamp-skip must not build the source plan")
+    // force → drop/recreate/reload under the same stamp
+    assert(UpdateJdbc.update(src, t, stamp, force = true, dialect = derby) == Update.Forced)
+    assert(built == 2)
+    assert(q("""SELECT CAST(count(*) AS CHAR(8)) FROM "uj"."prices"""").head.trim == "2")
+    // new stamp → refresh
+    assert(UpdateJdbc.update(src, t, stamp.replace("2024", "2025"), dialect = derby) == Update.Updated)
+    assert(q(s"""SELECT "stamp" FROM $stamps WHERE "tbl" = 'prices'""").head.contains("2025"))
+  }
+
   test("generated PG DDL + CSV COPY load run against a real PostgreSQL") {
     import scala.sys.process._
     val s = spark

@@ -114,6 +114,34 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalIndex stays exact under partial boundary sampling (one shuffle, two jobs)") {
+    // Force the RangePartitioner to sample only a handful of rows per input
+    // partition: with the old two-execution design (count pass and emit pass
+    // each re-planning the range shuffle) boundaries re-sample differently
+    // per job and offsets land on the wrong partitions. The fixed design
+    // materializes ONE RDD, so both jobs share one set of boundaries.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "2")
+    try {
+      val rnd = new scala.util.Random(7L)
+      // skewed, duplicate-heavy order values; unique id tiebreak
+      val df = (1L to 60000L).map(i => (math.abs(rnd.nextGaussian() * 10).toLong, i))
+        .toDF("v", "id").repartition(16)
+      val got = graft.operators.GlobalIndex.withRowNumbers(df, Seq("v", "id"), "rn")
+        .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = df.withColumn("rn",
+          row_number().over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+        .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp)
+    } finally {
+      old match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+
   test("split column is a pure projection: no shuffle in the plan") {
     val df = Sampling.deterministicSplit(ids(100), "id", 80, 10)
     val plan = df.queryExecution.executedPlan
