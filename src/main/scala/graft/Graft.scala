@@ -48,14 +48,17 @@ object Graft {
   }
 
   /** Typed CSV read with SAS missing-value and CR cleanup; columns come back
-    * lowercased (`sas_to_pandas` semantics, wrds2pg/api.py:586-616). */
+    * lowercased (`sas_to_pandas` semantics, wrds2pg/api.py:586-616).
+    * `encoding` is the reference's `encoding`/`sas_encoding` (api.py:48-49) —
+    * pass "ISO-8859-1" for the common latin1 WRDS exports. */
   def readSasCsv(
       spark: SparkSession,
       path: String,
       schema: org.apache.spark.sql.types.StructType,
       fixMissing: Boolean = false,
-      fixCr: Boolean = false): DataFrame =
-    SasCsvReader.read(spark, path, schema, fixMissing, fixCr)
+      fixCr: Boolean = false,
+      encoding: String = "UTF-8"): DataFrame =
+    SasCsvReader.read(spark, path, schema, fixMissing, fixCr, encoding = encoding)
 
   /** Incremental parquet artifact refresh (`wrds_update_pq`). */
   def updateParquet(

@@ -42,19 +42,31 @@ object PgCopy {
   }
 
   /** Loads every CSV part file under `dir` into the (pre-created) table.
+    *
+    * Each part's session is pinned the way the reference pins its COPY
+    * connection (copy.py:12,43-44): `DateStyle 'ISO, MDY'` and
+    * `TimeZone '<tz>'` are SET before the COPY, so timestamptz parsing never
+    * inherits a server-local default, and the COPY declares `ENCODING`.
+    *
     * @param psqlBase psql invocation prefix, e.g.
     *                 `Seq("psql", "-h", sockDir, "-U", user, "dbname")`
+    * @param tz       session TimeZone for the load (reference `tz="UTC"`)
+    * @param copyEncoding encoding declared on the COPY itself
     * @return total rows copied (summed from psql's `COPY n` tags) */
   def loadCsvDir(
       dir: String, schema: String, table: String,
-      psqlBase: Seq[String], header: Boolean = true): Long = {
+      psqlBase: Seq[String], header: Boolean = true,
+      tz: String = "UTC", copyEncoding: String = "UTF8"): Long = {
     val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".csv.gz") || f.getName.endsWith(".csv"))
       .sortBy(_.getName)
     parts.map { f =>
       val headerOpt = if (header) ", HEADER" else ""
-      val cmd = psqlBase ++ Seq("-v", "ON_ERROR_STOP=1", "-tA", "-c",
-        s"""\\copy "$schema"."$table" FROM pstdin WITH (FORMAT csv$headerOpt)""")
+      val cmd = psqlBase ++ Seq("-v", "ON_ERROR_STOP=1", "-tA",
+        "-c", "SET DateStyle TO 'ISO, MDY'",
+        "-c", s"SET TimeZone TO '${tz.replace("'", "''")}'",
+        "-c",
+        s"""\\copy "$schema"."$table" FROM pstdin WITH (FORMAT csv$headerOpt, ENCODING '$copyEncoding')""")
       val proc = new ProcessBuilder(cmd: _*).start()
       val in: java.io.InputStream =
         if (f.getName.endsWith(".gz"))

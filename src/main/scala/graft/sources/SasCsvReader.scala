@@ -32,14 +32,20 @@ object SasCsvReader {
 
   /** Read csv(.gz) at `path` applying `schema` (names are positional,
     * header row is skipped — like the reference forcing canonical names,
-    * parquet.py:74-76). */
+    * parquet.py:74-76).
+    *
+    * @param encoding charset of the file bytes — the reference's
+    *                 `encoding`/`sas_encoding` parameters (wrds2pg/api.py:48-49,
+    *                 sas/stream.py:14); WRDS SAS exports are frequently
+    *                 latin1, which mis-reads under the UTF-8 default. */
   def read(
       spark: SparkSession,
       path: String,
       schema: StructType,
       fixMissing: Boolean = false,
       fixCr: Boolean = false,
-      header: Boolean = true
+      header: Boolean = true,
+      encoding: String = "UTF-8"
   ): DataFrame = {
     // Parse as raw strings; apply typing ourselves so cleaning happens first.
     val rawSchema = StructType(schema.fields.map(f => StructField(f.name, StringType, nullable = true)))
@@ -51,6 +57,7 @@ object SasCsvReader {
       .option("header", header.toString)
       .option("nullValue", "")
       .option("multiLine", fixCr.toString)
+      .option("encoding", encoding)
       .schema(rawSchema)
       .csv(path)
 

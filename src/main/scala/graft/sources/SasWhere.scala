@@ -40,23 +40,34 @@ object SasWhere {
   case object TRParen extends Tok
   case object TComma extends Tok
 
-  private val DateFmt = java.time.format.DateTimeFormatter.ofPattern(
-    "ddMMMuuuu", java.util.Locale.US)
-  private val DtFmt = java.time.format.DateTimeFormatter.ofPattern(
-    "ddMMMuuuu:HH:mm:ss", java.util.Locale.US)
+  // SAS accepts 1- or 2-digit days and any month-abbreviation case
+  // ('1JAN2024'd, '01jan2024'd, '15Mar1999'd are all legal), so the pattern
+  // uses single-letter `d` (1-2 digits) and a case-insensitive builder
+  // rather than fixed slicing.
+  private def sasFmt(pattern: String) =
+    new java.time.format.DateTimeFormatterBuilder()
+      .parseCaseInsensitive()
+      .appendPattern(pattern)
+      .toFormatter(java.util.Locale.US)
+  private val DateFmt = sasFmt("dMMMuuuu")
+  private val DtFmt = sasFmt("dMMMuuuu:H:mm:ss")
 
   /** SAS date/datetime constants: '01JAN2024'd / '01JAN2024:10:30:00'dt. */
-  private def dateTok(raw: String, suffix: String): Tok = {
-    // SAS month abbreviations are case-insensitive; normalize to Title case
-    val norm = raw.take(2) + raw.slice(2, 5).toUpperCase.charAt(0) +
-      raw.slice(3, 5).toLowerCase + raw.drop(5)
-    suffix match {
-      case "d" => TDate(java.sql.Date.valueOf(
-        java.time.LocalDate.parse(norm, DateFmt)))
-      case "dt" => TTimestamp(java.sql.Timestamp.valueOf(
-        java.time.LocalDateTime.parse(norm, DtFmt)))
+  private def dateTok(raw: String, suffix: String): Tok =
+    try {
+      suffix match {
+        case "d" => TDate(java.sql.Date.valueOf(
+          java.time.LocalDate.parse(raw, DateFmt)))
+        case "dt" => TTimestamp(java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.parse(raw, DtFmt)))
+      }
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        val kind = if (suffix == "d") "date" else "datetime"
+        throw new IllegalArgumentException(
+          s"bad SAS $kind literal '$raw'$suffix — expected [d]dMMMyyyy" +
+            (if (suffix == "dt") ":HH:mm:ss" else "") + s", e.g. '01JAN2024'$suffix", e)
     }
-  }
 
   def tokenize(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer[Tok]()

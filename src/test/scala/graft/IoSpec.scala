@@ -34,6 +34,25 @@ class IoSpec extends AnyFunSuite {
     assert(out2.count(_.isNullAt(1)) == 4)
   }
 
+  test("SasCsvReader: encoding option reads latin1 exports (reference encoding/sas_encoding)") {
+    val dir = tmp("latin1")
+    val csv = s"$dir/in.csv"
+    // genuine ISO-8859-1 bytes: é = 0xE9, ü = 0xFC — invalid as UTF-8
+    val body = "id,comnam\n1,SOCIÉTÉ GÉNÉRALE\n2,MÜNCHENER RÜCK\n"
+    Files.write(java.nio.file.Paths.get(csv),
+      body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("comnam", StringType)))
+    val good = SasCsvReader.read(spark, csv, schema, encoding = "ISO-8859-1")
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(good == Seq("SOCIÉTÉ GÉNÉRALE", "MÜNCHENER RÜCK"))
+    // the UTF-8 default cannot round-trip those bytes — this is the mis-read
+    // the encoding parameter exists to fix
+    val bad = SasCsvReader.read(spark, csv, schema)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(bad != good)
+  }
+
   test("CsvSink → SasCsvReader roundtrip preserves typed values") {
     val s = spark
     import s.implicits._
@@ -286,6 +305,20 @@ class IoSpec extends AnyFunSuite {
       // post-load: grants to the generated roles + the modified-stamp comment
       graft.sinks.JdbcSink.postloadStatements(t, "Last modified: 01/01/2024").foreach(run)
       assert(query("""SELECT obj_description('"crsp"."dsf"'::regclass)""") == "Last modified: 01/01/2024")
+
+      // COPY session TimeZone: timestamps must load as UTC even when the
+      // database default is not (reference copy.py pins TimeZone per load)
+      run("""ALTER DATABASE postgres SET timezone TO 'America/New_York'""")
+      run("""CREATE TABLE "crsp"."tzt" ("k" integer, "t" timestamptz)""")
+      val tzDir = tmp("pgtz")
+      Files.writeString(java.nio.file.Paths.get(s"$tzDir/p.csv"),
+        "k,t\n1,2024-01-02 03:04:05\n")
+      assert(graft.sinks.PgCopy.loadCsvDir(tzDir, "crsp", "tzt", psql) == 1L)
+      val epoch = query("""SELECT extract(epoch FROM t)::bigint FROM "crsp"."tzt"""")
+      val wantUtc = java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      assert(epoch.toLong == wantUtc,
+        s"timestamp loaded under server-local zone: epoch $epoch, want $wantUtc")
 
       // full wrds_update control flow: refresh → stamp-skip → force
       import graft.pipeline.{Update, UpdatePg}

@@ -20,6 +20,14 @@ class SasWhereSpec extends AnyFunSuite {
     assert(ids("d between '01jan2024'd and '31DEC2024'd") === Set(1L, 2L))
     assert(ids("ts gt '01JAN2024:10:00:00'dt") === Set(2L, 3L))
     assert(ids("d in ('01JAN2024'd, '01JAN2025'd)") === Set(1L, 3L))
+    // SAS accepts single-digit days and any case — no fixed-position slicing
+    assert(ids("d ge '1jan2025'd") === Set(3L))
+    assert(ids("d lt '5Jan2024'd") === Set(1L))
+    assert(ids("ts gt '1JAN2024:10:00:00'dt") === Set(2L, 3L))
+    val bad = intercept[IllegalArgumentException] { ids("d ge 'JAN2024'd") }
+    assert(bad.getMessage.contains("bad SAS date literal"))
+    val badDt = intercept[IllegalArgumentException] { ids("ts gt '99JAN2024:10:00:00'dt") }
+    assert(badDt.getMessage.contains("bad SAS datetime literal"))
   }
   private lazy val spark = TestSpark.spark
 
