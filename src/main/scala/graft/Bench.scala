@@ -56,7 +56,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = best.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}""")
+    // Approximate-ANN recall@10 vs brute force at this SF (SURVEY §9):
+    // timings alone can't show an index trading away its recall, so the
+    // floor is tracked longitudinally alongside them.
+    val recallJson = try {
+      import graft.operators.Similarity
+      import org.apache.spark.sql.functions.col
+      val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      val q = emb.where(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val brute = ids(Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, Some(0L)))
+      val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
+      val ivf = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, q, 2, 10, Some(0L)))
+      val lsh = ids(Similarity.lshTopK(emb, "vec_id", "embedding", q, 4, 6, 42L, 10, Some(0L)))
+      def r(s: Set[Long]) = (s & brute).size.toDouble / brute.size
+      s""","recall":{"ivf_c8_nprobe2":${r(ivf)},"lsh_4bit_6tab":${r(lsh)}}"""
+    } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

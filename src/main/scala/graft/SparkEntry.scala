@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Checks, Dedup, GlobalIndex, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Checks, Dedup, GlobalIndex, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -584,6 +584,36 @@ object Queries {
       queryVec(spark, dir, 0L), bitsPerTable = 4, tables = 6, seed = 42L,
       k = 10, excludeId = Some(0L))
 
+  /** Deterministic per-SF path for materialized ANN indexes (q64/q65). */
+  private def indexPath(dir: String, kind: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_index/${new java.io.File(dir).getName}/$kind"
+
+  /** Materialized IVF: assignment runs ONCE and the corpus is written
+    * hive-partitioned by bucket; the probe then reads only the nprobe
+    * nearest bucket directories (partition pruning, spec-checked by file
+    * count) — the repeated-query scale path q51 only simulates. The query
+    * measures build + probe. Rows-only oracle (approximate). */
+  def q64AnnIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
+    val path = indexPath(dir, "ivf")
+    VectorIndex.writeIvf(emb, "vec_id", "embedding", centroids, path)
+    VectorIndex.ivfTopK(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
+  }
+
+  /** Materialized multi-table LSH (6 tables × 4 sign bits): the corpus is
+    * written `tables` times under table=/bucket= partitions; a probe reads
+    * exactly 6 bucket directories. Build + probe. Rows-only oracle. */
+  def q65AnnLshIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val path = indexPath(dir, "lsh")
+    VectorIndex.writeLsh(emb, "vec_id", "embedding",
+      bitsPerTable = 4, tables = 6, seed = 42L, path = path)
+    VectorIndex.lshTopK(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), k = 10, excludeId = Some(0L))
+  }
+
   /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
     * (broadcast queries, precomputed norms, one window shuffle). */
   def q52KnnJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -743,6 +773,8 @@ object Queries {
     "q50_ann_brute" -> q50AnnBrute _,
     "q51_ann_ivf" -> q51AnnIvf _,
     "q63_ann_lsh" -> q63AnnLsh _,
+    "q64_ann_ivf_index" -> q64AnnIvfIndex _,
+    "q65_ann_lsh_index" -> q65AnnLshIndex _,
     "q52_knn_join" -> q52KnnJoin _,
     "q40_token_count" -> q40TokenCount _,
     "q44_rolling_fp" -> q44RollingFp _,

@@ -109,19 +109,33 @@ object Similarity {
     centroids
   }
 
-  /** IVF top-k: search only the `nprobe` buckets whose centroids are closest
-    * to the query. Approximate — recall vs bruteTopK is measured in specs. */
-  def ivfTopK(
-      df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], query: Seq[Double],
-      nprobe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
+  /** The `nprobe` bucket indices whose centroids are cosine-closest to the
+    * query (driver-side — C×dim doubles; ties take the lower index). */
+  private[operators] def probeBuckets(
+      centroids: Seq[Seq[Double]], query: Seq[Double], nprobe: Int): Seq[Int] = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
-    val probe = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, i) => (-cos(c, query), i) }
       .take(nprobe).map(_._2)
+  }
+
+  /** IVF top-k: search only the `nprobe` buckets whose centroids are closest
+    * to the query. Approximate — recall vs bruteTopK is measured in specs.
+    *
+    * NOTE: this variant re-derives bucket assignments from the raw corpus —
+    * one full (codegen, shuffle-free) scan per query. That is the right shape
+    * for ad-hoc queries over data that is already in memory or queried once;
+    * for repeated queries at scale use [[VectorIndex.writeIvf]] +
+    * [[VectorIndex.ivfTopK]], where the probe reads only nprobe
+    * bucket-partitioned directories. */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], query: Seq[Double],
+      nprobe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val probe = probeBuckets(centroids, query, nprobe)
     val buckets = assignBuckets(df, idCol, vecCol, centroids)
       .where(col("bucket").isin(probe: _*))
     bruteTopK(buckets, idCol, vecCol, query, k, excludeId)
@@ -153,7 +167,12 @@ object Similarity {
     * written `tables` times partitioned by bucket (or one table with
     * bucket-array + explode) and a query probes `tables` partitions of
     * ~N/2^bits rows. Approximate — recall vs [[bruteTopK]] is measured in
-    * specs. */
+    * specs.
+    *
+    * NOTE: like [[ivfTopK]], this variant hashes the raw corpus per query;
+    * the repeated-query scale path is [[VectorIndex.writeLsh]] +
+    * [[VectorIndex.lshTopK]], which reads exactly `tables` bucket
+    * directories of a materialized index. */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], bitsPerTable: Int, tables: Int, seed: Long, k: Int,

@@ -87,4 +87,92 @@ class SimilaritySpec extends AnyFunSuite {
     }.sum
     assert(self == qBucket, "Scala-side and column-side bucket computation must agree")
   }
+
+  // Walk through AQE wrappers and materialized query stages to every scan.
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+
+  private def parquetFilesUnder(dir: java.io.File): Seq[java.io.File] = {
+    val here = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+    here.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+      here.filter(_.isDirectory).flatMap(parquetFilesUnder)
+  }
+
+  test("VectorIndex IVF: probe equals unindexed IVF and scans only nprobe buckets") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val byId = emb.where(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    val centroids = (0L until 8L).map(byId)
+    val q = byId(0L)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+
+    VectorIndex.writeIvf(emb, "vec_id", "embedding", centroids, path)
+    assert(VectorIndex.readIvfCentroids(spark, path) == centroids,
+      "centroid sidecar must round-trip")
+
+    val indexed = VectorIndex.ivfTopK(spark, path, "vec_id", "embedding",
+      q, nprobe = 2, k = 10, excludeId = Some(0L))
+    val got = indexed.select("vec_id").as[Long].collect().toSeq
+    val want = Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, q,
+      nprobe = 2, k = 10, excludeId = Some(0L)).select("vec_id").as[Long].collect().toSeq
+    assert(got == want, "indexed probe must return the unindexed IVF result")
+
+    // the hard scale property: the scan reads ONLY the probed bucket dirs
+    indexed.collect()
+    val scan = allScans(indexed.queryExecution.executedPlan).head
+    val corpus = new java.io.File(s"$path/corpus")
+    val allBuckets = corpus.listFiles().filter(_.getName.startsWith("bucket=")).toSeq
+    assert(allBuckets.size > 2, s"fixture must have >nprobe buckets, got ${allBuckets.size}")
+    val totalFiles = parquetFilesUnder(corpus).size
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead < totalFiles,
+      s"probe scanned the whole corpus: $filesRead of $totalFiles files")
+    // exactly the files under the 2 cosine-nearest bucket directories
+    val probedFiles = allBuckets.sortBy(_.getName)
+      .map(b => b.getName.stripPrefix("bucket=").toInt -> parquetFilesUnder(b).size).toMap
+    assert(scan.metadata("PartitionFilters").contains("bucket"),
+      scan.metadata.toString)
+    val twoSmallestPossible = probedFiles.values.toSeq.sorted.take(2).sum
+    val twoLargestPossible = probedFiles.values.toSeq.sorted.takeRight(2).sum
+    assert(filesRead >= twoSmallestPossible && filesRead <= twoLargestPossible,
+      s"filesRead=$filesRead outside any-2-bucket range [$twoSmallestPossible,$twoLargestPossible]")
+  }
+
+  test("VectorIndex LSH: probe equals unindexed LSH and scans only the tables' buckets") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+
+    VectorIndex.writeLsh(emb, "vec_id", "embedding",
+      bitsPerTable = 4, tables = 6, seed = 42L, path = path)
+    val indexed = VectorIndex.lshTopK(spark, path, "vec_id", "embedding",
+      q, k = 10, excludeId = Some(0L))
+    val got = indexed.select("vec_id").as[Long].collect().toSet
+    val want = Similarity.lshTopK(emb, "vec_id", "embedding", q,
+      bitsPerTable = 4, tables = 6, seed = 42L, k = 10, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == want, "indexed probe must return the unindexed LSH result")
+
+    indexed.collect()
+    val scan = allScans(indexed.queryExecution.executedPlan).head
+    val corpus = new java.io.File(s"$path/corpus")
+    val totalFiles = parquetFilesUnder(corpus).size
+    val filesRead = scan.metrics("numFiles").value
+    // 6 tables × 1 bucket each out of 6×2^4 = 96 partitions
+    assert(filesRead < totalFiles / 4,
+      s"probe scanned too much: $filesRead of $totalFiles files")
+    assert(scan.metadata("PartitionFilters").contains("bucket"), scan.metadata.toString)
+  }
 }
