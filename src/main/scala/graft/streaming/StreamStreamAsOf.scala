@@ -44,11 +44,19 @@ object StreamStreamAsOf {
     *        FOREVER (unbounded lookback), which at billions of keys is a
     *        real cost — with a TTL, a key idle longer than this loses its
     *        retained match and later lefts see None past the horizon. Off
-    *        (None) by default = exact. */
+    *        (None) by default = exact.
+    * @param toleranceUs optional bounded staleness in event-time MICROSECONDS,
+    *        mirroring the batch execs' tolerance: a left matches only a right
+    *        within `lt - rt <= tolerance`, else None. Doubles as a state
+    *        bound — a right more than `tolerance` below the watermark can
+    *        never match any future left, so it is evicted outright instead
+    *        of being retained forever. */
   def enrich(
       left: DataFrame, right: DataFrame,
       watermarkDelay: String = "10 minutes",
-      idleStateTtlMs: Option[Long] = None): Dataset[AsOfStreamOut] = {
+      idleStateTtlMs: Option[Long] = None,
+      toleranceUs: Option[Long] = None): Dataset[AsOfStreamOut] = {
+    require(toleranceUs.forall(_ >= 0L), "tolerance must be >= 0")
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -95,14 +103,21 @@ object StreamStreamAsOf {
           // time has arrived, so the match is the batch operator's match.
           val (ready, pending) = st.lefts.partition(_._1 <= wmUs)
           val out = ready.sortBy(identity).map { case (lt, id) =>
+            // latest at-or-before, then the tolerance gate — identical to the
+            // batch execs (if the latest is too stale, every earlier one is)
             val m = st.rights.filter(_._1 <= lt).sortBy(_._1).lastOption
+              .filter { case (rt, _) => toleranceUs.forall(lt - rt <= _) }
             AsOfStreamOut(id, key, toTs(lt), m.map(_._2))
           }
 
           // Evict rights: keep everything above the watermark plus the single
-          // latest at-or-below it (the only one still able to win).
+          // latest at-or-below it (the only one still able to win). With a
+          // tolerance, even that one goes once it is > tolerance below the
+          // watermark: any future left has lt > wm, so lt - rt > tolerance.
           val (rOld, rLive) = st.rights.partition(_._1 <= wmUs)
-          val rights = (rOld.sortBy(_._1).lastOption.toSeq ++ rLive).sortBy(_._1)
+          val keptOld = rOld.sortBy(_._1).lastOption
+            .filter { case (rt, _) => toleranceUs.forall(wmUs - rt <= _) }
+          val rights = (keptOld.toSeq ++ rLive).sortBy(_._1)
 
           val idleExpired = idleStateTtlMs.isDefined && !sawData &&
             state.hasTimedOut && pending.isEmpty

@@ -93,6 +93,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream as-of: tolerance bounds staleness and evicts stale rights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Long, Long, Timestamp)]
+    val rights = MemoryStream[(Long, Timestamp, Double)]
+    val out = graft.streaming.StreamStreamAsOf.enrich(
+      lefts.toDF().toDF("id", "key", "ts"),
+      rights.toDF().toDF("key", "ts", "v"),
+      watermarkDelay = "0 seconds",
+      toleranceUs = Some(60L * 60 * 1000000L)) // 1 hour
+    val q = out.writeStream
+      .format("memory").queryName("ss_asof_tol").outputMode(OutputMode.Append()).start()
+    try {
+      def got(): Map[Long, Option[Double]] =
+        spark.table("ss_asof_tol").as[graft.streaming.AsOfStreamOut]
+          .collect().map(o => o.id -> o.v).toMap
+      rights.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      // within tolerance (30 min after the quote) and beyond it (2 h after)
+      lefts.addData((1L, 1L, ts("2024-01-01 10:30:00")))
+      lefts.addData((2L, 1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // advance wm past both trades to finalize them
+      lefts.addData((3L, 2L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      lefts.addData((4L, 2L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      assert(got().get(1L).contains(Some(1.0)), got().toString) // 30 min stale: match
+      assert(got().get(2L).contains(None), got().toString)      // 2 h stale: no match
+    } finally q.stop()
+  }
+
   test("stream-stream as-of: idle-state TTL expires a quiet key's history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
