@@ -87,8 +87,10 @@ object Graft {
     * restamp. Integration-tested against a live throwaway cluster. */
   def updatePg(
       source: => DataFrame, target: JdbcSink.PgTarget, modified: String,
-      psqlBase: Seq[String], stagingDir: String, force: Boolean = false): Update.Outcome =
-    graft.pipeline.UpdatePg.updateCopy(source, target, modified, psqlBase, stagingDir, force)
+      psqlBase: Seq[String], stagingDir: String, force: Boolean = false,
+      createRoles: Boolean = true, tz: String = "UTC"): Update.Outcome =
+    graft.pipeline.UpdatePg.updateCopy(
+      source, target, modified, psqlBase, stagingDir, force, createRoles, tz)
 
   /** Enumerate a library's tables (`get_wrds_tables`). */
   def listTables(spark: SparkSession, dir: String): DataFrame =

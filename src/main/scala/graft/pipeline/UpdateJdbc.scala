@@ -41,16 +41,18 @@ object UpdateJdbc {
       driver: String)
 
   /** The reference's PostgreSQL vocabulary: schema + owner/access roles
-    * (tolerated on refresh), drop/create, grants, comment-as-stamp. */
-  val postgres: Dialect = Dialect(
-    tolerated = (_, t) => Seq(
-      PgDdl.createSchemaSql(t.schema),
-      PgDdl.createRoleSql(t.schema),
-      PgDdl.createRoleSql(s"${t.schema}_access")),
+    * (tolerated on refresh), drop/create, grants, comment-as-stamp.
+    * @param createRoles mirror of the reference's `create_roles` — when
+    *                    false, no roles are created and no grants issued */
+  def postgres(createRoles: Boolean = true): Dialect = Dialect(
+    tolerated = (_, t) => Seq(PgDdl.createSchemaSql(t.schema)) ++
+      (if (createRoles) Seq(
+        PgDdl.createRoleSql(t.schema),
+        PgDdl.createRoleSql(s"${t.schema}_access")) else Nil),
     strict = (df, t) => Seq(
       PgDdl.dropTableSql(t.schema, t.table),
       PgDdl.createTableSql(t.schema, t.table, df.schema)),
-    postload = (t, m) => JdbcSink.postloadStatements(t, m),
+    postload = (t, m) => JdbcSink.postloadStatements(t, m, createRoles),
     readStamp = (conn, t) => {
       val st = conn.createStatement()
       try {
@@ -65,7 +67,7 @@ object UpdateJdbc {
       target: JdbcSink.PgTarget,
       modified: String,
       force: Boolean = false,
-      dialect: Dialect = postgres,
+      dialect: Dialect = postgres(),
       batchSize: Int = 10000): Update.Outcome = {
     Class.forName(dialect.driver)
     val props = new java.util.Properties()

@@ -332,6 +332,14 @@ class IoSpec extends AnyFunSuite {
       assert(built == 1, "a stamp-skip must not even build the source plan")
       assert(UpdatePg.updateCopy(src, t2, stamp, psql, tmp("upg3"), force = true) == Update.Forced)
       assert(query("""SELECT count(*) FROM "crsp"."msf"""") == "2")
+
+      // create_roles=False parity: no roles created, no grants issued
+      val t3 = graft.sinks.JdbcSink.PgTarget("", "nobody", "", "noroles", "x")
+      assert(UpdatePg.updateCopy(src, t3, stamp, psql, tmp("upg4"),
+        createRoles = false) == Update.Updated)
+      assert(query("""SELECT count(*) FROM "noroles"."x"""") == "2")
+      assert(query(
+        "SELECT count(*) FROM pg_roles WHERE rolname IN ('noroles','noroles_access')") == "0")
     } finally su(s"/usr/local/bin/pg_ctl -D $data stop -m immediate")
   }
 
