@@ -534,6 +534,15 @@ object Queries {
     Dedup.nearDupClusters(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
       .orderBy("doc_id")
 
+  /** End-to-end corpus dedup: the q35 clusters APPLIED — every non-canonical
+    * near-duplicate dropped via a broadcast anti-join (losers are
+    * edge-bounded, the corpus never shuffles), survivors keep their columns.
+    * Exact recursive-CTE oracle. */
+  def q66DedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** MinHash (k=64) + LSH banding (b=16, r=4) candidates, Jaccard-verified
     * at tau=0.6. Rows-only oracle (LSH is sampling-free but approximate in
     * recall); spec checks it finds the planted >=0.9 pairs exactly. */
@@ -770,6 +779,7 @@ object Queries {
     "q33_dedup_simhash" -> q33DedupSimhash _,
     "q34_dedup_embedding" -> q34DedupEmbedding _,
     "q35_dedup_cluster" -> q35DedupCluster _,
+    "q66_dedup_corpus" -> q66DedupCorpus _,
     "q50_ann_brute" -> q50AnnBrute _,
     "q51_ann_ivf" -> q51AnnIvf _,
     "q63_ann_lsh" -> q63AnnLsh _,
@@ -1100,6 +1110,38 @@ object Queries {
         |SELECT d.doc_id, CAST(COALESCE(m.comp, d.doc_id) AS BIGINT) AS cluster_id
         |FROM documents d
         |LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id
+        |ORDER BY doc_id""".stripMargin,
+    "q66_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), cpairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), jpairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        |    FROM cpairs JOIN sizes sa ON cpairs.a = sa.doc_id
+        |                JOIN sizes sb ON cpairs.b = sb.doc_id)
+        |  WHERE jaccard >= 0.6
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM jpairs UNION ALL SELECT b, a FROM jpairs
+        |), cc(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst WHERE cc.comp < e.src
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d
+        |LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id
+        |WHERE COALESCE(m.comp, d.doc_id) = d.doc_id
         |ORDER BY doc_id""".stripMargin,
     "q52_knn_join" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve

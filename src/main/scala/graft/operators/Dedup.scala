@@ -191,6 +191,22 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
 
+  /** The end-to-end pipeline verb: `df` minus every non-canonical
+    * near-duplicate — the minimum-id member of each Jaccard component (and
+    * every singleton) survives with ALL its original columns.
+    *
+    * Scale shape: the loser list is bounded by the EDGE set (only documents
+    * that matched some pair can lose), which after the similarity gate is
+    * orders of magnitude smaller than the corpus — so it broadcasts, and the
+    * anti-join never shuffles the corpus. */
+  def dedupCorpus(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val losers = nearDupClusters(df, idCol, textCol, n, tau)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("_loser"))
+    df.join(broadcast(losers), col(idCol).cast("long") === col("_loser"), "left_anti")
+  }
+
   /** Cosine of two float-vector columns, computed in double with a
     * sequential left fold (bit-identical to the SQL oracle's list_reduce).
     * Codegen'd — see [[graft.functions.DotProduct]]. */

@@ -89,6 +89,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("dedupCorpus keeps the min-id survivor per cluster with all columns") {
+    val tagged = docs.withColumn("extra", col("doc_id") * 10)
+    val kept = Dedup.dedupCorpus(tagged, "doc_id", "text", n = 3, tau = 0.6)
+      .orderBy("doc_id").collect()
+    // 1,2,4 cluster → 1 survives; 3 is a singleton
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // survivors keep every original column, untouched
+    assert(kept.map(_.getLong(2)).toSeq == Seq(10L, 30L))
+    assert(kept.head.schema.fieldNames.toSeq == Seq("doc_id", "text", "extra"))
+  }
+
   test("embedding cosine pairs: exact values, norm precompute matches direct") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
