@@ -682,6 +682,12 @@ object Queries {
       .orderBy(col("n_docs").desc, col("shingle").asc)
       .limit(20)
 
+  /** TF-IDF top-5 terms per language (global df, natural log, 6dp-rounded
+    * scores ranked portably). Exact SQL oracle. */
+  def q67TfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", "lang", k = 5)
+      .orderBy("lang", "rank")
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -792,6 +798,7 @@ object Queries {
     "q41_text_quality" -> q41TextQuality _,
     "q42_lang_id" -> q42LangId _,
     "q43_fingerprint" -> q43Fingerprint _,
+    "q67_tfidf_topk" -> q67TfidfTopk _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1143,6 +1150,24 @@ object Queries {
         |LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id
         |WHERE COALESCE(m.comp, d.doc_id) = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q67_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tok AS (SELECT * FROM toks WHERE term <> ''),
+        |tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT lang, tf.term, ROUND(tf * ln(n.n / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |SELECT lang, term, tfidf, rank FROM (
+        |  SELECT lang, term, tfidf,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q52_knn_join" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

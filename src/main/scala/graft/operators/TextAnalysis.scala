@@ -63,6 +63,37 @@ object TextAnalysis {
 
   /** Canonical text form: lowercase, punctuation → space, collapsed
     * whitespace, trimmed. */
+  /** Top-k terms per group by TF-IDF (natural log, global document
+    * frequency): score(term, g) = tf(term, g) · ln(N / df(term)).
+    *
+    * Scale shape: three shuffles, each over REDUCED data — token counts
+    * aggregate map-side before moving (term-level rows, not token-level),
+    * document frequency aggregates distinct (term, doc) pairs, and the
+    * final top-k is a per-group window that Spark 4 optimizes with
+    * WindowGroupLimit (partial top-k before the shuffle). N rides along as
+    * a broadcast one-row aggregate, never a driver-side count. Scores are
+    * rounded to 6dp BEFORE ranking so the ordering is engine-portable. */
+  def tfIdfTopTerms(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(groupCol), col(idCol),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("term"), col(idCol)).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

@@ -41,4 +41,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     val byId = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(byId(2L) < byId(1L) && byId(1L) < 1.0)
   }
+
+  test("tfIdfTopTerms: hand-computed scores, tie-break by term, global df") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", "apple banana APPLE"),
+      (2L, "a", "banana cherry"),
+      (3L, "b", "apple dog")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", "lang", k = 2)
+      .orderBy("lang", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    def sc(tf: Long, df: Long) = math.rint(tf * math.log(3.0 / df) * 1e6) / 1e6
+    // lang a: cherry tf1 df1 = ln3; apple tf2 df2 ties banana tf2 df2 → term asc
+    // lang b: dog tf1 df1 = ln3; apple tf1 df2 (df is GLOBAL: doc 1 has it too)
+    assert(got.toSeq == Seq(
+      ("a", "cherry", sc(1, 1), 1),
+      ("a", "apple", sc(2, 2), 2),
+      ("b", "dog", sc(1, 1), 1),
+      ("b", "apple", sc(1, 2), 2)))
+  }
 }
