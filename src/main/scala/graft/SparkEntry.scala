@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Checks, Dedup, GlobalIndex, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Checks, Dedup, Funnel, GlobalIndex, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -682,6 +682,14 @@ object Queries {
       .orderBy(col("n_docs").desc, col("shingle").asc)
       .limit(20)
 
+  /** First-touch funnel view → click → purchase within 1 h per step: one
+    * filtered aggregate + user-keyed equi-join per step, single-row report
+    * exploded to long form. Exact SQL oracle. */
+  def q68Funnel(spark: SparkSession, dir: String): DataFrame =
+    Funnel.funnelCounts(t(spark, dir, "events"), "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"), horizonSec = Some(3600L))
+      .orderBy("step_idx")
+
   /** TF-IDF top-5 terms per language (global df, natural log, 6dp-rounded
     * scores ranked portably). Exact SQL oracle. */
   def q67TfidfTopk(spark: SparkSession, dir: String): DataFrame =
@@ -799,6 +807,7 @@ object Queries {
     "q42_lang_id" -> q42LangId _,
     "q43_fingerprint" -> q43Fingerprint _,
     "q67_tfidf_topk" -> q67TfidfTopk _,
+    "q68_funnel" -> q68Funnel _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1168,6 +1177,26 @@ object Queries {
         |                            ORDER BY tfidf DESC, term ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q68_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT s1.u, MIN(e.ts) AS t2 FROM s1 JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'click'
+        |   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 3600 SECOND
+        |  GROUP BY 1
+        |), s3 AS (
+        |  SELECT s2.u, MIN(e.ts) AS t3 FROM s2 JOIN events e
+        |    ON e.user_id = s2.u AND e.event_type = 'purchase'
+        |   AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 3600 SECOND
+        |  GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'view' AS step, 1 AS step_idx, COUNT(*) AS users FROM s1
+        |  UNION ALL SELECT 'click', 2, COUNT(*) FROM s2
+        |  UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
     "q52_knn_join" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

@@ -75,4 +75,30 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
       (2L, 1L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:00"))))
   }
+
+  test("Funnel: strict ordering, per-step horizon, first-touch semantics") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:30:00"),
+      (1L, "purchase", "2024-01-01 10:45:00"),
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 12:00:00"), // > 1h
+      (3L, "click", "2024-01-01 09:00:00"), // click BEFORE the view: ignored
+      (3L, "view", "2024-01-01 10:00:00"), (3L, "click", "2024-01-01 10:10:00"),
+      (3L, "purchase", "2024-01-01 11:30:00"), // > 1h after the 10:10 click
+      (4L, "purchase", "2024-01-01 10:00:00"), // never entered the funnel
+      (5L, "view", "2024-01-01 10:00:00"), (5L, "click", "2024-01-01 10:00:00") // not strictly after
+    ).map { case (u, e, t) => (u, e, ts(t)) }.toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Funnel.funnelCounts(
+      ev, "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"), horizonSec = Some(3600L))
+      .orderBy("step_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(("view", 1, 4L), ("click", 2, 2L), ("purchase", 3, 1L)))
+    // no horizon: user 2's late click now converts
+    val open = graft.operators.Funnel.funnelCounts(
+      ev, "user_id", "ts", "event_type", steps = Seq("view", "click"))
+      .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+    assert(open == Seq(4L, 3L))
+  }
 }
