@@ -38,17 +38,20 @@ object PlanLint {
         // (exact embedding pair scan), q52 (brute-force batch kNN, broadcast
         // query set × corpus; the scale path is IVF) — or where the build
         // side is a broadcast ONE-ROW scalar aggregate joined under every
-        // row with no possible equi-key (q24 threshold, q47 min/max).
+        // row with no possible equi-key (q24 threshold, q47 min/max, q67's
+        // corpus-size N for the idf term).
         if (lines.exists(l => l.contains("BroadcastNestedLoopJoin")) &&
             !Set("q34_dedup_embedding", "q52_knn_join",
-              "q24_scalar_subquery", "q47_histogram").contains(name))
+              "q24_scalar_subquery", "q47_histogram", "q67_tfidf_topk").contains(name))
           flag("BroadcastNestedLoopJoin in plan")
         // SinglePartition allowed only for global SCALAR aggregates (q24
-        // threshold, q47 min/max, q62's per-constraint violation tallies):
-        // the exchange moves one partial row per task, not data. Everything
-        // else must stay partitioned.
+        // threshold, q47 min/max, q62's per-constraint violation tallies,
+        // q67's one-row N, q68's one-row funnel report): the exchange moves
+        // one partial row per task, not data. Everything else must stay
+        // partitioned.
         if (lines.exists(l => l.contains("SinglePartition")) &&
-            !Set("q24_scalar_subquery", "q47_histogram", "q62_quality_checks").contains(name))
+            !Set("q24_scalar_subquery", "q47_histogram", "q62_quality_checks",
+              "q67_tfidf_topk", "q68_funnel").contains(name))
           flag("shuffle to a single partition")
         spark.catalog.clearCache()
       } catch {
