@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Checks, Dedup, Funnel, GlobalIndex, MinHashLSH, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Checks, Dedup, Funnel, GlobalIndex, MinHashLSH, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -690,6 +690,12 @@ object Queries {
       steps = Seq("view", "click", "purchase"), horizonSec = Some(3600L))
       .orderBy("step_idx")
 
+  /** Weekly retention cohorts: events collapse to distinct (user, week)
+    * first; all later shuffles move user-week rows. Exact SQL oracle. */
+  def q69Retention(spark: SparkSession, dir: String): DataFrame =
+    Retention.weeklyCohorts(t(spark, dir, "events"), "user_id", "ts", "2024-01-01")
+      .orderBy("cohort_week", "week_offset")
+
   /** TF-IDF top-5 terms per language (global df, natural log, 6dp-rounded
     * scores ranked portably). Exact SQL oracle. */
   def q67TfidfTopk(spark: SparkSession, dir: String): DataFrame =
@@ -808,6 +814,7 @@ object Queries {
     "q43_fingerprint" -> q43Fingerprint _,
     "q67_tfidf_topk" -> q67TfidfTopk _,
     "q68_funnel" -> q68Funnel _,
+    "q69_retention" -> q69Retention _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1197,6 +1204,15 @@ object Queries {
         |  UNION ALL SELECT 'click', 2, COUNT(*) FROM s2
         |  UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3)
         |ORDER BY step_idx""".stripMargin,
+    "q69_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         (ts::DATE - DATE '2024-01-01') // 7 AS w
+        |  FROM events
+        |), coh AS (SELECT u, MIN(w) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT cohort_week, w - cohort_week AS week_offset, COUNT(*) AS users
+        |FROM uw JOIN coh USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q52_knn_join" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

@@ -101,4 +101,27 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
     assert(open == Seq(4L, 3L))
   }
+
+  test("Retention: cohort by first-event week, multi-week activity counted once") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: cohort week 0, active weeks 0, 1, 1 (dup within week) and 3
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-08 10:00:00"),
+      (1L, "2024-01-09 10:00:00"), (1L, "2024-01-24 10:00:00"),
+      // user 2: cohort week 0, never returns
+      (2L, "2024-01-03 10:00:00"),
+      // user 3: cohort week 1, active weeks 1 and 2
+      (3L, "2024-01-10 10:00:00"), (3L, "2024-01-16 10:00:00")
+    ).map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val got = graft.operators.Retention.weeklyCohorts(ev, "user_id", "ts", "2024-01-01")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L), // users 1 and 2 in week 0
+      (0L, 1L, 1L), // user 1 back in week 1 (the two events count once)
+      (0L, 3L, 1L), // user 1 back in week 3
+      (1L, 0L, 1L), // user 3's cohort
+      (1L, 1L, 1L))) // user 3 back the next week
+  }
 }
