@@ -102,6 +102,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(open == Seq(4L, 3L))
   }
 
+  test("Funnel fuzz: join-based plan matches a per-user Scala fold model") {
+    val s = spark
+    import s.implicits._
+    val types = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val horizon = if (rnd.nextBoolean()) Some(600L + rnd.nextInt(7200)) else None
+      val n = 200 + rnd.nextInt(800)
+      val rows = (1 to n).map { _ =>
+        (rnd.nextInt(40).toLong,
+          types(rnd.nextInt(types.length)),
+          new java.sql.Timestamp(1704067200000L + rnd.nextInt(6 * 3600) * 1000L))
+      }
+      val ev = rows.toDF("user_id", "event_type", "ts").repartition(1 + rnd.nextInt(7))
+      val got = graft.operators.Funnel.funnelCounts(
+        ev, "user_id", "ts", "event_type", types, horizon)
+        .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+      // model: per user, earliest step-0 event, then earliest later event of
+      // each next type within the horizon
+      val byUser = rows.groupBy(_._1)
+      val reached = Array.fill(types.length)(0L)
+      byUser.values.foreach { evs =>
+        var prev: Option[Long] = None
+        var alive = true
+        types.zipWithIndex.foreach { case (t, i) =>
+          if (alive) {
+            val cand = evs.filter(_._2 == t).map(_._3.getTime)
+              .filter(ts => prev.forall(p =>
+                ts > p && horizon.forall(h => ts <= p + h * 1000)))
+            if (cand.nonEmpty) { reached(i) += 1; prev = Some(cand.min) }
+            else alive = false
+          }
+        }
+      }
+      assert(got == reached.toSeq, s"funnel fuzz trial $trial (horizon=$horizon n=$n)")
+    }
+  }
+
+  test("Retention fuzz: distinct-week plan matches a Scala model") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 4) {
+      val n = 100 + rnd.nextInt(500)
+      val rows = (1 to n).map { _ =>
+        (rnd.nextInt(30).toLong,
+          new java.sql.Timestamp(1704067200000L + rnd.nextLong(45L * 86400 * 1000)))
+      }
+      val ev = rows.toDF("user_id", "ts").repartition(1 + rnd.nextInt(5))
+      val got = graft.operators.Retention.weeklyCohorts(ev, "user_id", "ts", "2024-01-01")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // model over UTC-day weeks (session timezone is UTC)
+      val uw = rows.map { case (u, t) =>
+        (u, (t.getTime / 86400000L - 19723L) / 7L) // 19723 = 2024-01-01 epoch day
+      }.distinct
+      val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+      val model = uw.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+        .map { case (k, v) => k -> v.map(_._1).distinct.size.toLong }
+      assert(got == model, s"retention fuzz trial $trial (n=$n)")
+    }
+  }
+
   test("Retention: cohort by first-event week, multi-week activity counted once") {
     val s = spark
     import s.implicits._
