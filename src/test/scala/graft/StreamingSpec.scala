@@ -156,6 +156,100 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: converts once, respects horizon, survives out-of-order delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = graft.streaming.StreamingFunnel.conversions(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      steps = Seq("view", "click", "purchase"),
+      horizonSec = Some(3600L), watermarkDelay = "30 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("funnel_out").outputMode(OutputMode.Append()).start()
+    try {
+      def got(): Map[Long, (Timestamp, Timestamp)] =
+        spark.table("funnel_out").as[graft.streaming.FunnelOut]
+          .collect().map(o => o.user_id -> (o.t_first, o.t_converted)).toMap
+      // B1: both users enter the funnel; wm trails 30 min behind
+      input.addData((1L, ts("2024-01-01 10:00:00"), "view"))
+      input.addData((2L, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      // B2: user 1's purchase arrives BEFORE its click → wm 10:15
+      input.addData((1L, ts("2024-01-01 10:45:00"), "purchase"))
+      q.processAllAvailable()
+      assert(got().isEmpty, "nothing finalizes until the watermark passes it")
+      // B3: the out-of-order click (10:30 > wm 10:15, inside the lateness
+      // budget) plus user 2's beyond-horizon steps → wm 12:00
+      input.addData((1L, ts("2024-01-01 10:30:00"), "click"))
+      input.addData((2L, ts("2024-01-01 12:00:00"), "click"))
+      input.addData((2L, ts("2024-01-01 12:30:00"), "purchase"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(got() == Map(
+        1L -> (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:45:00"))), got().toString)
+      // B4: wm passes user 2's purchase — 2h-stale click stays rejected
+      input.addData((9L, ts("2024-01-01 14:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 15:00:00"), "view"))
+      q.processAllAvailable()
+      assert(got().size == 1, got().toString)
+      // a lone late purchase must NOT re-emit user 1 (state dropped on
+      // conversion; re-entry needs a fresh view→click→purchase chain)
+      input.addData((1L, ts("2024-01-01 15:30:00"), "purchase"))
+      input.addData((9L, ts("2024-01-01 16:00:00"), "view"))
+      q.processAllAvailable()
+      assert(got().size == 1)
+    } finally q.stop()
+  }
+
+  test("streaming funnel matches the batch Scala model on a replayed slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(7L)
+    val base = 1704103200000L // 2024-01-01 10:00 UTC
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(25).toLong,
+        new Timestamp(base + rnd.nextInt(4 * 3600) * 1000L),
+        types(rnd.nextInt(types.length)))
+    }
+    val horizon = Some(1800L)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // 4h lateness budget = the whole event window: arbitrary cross-batch
+    // disorder, yet nothing is ever dropped as late
+    val out = graft.streaming.StreamingFunnel.conversions(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      steps = types, horizonSec = horizon, watermarkDelay = "4 hours")
+    val q = out.writeStream
+      .format("memory").queryName("funnel_replay").outputMode(OutputMode.Append()).start()
+    try {
+      rows.grouped(60).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      // advance the watermark far past every buffered event
+      input.addData((999L, new Timestamp(base + 100L * 3600 * 1000), "view"))
+      q.processAllAvailable()
+      input.addData((999L, new Timestamp(base + 101L * 3600 * 1000), "view"))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_replay")
+        .as[graft.streaming.FunnelOut].collect().map(_.user_id).toSet
+      // same per-user fold model as the batch fuzz spec
+      val expected = rows.groupBy(_._1).collect(Function.unlift { case (u, evs) =>
+        var prev: Option[Long] = None
+        var alive = true
+        types.foreach { t =>
+          if (alive) {
+            val cand = evs.filter(_._3 == t).map(_._2.getTime)
+              .filter(ms => prev.forall(p =>
+                ms > p && horizon.forall(h => ms <= p + h * 1000)))
+            if (cand.nonEmpty) prev = Some(cand.min) else alive = false
+          }
+        }
+        if (alive) Some(u) else None
+      }).toSet
+      assert(streamed == expected,
+        s"streamed=$streamed expected=$expected diff=${streamed.diff(expected)}/${expected.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize: gap close within batch, timeout close via watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
