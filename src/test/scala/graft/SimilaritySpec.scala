@@ -174,5 +174,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(filesRead < totalFiles / 4,
       s"probe scanned too much: $filesRead of $totalFiles files")
     assert(scan.metadata("PartitionFilters").contains("bucket"), scan.metadata.toString)
+
+    // a sparse index (3 vectors → ≤18 occupied of 96 partitions): probing
+    // buckets whose directories were never written prunes to nothing
+    // instead of erroring on the missing paths
+    val tiny = Seq(
+      (1L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (2L, Array.tabulate(64)(i => (i % 5).toFloat - 2f)),
+      (3L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val sparsePath = java.nio.file.Files.createTempDirectory("graft-lshsparse").toString
+    VectorIndex.writeLsh(tiny, "vec_id", "embedding",
+      bitsPerTable = 4, tables = 6, seed = 42L, path = sparsePath)
+    val sparse = VectorIndex.lshTopK(spark, sparsePath, "vec_id", "embedding",
+      Array.tabulate(64)(i => math.sin(i + 1.0)).toSeq, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sparse.subsetOf(Set(1L, 2L, 3L)), sparse.toString)
   }
 }
