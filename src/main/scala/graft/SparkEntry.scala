@@ -534,6 +534,15 @@ object Queries {
     Dedup.nearDupClusters(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
       .orderBy("doc_id")
 
+  /** Embedding near-dup pairs via multi-table sign-LSH blocking — the
+    * bucketed scale path to q34's exact quadratic scan (exact precision,
+    * approximate recall). Rows-only oracle; spec checks precision exactly
+    * and recall against the exact pairs. */
+  def q74DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairsLsh(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.9, bitsPerTable = 8, tables = 4, seed = 42L)
+      .orderBy("a", "b")
+
   /** End-to-end corpus dedup: the q35 clusters APPLIED — every non-canonical
     * near-duplicate dropped via a broadcast anti-join (losers are
     * edge-bounded, the corpus never shuffles), survivors keep their columns.
@@ -800,6 +809,7 @@ object Queries {
     "q34_dedup_embedding" -> q34DedupEmbedding _,
     "q35_dedup_cluster" -> q35DedupCluster _,
     "q66_dedup_corpus" -> q66DedupCorpus _,
+    "q74_dedup_embedding_lsh" -> q74DedupEmbeddingLsh _,
     "q50_ann_brute" -> q50AnnBrute _,
     "q51_ann_ivf" -> q51AnnIvf _,
     "q63_ann_lsh" -> q63AnnLsh _,

@@ -191,6 +191,40 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Embedding cosine near-duplicate pairs via multi-table sign-LSH
+    * blocking — the bucketed SCALE path to [[embeddingCosinePairs]]'
+    * exact-but-quadratic scan.
+    *
+    * Candidates are pairs sharing a (table, bucket) cell in ANY of the
+    * `tables` sign-hashes: a self-equi-join on the cell key — one shuffle
+    * of (id, vec, cell) rows, never all-pairs. Pairs colliding in several
+    * tables dedupe before the one codegen'd cosine that verifies each
+    * candidate, so PRECISION is exact (every returned pair truly >= tau);
+    * only recall is approximate, rising with `tables` (near-identical
+    * vectors collide in every table w.h.p.). */
+  def embeddingCosinePairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      bitsPerTable: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    import graft.functions.ArrayMath
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val byTable = Similarity.hyperplanes(bitsPerTable * tables, dim, seed)
+      .grouped(bitsPerTable).toSeq
+    val cells = byTable.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("t"), Similarity.lshBucket(col(vecCol), planes).as("b"))
+    }
+    val bucketed = df
+      .select(col(idCol), col(vecCol), explode(array(cells: _*)).as("_cell"))
+    val x = bucketed.select(col(idCol).as("a"), col(vecCol).as("_va"), col("_cell"))
+    val y = bucketed.select(col(idCol).as("b"), col(vecCol).as("_vb"), col("_cell"))
+    x.join(y, Seq("_cell"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "_va", "_vb")
+      .dropDuplicates("a", "b") // multi-table collisions verify once
+      .withColumn("cosine", ArrayMath.cosine(col("_va"), col("_vb")))
+      .where(col("cosine") >= tau)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** The end-to-end pipeline verb: `df` minus every non-canonical
     * near-duplicate — the minimum-id member of each Jaccard component (and
     * every singleton) survives with ALL its original columns.

@@ -100,6 +100,28 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.head.schema.fieldNames.toSeq == Seq("doc_id", "text", "extra"))
   }
 
+  test("embeddingCosinePairsLsh: exact precision, recall vs the exact pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", tau = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(emb, "vec_id", "embedding", tau = 0.9,
+      bitsPerTable = 8, tables = 4, seed = 42L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // precision is exact by construction: every LSH pair must be an exact pair
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // recall on the high-similarity band should be strong at 4×8 bits
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH pair recall too low: $recall (${lsh.size}/${exact.size})")
+    }
+    // determinism: same seed, same pairs
+    val again = Dedup.embeddingCosinePairsLsh(emb, "vec_id", "embedding", tau = 0.9,
+      bitsPerTable = 8, tables = 4, seed = 42L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh == again)
+  }
+
   test("embedding cosine pairs: exact values, norm precompute matches direct") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
