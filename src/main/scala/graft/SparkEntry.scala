@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Checks, Dedup, Funnel, GlobalIndex, MinHashLSH, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Checks, Dedup, Funnel, GlobalIndex, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -699,6 +699,16 @@ object Queries {
       steps = Seq("view", "click", "purchase"), horizonSec = Some(3600L))
       .orderBy("step_idx")
 
+  /** Budget-bounded shard packing (100k chars per shard, doc_id order):
+    * distributed weighted prefix sum over one materialized range shuffle —
+    * no single-partition window. Exact SQL oracle. */
+  def q75PackShards(spark: SparkSession, dir: String): DataFrame =
+    Packing.packByBudget(
+      t(spark, dir, "documents").select("doc_id", "n_chars"),
+      order = Seq("doc_id"), weightCol = "n_chars", budget = 100000L,
+      cumCol = "cum_chars", shardCol = "shard_id")
+      .orderBy("doc_id")
+
   /** Weekly retention cohorts: events collapse to distinct (user, week)
     * first; all later shuffles move user-week rows. Exact SQL oracle. */
   def q69Retention(spark: SparkSession, dir: String): DataFrame =
@@ -825,6 +835,7 @@ object Queries {
     "q67_tfidf_topk" -> q67TfidfTopk _,
     "q68_funnel" -> q68Funnel _,
     "q69_retention" -> q69Retention _,
+    "q75_pack_shards" -> q75PackShards _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1223,6 +1234,15 @@ object Queries {
         |SELECT cohort_week, w - cohort_week AS week_offset, COUNT(*) AS users
         |FROM uw JOIN coh USING (u)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q75_pack_shards" ->
+      """SELECT doc_id, n_chars, cum_chars,
+        |       CAST((cum_chars - 1) // 100000 AS BIGINT) AS shard_id
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q52_knn_join" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

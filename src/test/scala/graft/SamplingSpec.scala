@@ -142,6 +142,32 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("Packing.packByBudget equals a single-partition running-sum window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11L)
+    val df = (1L to 4000L).map(i => (i, 1L + rnd.nextInt(500))).toDF("id", "w")
+      .repartition(7)
+    val budget = 10000L
+    val got = graft.operators.Packing.packByBudget(
+      df, Seq("id"), "w", budget, "cum", "shard")
+      .select("id", "cum", "shard").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = Window.orderBy(col("id").asc).rowsBetween(Window.unboundedPreceding, 0)
+    val exp = df.withColumn("cum", sum(col("w")).over(w))
+      .withColumn("shard", expr(s"(cum - 1) div $budget"))
+      .select("id", "cum", "shard").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+    // shards respect the budget except single over-budget rows
+    val byShard = got.values.groupBy(_._2)
+    byShard.foreach { case (_, rows) =>
+      val tot = rows.map(_._1).max - rows.map(_._1).min
+      assert(tot < budget, s"shard spans more than a budget of cum-range: $tot")
+    }
+  }
+
   test("split column is a pure projection: no shuffle in the plan") {
     val df = Sampling.deterministicSplit(ids(100), "id", 80, 10)
     val plan = df.queryExecution.executedPlan
