@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Checks, Dedup, Funnel, GlobalIndex, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -721,6 +721,77 @@ object Queries {
     TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", "lang", k = 5)
       .orderBy("lang", "rank")
 
+  // ------------------------------------------------------- §2.8 (curation)
+
+  /** Gopher-style quality rule flags + keep decision: one codegen'd
+    * projection, zero shuffles. Exact SQL oracle (INT flags, 6dp ratios). */
+  def q76QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Curation.qualityFlags(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Repetition profile (distinct-word + top-word mass): two stacked hash
+    * aggregates; what shuffles is bounded by per-doc vocabulary. */
+  def q77Repetition(spark: SparkSession, dir: String): DataFrame =
+    Curation.repetitionStats(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination measurement: distinct word-3-gram containment
+    * of every corpus doc against the doc_id % 97 == 0 "benchmark" slice.
+    * Both sides reduce to distinct grams before the equi-join. */
+  def q78Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Curation.ngramContamination(
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Weighted domain mixing toward total/2 rows at per-source weight
+    * (srcnum % 3 + 1): pure integer keep predicate, corpus never shuffles. */
+  def q79DomainMix(spark: SparkSession, dir: String): DataFrame =
+    Curation.domainMixSample(
+      t(spark, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+      weight = regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 3 + 1,
+      targetTotal = floor(count(lit(1)) / 2))
+      .orderBy("doc_id")
+
+  /** Fixed-size chunking (64-word chunks, 16-word overlap): pure
+    * projection + explode, blow-up bounded by 1/stride of token count. */
+  def q80Chunking(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkWords(t(spark, dir, "documents"), "doc_id", "text",
+      chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Metric anomaly sweep: |value − mean| > 3·sd per event_type; per-group
+    * stats broadcast back, big side never shuffles. */
+  def q81Outliers(spark: SparkSession, dir: String): DataFrame =
+    Checks.zscoreOutliers(
+      t(spark, dir, "events").select("event_id", "event_type", "value"),
+      "event_type", "value", threshold = 3.0)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** Co-located join over bucketed warehouse tables: orders ⋈ customer on
+    * custkey after both are written hash-bucketed (8 buckets) on the key —
+    * the write pays the shuffle once; the join itself plans with no
+    * Exchange (spec-proven). Oracle is the plain join aggregate. */
+  def q82BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Bucketing.writeBucketed(
+      t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_bkt_orders", "o_custkey", buckets = 8)
+    Bucketing.writeBucketed(
+      t(spark, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "graft_bkt_customer", "c_custkey", buckets = 8)
+    val o = Bucketing.readBucketed(spark, "graft_bkt_orders")
+    val c = Bucketing.readBucketed(spark, "graft_bkt_customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -836,6 +907,13 @@ object Queries {
     "q68_funnel" -> q68Funnel _,
     "q69_retention" -> q69Retention _,
     "q75_pack_shards" -> q75PackShards _,
+    "q76_quality_filter" -> q76QualityFilter _,
+    "q77_repetition" -> q77Repetition _,
+    "q78_contamination" -> q78Contamination _,
+    "q79_domain_mix" -> q79DomainMix _,
+    "q80_chunking" -> q80Chunking _,
+    "q81_outliers" -> q81Outliers _,
+    "q82_bucketed_join" -> q82BucketedJoin _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1367,6 +1445,90 @@ object Queries {
         |    array_to_string(list_transform(range(0, 16),
         |      i -> printf('%02x', ord(substr(text, CAST(i * length(text) // 16 AS INT) + 1, 1)))), '')
         |  ELSE NULL END AS sig_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q76_quality_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(words) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(words) AS mwl,
+        |    CAST(len(list_filter(words, t -> list_contains(['the','a','an','and','of','is','in','to'], t))) AS DOUBLE)
+        |      / len(words) AS stopr,
+        |    CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distr
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  ROUND(mwl, 6) AS mean_word_len,
+        |  ROUND(stopr, 6) AS stopword_ratio,
+        |  ROUND(distr, 6) AS distinct_ratio,
+        |  CAST(n_words BETWEEN 20 AND 80 AS INT) AS flag_len,
+        |  CAST(mwl >= 4.2 AND mwl <= 4.8 AS INT) AS flag_word_len,
+        |  CAST(stopr >= 0.02 AS INT) AS flag_stopword,
+        |  CAST(distr >= 0.35 AS INT) AS flag_repetition,
+        |  CAST(n_words BETWEEN 20 AND 80 AND mwl >= 4.2 AND mwl <= 4.8
+        |       AND stopr >= 0.02 AND distr >= 0.35 AS INT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q77_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
+        |  ROUND(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_frac,
+        |  ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q78_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+        |), i AS (
+        |  SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS g
+        |  FROM w WHERE len(words) >= 3
+        |), gr AS (
+        |  SELECT doc_id, array_to_string(words[g:g+2], ' ') AS ng FROM i
+        |), bench AS (
+        |  SELECT DISTINCT ng FROM gr WHERE doc_id % 97 = 0
+        |), dg AS (
+        |  SELECT DISTINCT doc_id, ng FROM gr WHERE doc_id % 97 <> 0)
+        |SELECT dg.doc_id, count(*) AS n_ngrams, count(b.ng) AS n_contaminated,
+        |  ROUND(CAST(count(b.ng) AS DOUBLE) / count(*), 6) AS contam_frac
+        |FROM dg LEFT JOIN bench b ON dg.ng = b.ng
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_domain_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_s,
+        |         CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 + 1 AS w_s
+        |  FROM documents GROUP BY source
+        |), s AS (SELECT CAST(sum(w_s) AS BIGINT) AS sum_w FROM c),
+        |tt AS (SELECT CAST(floor(count(*) / 2.0) AS BIGINT) AS target FROM documents)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN c USING (source), s, tt
+        |WHERE ((((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000)
+        |        * n_s * sum_w
+        |      < 1000000 * target * w_s
+        |ORDER BY d.doc_id""".stripMargin,
+    "q80_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+        |), i AS (
+        |  SELECT doc_id, words,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(ceil((len(words) - 16) / 48.0), 1) AS BIGINT) - 1)) AS g
+        |  FROM w)
+        |SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+        |  array_to_string(words[(g*48+1):(g*48+64)], ' ') AS chunk_text,
+        |  len(words[(g*48+1):(g*48+64)]) AS n_words
+        |FROM i ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q81_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs(value - m) > 3 * sd
+        |ORDER BY event_id""".stripMargin,
+    "q82_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

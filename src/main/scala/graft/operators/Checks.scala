@@ -50,4 +50,25 @@ object Checks {
 
     uniqueReports.foldLeft(scanReport)(_ unionByName _).orderBy("chk")
   }
+
+  /** Rows whose `valueCol` sits more than `threshold` sample standard
+    * deviations from its group mean — the metric-anomaly sweep a pipeline
+    * runs over event/telemetry tables before trusting them.
+    *
+    * Shape: one hash aggregate reduces the table to a per-group (mean, sd)
+    * pair (map-side partials; group count rows out), which broadcasts back
+    * onto the unreduced table as a pure filter — two scans, zero shuffles of
+    * the big side, so the cost is the two passes regardless of scale. The
+    * output keeps only raw input columns (no derived floats) so results are
+    * bit-comparable across engines.
+    */
+  def zscoreOutliers(
+      df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 3.0): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      avg(col(valueCol)).as("_m"), stddev_samp(col(valueCol)).as("_sd"))
+    df.join(broadcast(stats), groupCol)
+      .where(abs(col(valueCol) - col("_m")) > lit(threshold) * col("_sd"))
+      .drop("_m", "_sd")
+  }
 }

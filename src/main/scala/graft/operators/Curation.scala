@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation verbs for training-data pipelines: rule-based quality
+  * filtering (Gopher-style), repetition profiling, benchmark-contamination
+  * measurement, fixed-size chunking, and weighted domain mixing.
+  *
+  * Reference behavior: wrds2pg has no curation surface (it copies tables
+  * whole, wrds2pg/wrds2pg.py:553 wrds_update); these are part of the
+  * training-data-pipeline extension surface, shaped for 100 TB corpora:
+  *
+  *  - `qualityFlags` and `chunkWords` are pure codegen'd projections — zero
+  *    shuffles, scale with input splits, filters/pruning push to the scan.
+  *  - `repetitionStats` is two hash aggregates over REDUCED data (word
+  *    counts combine map-side before either shuffle moves anything).
+  *  - `ngramContamination` never materializes a cross product: documents
+  *    meet the benchmark set through an equi-join on the n-gram string,
+  *    and the benchmark side (distinct n-grams of a small eval suite) is
+  *    broadcastable in practice — AQE picks that up from its actual size.
+  *  - `domainMixSample` decides membership with pure 64-bit integer
+  *    arithmetic on the row id (same Knuth mix as [[Sampling]]), so the
+  *    sample is reproducible in any engine and stable under repartitioning;
+  *    the per-domain rates ride in on a broadcast of a tiny counts table.
+  */
+object Curation {
+
+  import TextAnalysis.tokens
+
+  /** Gopher-style quality rule flags (word count window, mean-word-length
+    * window, stopword floor, distinct-word-ratio floor) plus the combined
+    * `keep` decision. Flags are INTs (0/1) so downstream aggregation
+    * (`sum(flag)`) and cross-engine comparison are trivial.
+    *
+    * One codegen'd projection per row — no shuffle; a `WHERE keep = 1`
+    * composed on top pushes nothing extra over the scan.
+    */
+  def qualityFlags(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 80,
+      minMeanWordLen: Double = 4.2, maxMeanWordLen: Double = 4.8,
+      minStopwordRatio: Double = 0.02,
+      minDistinctRatio: Double = 0.35): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val meanLen = TextAnalysis.meanWordLen(text)
+    val stopR = TextAnalysis.stopwordRatio(text)
+    val distR = size(array_distinct(toks)).cast("double") / nWords
+    val flagLen = (nWords >= minWords && nWords <= maxWords).cast("int")
+    val flagMwl = (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).cast("int")
+    val flagStop = (stopR >= minStopwordRatio).cast("int")
+    val flagRep = (distR >= minDistinctRatio).cast("int")
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(stopR, 6).as("stopword_ratio"),
+      round(distR, 6).as("distinct_ratio"),
+      flagLen.as("flag_len"),
+      flagMwl.as("flag_word_len"),
+      flagStop.as("flag_stopword"),
+      flagRep.as("flag_repetition"),
+      (flagLen === 1 && flagMwl === 1 && flagStop === 1 && flagRep === 1)
+        .cast("int").as("keep"))
+  }
+
+  /** Per-document repetition profile: distinct-word fraction and the mass of
+    * the single most frequent word — the classic boilerplate/spam signals a
+    * quality filter thresholds on alongside [[TextAnalysis.compressionRatio]].
+    *
+    * Shape: explode → two stacked hash aggregates. The (doc, word) partial
+    * counts combine map-side inside the first aggregate, so what shuffles is
+    * bounded by per-document VOCABULARY, not token count; the second
+    * aggregate reduces that to one row per document.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum("c"), 6).as("distinct_frac"),
+        round(max("c").cast("double") / sum("c"), 6).as("top_word_frac"))
+
+  /** Word n-grams of `text` as space-joined strings (empty array when the
+    * document is shorter than `n` words). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination measurement: for every corpus document, the
+    * fraction of its DISTINCT word n-grams that also occur anywhere in the
+    * benchmark set (the decontamination gate run before training — docs
+    * above a containment threshold get dropped or scrubbed).
+    *
+    * Both sides reduce to distinct n-grams BEFORE meeting: the corpus side
+    * to (doc, ngram) pairs, the benchmark side to a bare ngram set that is
+    * tiny relative to the corpus (an eval suite, not another corpus) and so
+    * broadcasts — there is never a token-level or all-pairs intermediate.
+    */
+  def ngramContamination(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("ng"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    corpus
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ng"))
+      .distinct()
+      .join(benchGrams, Seq("ng"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_ngrams"),
+        count(col("hit")).as("n_contaminated"),
+        round(count(col("hit")).cast("double") / count(lit(1)), 6)
+          .as("contam_frac"))
+  }
+
+  /** Fixed-size word chunking with overlap: document → (chunk_idx,
+    * chunk_text, n_words) rows, the pre-tokenization step that turns a
+    * filtered corpus into training sequences.
+    *
+    * Chunks start every `chunkSize - overlap` words; a document always
+    * yields at least one chunk, and no chunk starts inside the final
+    * `overlap` tail (so the last chunk may be short but never redundant).
+    * Pure projection + explode: no shuffle, parallelism = input splits, and
+    * the blow-up factor is bounded by 1/(chunkSize - overlap) of the token
+    * count regardless of document skew.
+    */
+  def chunkWords(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      "need chunkSize > overlap >= 0")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    val nChunks = greatest(
+      ceil((size(toks) - overlap).cast("double") / stride), lit(1L))
+    val chunk = slice(col("_toks"),
+      (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize))
+    df.select(col(idCol), toks.as("_toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).as("n_words"))
+  }
+
+  /** Weighted domain mixing: keep a deterministic sample of each domain
+    * sized toward `weight(domain) / totalWeight` of `targetTotal` rows —
+    * the "mix web/code/books at 5:3:2" step of corpus assembly.
+    *
+    * Membership for row id `i` in domain `s` is the pure integer predicate
+    *
+    *   knuth(i) mod 10^6  <  10^6 · targetTotal · w_s / (Σw · n_s)
+    *
+    * evaluated WITHOUT division (both sides multiplied through by
+    * `Σw · n_s`), so it is exactly reproducible in any 64-bit-integer
+    * engine, stable under repartitioning, and caps at keeping the whole
+    * domain when the quota exceeds it. The per-domain counts are one small
+    * aggregate broadcast back onto the corpus — the corpus itself never
+    * shuffles. (Bound: 10^6 · targetTotal · w_s must stay below 2^63 —
+    * at 10^12 rows and single-digit weights that holds with 100× room.)
+    */
+  def domainMixSample(
+      df: DataFrame, idCol: String, domainCol: String,
+      weight: Column, targetTotal: Column): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_n_s"))
+      .withColumn("_w_s", weight)
+    val sumW = counts.agg(sum("_w_s").as("_sum_w"))
+    val target = df.agg(targetTotal.cast("long").as("_target"))
+    val u = Sampling.hashBucket(col(idCol), 1000000)
+    df.join(broadcast(counts), domainCol)
+      .crossJoin(broadcast(sumW))
+      .crossJoin(broadcast(target))
+      .where(u * col("_n_s") * col("_sum_w") <
+        lit(1000000L) * col("_target") * col("_w_s"))
+      .drop("_n_s", "_w_s", "_sum_w", "_target")
+  }
+}

@@ -39,19 +39,20 @@ object PlanLint {
         // query set × corpus; the scale path is IVF) — or where the build
         // side is a broadcast ONE-ROW scalar aggregate joined under every
         // row with no possible equi-key (q24 threshold, q47 min/max, q67's
-        // corpus-size N for the idf term).
+        // corpus-size N for the idf term, q79's total-weight and target-row
+        // scalars riding onto the mix predicate).
         if (lines.exists(l => l.contains("BroadcastNestedLoopJoin")) &&
-            !Set("q34_dedup_embedding", "q52_knn_join",
-              "q24_scalar_subquery", "q47_histogram", "q67_tfidf_topk").contains(name))
+            !Set("q34_dedup_embedding", "q52_knn_join", "q24_scalar_subquery",
+              "q47_histogram", "q67_tfidf_topk", "q79_domain_mix").contains(name))
           flag("BroadcastNestedLoopJoin in plan")
         // SinglePartition allowed only for global SCALAR aggregates (q24
         // threshold, q47 min/max, q62's per-constraint violation tallies,
-        // q67's one-row N, q68's one-row funnel report): the exchange moves
-        // one partial row per task, not data. Everything else must stay
-        // partitioned.
+        // q67's one-row N, q68's one-row funnel report, q79's one-row
+        // total-weight/target scalars): the exchange moves one partial row
+        // per task, not data. Everything else must stay partitioned.
         if (lines.exists(l => l.contains("SinglePartition")) &&
             !Set("q24_scalar_subquery", "q47_histogram", "q62_quality_checks",
-              "q67_tfidf_topk", "q68_funnel").contains(name))
+              "q67_tfidf_topk", "q68_funnel", "q79_domain_mix").contains(name))
           flag("shuffle to a single partition")
         spark.catalog.clearCache()
       } catch {

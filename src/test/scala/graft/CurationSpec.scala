@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{Bucketing, Checks, Curation}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("qualityFlags: each rule trips independently and keep is their AND") {
+    // 25 words, all distinct: 20× 5-char + 5 stopwords → mwl 4.4, stop 0.2
+    val good = ((1 to 20).map(i => f"wrd$i%02d") ++ Seq("the", "a", "of", "is", "in")).mkString(" ")
+    val out = Curation.qualityFlags(
+      docs(
+        1L -> good,                                   // passes all rules
+        2L -> "too short",                            // fails flag_len (2 words)
+        3L -> Seq.fill(4)(good).mkString(" "),        // fails flag_len (100 words)
+        4L -> Seq.fill(40)("ab the").mkString(" "),   // mwl 2.5 → fails flag_word_len
+        5L -> Seq.fill(20)("quick brown alpha").map(w => w).mkString(" "), // no stopwords
+        6L -> ("the " + Seq.fill(39)("spam").mkString(" "))), // distinct 3/40 → repetition
+      "doc_id", "text").orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Int]("keep") == 1)
+    assert(byId(2L).getAs[Int]("flag_len") == 0 && byId(2L).getAs[Int]("keep") == 0)
+    assert(byId(3L).getAs[Int]("flag_len") == 0)
+    assert(byId(4L).getAs[Int]("flag_word_len") == 0)
+    assert(byId(5L).getAs[Int]("flag_stopword") == 0)
+    assert(byId(6L).getAs[Int]("flag_repetition") == 0)
+  }
+
+  test("repetitionStats: hand-computed fractions") {
+    val out = Curation.repetitionStats(
+      docs(1L -> "a a a b", 2L -> "x y z w"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 2)
+    assert(out(0).getDouble(3) == 0.5 && out(0).getDouble(4) == 0.75)
+    assert(out(1).getDouble(3) == 1.0 && out(1).getDouble(4) == 0.25)
+  }
+
+  test("ngramContamination: containment fractions against a benchmark set") {
+    // bench has grams: "a b c", "b c d"
+    val bench = docs(100L -> "a b c d")
+    val corpus = docs(
+      1L -> "a b c x y",  // grams: abc, bcx, cxy → 1/3 contaminated
+      2L -> "p q r",      // grams: pqr → 0/1
+      3L -> "a b")        // < 3 words → no grams, absent from output
+    val out = Curation.ngramContamination(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 3L &&
+      out(0).getLong(2) == 1L && out(0).getDouble(3) == 0.333333)
+    assert(out(1).getLong(0) == 2L && out(1).getLong(2) == 0L)
+  }
+
+  test("ngramContamination counts DISTINCT grams once per doc") {
+    val bench = docs(100L -> "a b c")
+    val corpus = docs(1L -> "a b c a b c a b c") // abc appears 3×, counted once
+    val out = Curation.ngramContamination(corpus, bench, "doc_id", "text", n = 3)
+      .collect()
+    // distinct grams of doc 1: abc, bca, cab → 7 raw, 3 distinct
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 1L)
+  }
+
+  test("chunkWords: boundaries, overlap, and short-doc floor") {
+    val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
+    val out = Curation.chunkWords(docs(1L -> words120, 2L -> "a b c"),
+      "doc_id", "text", chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: ceil((120-16)/48) = 3 chunks at starts 1, 49, 97
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(d1(0).getString(2).startsWith("w1 ") && d1(0).getInt(3) == 64)
+    assert(d1(1).getString(2).startsWith("w49 ") && d1(1).getInt(3) == 64)
+    assert(d1(2).getString(2).startsWith("w97 ") && d1(2).getInt(3) == 24)
+    // consecutive chunks overlap by exactly `overlap` words
+    val c0 = d1(0).getString(2).split(" ")
+    val c1 = d1(1).getString(2).split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    // a doc shorter than one chunk still yields exactly one chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(2) == "a b c" && d2(0).getInt(3) == 3)
+  }
+
+  test("domainMixSample: quotas track weights, ids stable under repartition") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "domain")
+    val picked = Curation.domainMixSample(
+      df, "id", "domain",
+      weight = regexp_extract(col("domain"), "(\\d+)", 1).cast("long") + 1,
+      targetTotal = lit(1200L))
+    val byDom = picked.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // target shares: 1/6, 2/6, 3/6 of 1200 = 200/400/600 out of 1000 per dom;
+    // hash sampling is approximate — allow 15% slack
+    assert(math.abs(byDom("src0") - 200.0) < 60, s"src0=${byDom("src0")}")
+    assert(math.abs(byDom("src1") - 400.0) < 60, s"src1=${byDom("src1")}")
+    assert(math.abs(byDom("src2") - 600.0) < 90, s"src2=${byDom("src2")}")
+    // membership is a pure function of the id: repartitioning changes nothing
+    val again = Curation.domainMixSample(
+      df.repartition(13), "id", "domain",
+      weight = regexp_extract(col("domain"), "(\\d+)", 1).cast("long") + 1,
+      targetTotal = lit(1200L))
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      picked.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("domainMixSample caps at keeping the whole domain") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, "only")).toDF("id", "domain")
+    val picked = Curation.domainMixSample(df, "id", "domain",
+      weight = lit(1L), targetTotal = lit(10000L))
+    assert(picked.count() == 100L)
+  }
+
+  test("zscoreOutliers flags exactly the planted anomalies") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 500).map(i => (i.toLong, "m", 100.0 + (i % 11) - 5))
+    val planted = Seq((9001L, "m", 500.0), (9002L, "m", -300.0), (9003L, "other", 1.0))
+    val df = (base ++ planted).toDF("id", "grp", "v")
+    val out = Checks.zscoreOutliers(df, "grp", "v", threshold = 3.0)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(9001L, 9002L))
+  }
+
+  test("bucketed join plans with no shuffle exchange") {
+    val s = spark
+    import s.implicits._
+    val facts = (1L to 1000L).map(i => (i, i % 50, i * 1.5)).toDF("fid", "key", "amt")
+    val dims = (0L until 50L).map(i => (i, s"seg${i % 4}")).toDF("key", "seg")
+    Bucketing.writeBucketed(facts, "spec_bkt_facts", "key", buckets = 4)
+    Bucketing.writeBucketed(dims, "spec_bkt_dims", "key", buckets = 4)
+    // force SMJ so co-location (not a broadcast) is what's being proven
+    val joined = Bucketing.readBucketed(spark, "spec_bkt_facts")
+      .join(Bucketing.readBucketed(spark, "spec_bkt_dims").hint("merge"), "key")
+    assert(joined.collect().length == 1000)
+    val exchanges = collectWithSubqueries(joined.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed merge join must not shuffle, found: ${exchanges.mkString(";")}")
+  }
+}
