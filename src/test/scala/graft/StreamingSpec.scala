@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
+// payloads for the generic stream-stream as-of spec (top-level so the
+// TypeTag-derived encoders resolve)
+case class SpecTrade(tradeId: String, sym: String, ts: Timestamp, qty: Int)
+case class SpecQuote(sym: String, ts: Timestamp, bid: Double, ask: Double)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -90,6 +95,39 @@ class StreamingSpec extends AnyFunSuite {
       lefts.addData((6L, 3L, ts("2024-01-01 15:00:00")))
       q.processAllAvailable()
       assert(collected().get(4L).contains(None))
+    } finally q.stop()
+  }
+
+  test("stream-stream as-of: generic payloads and string keys round-trip intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[SpecTrade]
+    val quotes = MemoryStream[SpecQuote]
+    val out = graft.streaming.StreamStreamAsOf.enrichTyped[String, SpecTrade, SpecQuote](
+      trades.toDS(), quotes.toDS(),
+      _.sym, _.ts, _.sym, _.ts,
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream
+      .format("memory").queryName("ss_asof_typed").outputMode(OutputMode.Append()).start()
+    try {
+      quotes.addData(SpecQuote("acme", ts("2024-01-01 10:00:00"), 99.5, 100.5))
+      trades.addData(SpecTrade("t1", "acme", ts("2024-01-01 10:05:00"), 7))
+      trades.addData(SpecTrade("t2", "zorg", ts("2024-01-01 10:06:00"), 3))
+      q.processAllAvailable()
+      // advance the watermark past both trades so they finalize
+      trades.addData(SpecTrade("t3", "other", ts("2024-01-01 11:00:00"), 1))
+      q.processAllAvailable()
+      trades.addData(SpecTrade("t4", "other", ts("2024-01-01 12:00:00"), 1))
+      q.processAllAvailable()
+      val got = spark.table("ss_asof_typed")
+        .as[graft.streaming.AsOfJoined[String, SpecTrade, SpecQuote]]
+        .collect().map(j => j.left.tradeId -> j).toMap
+      // full payloads survive the state round-trip on both sides
+      assert(got("t1").left == SpecTrade("t1", "acme", ts("2024-01-01 10:05:00"), 7))
+      assert(got("t1").right.contains(SpecQuote("acme", ts("2024-01-01 10:00:00"), 99.5, 100.5)))
+      assert(got("t1").key == "acme")
+      // a key with no quote history finalizes with None
+      assert(got("t2").right.isEmpty)
     } finally q.stop()
   }
 
