@@ -104,15 +104,24 @@ object Curation {
     * tiny relative to the corpus (an eval suite, not another corpus) and so
     * broadcasts — there is never a token-level or all-pairs intermediate.
     */
+  /** @param hashGrams shuffle 8-byte xxhash64 gram keys instead of gram
+    *        strings — the 100 TB default (distinct + join move fixed-width
+    *        longs, not ~n·avg-word-len strings). Identical counts modulo a
+    *        2^-64 per-pair collision chance (spec-checked equal on real
+    *        text); keep strings when the oracle must reproduce the keys. */
   def ngramContamination(
       corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(wordNgrams(col(textCol), n)).as("ng"))
+      idCol: String, textCol: String, n: Int = 3,
+      hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame = {
+      val exploded = df.select(cols :+ explode(wordNgrams(col(textCol), n)).as("_ng"): _*)
+      val key = if (hashGrams) xxhash64(col("_ng")) else col("_ng")
+      exploded.select(cols :+ key.as("ng"): _*)
+    }
+    val benchGrams = grams(benchmark)
       .distinct()
       .withColumn("hit", lit(1))
-    corpus
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ng"))
+    grams(corpus, col(idCol))
       .distinct()
       .join(benchGrams, Seq("ng"), "left")
       .groupBy(col(idCol)).agg(

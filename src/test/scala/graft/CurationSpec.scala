@@ -69,6 +69,20 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 1L)
   }
 
+  test("ngramContamination: hashed-gram scale path matches the string path") {
+    val s = spark
+    import s.implicits._
+    val corpus = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.where(col("doc_id") % 97 === 0)
+    val rest = corpus.where(col("doc_id") % 97 =!= 0)
+    val str = Curation.ngramContamination(rest, bench, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val hashed = Curation.ngramContamination(rest, bench, "doc_id", "text",
+      hashGrams = true).orderBy("doc_id").collect().toSeq
+    assert(str == hashed)
+  }
+
   test("chunkWords: boundaries, overlap, and short-doc floor") {
     val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
     val out = Curation.chunkWords(docs(1L -> words120, 2L -> "a b c"),
