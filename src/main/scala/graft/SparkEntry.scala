@@ -772,6 +772,15 @@ object Queries {
       .select("event_id", "event_type", "value")
       .orderBy("event_id")
 
+  /** Per-source relative quality gate: keep docs at/above the P75 of
+    * n_chars WITHIN their source (cume_dist = rank/count, ratio-of-ints
+    * exact across engines). One window shuffle partitioned by source. */
+  def q83RelativeFilter(spark: SparkSession, dir: String): DataFrame =
+    Curation.relativeFilter(
+      t(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", "n_chars", minQuantile = 0.75)
+      .orderBy("doc_id")
+
   /** Co-located join over bucketed warehouse tables: orders ⋈ customer on
     * custkey after both are written hash-bucketed (8 buckets) on the key —
     * the write pays the shuffle once; the join itself plans with no
@@ -914,6 +923,7 @@ object Queries {
     "q80_chunking" -> q80Chunking _,
     "q81_outliers" -> q81Outliers _,
     "q82_bucketed_join" -> q82BucketedJoin _,
+    "q83_relative_filter" -> q83RelativeFilter _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1529,6 +1539,13 @@ object Queries {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       ROUND(SUM(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q83_relative_filter" ->
+      """SELECT doc_id, source, n_chars, score_cd FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROUND(cume_dist() OVER (PARTITION BY source ORDER BY n_chars ASC), 6)
+        |      AS score_cd
+        |  FROM documents)
+        |WHERE score_cd >= 0.75 ORDER BY doc_id""".stripMargin
   )
 }

@@ -160,6 +160,26 @@ object Curation {
         size(chunk).as("n_words"))
   }
 
+  /** Group-relative quality gate: keep rows whose `scoreCol` sits at or
+    * above the `minQuantile` cumulative-distribution point WITHIN its
+    * domain — "top quartile by quality per source", the relative
+    * counterpart to [[qualityFlags]]'s absolute thresholds (absolute rules
+    * over-prune weak domains and under-prune strong ones).
+    *
+    * cume_dist = rank/count is a ratio of integers, so the kept set is
+    * engine-exact (no float-accumulation boundary). One window shuffle
+    * partitioned by domain; Spark's WindowExec streams each partition
+    * sorted, so cost is a sort per domain, not a global one.
+    */
+  def relativeFilter(
+      df: DataFrame, domainCol: String, scoreCol: String,
+      minQuantile: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col(scoreCol).asc)
+    df.withColumn("score_cd", round(cume_dist().over(w), 6))
+      .where(col("score_cd") >= minQuantile)
+  }
+
   /** Weighted domain mixing: keep a deterministic sample of each domain
     * sized toward `weight(domain) / totalWeight` of `targetTotal` rows —
     * the "mix web/code/books at 5:3:2" step of corpus assembly.

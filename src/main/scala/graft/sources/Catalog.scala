@@ -23,4 +23,15 @@ object Catalog {
         .distinct.sorted
     names.toDF("table_name")
   }
+
+  /** Whether `table` exists in the library — the reference's graceful
+    * missing-table probe (`get_modified_str`/`proc_contents` print "Table
+    * x.y not found." and return None, test_missing_table.ipynb;
+    * wrds2pg/sas/metadata.py:79-113). Callers gate `Update.*` on this
+    * instead of letting a 100 TB pipeline die on an AnalysisException. */
+  def tableExists(spark: SparkSession, dir: String, table: String): Boolean = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(table, s"$table.parquet", s"$table.csv", s"$table.csv.gz")
+      .exists(n => fs.exists(new Path(dir, n)))
+  }
 }

@@ -147,6 +147,24 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out.toSeq == Seq(9001L, 9002L))
   }
 
+  test("relativeFilter keeps exactly the per-domain top quantile") {
+    val s = spark
+    import s.implicits._
+    // dom a: scores 1..8 (cd = i/8; >= 0.75 keeps 6, 7, 8); dom b: all
+    // ties, cd = 1.0 everywhere, so the whole domain survives
+    val df = ((1 to 8).map(i => (i.toLong, "a", i.toLong)) ++
+      (9 to 12).map(i => (i.toLong, "b", 5L))).toDF("id", "dom", "score")
+    val kept = Curation.relativeFilter(df, "dom", "score", 0.75)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(6L, 7L, 8L, 9L, 10L, 11L, 12L))
+  }
+
+  test("tableExists probes library members gracefully") {
+    assert(graft.sources.Catalog.tableExists(spark, "/root/testdata/sf0.001", "lineitem"))
+    assert(!graft.sources.Catalog.tableExists(spark, "/root/testdata/sf0.001", "dsfx"))
+    assert(!graft.sources.Catalog.tableExists(spark, "/no/such/dir", "lineitem"))
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val s = spark
     import s.implicits._
