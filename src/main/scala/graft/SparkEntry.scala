@@ -772,6 +772,20 @@ object Queries {
       .select("event_id", "event_type", "value")
       .orderBy("event_id")
 
+  /** Incremental ingest dedup: the doc_id % 10 == 7 slice plays the new
+    * crawl batch; rows whose normalized fingerprint already exists in the
+    * rest of the corpus are dropped. Corpus side reduces to distinct
+    * fingerprints before the anti-join. */
+  def q84IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.incrementalDedup(
+      docs.where(pmod(col("doc_id"), lit(10)) === 7),
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
+      "text")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Per-source relative quality gate: keep docs at/above the P75 of
     * n_chars WITHIN their source (cume_dist = rank/count, ratio-of-ints
     * exact across engines). One window shuffle partitioned by source. */
@@ -924,6 +938,7 @@ object Queries {
     "q81_outliers" -> q81Outliers _,
     "q82_bucketed_join" -> q82BucketedJoin _,
     "q83_relative_filter" -> q83RelativeFilter _,
+    "q84_incremental_dedup" -> q84IncrementalDedup _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1546,6 +1561,16 @@ object Queries {
         |    ROUND(cume_dist() OVER (PARTITION BY source ORDER BY n_chars ASC), 6)
         |      AS score_cd
         |  FROM documents)
-        |WHERE score_cd >= 0.75 ORDER BY doc_id""".stripMargin
+        |WHERE score_cd >= 0.75 ORDER BY doc_id""".stripMargin,
+    "q84_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                                    '\s+', ' ', 'g'))) AS f
+        |  FROM documents)
+        |SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+        |FROM (SELECT * FROM fp WHERE doc_id % 10 = 7) b
+        |ANTI JOIN (SELECT DISTINCT f FROM fp WHERE doc_id % 10 <> 7) c
+        |  ON b.f = c.f
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

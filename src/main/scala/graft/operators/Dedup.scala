@@ -21,6 +21,27 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "n_copies")
 
+  /** Incremental ingest dedup: rows of `batch` whose normalized-text
+    * fingerprint ([[TextAnalysis.fingerprint]]) does not already occur in
+    * `corpus` — the "don't re-add what we have" gate every recurring crawl
+    * ingest runs before appending.
+    *
+    * Scale shape: the corpus side reduces to DISTINCT 32-hex fingerprints
+    * before the anti-join (text never leaves its scan), so the shuffle
+    * moves fixed-width keys off the corpus regardless of document size;
+    * the batch — tiny relative to the corpus in steady state — rides
+    * through one anti-join. With the corpus fingerprint set maintained as
+    * a bucketed table ([[Bucketing]]) the corpus-side shuffle also
+    * disappears from the recurring run. */
+  def incrementalDedup(
+      batch: DataFrame, corpus: DataFrame, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val seen = corpus.select(fp.as("_fp")).distinct()
+    batch.withColumn("_fp", fp)
+      .join(seen, Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** Distinct word n-gram shingles, exploded to (id, shingle) rows.
     * Docs shorter than n tokens produce no rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {

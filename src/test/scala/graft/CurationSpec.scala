@@ -159,6 +159,23 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(kept == Seq(6L, 7L, 8L, 9L, 10L, 11L, 12L))
   }
 
+  test("incrementalDedup drops batch rows already fingerprinted in the corpus") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "Hello, World!"),     // normalizes like doc 10
+      (2L, "unrelated corpus text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "hello world"),       // dup of 1 after normalization
+      (11L, "hello world"),       // intra-batch copy of the same dup
+      (12L, "genuinely new"),
+      (13L, "genuinely new")      // intra-batch copies both survive (gate is vs corpus)
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.incrementalDedup(batch, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(12L, 13L))
+  }
+
   test("tableExists probes library members gracefully") {
     assert(graft.sources.Catalog.tableExists(spark, "/root/testdata/sf0.001", "lineitem"))
     assert(!graft.sources.Catalog.tableExists(spark, "/root/testdata/sf0.001", "dsfx"))
