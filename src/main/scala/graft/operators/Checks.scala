@@ -51,6 +51,35 @@ object Checks {
     uniqueReports.foldLeft(scanReport)(_ unionByName _).orderBy("chk")
   }
 
+  /** Piggy-back the scan-shaped constraints (not-null + range) onto a
+    * dataframe the caller is about to run ANYWAY — `df.observe` folds the
+    * conditional sums into the existing pass, so shipping a 100 TB corpus
+    * snapshot and checking it costs ONE scan, not two ([[report]] is the
+    * standalone-pass variant; uniqueness needs its own aggregate either
+    * way). After any action on the returned frame,
+    * `observation.get("notnull:c")` etc. hold the violation counts.
+    *
+    * Usage: {{{
+    *   val obs = new org.apache.spark.sql.Observation("graft_checks")
+    *   val checked = Checks.observed(df, obs, notNull = Seq("id"),
+    *     ranges = Seq(("qty", 0, 50)))
+    *   checked.write.parquet(out)            // the one and only pass
+    *   val violations = obs.get               // Map[String, Any]
+    * }}} */
+  def observed(
+      df: DataFrame,
+      observation: org.apache.spark.sql.Observation,
+      notNull: Seq[String] = Nil,
+      ranges: Seq[(String, Double, Double)] = Nil): DataFrame = {
+    val metrics =
+      notNull.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"notnull:$c")) ++
+      ranges.map { case (c, lo, hi) =>
+        sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)).as(s"range:$c") }
+    require(metrics.nonEmpty, "need at least one constraint")
+    df.observe(observation, metrics.head, metrics.tail: _*)
+  }
+
   /** Rows whose `valueCol` sits more than `threshold` sample standard
     * deviations from its group mean — the metric-anomaly sweep a pipeline
     * runs over event/telemetry tables before trusting them.

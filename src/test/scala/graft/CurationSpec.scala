@@ -182,6 +182,21 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!graft.sources.Catalog.tableExists(spark, "/no/such/dir", "lineitem"))
   }
 
+  test("observed checks ride the main pass and report violation counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1L), 10.0), (Some(2L), 60.0), (None, 20.0), (Some(4L), -5.0))
+      .toDF("id", "qty")
+    val obs = new org.apache.spark.sql.Observation()
+    val checked = Checks.observed(df, obs,
+      notNull = Seq("id"), ranges = Seq(("qty", 0.0, 50.0)))
+    checked.write.format("noop").mode("overwrite").save() // the single pass
+    val m = obs.get
+    assert(m("notnull:id") == 1L, m.toString)
+    assert(m("range:qty") == 2L, m.toString)
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val s = spark
     import s.implicits._
