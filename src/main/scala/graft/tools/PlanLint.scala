@@ -1,8 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AdaptiveSparkPlanHelper}
 
 /** Plan-lint over EVERY registered query: executes each at a small SF and
   * flags scale anti-patterns in the final adaptive plan —
@@ -12,12 +12,27 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   *   - parquet scans reading every column of a wide table (pruning miss).
   * Zero findings is the expected state; anything printed is a regression.
   */
-object PlanLint {
+object PlanLint extends AdaptiveSparkPlanHelper {
 
   private def finalPlan(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
     case other => other
   }
+
+  /** Wide tables where reading every column is presumed a pruning miss
+    * (narrow tables are read whole by nature). Name → column count, from
+    * the generated testdata schemas. */
+  private val WideTables = Map(
+    "lineitem" -> 11, "orders" -> 6, "part" -> 6)
+
+  /** (table, requiredColumns, width) per full-width wide-table parquet scan. */
+  private[graft] def fullWidthScans(p: SparkPlan): Seq[(String, Int, Int)] =
+    collectWithSubqueries(p) {
+      case f: FileSourceScanExec =>
+        val table = f.relation.location.rootPaths.headOption
+          .map(_.getName.replaceAll("\\.parquet$", "")).getOrElse("")
+        (table, f.requiredSchema.length, WideTables.getOrElse(table, Int.MaxValue))
+    }.filter { case (_, req, width) => req >= width }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -54,6 +69,16 @@ object PlanLint {
             !Set("q24_scalar_subquery", "q47_histogram", "q62_quality_checks",
               "q67_tfidf_topk", "q68_funnel", "q79_domain_mix").contains(name))
           flag("shuffle to a single partition")
+        // Column-pruning misses: a wide-table scan whose ReadSchema is the
+        // FULL table. Whole-table ETL verbs legitimately read everything —
+        // q03 (obs=N returns whole rows; no keep= projection), q05
+        // (col_types casts over the full row), q06/q07 (roundtrip copies),
+        // q62 (constraints across the row).
+        if (!Set("q03_sas_obs", "q05_col_types", "q06_csv_roundtrip",
+              "q07_parquet_modified", "q62_quality_checks").contains(name))
+          fullWidthScans(finalPlan(df.queryExecution.executedPlan))
+            .foreach { case (table, req, _) =>
+              flag(s"unpruned scan: $table reads all $req columns") }
         spark.catalog.clearCache()
       } catch {
         case e: Throwable => findings += 1; println(s"[lint] $name: FAILED ${e.getMessage}")
