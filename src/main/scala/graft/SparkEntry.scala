@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -815,6 +815,64 @@ object Queries {
       .orderBy("c_mktsegment")
   }
 
+  /** PII redaction over synthetically-injected addresses (the corpus text
+    * itself is clean word-soup, so 2-in-3 docs get a deterministic
+    * email/phone/IP appended in BOTH engines before scrubbing — making the
+    * oracle prove the redaction, not a no-op). Zero shuffles. */
+  def q85PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val pii = concat(
+      col("text"), lit(" contact user"), s(d),
+      lit("@mail"), s(pmod(d, lit(5))), lit(".com or 555-"),
+      lpad(s(pmod(d, lit(10000))), 4, "0"),
+      lit(" from 10."), s(pmod(d, lit(256))),
+      lit("."), s(pmod(d * 7, lit(256))),
+      lit("."), s(pmod(d * 13, lit(256))))
+    val injected = t(spark, dir, "documents").select(
+      d, when(pmod(d, lit(3)) =!= 2, pii).otherwise(col("text")).as("text"))
+    Curation.redactPii(injected, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Corpus-level boilerplate removal: 4-word blocks occurring in >= 5
+    * distinct docs stripped; frequency pass combines map-side, boilerplate
+    * set broadcasts, reassembly is the one corpus-sized shuffle. */
+  def q86Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    Curation.stripBoilerplate(t(spark, dir, "documents"), "doc_id", "text",
+      blockWords = 4, minDocs = 5)
+      .orderBy("doc_id")
+
+  /** Banded interval-overlap join: view intervals × click intervals per
+    * user (duration = value×600 s), candidates from an equi-join on
+    * (user, day-bin), duplicates killed arithmetically (first shared bin) —
+    * never per-key all-pairs, no dedupe shuffle. */
+  def q87IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + round(col("value") * 6e8).cast("long")).as("e"))
+    val v = e.where(col("event_type") === "view").select(
+      col("user_id"), col("event_id").as("view_id"),
+      col("s").as("view_s"), col("e").as("view_e"))
+    val c = e.where(col("event_type") === "click").select(
+      col("user_id"), col("event_id").as("click_id"),
+      col("s").as("click_s"), col("e").as("click_e"))
+    IntervalJoin.overlapJoin(v, c, Seq("user_id"),
+      "view_s", "view_e", "click_s", "click_e", binWidth = 86400000000L)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (least(col("view_e"), col("click_e")) -
+          greatest(col("view_s"), col("click_s"))).as("overlap_us"))
+      .orderBy("view_id", "click_id")
+  }
+
+  /** Mergeable-sketch profile per source: HLL distinct fingerprints +
+    * approx n_chars quantiles, one map-side-combining pass. Approximate by
+    * nature → rows-only at the gate; tolerance pinned in SketchesSpec. */
+  def q88SketchProfile(spark: SparkSession, dir: String): DataFrame =
+    Sketches.profile(t(spark, dir, "documents"), "source",
+      TextAnalysis.fingerprint(col("text")), col("n_chars"))
+      .orderBy("source")
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -939,6 +997,10 @@ object Queries {
     "q82_bucketed_join" -> q82BucketedJoin _,
     "q83_relative_filter" -> q83RelativeFilter _,
     "q84_incremental_dedup" -> q84IncrementalDedup _,
+    "q85_pii_redact" -> q85PiiRedact _,
+    "q86_boilerplate" -> q86Boilerplate _,
+    "q87_interval_overlap" -> q87IntervalOverlap _,
+    "q88_sketch_profile" -> q88SketchProfile _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1571,6 +1633,57 @@ object Queries {
         |FROM (SELECT * FROM fp WHERE doc_id % 10 = 7) b
         |ANTI JOIN (SELECT DISTINCT f FROM fp WHERE doc_id % 10 <> 7) c
         |  ON b.f = c.f
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+    "q85_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 <> 2 THEN
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |      CAST(doc_id % 5 AS VARCHAR) || '.com or 555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+        |      CAST((doc_id * 13) % 256 AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS INT) AS n_phones
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "q86_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+        |), i AS (
+        |  SELECT doc_id, words,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(ceil(len(words)/4.0), 1) AS BIGINT)-1)) AS g
+        |  FROM w
+        |), b AS (
+        |  SELECT doc_id, g, array_to_string(words[(g*4+1):(g*4+4)], ' ') AS blk FROM i
+        |), bo AS (
+        |  SELECT blk FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 5)
+        |SELECT b.doc_id, count(*) AS n_blocks, count(bo.blk) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN bo.blk IS NULL THEN b.blk END,
+        |                      ' ' ORDER BY g), '') AS clean_text
+        |FROM b LEFT JOIN bo ON b.blk = bo.blk
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q87_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(round(value * 600000000) AS BIGINT) AS e
+        |  FROM events)
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |       least(v.e, c.e) - greatest(v.s, c.s) AS overlap_us
+        |FROM (SELECT * FROM e WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.s <= c.e AND c.s <= v.e
+        |ORDER BY view_id, click_id""".stripMargin
   )
 }

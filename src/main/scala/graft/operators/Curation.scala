@@ -160,6 +160,92 @@ object Curation {
         size(chunk).as("n_words"))
   }
 
+  /** PII-redaction patterns, deliberately restricted to syntax that parses
+    * identically under Java regex (Spark) and RE2 (DuckDB, the oracle):
+    * character classes + bounded repetition only — no lookaround, no
+    * backreferences. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[graft] val PhoneRe = "555-[0-9]{4}"
+
+  /** PII redaction: emails, IPv4 addresses, and (NANP-reserved 555-prefix)
+    * phone numbers replaced with `<EMAIL>`/`<IP>`/`<PHONE>` tokens, with
+    * per-category match counts kept for audit — the scrubbing step a corpus
+    * runs between crawl and training.
+    *
+    * One codegen'd projection (three `regexp_count` + three chained
+    * `regexp_replace` per row) — zero shuffles, scales with input splits.
+    * Counts are taken on the ORIGINAL text; replacement order
+    * email → IP → phone means an address is tokenized before the bare-IP
+    * pattern could bite a dotted hostname tail.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    df.select(
+      col(idCol),
+      clean.as("clean_text"),
+      regexp_count(text, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(text, lit(Ipv4Re)).cast("int").as("n_ips"),
+      regexp_count(text, lit(PhoneRe)).cast("int").as("n_phones"))
+  }
+
+  /** Corpus-level boilerplate removal: split every document into
+    * NON-overlapping `blockWords`-word blocks, count each block's document
+    * frequency across the corpus, and strip block instances whose text
+    * occurs in at least `minDocs` distinct documents — the header/footer/
+    * template scrubber run after exact dedup (which only catches whole-doc
+    * copies) and before quality scoring.
+    *
+    * Scale shape (three stages, no all-pairs anywhere):
+    *   1. blocks are a pure projection + explode (no shuffle);
+    *   2. the document-frequency pass aggregates (block, doc) pairs that
+    *      combine map-side, and only blocks crossing `minDocs` survive —
+    *      a tiny set by construction (true boilerplate), so
+    *   3. the strip join broadcasts that set and the only corpus-sized
+    *      shuffle is the per-document reassembly groupBy, which moves each
+    *      block exactly once.
+    * At 100 TB the frequency pass should hash blocks to 8-byte keys first
+    * (as [[ngramContamination]]'s `hashGrams` does); string keys are kept
+    * here so the SQL oracle can reproduce them verbatim.
+    *
+    * Returns (id, clean_text, n_blocks, n_dropped); a document whose every
+    * block is boilerplate comes back with an empty `clean_text`.
+    */
+  def stripBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      blockWords: Int = 4, minDocs: Int = 5): DataFrame = {
+    require(blockWords > 0 && minDocs > 1, "need blockWords > 0, minDocs > 1")
+    val toks = tokens(col(textCol))
+    val nBlocks = greatest(
+      ceil(size(toks).cast("double") / blockWords), lit(1L))
+    val blocks = df
+      .select(col(idCol), toks.as("_toks"),
+        explode(sequence(lit(0L), nBlocks - 1)).as("_g"))
+      .select(col(idCol), col("_g"),
+        array_join(slice(col("_toks"),
+          (col("_g") * blockWords + 1).cast("int"), lit(blockWords)), " ")
+          .as("_blk"))
+    val boiler = blocks
+      .groupBy("_blk").agg(count_distinct(col(idCol)).as("_df"))
+      .where(col("_df") >= minDocs)
+      .select(col("_blk"), lit(1).as("_hit"))
+    blocks.join(broadcast(boiler), Seq("_blk"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_blocks"),
+        count(col("_hit")).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_hit").isNull, struct(col("_g"), col("_blk"))))),
+            s => s.getField("_blk")),
+          " ").as("clean_text"))
+  }
+
   /** Group-relative quality gate: keep rows whose `scoreCol` sits at or
     * above the `minQuantile` cumulative-distribution point WITHIN its
     * domain — "top quartile by quality per source", the relative

@@ -214,4 +214,33 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(exchanges.isEmpty,
       s"bucketed merge join must not shuffle, found: ${exchanges.mkString(";")}")
   }
+
+  test("redactPii scrubs emails, IPs, phones and counts each category") {
+    val out = Curation.redactPii(
+      docs(
+        1L -> "mail a.b+c@ex-1.org and x@y.io ip 10.0.0.255 tel 555-0199 end",
+        2L -> "nothing sensitive here 12.34 v5"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getString(1) ==
+      "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> end")
+    assert(out(0).getInt(2) == 2 && out(0).getInt(3) == 1 && out(0).getInt(4) == 1)
+    assert(out(1).getString(1) == "nothing sensitive here 12.34 v5")
+    assert(out(1).getInt(2) == 0 && out(1).getInt(3) == 0 && out(1).getInt(4) == 0)
+  }
+
+  test("stripBoilerplate drops frequent blocks, keeps order, empties all-boiler docs") {
+    val out = Curation.stripBoilerplate(
+      docs(
+        1L -> "hdr foo u1 a",
+        2L -> "hdr foo u2 b",
+        3L -> "hdr foo",
+        4L -> "x y hdr foo z w"),
+      "doc_id", "text", blockWords = 2, minDocs = 2)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(1L) == ((2L, 1L, "u1 a")))
+    assert(byId(2L) == ((2L, 1L, "u2 b")))
+    assert(byId(3L) == ((1L, 1L, "")))       // every block boilerplate
+    assert(byId(4L) == ((3L, 1L, "x y z w"))) // middle block removed, order kept
+  }
 }
