@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, Layout, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -865,6 +865,33 @@ object Queries {
       .orderBy("view_id", "click_id")
   }
 
+  /** Z-order-clustered write + 2-d box-filtered read-back: events laid out
+    * by interleaved (user_id, day) bits so parquet min/max stats prune on
+    * BOTH dimensions (spec proves the pruning; this oracle proves the
+    * layout loses nothing and the filter semantics are exact). */
+  def q89Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("zorder")
+    val e = t(spark, dir, "events").select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    Layout.writeZOrdered(e, "user_id", "day", out, files = 8)
+    spark.read.parquet(out)
+      .where(col("user_id").between(10, 20) && col("day").between(19730, 19739))
+      .orderBy("event_id")
+  }
+
+  /** Small-file compaction: documents fragmented into 16 files, compacted
+    * to byte-targeted file count; oracle proves the rewrite is lossless.
+    * File-count arithmetic is spec-pinned in LayoutSpec. */
+  def q90Compact(spark: SparkSession, dir: String): DataFrame = {
+    val frag = tempDir("frag")
+    val comp = tempDir("compact")
+    t(spark, dir, "documents").repartition(16)
+      .write.mode("overwrite").parquet(frag)
+    Layout.compact(spark, frag, comp, targetBytes = 512L * 1024 * 1024)
+    spark.read.parquet(comp).select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Mergeable-sketch profile per source: HLL distinct fingerprints +
     * approx n_chars quantiles, one map-side-combining pass. Approximate by
     * nature → rows-only at the gate; tolerance pinned in SketchesSpec. */
@@ -1001,6 +1028,8 @@ object Queries {
     "q86_boilerplate" -> q86Boilerplate _,
     "q87_interval_overlap" -> q87IntervalOverlap _,
     "q88_sketch_profile" -> q88SketchProfile _,
+    "q89_zorder" -> q89Zorder _,
+    "q90_compact" -> q90Compact _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1684,6 +1713,14 @@ object Queries {
         |FROM (SELECT * FROM e WHERE event_type = 'view') v
         |JOIN (SELECT * FROM e WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND v.s <= c.e AND c.s <= v.e
-        |ORDER BY view_id, click_id""".stripMargin
+        |ORDER BY view_id, click_id""".stripMargin,
+    "q89_zorder" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 20
+        |  AND (epoch_us(ts) // 86400000000) BETWEEN 19730 AND 19739
+        |ORDER BY event_id""".stripMargin,
+    "q90_compact" ->
+      "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id"
   )
 }
