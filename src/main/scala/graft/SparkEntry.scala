@@ -865,6 +865,33 @@ object Queries {
       .orderBy("view_id", "click_id")
   }
 
+  /** Vocabulary build (top-50 tokens, count-desc/token-asc ids) + document
+    * encoding to id sequences (OOV → 0): one corpus-vocabulary aggregate,
+    * broadcast token→id join, one doc-keyed reassembly shuffle. The id
+    * array is emitted space-joined so the cross-engine compare is a plain
+    * string. */
+  def q91VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vocab = TextAnalysis.buildVocab(docs, "text", size = 50)
+    TextAnalysis.encodeIds(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"),
+        array_join(transform(col("ids"), _.cast("string")), " ").as("ids_str"),
+        col("n_tokens"), col("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-type winsorization of event values into [p01, p99]: exact
+    * percentile pair broadcast back as a pure projection; the big side
+    * never shuffles. Clipped output is either an untouched input or a
+    * bit-matched boundary (rounded 6dp for the compare). */
+  def q92Winsorize(spark: SparkSession, dir: String): DataFrame =
+    Checks.winsorize(
+      t(spark, dir, "events").select("event_id", "event_type", "value"),
+      "event_type", "value", lo = 0.01, hi = 0.99)
+      .select(col("event_id"), col("event_type"),
+        round(col("value_w"), 6).as("value_w"))
+      .orderBy("event_id")
+
   /** Z-order-clustered write + 2-d box-filtered read-back: events laid out
     * by interleaved (user_id, day) bits so parquet min/max stats prune on
     * BOTH dimensions (spec proves the pruning; this oracle proves the
@@ -1030,6 +1057,8 @@ object Queries {
     "q88_sketch_profile" -> q88SketchProfile _,
     "q89_zorder" -> q89Zorder _,
     "q90_compact" -> q90Compact _,
+    "q91_vocab_encode" -> q91VocabEncode _,
+    "q92_winsorize" -> q92Winsorize _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1721,6 +1750,34 @@ object Queries {
         |  AND (epoch_us(ts) // 86400000000) BETWEEN 19730 AND 19739
         |ORDER BY event_id""".stripMargin,
     "q90_compact" ->
-      "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id"
+      "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id",
+    "q91_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |), vocab AS (
+        |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS id
+        |  FROM (SELECT * FROM cnt ORDER BY cnt DESC, token ASC LIMIT 50)
+        |), enc AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+        |  FROM tok t LEFT JOIN vocab v USING (token))
+        |SELECT doc_id,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids_str,
+        |  count(*) AS n_tokens,
+        |  count(*) FILTER (id = 0) AS n_oov
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q92_winsorize" ->
+      """WITH s AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |         quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type,
+        |       ROUND(least(greatest(value, lo), hi), 6) AS value_w
+        |FROM events JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -100,4 +100,29 @@ object Checks {
       .where(abs(col(valueCol) - col("_m")) > lit(threshold) * col("_sd"))
       .drop("_m", "_sd")
   }
+
+  /** Winsorization: clip `valueCol` into its per-group [lo, hi] exact
+    * interpolated percentiles — the outlier treatment that keeps rows
+    * (unlike [[zscoreOutliers]]'s sweep) while bounding heavy tails before
+    * aggregation or model features.
+    *
+    * Same broadcast topology as zscoreOutliers: one aggregate reduces the
+    * table to a per-group percentile pair, broadcast back as a pure
+    * projection — the big side never shuffles. Exact percentiles are
+    * bit-identical to `quantile_cont` (q46-proven), so the clipped values
+    * are cross-engine exact: each output is either an untouched input or a
+    * bit-matched boundary.
+    */
+  def winsorize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
+    val stats = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile(`$valueCol`, $lo)").as("_lo"),
+      expr(s"percentile(`$valueCol`, $hi)").as("_hi"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
 }

@@ -133,4 +133,52 @@ object TextAnalysis {
       }
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "compress_ratio")
   }
+
+  /** Frequency vocabulary of the corpus: the `size` most frequent
+    * whitespace tokens, ids 1..size assigned in (count DESC, token ASC)
+    * order — the deterministic tie-break makes the vocabulary (and hence
+    * every encoding) reproducible across engines and runs.
+    *
+    * The corpus-sized work is ONE hash aggregate over exploded tokens
+    * (map-side combine; the shuffle moves corpus VOCABULARY, not tokens).
+    * The top-`size` cut is a TakeOrdered (no global sort), and the
+    * row_number window after it runs over `size` rows — a bounded
+    * single-partition window on an already-reduced table, the justified
+    * kind. Returns (token, id, cnt).
+    */
+  def buildVocab(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      size: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0, "vocab size must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(size)
+      .withColumn("id", row_number().over(w).cast("int"))
+      .select("token", "id", "cnt")
+  }
+
+  /** Encode each document as the id sequence of its tokens under `vocab`
+    * (out-of-vocabulary → 0) — the tokenizer front-end that turns a
+    * curated corpus into model input.
+    *
+    * The vocabulary is bounded (`buildVocab` size), so the token→id map
+    * rides in as a BROADCAST hash join against position-exploded tokens;
+    * the only corpus-sized shuffle is the per-document reassembly, which
+    * moves each (pos, id) pair once. Returns (idCol, ids: array<int>,
+    * n_tokens, n_oov).
+    */
+  def encodeIds(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0)))
+      .groupBy(col(idCol)).agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          s => s.getField("id")).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("id") === 0, 1)).as("n_oov"))
 }

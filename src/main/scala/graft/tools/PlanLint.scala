@@ -63,11 +63,14 @@ object PlanLint extends AdaptiveSparkPlanHelper {
         // SinglePartition allowed only for global SCALAR aggregates (q24
         // threshold, q47 min/max, q62's per-constraint violation tallies,
         // q67's one-row N, q68's one-row funnel report, q79's one-row
-        // total-weight/target scalars): the exchange moves one partial row
-        // per task, not data. Everything else must stay partitioned.
+        // total-weight/target scalars) and q91's id-assignment window over
+        // the already-reduced, size-bounded vocabulary (50 rows): the
+        // exchange moves one partial row per task (or a bounded table),
+        // not data. Everything else must stay partitioned.
         if (lines.exists(l => l.contains("SinglePartition")) &&
             !Set("q24_scalar_subquery", "q47_histogram", "q62_quality_checks",
-              "q67_tfidf_topk", "q68_funnel", "q79_domain_mix").contains(name))
+              "q67_tfidf_topk", "q68_funnel", "q79_domain_mix",
+              "q91_vocab_encode").contains(name))
           flag("shuffle to a single partition")
         // Column-pruning misses: a wide-table scan whose ReadSchema is the
         // FULL table. Whole-table ETL verbs legitimately read everything —

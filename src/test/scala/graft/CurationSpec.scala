@@ -215,6 +215,22 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"bucketed merge join must not shuffle, found: ${exchanges.mkString(";")}")
   }
 
+  test("winsorize clips into per-group percentiles, leaves interior values alone") {
+    val s = spark
+    import s.implicits._
+    // group a: 1..100 → p10=10.9, p90=90.1 (interpolated); group b untouched
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++ Seq(("b", 5.0), ("b", 6.0)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v")
+    val out = Checks.winsorize(df, "grp", "v", lo = 0.1, hi = 0.9)
+      .orderBy("id").collect()
+    val a = out.filter(_.getString(0) == "a").map(_.getDouble(3))
+    assert(math.abs(a.min - 10.9) < 1e-9 && math.abs(a.max - 90.1) < 1e-9)
+    assert(a(49) == 50.0, "interior values must pass through untouched")
+    val b = out.filter(_.getString(0) == "b").map(_.getDouble(3))
+    assert(math.abs(b.min - 5.1) < 1e-9 && math.abs(b.max - 5.9) < 1e-9)
+  }
+
   test("redactPii scrubs emails, IPs, phones and counts each category") {
     val out = Curation.redactPii(
       docs(

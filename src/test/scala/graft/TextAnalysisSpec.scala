@@ -62,4 +62,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("b", "dog", sc(1, 1), 1),
       ("b", "apple", sc(1, 2), 2)))
   }
+
+  test("buildVocab ranks by count desc then token asc; encodeIds maps OOV to 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a c d x")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", size = 3)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // counts: a=3 b=3 c=2 d=1 x=1 → ties broken token-asc, top-3 cut
+    assert(vocab.toSeq == Seq(("a", 1, 3L), ("b", 2, 3L), ("c", 3, 2L)))
+    val enc = TextAnalysis.encodeIds(docs, "doc_id", "text",
+        TextAnalysis.buildVocab(docs, "text", size = 3))
+      .orderBy("doc_id").collect()
+    assert(enc(0).getSeq[Int](1) == Seq(2, 2, 2, 1, 1, 3))
+    assert(enc(0).getLong(2) == 6 && enc(0).getLong(3) == 0)
+    assert(enc(1).getSeq[Int](1) == Seq(1, 3, 0, 0)) // d, x are OOV
+    assert(enc(1).getLong(2) == 4 && enc(1).getLong(3) == 2)
+  }
 }
