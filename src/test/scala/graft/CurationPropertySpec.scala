@@ -135,4 +135,53 @@ class CurationPropertySpec extends AnyFunSuite {
     }.map(_._1).toSet
     assert(got == expected)
   }
+
+  test("stripBoilerplate fuzz: block accounting vs model on 250 docs") {
+    val s = spark
+    import s.implicits._
+    val (bw, minDocs) = (3, 4)
+    val data = corpus(250, 60)
+    // independent model: same split → non-overlapping blocks → df count → strip
+    val modelBlocks: Map[Long, Seq[String]] = data.map { case (id, text) =>
+      id -> text.trim.split("\\s+").toSeq.grouped(bw).map(_.mkString(" ")).toSeq
+    }.toMap
+    val boiler = modelBlocks.values.flatMap(_.distinct)
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= minDocs).keySet
+    val out = Curation.stripBoilerplate(data.toDF("doc_id", "text"),
+        "doc_id", "text", blockWords = bw, minDocs = minDocs)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(boiler.nonEmpty, "fuzz fixture must actually produce boilerplate")
+    data.foreach { case (id, _) =>
+      val blocks = modelBlocks(id)
+      val kept = blocks.filterNot(boiler)
+      val (nB, nD, clean) = out(id)
+      assert(nB == blocks.size, s"doc $id n_blocks")
+      assert(nD == (blocks.size - kept.size), s"doc $id n_dropped")
+      assert(clean == kept.mkString(" "), s"doc $id clean_text")
+    }
+  }
+
+  test("encodeIds fuzz: id sequences vs model on 250 docs") {
+    val s = spark
+    import s.implicits._
+    val data = corpus(250, 80)
+    val df = data.toDF("doc_id", "text")
+    val size = 8 // smaller than the 15-word vocab → real OOVs
+    val counts = data.flatMap(_._2.split("\\s+")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val modelVocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(size)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val enc = graft.operators.TextAnalysis.encodeIds(df, "doc_id", "text",
+        graft.operators.TextAnalysis.buildVocab(df, "text", size))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2), r.getLong(3)))).toMap
+    data.foreach { case (id, text) =>
+      val words = text.trim.split("\\s+").toSeq
+      val ids = words.map(w => modelVocab.getOrElse(w, 0))
+      val (gotIds, nTok, nOov) = enc(id)
+      assert(gotIds == ids, s"doc $id ids")
+      assert(nTok == words.size && nOov == ids.count(_ == 0), s"doc $id counts")
+    }
+  }
 }
