@@ -399,4 +399,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains((ts("2024-01-01 01:00:00"), 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming sketch profile: per-group HLL state merges across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingSketch.runningProfile(
+        input.toDF().toDF("src", "fp"), "src", "fp")
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1 to 500).map(i => ("a", s"fp$i")) ++
+        (1 to 100).map(i => ("b", s"fp$i")): _*)
+      q.processAllAvailable()
+      // batch 2 overlaps batch 1 half-way: distinct grows to 750, rows to 1000
+      input.addData((251 to 750).map(i => ("a", s"fp$i")): _*)
+      q.processAllAvailable()
+      val out = spark.table("sketch_out")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(out("a")._2 == 1000L, "row count must span both batches")
+      assert(math.abs(out("a")._3 - 750.0) / 750.0 < 0.05,
+        s"running estimate ${out("a")._3} must track 750 cross-batch distincts")
+      assert(math.abs(out("b")._3 - 100.0) / 100.0 < 0.05)
+    } finally q.stop()
+  }
 }
