@@ -105,4 +105,48 @@ object Graft {
 
   /** Gzipped-CSV write. */
   def writeCsv(df: DataFrame, path: String): Unit = CsvSink.write(df, path)
+
+  /** End-to-end corpus curation — the operators composed in their canonical
+    * order (each stage is the oracle-checked operator behind the matching
+    * q-query; see SURVEY §2.3/§2.5b):
+    *
+    *   1. PII scrub ([[operators.Curation.redactPii]]),
+    *   2. absolute quality gate (`keep = 1`, [[operators.Curation.qualityFlags]]),
+    *   3. exact near-dup removal against the survivors themselves
+    *      ([[operators.Dedup]] fingerprint anti-join, first doc per
+    *      fingerprint wins),
+    *   4. benchmark decontamination ([[operators.Curation.ngramContamination]]
+    *      with hashed grams, containment < `maxContam`),
+    *   5. fixed-size chunking ([[operators.Curation.chunkWords]]).
+    *
+    * Stage order is the cost order: the zero-shuffle projections (1, 2)
+    * shrink the corpus before the shuffling stages (3, 4), and chunking
+    * (explode) runs last over only the kept docs. Every intermediate keeps
+    * the id column, so lineage joins back to the raw crawl. Returns the
+    * chunked training rows (id, chunk_idx, chunk_text, n_words).
+    */
+  def curateCorpus(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, maxContam: Double = 0.2,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    import org.apache.spark.sql.functions.broadcast
+    val scrubbed = Curation.redactPii(docs, idCol, textCol)
+      .withColumnRenamed("clean_text", textCol)
+      .select(col(idCol), col(textCol))
+    val quality = scrubbed.join(
+      Curation.qualityFlags(scrubbed, idCol, textCol)
+        .where(col("keep") === 1).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val deduped = quality.join(
+      Dedup.exact(quality, idCol, textCol).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val clean = deduped.join(
+      broadcast(
+        Curation.ngramContamination(deduped, benchmark, idCol, textCol,
+            hashGrams = true)
+          .where(col("contam_frac") >= maxContam).select(col(idCol))),
+      Seq(idCol), "left_anti")
+    Curation.chunkWords(clean, idCol, textCol, chunkSize, overlap)
+  }
 }

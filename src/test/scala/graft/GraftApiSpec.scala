@@ -33,4 +33,30 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.splitSqlFile("CREATE TABLE a (x int);\nDROP TABLE b; ;") ===
       Seq("CREATE TABLE a (x int)", "DROP TABLE b"))
   }
+
+  test("curateCorpus: scrub → gate → dedup → decontaminate → chunk, end to end") {
+    val s = spark
+    import s.implicits._
+    // a doc that passes the quality gate: 25 words, mwl in window, stopwords
+    def good(tag: String) =
+      ((1 to 20).map(i => f"${tag}wd$i%02d") ++ Seq("the", "a", "of", "is", "in"))
+        .mkString(" ")
+    val bench = Seq(100L -> good("x")).toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> (good("a") + " reach me at bob@example.com"), // survives (PII scrubbed)
+      2L -> "way too short",                              // fails quality gate
+      3L -> good("b"),                                    // survives
+      4L -> good("b"),                                    // exact dup of 3 → dropped
+      5L -> good("x")                                     // contaminated vs bench → dropped
+    ).toDF("doc_id", "text")
+    val out = Graft.curateCorpus(docs, "doc_id", "text", bench,
+      maxContam = 0.2, chunkSize = 16, overlap = 0)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getString(2))).toMap
+    assert(byDoc.keySet == Set(1L, 3L), s"kept ${byDoc.keySet}")
+    // doc 1 kept its text with the email tokenized, chunked at 16/0
+    val doc1 = byDoc(1L).mkString(" ").split("\\s+")
+    assert(doc1.contains("<EMAIL>") && !doc1.contains("bob@example.com"))
+    assert(byDoc(3L).length == 2 && byDoc(3L)(0).split(" ").length == 16)
+  }
 }
