@@ -892,6 +892,21 @@ object Queries {
         round(col("value_w"), 6).as("value_w"))
       .orderBy("event_id")
 
+  /** END-TO-END curation: Graft.curateCorpus (scrub → quality gate → exact
+    * dedup → decontamination → chunk) over the %97 corpus/bench split. The
+    * oracle recomposes every stage from its proven per-stage SQL; the Spark
+    * side runs the hashed-gram decontamination (scale default) against the
+    * oracle's string grams — equal modulo 2^-64 collisions (q78-proven). */
+  def q93CurateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Graft.curateCorpus(
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0).select("doc_id", "text"),
+      "doc_id", "text",
+      docs.where(pmod(col("doc_id"), lit(97)) === 0).select("doc_id", "text"),
+      maxContam = 0.2)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Z-order-clustered write + 2-d box-filtered read-back: events laid out
     * by interleaved (user_id, day) bits so parquet min/max stats prune on
     * BOTH dimensions (spec proves the pruning; this oracle proves the
@@ -1059,6 +1074,7 @@ object Queries {
     "q90_compact" -> q90Compact _,
     "q91_vocab_encode" -> q91VocabEncode _,
     "q92_winsorize" -> q92Winsorize _,
+    "q93_curate_corpus" -> q93CurateCorpus _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1778,6 +1794,44 @@ object Queries {
         |SELECT event_id, event_type,
         |       ROUND(least(greatest(value, lo), hi), 6) AS value_w
         |FROM events JOIN s USING (event_type)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q93_curate_corpus" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM corpus),
+        |q AS (
+        |  SELECT doc_id, text, words FROM (
+        |    SELECT doc_id, text, words, len(words) AS n,
+        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)/len(words) AS mwl,
+        |      CAST(len(list_filter(words, t -> list_contains(['the','a','an','and','of','is','in','to'], t))) AS DOUBLE)/len(words) AS stopr,
+        |      CAST(len(list_distinct(words)) AS DOUBLE)/len(words) AS distr
+        |    FROM w)
+        |  WHERE n BETWEEN 20 AND 80 AND mwl >= 4.2 AND mwl <= 4.8
+        |    AND stopr >= 0.02 AND distr >= 0.35),
+        |d AS (
+        |  SELECT doc_id, text, words FROM q
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+        |gi AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS g
+        |       FROM d WHERE len(words) >= 3),
+        |gr AS (SELECT doc_id, array_to_string(words[g:g+2], ' ') AS ng FROM gi),
+        |bw AS (SELECT string_split_regex(trim(text), '\s+') AS words FROM bench),
+        |bgi AS (SELECT words, unnest(generate_series(1, len(words)-2)) AS g
+        |        FROM bw WHERE len(words) >= 3),
+        |bgr AS (SELECT DISTINCT array_to_string(words[g:g+2], ' ') AS ng FROM bgi),
+        |contam AS (
+        |  SELECT dg.doc_id, CAST(count(b.ng) AS DOUBLE)/count(*) AS cf
+        |  FROM (SELECT DISTINCT doc_id, ng FROM gr) dg LEFT JOIN bgr b ON dg.ng = b.ng
+        |  GROUP BY 1),
+        |clean AS (
+        |  SELECT d.doc_id, d.words FROM d LEFT JOIN contam USING (doc_id)
+        |  WHERE coalesce(cf, 0) < 0.2),
+        |ci AS (SELECT doc_id, words,
+        |  unnest(generate_series(0,
+        |    CAST(greatest(ceil((len(words)-16)/48.0), 1) AS BIGINT)-1)) AS g
+        |  FROM clean)
+        |SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+        |  array_to_string(words[(g*48+1):(g*48+64)], ' ') AS chunk_text,
+        |  len(words[(g*48+1):(g*48+64)]) AS n_words
+        |FROM ci ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }
