@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, Layout, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -892,6 +892,24 @@ object Queries {
         round(col("value_w"), 6).as("value_w"))
       .orderBy("event_id")
 
+  /** MERGE INTO semantics (Merge.upsert): a changeset (every 7th order
+    * repriced at version 2, every 7·13th tombstoned) folds into the
+    * snapshot via ONE struct-max hash aggregate — map-side combining, no
+    * per-key window sort, soft deletes dropped after the argmax. */
+  def q94Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      lit(1L).as("version"), lit(false).as("deleted"))
+    val changes = t(spark, dir, "orders")
+      .where(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"),
+        lit(2L).as("version"),
+        (pmod(col("o_orderkey"), lit(13)) === 0).as("deleted"))
+    Merge.upsert(base, changes, Seq("o_orderkey"), "version", Some("deleted"))
+      .orderBy("o_orderkey")
+  }
+
   /** END-TO-END curation: Graft.curateCorpus (scrub → quality gate → exact
     * dedup → decontamination → chunk) over the %97 corpus/bench split. The
     * oracle recomposes every stage from its proven per-stage SQL; the Spark
@@ -1075,6 +1093,7 @@ object Queries {
     "q91_vocab_encode" -> q91VocabEncode _,
     "q92_winsorize" -> q92Winsorize _,
     "q93_curate_corpus" -> q93CurateCorpus _,
+    "q94_upsert" -> q94Upsert _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1832,6 +1851,14 @@ object Queries {
         |SELECT doc_id, CAST(g AS INT) AS chunk_idx,
         |  array_to_string(words[(g*48+1):(g*48+64)], ' ') AS chunk_text,
         |  len(words[(g*48+1):(g*48+64)]) AS n_words
-        |FROM ci ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM ci ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q94_upsert" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 13 = 0)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -31,6 +31,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(out == Seq(7L, 27L, 0L, (1L << 32) - 1))
   }
 
+  test("zValue fuzz: matches a bit-twiddling Scala Morton model") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3L)
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val pts = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pts.map { case (x, y) => morton(x, y) })
+  }
+
   test("z-order layout prunes a y-only filter that an x-sorted layout cannot") {
     val s = spark
     import s.implicits._
