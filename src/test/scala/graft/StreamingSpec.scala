@@ -400,6 +400,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest appends only fingerprint-fresh docs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    // seed corpus: one existing doc
+    Seq((100L, "existing corpus doc")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpus)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIngest.appendDeduped(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    try {
+      // batch 1: a corpus dup, an internal dup pair (min id wins), a fresh doc
+      input.addData(
+        1L -> "Existing corpus DOC!", // normalizes to the seeded fingerprint
+        3L -> "brand new doc",
+        2L -> "brand NEW doc",        // internal dup of 3 → 2 wins (min id)
+        4L -> "another fresh one")
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).as[(Long, String)].collect().toMap
+      assert(after1.keySet == Set(100L, 2L, 4L), s"got ${after1.keySet}")
+      // batch 2: replays batch 1 + one genuinely new doc
+      input.addData(2L -> "brand new doc", 4L -> "another fresh one", 9L -> "truly new")
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).as[(Long, String)].collect().toMap
+      assert(after2.keySet == Set(100L, 2L, 4L, 9L), s"got ${after2.keySet}")
+    } finally q.stop()
+  }
+
   test("streaming sketch profile: per-group HLL state merges across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
