@@ -892,6 +892,16 @@ object Queries {
         round(col("value_w"), 6).as("value_w"))
       .orderBy("event_id")
 
+  /** Per-type min-max feature scaling into [0,1]: min/max are
+    * order-independent aggregates, so the scaled floats are bit-identical
+    * across engines — no rounding needed, compared raw. */
+  def q95MinmaxScale(spark: SparkSession, dir: String): DataFrame =
+    Checks.scaleMinMax(
+      t(spark, dir, "events").select("event_id", "event_type", "value"),
+      "event_type", "value")
+      .select("event_id", "event_type", "value", "value_scaled")
+      .orderBy("event_id")
+
   /** MERGE INTO semantics (Merge.upsert): a changeset (every 7th order
     * repriced at version 2, every 7·13th tombstoned) folds into the
     * snapshot via ONE struct-max hash aggregate — map-side combining, no
@@ -1094,6 +1104,7 @@ object Queries {
     "q92_winsorize" -> q92Winsorize _,
     "q93_curate_corpus" -> q93CurateCorpus _,
     "q94_upsert" -> q94Upsert _,
+    "q95_minmax_scale" -> q95MinmaxScale _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1859,6 +1870,14 @@ object Queries {
         |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
         |FROM orders
         |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 13 = 0)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q95_minmax_scale" ->
+      """WITH s AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN mx > mn THEN (value - mn) / (mx - mn) ELSE 0.0 END AS value_scaled
+        |FROM events JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin
   )
 }

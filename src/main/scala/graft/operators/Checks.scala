@@ -125,4 +125,26 @@ object Checks {
         least(greatest(col(valueCol), col("_lo")), col("_hi")))
       .drop("_lo", "_hi")
   }
+
+  /** Min-max feature scaling per group: `valueCol` mapped into [0, 1] by
+    * its group's (min, max) — the normalization step before features meet
+    * a model. A degenerate group (min == max) scales to 0.
+    *
+    * Same broadcast topology as [[winsorize]]. Min/max (unlike mean/std)
+    * are ORDER-INDEPENDENT aggregates, so the scaled values are
+    * bit-identical across engines and partition orders — one IEEE
+    * subtract-divide on identical inputs, no float-association
+    * nondeterminism anywhere.
+    */
+  def scaleMinMax(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).as("_mn"), max(col(valueCol)).as("_mx"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn(s"${valueCol}_scaled",
+        when(col("_mx") > col("_mn"),
+          (col(valueCol) - col("_mn")) / (col("_mx") - col("_mn")))
+          .otherwise(lit(0.0)))
+      .drop("_mn", "_mx")
+  }
 }

@@ -231,6 +231,16 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(math.abs(b.min - 5.1) < 1e-9 && math.abs(b.max - 5.9) < 1e-9)
   }
 
+  test("scaleMinMax maps each group into [0,1], degenerate groups to 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 15.0),
+      (4L, "b", 7.0), (5L, "b", 7.0)).toDF("id", "grp", "v")
+    val out = Checks.scaleMinMax(df, "grp", "v")
+      .orderBy("id").collect().map(_.getDouble(3))
+    assert(out.toSeq == Seq(0.0, 1.0, 0.5, 0.0, 0.0))
+  }
+
   test("redactPii scrubs emails, IPs, phones and counts each category") {
     val out = Curation.redactPii(
       docs(
