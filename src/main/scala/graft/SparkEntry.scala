@@ -892,6 +892,29 @@ object Queries {
         round(col("value_w"), 6).as("value_w"))
       .orderBy("event_id")
 
+  /** Training-sequence assembly (the capstone of the chunk→pack chain):
+    * q80's chunks packed into 256-word budget sequences by the q75
+    * distributed prefix-sum machinery (no single-partition window), each
+    * sequence assembled in (doc, chunk) order with an <eos> separator.
+    * One doc-order range shuffle + one seq-keyed reassembly. */
+  def q96PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Curation.chunkWords(
+      t(spark, dir, "documents"), "doc_id", "text", chunkSize = 64, overlap = 16)
+    Packing.packByBudget(chunks, order = Seq("doc_id", "chunk_idx"),
+      weightCol = "n_words", budget = 256L,
+      cumCol = "cum_words", shardCol = "seq_id")
+      .groupBy("seq_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_words").as("n_words"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("doc_id"), col("chunk_idx"), col("chunk_text")))),
+            s => s.getField("chunk_text")),
+          " <eos> ").as("seq_text"))
+      .orderBy("seq_id")
+  }
+
   /** Per-type min-max feature scaling into [0,1]: min/max are
     * order-independent aggregates, so the scaled floats are bit-identical
     * across engines — no rounding needed, compared raw. */
@@ -1105,6 +1128,7 @@ object Queries {
     "q93_curate_corpus" -> q93CurateCorpus _,
     "q94_upsert" -> q94Upsert _,
     "q95_minmax_scale" -> q95MinmaxScale _,
+    "q96_pack_sequences" -> q96PackSequences _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1878,6 +1902,28 @@ object Queries {
         |SELECT event_id, event_type, value,
         |  CASE WHEN mx > mn THEN (value - mn) / (mx - mn) ELSE 0.0 END AS value_scaled
         |FROM events JOIN s USING (event_type)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q96_pack_sequences" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+        |), i AS (
+        |  SELECT doc_id, words,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(ceil((len(words) - 16) / 48.0), 1) AS BIGINT) - 1)) AS g
+        |  FROM w
+        |), ch AS (
+        |  SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+        |    array_to_string(words[(g*48+1):(g*48+64)], ' ') AS chunk_text,
+        |    len(words[(g*48+1):(g*48+64)]) AS n_words
+        |  FROM i
+        |), p AS (
+        |  SELECT doc_id, chunk_idx, chunk_text, n_words,
+        |    SUM(n_words) OVER (ORDER BY doc_id, chunk_idx
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ch)
+        |SELECT CAST((cum - 1) // 256 AS BIGINT) AS seq_id,
+        |  count(*) AS n_chunks, CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  string_agg(chunk_text, ' <eos> ' ORDER BY doc_id, chunk_idx) AS seq_text
+        |FROM p GROUP BY 1 ORDER BY seq_id""".stripMargin
   )
 }
