@@ -58,7 +58,13 @@ object Layout {
   /** Compact a parquet directory to ceil(totalBytes / targetBytes) files
     * (at least 1), rewriting into `destPath`. Returns (filesBefore,
     * filesAfter). Row order is not preserved — compaction is a layout
-    * operation; pair with [[writeZOrdered]] when clustering matters. */
+    * operation; pair with [[writeZOrdered]] when clustering matters.
+    *
+    * Merging DOWN uses `coalesce`, not `repartition`: each output task
+    * reads several input files and writes one — NO shuffle, which at
+    * 100 TB is the difference between a metadata-cost rewrite and moving
+    * the corpus over the network. (`repartition` only when the target
+    * exceeds the scan's parallelism, where coalesce cannot grow.) */
   def compact(
       spark: SparkSession, srcPath: String, destPath: String,
       targetBytes: Long): (Int, Int) = {
@@ -70,9 +76,11 @@ object Layout {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(srcPath)
-      .repartition(target)
-      .write.mode(SaveMode.Overwrite).parquet(destPath)
+    val scan = spark.read.parquet(srcPath)
+    val sized =
+      if (target <= scan.rdd.getNumPartitions) scan.coalesce(target)
+      else scan.repartition(target)
+    sized.write.mode(SaveMode.Overwrite).parquet(destPath)
     val after = fs.listStatus(new org.apache.hadoop.fs.Path(destPath))
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (parts.length, after)
