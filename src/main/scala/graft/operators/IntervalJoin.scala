@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed interval-OVERLAP join — pairs (l, r) sharing a key whose
@@ -36,24 +36,29 @@ object IntervalJoin {
 
   /** Overlap-join `left` and `right` on equal `keys` and intersecting
     * [startCol, endCol] ranges. Start/end columns must be integral (e.g.
-    * epoch micros) and non-negative; the two inputs must not share any
-    * non-key column name. Bin arithmetic is integer division (`div`), so
-    * bin assignment is exact at any epoch magnitude — no double rounding.
-    */
+    * epoch micros; negative coordinates are handled — binning is true
+    * floor division); the two inputs must not share any non-key column
+    * name. */
   def overlapJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // True FLOOR division: SQL `div` truncates toward zero, which would
+    // mis-bin negative coordinates (pre-1970 epochs, signed offsets) —
+    // correct the quotient down when a negative value has a remainder.
+    // Pure integer arithmetic: exact at any magnitude, no double rounding.
+    def bin(name: String): Column = {
+      val c = col(name)
+      val q = expr(s"`$name` div ${binWidth}L")
+      when(pmod(c, lit(binWidth)) =!= 0 && c < 0, q - 1).otherwise(q)
+    }
     def banded(df: DataFrame, s: String, e: String) =
-      df.withColumn("_bin",
-        explode(sequence(
-          expr(s"`$s` div ${binWidth}L"), expr(s"`$e` div ${binWidth}L"))))
+      df.withColumn("_bin", explode(sequence(bin(s), bin(e))))
     banded(left, lStart, lEnd)
       .join(banded(right, rStart, rEnd), keys :+ "_bin")
       .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .where(col("_bin") === greatest(
-        expr(s"`$lStart` div ${binWidth}L"), expr(s"`$rStart` div ${binWidth}L")))
+      .where(col("_bin") === greatest(bin(lStart), bin(rStart)))
       .drop("_bin")
   }
 }

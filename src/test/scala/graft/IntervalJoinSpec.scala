@@ -43,6 +43,22 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(run(l, r, 1000L) == Seq((10L, 20L), (10L, 21L)))
   }
 
+  test("negative coordinates bin correctly (floor, not truncate-toward-zero)") {
+    val rnd = new scala.util.Random(99)
+    def gen(n: Int) = (1L to n).map { i =>
+      val s = rnd.nextInt(8000).toLong - 4000 // spans negative and positive
+      (rnd.nextInt(3).toLong, i, s, s + rnd.nextInt(1500))
+    }
+    val l = intervals("a", gen(150): _*)
+    val r = intervals("b", gen(150): _*)
+    val banded = run(l, r, 700L)
+    val naive = l.join(r, "key")
+      .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    assert(banded.distinct.size == banded.size, "emitted a duplicate pair")
+    assert(banded == naive)
+  }
+
   test("results are invariant to bin width") {
     val rnd = new scala.util.Random(7)
     def gen(n: Int) = (1L to n).map { i =>
