@@ -425,6 +425,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val after2 = spark.read.parquet(corpus).as[(Long, String)].collect().toMap
       assert(after2.keySet == Set(100L, 2L, 4L, 9L), s"got ${after2.keySet}")
+      // the fingerprint sidecar tracks the corpus 1:1 (bootstrap included),
+      // so steady-state probes never touch corpus text
+      val fps = spark.read
+        .parquet(graft.streaming.StreamingIngest.fingerprintPath(corpus))
+        .distinct().count()
+      assert(fps == 4L, s"sidecar should hold 4 distinct fingerprints, got $fps")
     } finally q.stop()
   }
 
