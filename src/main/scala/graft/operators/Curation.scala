@@ -215,26 +215,33 @@ object Curation {
     *
     * Returns (id, clean_text, n_blocks, n_dropped); a document whose every
     * block is boilerplate comes back with an empty `clean_text`.
-    */
+    *
+    * @param hashBlocks run the frequency pass (and the strip join) on
+    *        8-byte xxhash64 block keys instead of block strings — the
+    *        100 TB default, as with [[ngramContamination]]'s `hashGrams`
+    *        (identical output modulo a 2^-64 per-block collision chance,
+    *        spec-checked equal on real text); keep strings when the
+    *        oracle must reproduce the keys. */
   def stripBoilerplate(
       df: DataFrame, idCol: String, textCol: String,
-      blockWords: Int = 4, minDocs: Int = 5): DataFrame = {
+      blockWords: Int = 4, minDocs: Int = 5,
+      hashBlocks: Boolean = false): DataFrame = {
     require(blockWords > 0 && minDocs > 1, "need blockWords > 0, minDocs > 1")
     val toks = tokens(col(textCol))
     val nBlocks = greatest(
       ceil(size(toks).cast("double") / blockWords), lit(1L))
+    val blkText = array_join(slice(col("_toks"),
+      (col("_g") * blockWords + 1).cast("int"), lit(blockWords)), " ")
     val blocks = df
       .select(col(idCol), toks.as("_toks"),
         explode(sequence(lit(0L), nBlocks - 1)).as("_g"))
-      .select(col(idCol), col("_g"),
-        array_join(slice(col("_toks"),
-          (col("_g") * blockWords + 1).cast("int"), lit(blockWords)), " ")
-          .as("_blk"))
+      .select(col(idCol), col("_g"), blkText.as("_blk"),
+        (if (hashBlocks) xxhash64(blkText) else blkText).as("_key"))
     val boiler = blocks
-      .groupBy("_blk").agg(count_distinct(col(idCol)).as("_df"))
+      .groupBy("_key").agg(count_distinct(col(idCol)).as("_df"))
       .where(col("_df") >= minDocs)
-      .select(col("_blk"), lit(1).as("_hit"))
-    blocks.join(broadcast(boiler), Seq("_blk"), "left")
+      .select(col("_key"), lit(1).as("_hit"))
+    blocks.join(broadcast(boiler), Seq("_key"), "left")
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_blocks"),
         count(col("_hit")).as("n_dropped"),

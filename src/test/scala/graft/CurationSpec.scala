@@ -231,6 +231,18 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(math.abs(b.min - 5.1) < 1e-9 && math.abs(b.max - 5.9) < 1e-9)
   }
 
+  test("stripBoilerplate: hashed-block scale path matches the string path on real text") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(hash: Boolean) =
+      Curation.stripBoilerplate(docs, "doc_id", "text",
+          blockWords = 4, minDocs = 5, hashBlocks = hash)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val strings = run(false)
+    assert(strings.exists(_._3 > 0), "fixture must actually drop blocks")
+    assert(run(true) == strings)
+  }
+
   test("scaleMinMax maps each group into [0,1], degenerate groups to 0") {
     val s = spark
     import s.implicits._
