@@ -126,6 +126,32 @@ object Checks {
       .drop("_lo", "_hi")
   }
 
+  /** Schema-drift report between an expected schema and an incoming
+    * DataFrame — the ingest guardrail run before an append lands (the
+    * reference re-derives schemas from PROC CONTENTS every refresh,
+    * wrds2pg/sas/metadata.py:8; at 100 TB an upstream column change must
+    * fail fast, not corrupt a partition).
+    *
+    * Pure metadata — no jobs, no scans. Returns one row per drift:
+    * (column, kind, expected, actual) with kind ∈ {missing, added,
+    * type_changed}, ordered by column; empty result = schemas compatible.
+    * Column name matching is case-insensitive (Spark's resolution
+    * default); type comparison is on catalogString. */
+  def schemaDrift(
+      expected: org.apache.spark.sql.types.StructType,
+      actual: org.apache.spark.sql.types.StructType): Seq[(String, String, String, String)] = {
+    def norm(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name.toLowerCase -> f.dataType.catalogString).toMap
+    val (e, a) = (norm(expected), norm(actual))
+    val missing = (e.keySet -- a.keySet).toSeq.sorted
+      .map(c => (c, "missing", e(c), ""))
+    val added = (a.keySet -- e.keySet).toSeq.sorted
+      .map(c => (c, "added", "", a(c)))
+    val changed = (e.keySet & a.keySet).toSeq.sorted
+      .filter(c => e(c) != a(c)).map(c => (c, "type_changed", e(c), a(c)))
+    (missing ++ added ++ changed).sortBy(_._1)
+  }
+
   /** Min-max feature scaling per group: `valueCol` mapped into [0, 1] by
     * its group's (min, max) — the normalization step before features meet
     * a model. A degenerate group (min == max) scales to 0.

@@ -253,6 +253,21 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out.toSeq == Seq(0.0, 1.0, 0.5, 0.0, 0.0))
   }
 
+  test("schemaDrift reports missing, added, and type-changed columns") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(
+      StructField("id", LongType), StructField("Price", DoubleType),
+      StructField("tag", StringType)))
+    val actual = StructType(Seq(
+      StructField("id", LongType), StructField("price", StringType),
+      StructField("extra", IntegerType)))
+    assert(Checks.schemaDrift(expected, actual) == Seq(
+      ("extra", "added", "", "int"),
+      ("price", "type_changed", "double", "string"),
+      ("tag", "missing", "string", "")))
+    assert(Checks.schemaDrift(expected, expected).isEmpty)
+  }
+
   test("redactPii scrubs emails, IPs, phones and counts each category") {
     val out = Curation.redactPii(
       docs(
