@@ -993,6 +993,22 @@ object Queries {
       TextAnalysis.fingerprint(col("text")), col("n_chars"))
       .orderBy("source")
 
+  /** Perceptual near-dup payloads: every 5th doc gets a 1-byte-perturbed
+    * copy planted (id+1e6); aHash + pigeonhole hamming join recovers the
+    * planted pairs that exact digests (q73) cannot (different md5). Rows
+    * only — byte-level aHash has no SQL oracle; banding exactness and
+    * planted-pair recall are spec-pinned. */
+  def q97PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val perturbed = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 1)"), lit("x")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(perturbed)
+    Binary.perceptualNearDups(
+      spark, Binary.withPayload(corpus, "text"), "doc_id", maxHamming = 3)
+      .orderBy("a", "b")
+  }
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -1129,6 +1145,7 @@ object Queries {
     "q94_upsert" -> q94Upsert _,
     "q95_minmax_scale" -> q95MinmaxScale _,
     "q96_pack_sequences" -> q96PackSequences _,
+    "q97_phash_dedup" -> q97PhashDedup _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,

@@ -130,4 +130,54 @@ object Binary {
     }
     spark.createDataFrame(out, featureSchema)
   }
+
+  /** 64-bit average hash (aHash) of a payload: nearest-neighbor downsample
+    * to 64 bytes (same sampling as [[resizeStub]] — a real pipeline would
+    * decode to an 8×8 luma grid here), bit i set iff sample i is at or
+    * above the sample mean. Robust to small local edits the way exact
+    * digests (q73's frame md5) are not — the perceptual-dedup primitive.
+    * Payloads shorter than 64 bytes hash to 0 (match-nothing sentinel). */
+  private[multimodal] def aHashOf(payload: Array[Byte]): Long = {
+    if (payload.length < 64) 0L
+    else {
+      val s = new Array[Int](64)
+      var i = 0
+      var sum = 0L
+      while (i < 64) {
+        s(i) = payload((i.toLong * payload.length / 64).toInt) & 0xFF
+        sum += s(i)
+        i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if (s(i) * 64L >= sum) h |= (1L << i) // integer compare vs mean — no float
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** (_id, simhash) aHash signatures per payload — one fused per-partition
+    * pass, payload pruned before anything shuffles. */
+  def aHashes(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val rows = df.select(col(idCol).cast(LongType), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val out = rows.rdd.mapPartitions(_.map { r =>
+      Row(r.getLong(0), aHashOf(r.getAs[Array[Byte]](1)))
+    })
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("_id", LongType), StructField("simhash", LongType))))
+  }
+
+  /** Perceptual near-dup payload pairs (a < b, hamming <= maxHamming) via
+    * the shared pigeonhole banding ([[graft.operators.SimHash.hammingPairs]]):
+    * candidates from a (block, value) equi-join over 4×16-bit aHash blocks,
+    * exact bit_count verify — never all-pairs, and the 0-hash short-payload
+    * sentinel rows are dropped before banding. */
+  def perceptualNearDups(
+      spark: SparkSession, df: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.SimHash.hammingPairs(
+      aHashes(spark, df, idCol).where(col("simhash") =!= 0L), maxHamming)
 }

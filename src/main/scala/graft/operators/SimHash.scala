@@ -69,9 +69,17 @@ object SimHash {
   /** Near-dup pairs (a < b) with Hamming distance <= maxHamming (<= 3:
     * the 4x16 pigeonhole guarantee covers up to 3; wider thresholds would
     * need more blocks). */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame =
+    hammingPairs(simhashes(df, idCol, textCol), maxHamming)
+
+  /** Pigeonhole hamming-pair join over ANY 64-bit signature table
+    * `(_id, simhash)` — the banding core shared by text simhash and
+    * [[graft.multimodal.Binary.perceptualNearDups]]'s perceptual aHash:
+    * 4 blocks of 16 bits, candidates from an equi-join on (block, value)
+    * (any pair within hamming <= 3 agrees on a whole block), exact
+    * `bit_count` verify after. Never a cross join. */
+  def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 blocks of 16 bits guarantee recall only for hamming <= 3")
-    val sig = simhashes(df, idCol, textCol)
     val blocks = array((0 until 4).map { j =>
       shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
     }: _*)
