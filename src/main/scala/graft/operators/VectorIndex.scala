@@ -46,6 +46,22 @@ object VectorIndex {
     spark.read.parquet(s"$path/meta").orderBy("bucket").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
 
+  /** Incremental append to a written IVF index — the ingest-side twin of
+    * [[writeIvf]]: the new batch is assigned against the SIDECAR centroids
+    * (no rebuild, no touch of existing rows) and appended into the same
+    * `bucket=` partition directories, so probes keep their pruning and see
+    * old + new rows alike. At 100 TB this is what makes the index
+    * maintainable — a nightly embedding batch appends in O(batch), while a
+    * rebuild would rewrite the corpus. (Centroids drift as the
+    * distribution shifts; re-running [[writeIvf]] occasionally re-balances
+    * — the standard IVF maintenance bargain.) */
+  def appendIvf(
+      df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val centroids = readIvfCentroids(df.sparkSession, path)
+    Similarity.assignBuckets(df, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/corpus")
+  }
+
   /** Top-k probe against a written IVF index: centroid ranking happens on
     * the driver (C×dim doubles), then ONLY the `nprobe` nearest bucket
     * directories are scanned (partition-pruned — spec-checked via the scan's

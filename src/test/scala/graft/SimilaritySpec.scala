@@ -147,6 +147,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"filesRead=$filesRead outside any-2-bucket range [$twoSmallestPossible,$twoLargestPossible]")
   }
 
+  test("VectorIndex IVF append: new vectors land pruned-probe-visible, no rebuild") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val byId = emb.where(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    val centroids = (0L until 4L).map(byId)
+    val q = byId(0L)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    val base = emb.where(col("vec_id") < 100)
+    val batch = emb.where(col("vec_id") >= 100 && col("vec_id") < 150)
+
+    VectorIndex.writeIvf(base, "vec_id", "embedding", centroids, path)
+    VectorIndex.appendIvf(batch, "vec_id", "embedding", path)
+
+    // append must be invisible vs a full build over the union
+    val full = java.nio.file.Files.createTempDirectory("graft-ivffull").toString
+    VectorIndex.writeIvf(emb.where(col("vec_id") < 150), "vec_id", "embedding", centroids, full)
+    def probe(p: String) = VectorIndex.ivfTopK(spark, p, "vec_id", "embedding",
+        q, nprobe = 2, k = 15, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probe(path) == probe(full),
+      "appended index must answer exactly like a full rebuild")
+    // and the appended rows are actually reachable (some id >= 100 in top-15
+    // of SOME probe — use a batch vector as its own query, rank 1 = itself)
+    val q120 = emb.where(col("vec_id") === 120L)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val self = VectorIndex.ivfTopK(spark, path, "vec_id", "embedding",
+        q120, nprobe = 4, k = 1)
+      .select("vec_id").as[Long].collect()
+    assert(self.headOption.contains(120L), "appended vector must be findable")
+  }
+
   test("VectorIndex LSH: probe equals unindexed LSH and scans only the tables' buckets") {
     import graft.operators.VectorIndex
     val dir = "/root/testdata/sf0.001"
