@@ -107,6 +107,26 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incremental append to a written LSH index — [[appendIvf]]'s twin:
+    * the batch is bucketed with the SIDECAR's hyperplane seed (identical
+    * planes, no rebuild) and appended into the same `table=/bucket=`
+    * partition dirs; probes keep their `tables`-directory pruning over
+    * old + new rows. O(batch × tables) writes. */
+  def appendLsh(
+      df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (bits, tables, seed, dim) = (m.getInt(0), m.getInt(1), m.getLong(2), m.getInt(3))
+    val byTable = Similarity.hyperplanes(bits * tables, dim, seed)
+      .grouped(bits).toSeq
+    val entries = byTable.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("table"), Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+    }
+    df.select(col(idCol), col(vecCol), explode(array(entries: _*)).as("_e"))
+      .select(col(idCol), col(vecCol), col("_e.table").as("table"), col("_e.bucket").as("bucket"))
+      .write.mode("append").partitionBy("table", "bucket").parquet(s"$path/corpus")
+  }
+
   /** Top-k probe against a written LSH index: the query's bucket per table
     * is computed on the driver from the sidecar's seed, the scan reads
     * exactly `tables` bucket directories (partition-pruned OR of per-table

@@ -181,6 +181,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(self.headOption.contains(120L), "appended vector must be findable")
   }
 
+  test("VectorIndex LSH append: identical to a full rebuild, batch findable") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val inc = java.nio.file.Files.createTempDirectory("graft-lshapp").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-lshfull").toString
+    VectorIndex.writeLsh(emb.where(col("vec_id") < 100), "vec_id", "embedding",
+      bitsPerTable = 3, tables = 4, seed = 7L, path = inc)
+    VectorIndex.appendLsh(emb.where(col("vec_id") >= 100 && col("vec_id") < 150),
+      "vec_id", "embedding", inc)
+    VectorIndex.writeLsh(emb.where(col("vec_id") < 150), "vec_id", "embedding",
+      bitsPerTable = 3, tables = 4, seed = 7L, path = full)
+    def probe(p: String) = VectorIndex.lshTopK(spark, p, "vec_id", "embedding",
+        q, k = 15, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probe(inc) == probe(full),
+      "appended LSH index must answer exactly like a full rebuild")
+    val q130 = emb.where(col("vec_id") === 130L)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    val self = VectorIndex.lshTopK(spark, inc, "vec_id", "embedding", q130, k = 1)
+      .select("vec_id").as[Long].collect()
+    assert(self.headOption.contains(130L), "appended vector must be findable")
+  }
+
   test("VectorIndex LSH: probe equals unindexed LSH and scans only the tables' buckets") {
     import graft.operators.VectorIndex
     val dir = "/root/testdata/sf0.001"
