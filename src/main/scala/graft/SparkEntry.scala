@@ -993,6 +993,18 @@ object Queries {
       TextAnalysis.fingerprint(col("text")), col("n_chars"))
       .orderBy("source")
 
+  /** BPE merge training (tokenizer-train side of q91's vocab/encode): one
+    * distributed word-frequency pass, then the textbook merge loop over
+    * the vocabulary-sized dict on the driver (deterministic count-desc/
+    * pair-asc tie-break, spec-pinned). Rows-only — iterative merging has
+    * no SQL expression. */
+  def q98BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", merges = 30)
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
   /** Perceptual near-dup payloads: every 5th doc gets a 1-byte-perturbed
     * copy planted (id+1e6); aHash + pigeonhole hamming join recovers the
     * planted pairs that exact digests (q73) cannot (different md5). Rows
@@ -1146,6 +1158,7 @@ object Queries {
     "q95_minmax_scale" -> q95MinmaxScale _,
     "q96_pack_sequences" -> q96PackSequences _,
     "q97_phash_dedup" -> q97PhashDedup _,
+    "q98_bpe_merges" -> q98BpeMerges _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,

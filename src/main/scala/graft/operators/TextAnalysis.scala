@@ -160,6 +160,68 @@ object TextAnalysis {
       .select("token", "id", "cnt")
   }
 
+  /** Byte-pair-encoding merge training — the tokenizer-TRAIN side of the
+    * pipeline ([[buildVocab]]/[[encodeIds]] are the apply side).
+    *
+    * The corpus-sized work is ONE distributed pass: the word-frequency
+    * aggregate (map-side combining; the shuffle moves corpus VOCABULARY,
+    * not tokens). BPE's merge loop then operates on that frequency dict —
+    * the textbook formulation — which is vocabulary-sized, orders of
+    * magnitude below the corpus, so it runs on the driver exactly like
+    * [[Dedup]]'s small-side union-find: deterministic, one job, no
+    * per-round shuffles. (A 100 TB corpus has a bounded word vocabulary;
+    * if it ever didn't, the same loop runs over a frequency DataFrame at
+    * per-round aggregate cost.)
+    *
+    * Words are split into characters with a `</w>` end marker; each round
+    * merges the (count DESC, pair ASC)-best adjacent symbol pair — the
+    * deterministic tie-break makes training reproducible. Returns the
+    * ordered merge list: (rank, left, right, pair_count).
+    */
+  def bpeTrain(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    require(merges > 0, "need merges > 0")
+    val wordFreq: Array[(Array[String], Long)] =
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0).map(_.toString).toArray :+ "</w>", r.getLong(1)))
+    val words = wordFreq.map(_._1.toBuffer)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var continueLoop = true
+    while (rank < merges && continueLoop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val w = words(i); val c = wordFreq(i)._2
+        var j = 0
+        while (j < w.length - 1) {
+          val k = (w(j), w(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) continueLoop = false
+      else {
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, n))
+        val merged = l + r
+        words.foreach { w =>
+          var j = 0
+          while (j < w.length - 1) {
+            if (w(j) == l && w(j + 1) == r) { w(j) = merged; w.remove(j + 1) }
+            else j += 1
+          }
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
   /** Encode each document as the id sequence of its tokens under `vocab`
     * (out-of-vocabulary → 0) — the tokenizer front-end that turns a
     * curated corpus into model input.

@@ -63,6 +63,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("b", "apple", sc(1, 2), 2)))
   }
 
+  test("bpeTrain: deterministic merges with count-desc, pair-asc tie-break") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    // word freqs: aa×2 → [a,a,</w>], ab×1 → [a,b,</w>]
+    // r1: (a,</w>)=2 ties (a,a)=2, "</w>" < "a" → merge (a,</w>)
+    // r2: (a,a</w>)=2 wins → merge; r3: (a,b)=1 beats (b,</w>)=1 by pair asc
+    val got = graft.operators.TextAnalysis.bpeTrain(docs, "text", merges = 3)
+    assert(got == Seq(
+      (0, "a", "</w>", 2L), (1, "a", "a</w>", 2L), (2, "a", "b", 1L)))
+    // loop stops early once nothing is left to merge
+    assert(graft.operators.TextAnalysis.bpeTrain(docs, "text", merges = 50).length <= 5)
+  }
+
   test("buildVocab ranks by count desc then token asc; encodeIds maps OOV to 0") {
     val s = spark
     import s.implicits._
