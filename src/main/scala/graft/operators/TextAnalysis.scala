@@ -222,6 +222,45 @@ object TextAnalysis {
     out.result()
   }
 
+  /** Apply trained BPE merges ([[bpeTrain]]'s output) to segment documents
+    * into subword tokens — the tokenize step itself. The merge list rides
+    * in as a broadcast (it is merge-count-sized); each partition keeps a
+    * word→segmentation memo, so the per-word merge loop runs once per
+    * DISTINCT word per partition, not per occurrence — the same
+    * vocabulary-not-corpus cost shape as training. Returns
+    * (id, subwords: array<string>, n_subwords).
+    */
+  def bpeSegment(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, Long)]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = merges.sortBy(_._1).map(m => (m._2, m._3)).toArray
+    val bc = spark.sparkContext.broadcast(ranked)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def segment(word: String): Array[String] = memo.getOrElseUpdate(word, {
+          val w = word.map(_.toString).toBuffer :+ "</w>"
+          ms.foreach { case (l, r) =>
+            var j = 0
+            while (j < w.length - 1) {
+              if (w(j) == l && w(j + 1) == r) { w(j) = l + r; w.remove(j + 1) }
+              else j += 1
+            }
+          }
+          w.toArray
+        })
+        it.map { case (id, text) =>
+          val subs = text.trim.split("\\s+").flatMap(segment)
+          (id, subs, subs.length)
+        }
+      }
+      .toDF(idCol, "subwords", "n_subwords")
+  }
+
   /** Encode each document as the id sequence of its tokens under `vocab`
     * (out-of-vocabulary → 0) — the tokenizer front-end that turns a
     * curated corpus into model input.

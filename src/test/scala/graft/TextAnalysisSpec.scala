@@ -77,6 +77,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(graft.operators.TextAnalysis.bpeTrain(docs, "text", merges = 50).length <= 5)
   }
 
+  test("bpeSegment applies trained merges in rank order, handles unseen words") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrain(train, "text", merges = 3)
+    // merges: (a,</w>) → a</w>; (a,a</w>) → aa</w>; (a,b) → ab
+    val out = graft.operators.TextAnalysis.bpeSegment(
+        Seq((1L, "aa ab ba"), (2L, "aaa")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    // "aa" → [aa</w>]; "ab" → [ab,</w>]; "ba" (unseen shape) → [b,a</w>]
+    assert(out(0).getSeq[String](1) == Seq("aa</w>", "ab", "</w>", "b", "a</w>"))
+    assert(out(0).getInt(2) == 5)
+    // "aaa" → chars a,a,a,</w> → r1: a,a,a</w> → r2 (a,a</w>): a,aa</w>
+    assert(out(1).getSeq[String](1) == Seq("a", "aa</w>"))
+  }
+
   test("buildVocab ranks by count desc then token asc; encodeIds maps OOV to 0") {
     val s = spark
     import s.implicits._
