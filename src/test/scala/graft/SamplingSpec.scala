@@ -168,6 +168,38 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("Packing stays exact under partial boundary sampling (shared machinery proof)") {
+    // Same failure mode GlobalIndex was redesigned for: if the count and
+    // emit jobs re-sampled range boundaries independently, prefix offsets
+    // would land on the wrong partitions exactly at scale. Force tiny
+    // boundary samples and prove the weighted variant holds too.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "2")
+    try {
+      val rnd = new scala.util.Random(13L)
+      val df = (1L to 60000L).map(i =>
+          (math.abs(rnd.nextGaussian() * 10).toLong, i, 1L + rnd.nextInt(200)))
+        .toDF("v", "id", "w").repartition(16)
+      val got = graft.operators.Packing.packByBudget(
+          df, Seq("v", "id"), "w", budget = 5000L, "cum", "shard")
+        .select("id", "cum", "shard").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val w = Window.orderBy(col("v").asc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val exp = df.withColumn("cum", sum(col("w")).over(w))
+        .withColumn("shard", expr("(cum - 1) div 5000"))
+        .select("id", "cum", "shard").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == exp)
+    } finally {
+      old match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+
   test("split column is a pure projection: no shuffle in the plan") {
     val df = Sampling.deterministicSplit(ids(100), "id", 80, 10)
     val plan = df.queryExecution.executedPlan
