@@ -38,6 +38,7 @@ object Bench {
     // from the total, so a regression that breaks a query is visible in the
     // JSON rather than flattering it.
     val best = scala.collection.mutable.Map[String, Double]()
+    val worst = scala.collection.mutable.Map[String, Double]()
     val everFailed = scala.collection.mutable.Set[String]()
     (1 to reps).foreach { _ =>
       names.foreach { case (name, fn) =>
@@ -47,8 +48,10 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
-        else everFailed += name
+        if (ok) {
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+          worst(name) = math.max(worst.getOrElse(name, 0.0), dt)
+        } else everFailed += name
       }
     }
     val failed = names.map(_._1).filterNot(best.contains)
@@ -56,6 +59,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = best.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-query max/min ratio across reps: a CPU-steal window shows up as a
+    // handful of queries with spread ≫ 1 while their min stays sane, letting
+    // a reader distinguish host noise from a real regression without re-runs.
+    val spread = names.collect { case (k, _) if best.contains(k) =>
+      "\"" + k + "\":" + math.round(worst(k) / best(k) * 100.0) / 100.0
+    }.mkString("{", ",", "}")
     // Approximate-ANN recall@10 vs brute force at this SF (SURVEY §9):
     // timings alone can't show an index trading away its recall, so the
     // floor is tracked longitudinally alongside them.
@@ -74,7 +83,7 @@ object Bench {
       def r(s: Set[Long]) = (s & brute).size.toDouble / brute.size
       s""","recall":{"ivf_c8_nprobe2":${r(ivf)},"lsh_4bit_6tab":${r(lsh)}}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

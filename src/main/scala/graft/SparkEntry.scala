@@ -1746,9 +1746,9 @@ object Queries {
         |tt AS (SELECT CAST(floor(count(*) / 2.0) AS BIGINT) AS target FROM documents)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN c USING (source), s, tt
-        |WHERE ((((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000)
-        |        * n_s * sum_w
-        |      < 1000000 * target * w_s
+        |WHERE target * w_s > 0 AND
+        |      ((((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000)
+        |      <= (1000000 * target * w_s - 1) // (n_s * sum_w)
         |ORDER BY d.doc_id""".stripMargin,
     "q80_chunking" ->
       """WITH w AS (

@@ -161,8 +161,9 @@ object Binary {
   /** (_id, simhash) aHash signatures per payload — one fused per-partition
     * pass, payload pruned before anything shuffles. */
   def aHashes(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    // Hash within the scan's own partitions — repartitioning first would
+    // shuffle the full payload bytes, exactly what this pass exists to avoid.
     val rows = df.select(col(idCol).cast(LongType), col("payload"))
-      .repartition(spark.sparkContext.defaultParallelism)
     val out = rows.rdd.mapPartitions(_.map { r =>
       Row(r.getLong(0), aHashOf(r.getAs[Array[Byte]](1)))
     })

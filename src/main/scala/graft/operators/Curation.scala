@@ -279,15 +279,19 @@ object Curation {
     *
     * Membership for row id `i` in domain `s` is the pure integer predicate
     *
-    *   knuth(i) mod 10^6  <  10^6 · targetTotal · w_s / (Σw · n_s)
+    *   knuth(i) mod 10^6  ≤  (10^6 · targetTotal · w_s − 1) div (Σw · n_s)
     *
-    * evaluated WITHOUT division (both sides multiplied through by
-    * `Σw · n_s`), so it is exactly reproducible in any 64-bit-integer
-    * engine, stable under repartitioning, and caps at keeping the whole
-    * domain when the quota exceeds it. The per-domain counts are one small
-    * aggregate broadcast back onto the corpus — the corpus itself never
-    * shuffles. (Bound: 10^6 · targetTotal · w_s must stay below 2^63 —
-    * at 10^12 rows and single-digit weights that holds with 100× room.)
+    * — the threshold form of `u · Σw · n_s < 10^6 · target · w_s` (for
+    * nonnegative integers, `u·D < T  ⟺  T ≥ 1 ∧ u ≤ (T−1) div D`, an
+    * identity with no remainder slack), so it is exactly reproducible in
+    * any 64-bit-integer engine, stable under repartitioning, and caps at
+    * keeping the whole domain when the quota exceeds it. Unlike the
+    * multiplied-through form, `u` (up to 10^6) never enters a product: the
+    * only overflow bounds are 10^6 · target · w_s < 2^63 (10^12 rows at
+    * single-digit weights leaves ~100× room) and n_s · Σw < 2^63 (trivial —
+    * that's row count times total weight). The per-domain counts are one
+    * small aggregate broadcast back onto the corpus — the corpus itself
+    * never shuffles.
     */
   def domainMixSample(
       df: DataFrame, idCol: String, domainCol: String,
@@ -297,12 +301,12 @@ object Curation {
       .withColumn("_w_s", weight)
     val sumW = counts.agg(sum("_w_s").as("_sum_w"))
     val target = df.agg(targetTotal.cast("long").as("_target"))
-    val u = Sampling.hashBucket(col(idCol), 1000000)
     df.join(broadcast(counts), domainCol)
       .crossJoin(broadcast(sumW))
       .crossJoin(broadcast(target))
-      .where(u * col("_n_s") * col("_sum_w") <
-        lit(1000000L) * col("_target") * col("_w_s"))
-      .drop("_n_s", "_w_s", "_sum_w", "_target")
+      .withColumn("_u", Sampling.hashBucket(col(idCol), 1000000))
+      .where(expr("_target * _w_s > 0 AND " +
+        "_u <= (1000000 * _target * _w_s - 1) div (_n_s * _sum_w)"))
+      .drop("_n_s", "_w_s", "_sum_w", "_target", "_u")
   }
 }

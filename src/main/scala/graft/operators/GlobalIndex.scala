@@ -45,7 +45,11 @@ object GlobalIndex {
     * Matches `NTILE(k) OVER (ORDER BY ...)` bit-for-bit for total orders. */
   def withNtile(df: DataFrame, order: Seq[String], k: Int, bucketCol: String): DataFrame = {
     require(k > 0, "need k > 0")
+    require(!df.columns.contains(bucketCol),
+      s"output column $bucketCol already exists on the input")
     val rn = "_gi_ntile_rn"
+    require(!df.columns.contains(rn),
+      s"input already has a column named $rn (reserved scratch name)")
     val (numbered, n) = withRowNumbersAndTotal(df, order, rn)
     val q = n / k
     val r = n % k
@@ -59,6 +63,10 @@ object GlobalIndex {
 
   private def withRowNumbersAndTotal(
       df: DataFrame, order: Seq[String], rnCol: String): (DataFrame, Long) = {
+    // schema.add below would happily produce a duplicate column name, which
+    // then fails (ambiguous reference) only when the CALLER selects it.
+    require(!df.columns.contains(rnCol),
+      s"output column $rnCol already exists on the input")
     val spark = df.sparkSession
     val ordCols = order.map(col)
     val sorted = df

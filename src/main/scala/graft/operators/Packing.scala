@@ -32,6 +32,13 @@ object Packing {
       df: DataFrame, order: Seq[String], weightCol: String, budget: Long,
       cumCol: String, shardCol: String): DataFrame = {
     require(budget > 0, "need budget > 0")
+    // The scratch weight column is appended then dropped positionally at the
+    // emit step; a pre-existing column of the same name would be silently
+    // clobbered by withColumn and the WRONG column dropped.
+    require(!df.columns.contains("_pk_w"),
+      "input already has a column named _pk_w (reserved scratch name)")
+    Seq(cumCol, shardCol).foreach(c => require(!df.columns.contains(c),
+      s"output column $c already exists on the input"))
     val spark = df.sparkSession
     val ordCols = order.map(col)
     val sorted = df

@@ -169,9 +169,18 @@ object TextAnalysis {
     * the textbook formulation — which is vocabulary-sized, orders of
     * magnitude below the corpus, so it runs on the driver exactly like
     * [[Dedup]]'s small-side union-find: deterministic, one job, no
-    * per-round shuffles. (A 100 TB corpus has a bounded word vocabulary;
-    * if it ever didn't, the same loop runs over a frequency DataFrame at
-    * per-round aggregate cost.)
+    * per-round shuffles.
+    *
+    * Clean corpora have a bounded word vocabulary, but raw web text does
+    * not (URLs, hashes, typos), so the driver-side dictionary is EXPLICITLY
+    * bounded before the collect, inside the distributed plan: `minFreq`
+    * drops hapax-style noise (the standard BPE frequency floor — rare
+    * words contribute ~nothing to pair counts anyway), and `maxVocab` is a
+    * hard cap taking the (count DESC, word ASC) top slice via
+    * TakeOrdered — no global sort, and a guarantee the collect is ≤
+    * `maxVocab` rows REGARDLESS of corpus pathology. Defaults keep every
+    * word with a 2^20 cap; set `maxVocab = Int.MaxValue` only for corpora
+    * known to be vocabulary-bounded.
     *
     * Words are split into characters with a `</w>` end marker; each round
     * merges the (count DESC, pair ASC)-best adjacent symbol pair — the
@@ -180,12 +189,19 @@ object TextAnalysis {
     */
   def bpeTrain(
       df: org.apache.spark.sql.DataFrame, textCol: String,
-      merges: Int): Seq[(Int, String, String, Long)] = {
+      merges: Int, minFreq: Long = 1L,
+      maxVocab: Int = 1 << 20): Seq[(Int, String, String, Long)] = {
     require(merges > 0, "need merges > 0")
+    require(minFreq >= 1, "need minFreq >= 1")
+    require(maxVocab > 0, "need maxVocab > 0")
+    val freq = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minFreq)
+    val cut = // TakeOrderedAndProject when capped — never a global sort
+      if (maxVocab == Int.MaxValue) freq
+      else freq.orderBy(col("c").desc, col("w").asc).limit(maxVocab)
     val wordFreq: Array[(Array[String], Long)] =
-      df.select(explode(tokens(col(textCol))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .collect()
+      cut.collect()
         .map(r => (r.getString(0).map(_.toString).toArray :+ "</w>", r.getLong(1)))
     val words = wordFreq.map(_._1.toBuffer)
     val out = Seq.newBuilder[(Int, String, String, Long)]
@@ -227,7 +243,10 @@ object TextAnalysis {
     * in as a broadcast (it is merge-count-sized); each partition keeps a
     * word→segmentation memo, so the per-word merge loop runs once per
     * DISTINCT word per partition, not per occurrence — the same
-    * vocabulary-not-corpus cost shape as training. Returns
+    * vocabulary-not-corpus cost shape as training. Requires a numeric
+    * non-null id (the typed memo pass deserializes it as a primitive
+    * long); a null or non-castable id fails with a CLEAR error at the
+    * offending row rather than an NPE deep in the deserializer. Returns
     * (id, subwords: array<string>, n_subwords).
     */
   def bpeSegment(
@@ -237,7 +256,11 @@ object TextAnalysis {
     import spark.implicits._
     val ranked = merges.sortBy(_._1).map(m => (m._2, m._3)).toArray
     val bc = spark.sparkContext.broadcast(ranked)
-    df.select(col(idCol).cast("long"), col(textCol))
+    val idLong = col(idCol).cast("long")
+    val checkedId = when(idLong.isNull, raise_error(concat(
+      lit(s"bpeSegment: $idCol must be a non-null numeric id, got "),
+      coalesce(col(idCol).cast("string"), lit("NULL"))))).otherwise(idLong)
+    df.select(checkedId.as(idCol), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val ms = bc.value

@@ -134,6 +134,11 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val picked = Curation.domainMixSample(df, "id", "domain",
       weight = lit(1L), targetTotal = lit(10000L))
     assert(picked.count() == 100L)
+    // target = 0 keeps nothing — the T = 0 edge of the threshold form
+    // (u ≤ (T−1) div D would keep u = 0 without the T ≥ 1 clause)
+    val none = Curation.domainMixSample(df, "id", "domain",
+      weight = lit(1L), targetTotal = lit(0L))
+    assert(none.count() == 0L)
   }
 
   test("zscoreOutliers flags exactly the planted anomalies") {

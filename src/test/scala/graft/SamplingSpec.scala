@@ -168,6 +168,33 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("Packing/GlobalIndex reject adversarial column names instead of clobbering") {
+    val s = spark
+    import s.implicits._
+    // A pre-existing _pk_w would be silently replaced by withColumn and the
+    // WRONG column dropped at emit — must fail loudly instead.
+    val pkw = Seq((1L, 2L, 3L)).toDF("id", "w", "_pk_w")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Packing.packByBudget(pkw, Seq("id"), "w", 10L, "cum", "shard")
+    }
+    assert(e1.getMessage.contains("_pk_w"))
+    // Output-name collisions: duplicate columns fail only when later selected.
+    val plain = Seq((1L, 2L)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.packByBudget(plain, Seq("id"), "w", 10L, "w", "shard")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.GlobalIndex.withRowNumbers(plain, Seq("id"), "w")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.GlobalIndex.withNtile(plain, Seq("id"), 2, "id")
+    }
+    val scratch = Seq((1L, 2L)).toDF("id", "_gi_ntile_rn")
+    intercept[IllegalArgumentException] {
+      graft.operators.GlobalIndex.withNtile(scratch, Seq("id"), 2, "b")
+    }
+  }
+
   test("Packing stays exact under partial boundary sampling (shared machinery proof)") {
     // Same failure mode GlobalIndex was redesigned for: if the count and
     // emit jobs re-sampled range boundaries independently, prefix offsets

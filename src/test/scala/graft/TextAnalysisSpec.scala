@@ -93,6 +93,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1).getSeq[String](1) == Seq("a", "aa</w>"))
   }
 
+  test("bpeTrain minFreq/maxVocab bound the driver dictionary deterministically") {
+    val s = spark
+    import s.implicits._
+    // Pathological high-cardinality tail: 50 distinct singleton "words"
+    // (hash-like junk) around a real repeated vocabulary.
+    val junk = (0 until 50).map(i => f"zz$i%02d").mkString(" ")
+    val dirty = Seq((1L, s"aa aa ab $junk")).toDF("doc_id", "text")
+    val clean = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    // minFreq=2 drops every singleton (junk AND ab): training must equal
+    // training on the clean repeated-words-only corpus.
+    assert(TextAnalysis.bpeTrain(dirty, "text", merges = 3, minFreq = 2L) ==
+      TextAnalysis.bpeTrain(clean, "text", merges = 3))
+    // maxVocab=1 keeps only the (count desc, word asc) top word — the
+    // collect is capped at one row no matter how wide the junk tail is.
+    assert(TextAnalysis.bpeTrain(dirty, "text", merges = 3, maxVocab = 1) ==
+      TextAnalysis.bpeTrain(clean, "text", merges = 3))
+    // Defaults leave the fixture's behavior untouched (cap ≫ vocabulary).
+    assert(TextAnalysis.bpeTrain(dirty, "text", merges = 1) ==
+      Seq((0, "z", "z", 50L)))
+  }
+
+  test("bpeSegment rejects null/non-numeric ids with a clear error") {
+    val s = spark
+    import s.implicits._
+    val merges = TextAnalysis.bpeTrain(Seq((1L, "aa aa")).toDF("doc_id", "text"), "text", 1)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val badNull = s.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "aa"), Row(null, "ab")),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val e1 = intercept[Exception] {
+      TextAnalysis.bpeSegment(badNull, "doc_id", "text", merges).collect()
+    }
+    assert(e1.getMessage.contains("bpeSegment"))
+    val badStr = Seq(("not-a-number", "aa")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      TextAnalysis.bpeSegment(badStr, "doc_id", "text", merges).collect()
+    }
+    assert(e2.getMessage.contains("bpeSegment"))
+  }
+
   test("buildVocab ranks by count desc then token asc; encodeIds maps OOV to 0") {
     val s = spark
     import s.implicits._
