@@ -434,6 +434,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest batch replay is exactly-once from any crash window") {
+    import spark.implicits._
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toString
+    Seq((100L, "seed doc")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpus)
+    def docs() = spark.read.parquet(corpus)
+      .as[(Long, String)].collect().sorted.toSeq
+    val b0 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    graft.streaming.StreamingIngest.processBatch(b0, 0L, corpus, "doc_id", "text")
+    val after0 = docs()
+    assert(after0.map(_._1) == Seq(1L, 2L, 100L))
+    // full replay of a committed batch (crash before checkpoint commit):
+    // converges to the identical corpus, no duplicates
+    graft.streaming.StreamingIngest.processBatch(b0, 0L, corpus, "doc_id", "text")
+    assert(docs() == after0)
+    // crash BETWEEN corpus publish and sidecar write: simulate by running
+    // the batch then deleting its sidecar partition before the replay
+    val b1 = Seq((3L, "gamma"), (2L, "beta")).toDF("doc_id", "text")
+    graft.streaming.StreamingIngest.processBatch(b1, 1L, corpus, "doc_id", "text")
+    val fpsDir = graft.streaming.StreamingIngest.fingerprintPath(corpus)
+    val p = new org.apache.hadoop.fs.Path(s"$fpsDir/batch_id=1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(p, true), "expected a batch_id=1 sidecar partition")
+    graft.streaming.StreamingIngest.processBatch(b1, 1L, corpus, "doc_id", "text")
+    assert(docs().map(_._1) == Seq(1L, 2L, 3L, 100L)) // gamma exactly once
+    // sidecar restored: a later batch replaying b1's content adds nothing
+    graft.streaming.StreamingIngest.processBatch(b1, 2L, corpus, "doc_id", "text")
+    assert(docs().map(_._1) == Seq(1L, 2L, 3L, 100L))
+  }
+
   test("streaming sketch profile: per-group HLL state merges across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
