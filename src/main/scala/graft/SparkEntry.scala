@@ -1882,7 +1882,14 @@ object Queries {
     "q93_curate_corpus" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-        |w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM corpus),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g') AS text
+        |  FROM corpus),
+        |w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM red),
         |q AS (
         |  SELECT doc_id, text, words FROM (
         |    SELECT doc_id, text, words, len(words) AS n,
