@@ -99,6 +99,21 @@ object Graft {
   /** Split a .sql file's content into statements (`run_file_sql`). */
   def splitSqlFile(sql: String): Seq[String] = PgDdl.splitStatements(sql)
 
+  /** Split a .sql file's content AND execute each statement on `conn` in
+    * order — the full `run_file_sql` verb (reference api.py:618-627), not
+    * just its parser. Runs on the caller's connection (and therefore its
+    * transaction/autocommit settings); a failing statement propagates with
+    * the statements before it already applied, matching the reference's
+    * sequential semantics. Returns the number of statements executed. */
+  def runSqlFile(conn: java.sql.Connection, sql: String): Int = {
+    val stmts = splitSqlFile(sql)
+    stmts.foreach { s =>
+      val st = conn.createStatement()
+      try st.execute(s) finally st.close()
+    }
+    stmts.length
+  }
+
   /** Stamped parquet write (the artifact `updateParquet` maintains). */
   def writeParquet(df: DataFrame, path: String, modified: String): Unit =
     ParquetSink.write(df, path, modified)

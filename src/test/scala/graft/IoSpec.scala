@@ -191,6 +191,37 @@ class IoSpec extends AnyFunSuite {
       Seq((10001L, "ACME", 1.25), (10002L, "BETA", 2.5)))
   }
 
+  test("Graft.runSqlFile executes a multi-statement .sql body in order (Derby)") {
+    val url = "jdbc:derby:memory:runsqldb;create=true"
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // statement-terminator noise the splitter must survive: trailing
+      // semicolon, blank statements, internal newlines
+      val body =
+        """CREATE TABLE t_rsf (id INT, name VARCHAR(16));
+          |
+          |INSERT INTO t_rsf VALUES (1, 'a');
+          |INSERT INTO t_rsf
+          |  VALUES (2, 'b');
+          |""".stripMargin
+      assert(graft.Graft.runSqlFile(conn, body) == 3)
+      val rs = conn.createStatement()
+        .executeQuery("SELECT id, name FROM t_rsf ORDER BY id")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getInt(1), r.getString(2))).toSeq
+      assert(got == Seq(1 -> "a", 2 -> "b"))
+      // a failing statement propagates; prior statements stay applied
+      intercept[java.sql.SQLException] {
+        graft.Graft.runSqlFile(conn,
+          "INSERT INTO t_rsf VALUES (3, 'c'); INSERT INTO nope VALUES (1)")
+      }
+      val rs2 = conn.createStatement().executeQuery("SELECT count(*) FROM t_rsf")
+      rs2.next()
+      assert(rs2.getInt(1) == 3)
+    } finally conn.close()
+  }
+
   test("updateJdbc runs the full create/load/stamp/skip/force cycle (Derby)") {
     val s = spark
     import s.implicits._
