@@ -121,6 +121,40 @@ object Graft {
   /** Gzipped-CSV write. */
   def writeCsv(df: DataFrame, path: String): Unit = CsvSink.write(df, path)
 
+  /** The three shingle-based dedup/analysis views [[dedupSuite]] derives
+    * from ONE shared shingle pass. `unpersist()` releases the shared
+    * intermediate once the outputs are materialized. */
+  final case class DedupSuite(
+      shingleHashes: DataFrame, jaccardPairs: DataFrame,
+      minhashPairs: DataFrame, topNgrams: DataFrame) {
+    def unpersist(): Unit = { shingleHashes.unpersist(); () }
+  }
+
+  /** Run the shingle-based dedup suite — n-gram Jaccard near-dup pairs,
+    * MinHash/LSH near-dup pairs, and corpus top-k n-grams — off ONE
+    * tokenize→hash shingle pass (SURVEY §9's shared-scan plan): the fused
+    * [[operators.Dedup.shingleHashes]] intermediate is persisted
+    * (memory-and-disk, spillable) and every view consumes it, so the
+    * corpus text is tokenized once per session instead of once per
+    * operator. The only additional corpus read is [[operators.Dedup
+    * .topNgramsFromHashes]]' winner-string resolution scan, which is gated
+    * to the broadcast winner set by construction. Outputs are lazy; the
+    * shared pass materializes at the first action and is reused by the
+    * rest. */
+  def dedupSuite(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      tau: Double = 0.8, k: Int = 64, bands: Int = 16,
+      topK: Int = 20): DedupSuite = {
+    import graft.operators.{Dedup, MinHashLSH}
+    val sh = Dedup.shingleHashes(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DedupSuite(
+      sh,
+      Dedup.ngramJaccardPairsFromHashes(sh, tau),
+      MinHashLSH.nearDupPairsFromHashes(sh, k, bands, tau),
+      Dedup.topNgramsFromHashes(docs, textCol, sh, n, topK))
+  }
+
   /** End-to-end corpus curation — the operators composed in their canonical
     * order (each stage is the oracle-checked operator behind the matching
     * q-query; see SURVEY §2.3/§2.5b):

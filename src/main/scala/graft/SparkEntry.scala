@@ -684,12 +684,12 @@ object Queries {
         graft.functions.TextHashes.rollingMinHash(col("text"), k = 16).as("rolling_fp"))
       .orderBy("doc_id")
 
-  /** Corpus-wide top-20 3-gram shingles by document frequency. */
+  /** Corpus-wide top-20 3-gram shingles by document frequency — the
+    * two-phase hashed path ([[Dedup.topNgrams]]): the wide shuffle
+    * carries 8-byte hashes, winner strings resolve in a gated second
+    * scan. Oracle is the single-phase string aggregate. */
   def q45NgramTopk(spark: SparkSession, dir: String): DataFrame =
-    Dedup.shingles(t(spark, dir, "documents"), "doc_id", "text", n = 3)
-      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("shingle").asc)
-      .limit(20)
+    Dedup.topNgrams(t(spark, dir, "documents"), "doc_id", "text", n = 3, k = 20)
 
   /** First-touch funnel view → click → purchase within 1 h per step: one
     * filtered aggregate + user-keyed equi-join per step, single-row report

@@ -103,6 +103,95 @@ object Dedup {
       .toDF("_id", "sh")
   }
 
+  /** xxhash64 (seed 42) of a string — identical to SQL `xxhash64(s)` and
+    * to [[shingleHashes]]' fused-pass hashing. */
+  private def xxh64(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** Corpus-wide top-k word n-grams by document frequency, two-phase
+    * hashed so shingle TEXT never enters a corpus-wide shuffle (SURVEY §9):
+    *
+    * Phase 1 aggregates per-doc-distinct 8-byte xxhash64 shingle tokens
+    * ([[shingleHashes]]' fused pass — the wide shuffle carries longs); the
+    * k-th document-frequency threshold comes from one TakeOrdered over the
+    * counts, and every hash at-or-above it (winners plus boundary ties) is
+    * collected — bounded by `tieCap`, and a tie width beyond the cap FAILS
+    * with a clear error rather than silently truncating a boundary whose
+    * order needs strings. Phase 2 re-scans the corpus resolving ONLY
+    * winner strings through a broadcast hash map (emit-once per
+    * partition), so the final exact (n_docs DESC, shingle ASC) top-k sort
+    * runs over at most winners × partitions short rows. Equal to the
+    * single-phase string aggregate modulo xxhash64 collisions (the same
+    * contract as the q31/q78 hashed paths). Returns (shingle, n_docs). */
+  def topNgrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int, k: Int,
+      tieCap: Int = 10000): DataFrame =
+    topNgramsFromHashes(df, textCol, shingleHashes(df, idCol, textCol, n), n, k, tieCap)
+
+  /** [[topNgrams]] over a precomputed (_id, sh) intermediate — the shape
+    * [[graft.Graft.dedupSuite]] shares one shingle pass through. `df` /
+    * `textCol` are still needed for the phase-2 winner-string resolution
+    * scan. */
+  def topNgramsFromHashes(
+      df: DataFrame, textCol: String, shingleHashes: DataFrame, n: Int, k: Int,
+      tieCap: Int = 10000): DataFrame = {
+    require(k > 0, "need k > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = shingleHashes
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+    val kth = counts.orderBy(col("n_docs").desc, col("sh").asc).limit(k)
+      .agg(min(col("n_docs")).as("_kth"))
+    // one plan → the counts aggregate's exchange is built once and reused
+    // by both the threshold and the filter side
+    val winners = counts.crossJoin(broadcast(kth))
+      .where(col("n_docs") >= col("_kth"))
+      .limit(k + tieCap + 1)
+      .collect()
+    require(winners.length <= k + tieCap,
+      s"tie width at the k-th n-gram count exceeds tieCap=$tieCap — " +
+        "raise it (or use the string-aggregate path) for this corpus")
+    val winMap = winners.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(winMap)
+    df.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        val emitted = new java.util.HashSet[Long]()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val sb = new java.lang.StringBuilder()
+        it.foreach { text =>
+          if (emitted.size < m.size) {
+            val toks = text.trim.split("\\s+")
+            if (toks.length >= n) {
+              var i = 0
+              while (i <= toks.length - n) {
+                sb.setLength(0)
+                var j = 0
+                while (j < n) {
+                  if (j > 0) sb.append(' ')
+                  sb.append(toks(i + j))
+                  j += 1
+                }
+                val s = sb.toString
+                val h = xxh64(s)
+                if (m.contains(h) && emitted.add(h)) out += ((s, m(h)))
+                i += 1
+              }
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("shingle", "n_docs")
+      .distinct()
+      .orderBy(col("n_docs").desc, col("shingle").asc)
+      .limit(k)
+  }
+
   /** Word n-gram Jaccard near-duplicate pairs (similarity >= tau).
     *
     * Candidates come from an equi-join on hashed shingles — a doc pair is
@@ -111,8 +200,12 @@ object Dedup {
     * skew is handled by AQE skew-join splitting; ultra-frequent shingles can
     * additionally be dropped as stop-shingles upstream. */
   def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, n).cache()
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame =
+    ngramJaccardPairsFromHashes(shingleHashes(df, idCol, textCol, n).cache(), tau)
+
+  /** [[ngramJaccardPairs]] over a precomputed (_id, sh) intermediate
+    * (caller controls caching — see [[graft.Graft.dedupSuite]]). */
+  def ngramJaccardPairsFromHashes(sh: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
     val common = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
       .where(col("x._id") < col("y._id"))

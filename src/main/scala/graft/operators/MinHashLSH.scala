@@ -45,9 +45,14 @@ object MinHashLSH {
     * verification (>= tau) against the shingle sets. */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, tau: Double): DataFrame = {
+      n: Int, k: Int, bands: Int, tau: Double): DataFrame =
+    nearDupPairsFromHashes(Dedup.shingleHashes(df, idCol, textCol, n).cache(), k, bands, tau)
+
+  /** [[nearDupPairs]] over a precomputed (_id, sh) intermediate (caller
+    * controls caching — see [[graft.Graft.dedupSuite]]). */
+  def nearDupPairsFromHashes(
+      sh: DataFrame, k: Int, bands: Int, tau: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val sh = Dedup.shingleHashes(df, idCol, textCol, n).cache()
     val cands = candidatePairs(signatures(sh, k), bands, k / bands)
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
     val common = cands

@@ -28,6 +28,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set(1L -> 2L, 1L -> 4L, 2L -> 4L))
   }
 
+  test("topNgrams: two-phase hashed equals the string aggregate, boundary ties exact") {
+    // 2 popular shingles + a wide count-1 tie group: the k-th slot boundary
+    // sits INSIDE the tie group, so exactness requires resolving tied
+    // strings before the final (n_docs desc, shingle asc) cut.
+    val rnd = new scala.util.Random(7L)
+    val popular = (1 to 12).map(i => (i.toLong, s"alpha beta gamma pad$i"))
+    val uniq = (13 to 40).map { i =>
+      val w = (1 to 5).map(_ => f"w${rnd.nextInt(10000)}%04d").mkString(" ")
+      (i.toLong, w)
+    }
+    val df = (popular ++ uniq).toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 7, 25)) {
+      val exp = Dedup.shingles(df, "doc_id", "text", n = 3)
+        .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("shingle").asc).limit(k)
+        .as[(String, Long)].collect().toSeq
+      val got = Dedup.topNgrams(df, "doc_id", "text", n = 3, k = k)
+        .as[(String, Long)].collect().toSeq
+      assert(got == exp, s"k=$k")
+    }
+    // a tie group wider than tieCap fails loudly instead of truncating
+    val e = intercept[IllegalArgumentException] {
+      Dedup.topNgrams(df, "doc_id", "text", n = 3, k = 2, tieCap = 1).collect()
+    }
+    assert(e.getMessage.contains("tieCap"))
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact ngram jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
       .orderBy("a", "b").as[(Long, Long, Double)].collect()

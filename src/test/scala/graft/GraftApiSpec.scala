@@ -34,6 +34,39 @@ class GraftApiSpec extends AnyFunSuite {
       Seq("CREATE TABLE a (x int)", "DROP TABLE b"))
   }
 
+  test("dedupSuite: one shingle pass feeds jaccard, minhash, and top-ngrams") {
+    val rnd = new scala.util.Random(3L)
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val docs0 = Seq(
+      (1L, base + " bank"),
+      (2L, base + " shore"), // near-dup of 1
+      (3L, (1 to 12).map(_ => f"u${rnd.nextInt(100000)}%05d").mkString(" ")),
+      (4L, (1 to 12).map(_ => f"u${rnd.nextInt(100000)}%05d").mkString(" "))
+    ).toDF("doc_id", "text")
+    // count every input-row read: the suite must tokenize the corpus once
+    // (shared shingle pass) plus one winner-string resolution scan — 2N,
+    // where the three standalone operators would pay 4N
+    val acc = spark.sparkContext.longAccumulator("doc_reads")
+    val docs = docs0.as[(Long, String)]
+      .map { r => acc.add(1); r }.toDF("doc_id", "text")
+    val suite = Graft.dedupSuite(docs, "doc_id", "text", n = 3, tau = 0.6,
+      k = 64, bands = 16, topK = 5)
+    try {
+      val jac = suite.jaccardPairs.collect()
+      val mh = suite.minhashPairs.collect()
+      val top = suite.topNgrams.as[(String, Long)].collect().toSeq
+      assert(acc.value == 2 * 4, s"expected 2 passes over 4 docs, got ${acc.value} reads")
+      // results identical to the standalone operators
+      val jacExp = graft.operators.Dedup.ngramJaccardPairs(docs0, "doc_id", "text", 3, 0.6).collect()
+      val mhExp = graft.operators.MinHashLSH.nearDupPairs(docs0, "doc_id", "text", 3, 64, 16, 0.6).collect()
+      val topExp = graft.operators.Dedup.topNgrams(docs0, "doc_id", "text", 3, 5)
+        .as[(String, Long)].collect().toSeq
+      assert(jac.toSet == jacExp.toSet && jac.nonEmpty)
+      assert(mh.toSet == mhExp.toSet && mh.nonEmpty)
+      assert(top == topExp && top.size == 5)
+    } finally suite.unpersist()
+  }
+
   test("curateCorpus: scrub → gate → dedup → decontaminate → chunk, end to end") {
     val s = spark
     import s.implicits._
