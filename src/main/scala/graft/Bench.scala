@@ -67,21 +67,46 @@ object Bench {
     }.mkString("{", ",", "}")
     // Approximate-ANN recall@10 vs brute force at this SF (SURVEY §9):
     // timings alone can't show an index trading away its recall, so the
-    // floor is tracked longitudinally alongside them.
+    // floor is tracked longitudinally alongside them. Mean over 10 spread
+    // query ids (a single query's recall is ±0.3 noise at this corpus
+    // size); candidates-scanned rides along so the multiprobe recall lift
+    // is readable AGAINST its candidate cost, not in isolation.
     val recallJson = try {
       import graft.operators.Similarity
       import org.apache.spark.sql.functions.col
-      val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
-      val q = emb.where(col("vec_id") === 0L)
-        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      val emb = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
+      val total = emb.count()
+      val qIds = (0 until 10).map(i => (i * 199L) % total)
+      val qvecs = emb.where(col("vec_id").isin(qIds: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
       def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.select("vec_id").collect().map(_.getLong(0)).toSet
-      val brute = ids(Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, Some(0L)))
       val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
-      val ivf = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, q, 2, 10, Some(0L)))
-      val lsh = ids(Similarity.lshTopK(emb, "vec_id", "embedding", q, 4, 6, 42L, 10, Some(0L)))
-      def r(s: Set[Long]) = (s & brute).size.toDouble / brute.size
-      s""","recall":{"ivf_c8_nprobe2":${r(ivf)},"lsh_4bit_6tab":${r(lsh)}}"""
+      var rIvf = 0.0
+      var rIvf4 = 0.0
+      val rLsh = Array(0.0, 0.0, 0.0)
+      val cLsh = Array(0L, 0L, 0L)
+      qvecs.foreach { case (qid, q) =>
+        val brute = ids(Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, Some(qid)))
+        def r(s: Set[Long]) = (s & brute).size.toDouble / brute.size
+        rIvf += r(ids(Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, q, 2, 10, Some(qid))))
+        rIvf4 += r(ids(Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, q, 4, 10, Some(qid))))
+        val byTable = Similarity.hyperplanes(4 * 6, q.length, 42L).grouped(4).toSeq
+        (1 to 3).foreach { np =>
+          val cond = byTable.map { planes =>
+            Similarity.lshBucket(col("embedding"), planes)
+              .isin(Similarity.multiprobeBuckets(planes, q, np): _*)
+          }.reduce(_ || _)
+          cLsh(np - 1) += emb.where(cond).count()
+          rLsh(np - 1) += r(ids(Similarity.lshTopK(
+            emb, "vec_id", "embedding", q, 4, 6, 42L, 10, Some(qid), nprobe = np)))
+        }
+      }
+      val nq = qvecs.length
+      emb.unpersist()
+      def f(x: Double) = math.rint(x / nq * 1000) / 1000.0
+      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()

@@ -157,35 +157,53 @@ object Similarity {
       when(graft.functions.ArrayMath.dot(vecCol, litVec(p)) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Per-table multiprobe bucket sequence (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007): the query's own sign bucket first, then single-bit
+    * perturbations in increasing |margin| order — a near-boundary
+    * hyperplane is the one most likely to have put a true neighbor on the
+    * other side, so flipping the smallest-margin bits first buys the most
+    * recall per extra bucket probed. Driver-side (bits × dim doubles). */
+  private[graft] def multiprobeBuckets(
+      planes: Seq[Seq[Double]], query: Seq[Double], nprobe: Int): Seq[Int] = {
+    val dots = planes.map(_.zip(query).foldLeft(0.0) { case (a, (x, y)) => a + x * y })
+    val qBucket = dots.zipWithIndex.map { case (d, j) => if (d >= 0) 1 << j else 0 }.sum
+    val flips = dots.zipWithIndex.sortBy { case (d, j) => (math.abs(d), j) }
+      .map { case (_, j) => qBucket ^ (1 << j) }
+    qBucket +: flips.take(nprobe - 1)
+  }
+
   /** Multi-table random-hyperplane LSH ANN — the bucketed alternative scale
     * path to [[ivfTopK]]. The classic amplification: `tables` independent
     * sign-hashes of `bitsPerTable` bits each; a corpus vector is a candidate
-    * if it lands in the query's EXACT bucket in ANY table (OR of equality —
-    * few bits per table keeps per-table match probability workable, many
+    * if it lands in any of the query's `nprobe` probed buckets in ANY table
+    * (few bits per table keeps per-table match probability workable, many
     * tables drive recall up), then exact cosine runs only over candidates.
-    * Each table's bucket is a pure projection, so at scale the corpus is
-    * written `tables` times partitioned by bucket (or one table with
-    * bucket-array + explode) and a query probes `tables` partitions of
-    * ~N/2^bits rows. Approximate — recall vs [[bruteTopK]] is measured in
-    * specs.
+    * `nprobe` > 1 turns on MULTIPROBE ([[multiprobeBuckets]]): each table
+    * also probes the nprobe−1 hamming-1 neighbor buckets with the smallest
+    * hyperplane margins, lifting recall at ~nprobe× the candidate count
+    * WITHOUT more tables (i.e. without growing the index). Each table's
+    * bucket is a pure projection, so at scale the corpus is written
+    * `tables` times partitioned by bucket (or one table with bucket-array +
+    * explode) and a query probes `tables × nprobe` partitions of ~N/2^bits
+    * rows. Approximate — recall AND candidates-scanned vs [[bruteTopK]]
+    * are measured in specs.
     *
     * NOTE: like [[ivfTopK]], this variant hashes the raw corpus per query;
     * the repeated-query scale path is [[VectorIndex.writeLsh]] +
-    * [[VectorIndex.lshTopK]], which reads exactly `tables` bucket
+    * [[VectorIndex.lshTopK]], which reads exactly `tables × nprobe` bucket
     * directories of a materialized index. */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], bitsPerTable: Int, tables: Int, seed: Long, k: Int,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
     require(bitsPerTable > 0 && bitsPerTable < 31 && tables > 0, "bad LSH shape")
+    require(nprobe >= 1 && nprobe <= bitsPerTable + 1,
+      s"nprobe must be in [1, bitsPerTable + 1 = ${bitsPerTable + 1}]")
     val byTable = hyperplanes(bitsPerTable * tables, query.length, seed)
       .grouped(bitsPerTable).toSeq
     val candidateCond = byTable.map { planes =>
-      val qBucket = planes.zipWithIndex.map { case (p, j) =>
-        val d = p.zip(query).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
-        if (d >= 0) 1 << j else 0
-      }.sum
-      lshBucket(col(vecCol), planes) === lit(qBucket)
+      val probes = multiprobeBuckets(planes, query, nprobe)
+      lshBucket(col(vecCol), planes).isin(probes: _*)
     }.reduce(_ || _)
     bruteTopK(df.where(candidateCond), idCol, vecCol, query, k, excludeId)
   }

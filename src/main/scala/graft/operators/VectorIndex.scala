@@ -127,25 +127,29 @@ object VectorIndex {
       .write.mode("append").partitionBy("table", "bucket").parquet(s"$path/corpus")
   }
 
-  /** Top-k probe against a written LSH index: the query's bucket per table
-    * is computed on the driver from the sidecar's seed, the scan reads
-    * exactly `tables` bucket directories (partition-pruned OR of per-table
-    * equalities), candidates seen in several tables dedupe by id, and exact
-    * cosine runs only over candidates. */
+  /** Top-k probe against a written LSH index: the query's probe buckets
+    * per table are computed on the driver from the sidecar's seed, the
+    * scan reads exactly `tables × nprobe` bucket directories
+    * (partition-pruned OR of per-table membership), candidates seen in
+    * several tables dedupe by id, and exact cosine runs only over
+    * candidates. `nprobe` > 1 is multiprobe
+    * ([[Similarity.multiprobeBuckets]]): the smallest-margin hamming-1
+    * neighbor buckets are probed too, buying recall per extra directory
+    * instead of per extra index copy. */
   def lshTopK(
       spark: SparkSession, path: String, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+      query: Seq[Double], k: Int, excludeId: Option[Long] = None,
+      nprobe: Int = 1): DataFrame = {
     val m = spark.read.parquet(s"$path/meta").head()
     val (bits, tables, seed, dim) = (m.getInt(0), m.getInt(1), m.getLong(2), m.getInt(3))
     require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe must be in [1, bits_per_table + 1 = ${bits + 1}]")
     val byTable = Similarity.hyperplanes(bits * tables, dim, seed)
       .grouped(bits).toSeq
     val cond = byTable.zipWithIndex.map { case (planes, t) =>
-      val qBucket = planes.zipWithIndex.map { case (p, j) =>
-        val d = p.zip(query).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
-        if (d >= 0) 1 << j else 0
-      }.sum
-      col("table") === lit(t) && col("bucket") === lit(qBucket)
+      val probes = Similarity.multiprobeBuckets(planes, query, nprobe)
+      col("table") === lit(t) && col("bucket").isin(probes: _*)
     }.reduce(_ || _)
     val candidates = spark.read.parquet(s"$path/corpus")
       .where(cond)

@@ -88,6 +88,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(self == qBucket, "Scala-side and column-side bucket computation must agree")
   }
 
+  test("multiprobe LSH: recall vs candidates-scanned across nprobe, clustered vectors") {
+    // SURVEY §9 blamed the LSH recall floor on isotropic synthetic
+    // vectors; cluster-structured data is what LSH exists for. Build 8
+    // seeded Gaussian clusters and measure BOTH recall and candidate
+    // count per nprobe — the multiprobe claim is "more recall per extra
+    // bucket", so both sides of the trade are asserted.
+    val rnd = new java.util.Random(5L)
+    val dim = 64
+    val centers = IndexedSeq.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.25 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val byTable = Similarity.hyperplanes(4 * 6, dim, 42L).grouped(4).toSeq
+    val qIds = Seq(0L, 3L, 10L, 17L, 21L, 30L)
+    val stats = (1 to 3).map { np =>
+      var rec = 0.0
+      var cand = 0L
+      qIds.foreach { qid =>
+        val q = vecs(qid.toInt)._2.map(_.toDouble)
+        val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, 10, Some(qid))
+          .select("vec_id").as[Long].collect().toSet
+        val got = Similarity.lshTopK(df, "vec_id", "embedding", q,
+            bitsPerTable = 4, tables = 6, seed = 42L, k = 10,
+            excludeId = Some(qid), nprobe = np)
+          .select("vec_id").as[Long].collect().toSet
+        rec += (got & brute).size.toDouble / brute.size
+        val cond = byTable.map { planes =>
+          Similarity.lshBucket(col("embedding"), planes)
+            .isin(Similarity.multiprobeBuckets(planes, q, np): _*)
+        }.reduce(_ || _)
+        cand += df.where(cond).count()
+      }
+      (rec / qIds.size, cand / qIds.size)
+    }
+    val recalls = stats.map(_._1)
+    val cands = stats.map(_._2)
+    // recall climbs monotonically and clears the 0.8 bar by nprobe=2
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2), recalls.toString)
+    assert(recalls(1) >= 0.8, s"multiprobe np=2 recall ${recalls(1)} < 0.8 ($recalls)")
+    // ... at bounded candidate cost: probing np buckets per table scans at
+    // most np× (and strictly more than 1×) the exact-bucket candidates
+    assert(cands(0) < cands(1) && cands(1) < cands(2), cands.toString)
+    assert(cands(1) <= 2 * cands(0) && cands(2) <= 3 * cands(0), cands.toString)
+    // IVF on the same clustered corpus: the operator reaches ~full recall
+    // when neighbor structure exists (the sf embeddings' mean ivf recall
+    // is data-limited — their true top-10 neighbors share the query's
+    // cluster label only ~16% of the time, so ANY fixed coarse partition
+    // degrades toward its scan fraction there; this pins that the
+    // OPERATOR, not the data, is sound)
+    val cents = Similarity.kMeans(df, "vec_id", "embedding", c = 8, iters = 3)
+    var ivfRec = 0.0
+    qIds.foreach { qid =>
+      val q = vecs(qid.toInt)._2.map(_.toDouble)
+      val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, 10, Some(qid))
+        .select("vec_id").as[Long].collect().toSet
+      val got = Similarity.ivfTopK(df, "vec_id", "embedding", cents, q, 2, 10, Some(qid))
+        .select("vec_id").as[Long].collect().toSet
+      ivfRec += (got & brute).size.toDouble / brute.size
+    }
+    assert(ivfRec / qIds.size >= 0.9,
+      s"IVF recall on clustered vectors: ${ivfRec / qIds.size}")
+    df.unpersist()
+    // probe-sequence properties: head is the exact bucket, perturbations
+    // are hamming-1, no duplicates, margin order is deterministic
+    val q0 = vecs(0)._2.map(_.toDouble)
+    val probes = Similarity.multiprobeBuckets(byTable.head, q0, 5)
+    assert(probes.size == 5 && probes.distinct.size == 5)
+    probes.tail.foreach(b =>
+      assert(java.lang.Integer.bitCount(b ^ probes.head) == 1, probes.toString))
+    assert(probes == Similarity.multiprobeBuckets(byTable.head, q0, 5))
+  }
+
   // Walk through AQE wrappers and materialized query stages to every scan.
   private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
@@ -234,6 +308,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(filesRead < totalFiles / 4,
       s"probe scanned too much: $filesRead of $totalFiles files")
     assert(scan.metadata("PartitionFilters").contains("bucket"), scan.metadata.toString)
+
+    // multiprobe (nprobe=2): indexed equals unindexed, and the scan grows
+    // to at most 2× the exact-probe directories — still partition-pruned
+    val indexed2 = VectorIndex.lshTopK(spark, path, "vec_id", "embedding",
+      q, k = 10, excludeId = Some(0L), nprobe = 2)
+    val got2 = indexed2.select("vec_id").as[Long].collect().toSet
+    val want2 = Similarity.lshTopK(emb, "vec_id", "embedding", q,
+      bitsPerTable = 4, tables = 6, seed = 42L, k = 10, excludeId = Some(0L),
+      nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(got2 == want2, "indexed multiprobe must return the unindexed result")
+    indexed2.collect()
+    val files2 = allScans(indexed2.queryExecution.executedPlan).head
+      .metrics("numFiles").value
+    assert(files2 >= filesRead && files2 <= 2 * filesRead,
+      s"multiprobe np=2 read $files2 files vs $filesRead at np=1")
 
     // a sparse index (3 vectors → ≤18 occupied of 96 partitions): probing
     // buckets whose directories were never written prunes to nothing
