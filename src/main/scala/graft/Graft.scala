@@ -96,6 +96,13 @@ object Graft {
   def listTables(spark: SparkSession, dir: String): DataFrame =
     Catalog.listTables(spark, dir)
 
+  /** Native `.sas7bdat` read — one file or a library directory, no SAS
+    * export step ([[sources.Sas7bdat]]; the reference instead drives a
+    * remote SAS process to export, api.py:219-234). Composes with
+    * [[extract]] for the keep/drop/rename/where option semantics. */
+  def readSas7bdat(spark: SparkSession, path: String): DataFrame =
+    sources.Sas7bdat.read(spark, path)
+
   /** Split a .sql file's content into statements (`run_file_sql`). */
   def splitSqlFile(sql: String): Seq[String] = PgDdl.splitStatements(sql)
 

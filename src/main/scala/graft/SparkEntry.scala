@@ -1005,6 +1005,22 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** Native sas7bdat ingest: the binary SAS dataset boundary read
+    * directly (sources.Sas7bdat — no export step), against fixtures that
+    * pandas.read_sas independently validates at generation time. Rows-only
+    * here (DuckDB reads no sas7bdat); the spec pins every value, type and
+    * the date/datetime epoch conversions. */
+  def q99Sas7bdat(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = Seq(
+      "src/test/resources/sas7bdat/u64_pages.sas7bdat",
+      "/root/repo/src/test/resources/sas7bdat/u64_pages.sas7bdat")
+      .map(new java.io.File(_)).find(_.exists())
+      .getOrElse(sys.error("sas7bdat fixture not found")).getAbsolutePath
+    Graft.readSas7bdat(spark, fixture)
+      .where(col("ratio").isNotNull)
+      .orderBy("id")
+  }
+
   /** Perceptual near-dup payloads: every 5th doc gets a 1-byte-perturbed
     * copy planted (id+1e6); aHash + pigeonhole hamming join recovers the
     * planted pairs that exact digests (q73) cannot (different md5). Rows
@@ -1159,6 +1175,7 @@ object Queries {
     "q96_pack_sequences" -> q96PackSequences _,
     "q97_phash_dedup" -> q97PhashDedup _,
     "q98_bpe_merges" -> q98BpeMerges _,
+    "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,

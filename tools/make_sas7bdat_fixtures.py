@@ -1,0 +1,271 @@
+#!/usr/bin/env python3
+"""Generate minimal uncompressed .sas7bdat fixtures for the Scala reader spec.
+
+The layout follows the publicly documented sas7bdat format (the
+community-reverse-engineered spec implemented by pandas.read_sas, parso and
+readstat). Each generated file is VALIDATED here with pandas.read_sas — an
+independent public reader — before it lands in test resources, so the Scala
+reader is tested against files a third-party implementation accepts, not
+against its own assumptions.
+"""
+import struct
+import sys
+
+import numpy as np
+import pandas as pd
+
+MAGIC = (b"\x00\x00\x00\x00\x00\x00\x00\x00"
+         b"\x00\x00\x00\x00\xc2\xea\x81\x60"
+         b"\xb3\x14\x11\xcf\xbd\x92\x08\x00"
+         b"\x09\xc7\x31\x8c\x18\x1f\x10\x11")
+
+def build(u64, page_kind, rows, cols, page_size=4096, header_size=None, big_endian=False):
+    """cols: list of (name, 'd'|'s', width, values). Returns file bytes."""
+    ilen = 8 if u64 else 4
+    bit_off = 32 if u64 else 16
+    ptr_len = 24 if u64 else 12
+    if header_size is None:
+        header_size = 8192 if u64 else 1024
+    bo = ">" if big_endian else "<"
+    W = lambda fmt, v: struct.pack(bo + fmt, v)
+    UI = lambda v: W("Q" if u64 else "I", v)
+
+    row_length = sum(c[2] for c in cols)
+    n_rows = rows
+
+    # ---- subheaders (content bytes; offsets resolved at page assembly)
+    def sig(le_bytes_32, ext=b"\xff\xff\xff\xff"):
+        # 32-bit signature or its u64 widening; caller passes LE byte form
+        if not u64:
+            b = le_bytes_32
+        else:
+            if le_bytes_32 in (b"\xf7\xf7\xf7\xf7", b"\xf6\xf6\xf6\xf6"):
+                b = b"\x00\x00\x00\x00" + le_bytes_32
+            else:
+                b = le_bytes_32 + b"\xff\xff\xff\xff"
+        return b[::-1] if big_endian else b
+
+    # row_size subheader: fields at multiples of int length; lcs/lcp zero
+    rs = bytearray(808 if u64 else 480)
+    rs[0:ilen] = sig(b"\xf7\xf7\xf7\xf7")
+    rs[5 * ilen:5 * ilen + ilen] = UI(row_length)
+    rs[6 * ilen:6 * ilen + ilen] = UI(n_rows)
+    rs[9 * ilen:9 * ilen + ilen] = UI(len(cols))   # col_count_p1
+    rs[10 * ilen:10 * ilen + ilen] = UI(0)         # col_count_p2
+    mix_rows = n_rows if page_kind == "mix" else 0
+    rs[15 * ilen:15 * ilen + ilen] = UI(mix_rows)
+
+    cs = bytearray(3 * ilen)
+    cs[0:ilen] = sig(b"\xf6\xf6\xf6\xf6")
+    cs[ilen:2 * ilen] = UI(len(cols))
+
+    # column text: blob at +ilen: [size:2][zeros to 28][names...]
+    names_blob = bytearray(28)
+    name_pos = []
+    fmt_pos = []
+    for c in cols:
+        nb = c[0].encode()
+        name_pos.append((len(names_blob), len(nb)))
+        names_blob += nb
+    for c in cols:
+        fmt = (c[4] if len(c) > 4 else "").encode()
+        fmt_pos.append((len(names_blob), len(fmt)))
+        names_blob += fmt
+    if len(names_blob) % 4:
+        names_blob += b"\x00" * (4 - len(names_blob) % 4)
+    struct.pack_into(bo + "H", names_blob, 0, len(names_blob))
+    ct = bytearray(ilen) + bytes(names_blob)
+    ct[0:ilen] = sig(b"\xfd\xff\xff\xff")
+
+    # column names: entries at offset+ilen+8*(i+1)
+    cn = bytearray(2 * ilen + 12 + 8 * len(cols))
+    cn[0:ilen] = sig(b"\xff\xff\xff\xff")
+    for i, (off, ln) in enumerate(name_pos):
+        base = ilen + 8 * (i + 1)
+        struct.pack_into(bo + "HHH", cn, base, 0, off, ln)
+
+    # column attributes: 16-or-12 byte entries from offset+2*ilen
+    esz = ilen + 8
+    ca = bytearray(2 * ilen + 12 + esz * len(cols))
+    ca[0:ilen] = sig(b"\xfc\xff\xff\xff")
+    data_off = 0
+    for i, (_, typ, width, _) in enumerate([c[:4] for c in cols]):
+        base_do = ilen + 8 + i * esz          # col_data_offset (ilen bytes)
+        base_dl = 2 * ilen + 8 + i * esz      # col_data_len (4 bytes)
+        base_ty = 2 * ilen + 14 + i * esz     # col_type (1 byte)
+        ca[base_do:base_do + ilen] = UI(data_off)
+        struct.pack_into(bo + "I", ca, base_dl, width)
+        ca[base_ty] = 1 if typ == "d" else 2
+        data_off += width
+    assert data_off == row_length
+
+    # one format_and_label subheader per column, in column order
+    fmt_shs = []
+    for i in range(len(cols)):
+        fl = bytearray(3 * ilen + 40)
+        fl[0:ilen] = sig(b"\xfe\xfb\xff\xff")
+        foff, flen = fmt_pos[i]
+        struct.pack_into(bo + "H", fl, 3 * ilen + 22, 0)      # format text idx
+        struct.pack_into(bo + "H", fl, 3 * ilen + 24, foff)   # format offset
+        struct.pack_into(bo + "H", fl, 3 * ilen + 26, flen)   # format length
+        struct.pack_into(bo + "H", fl, 3 * ilen + 28, 0)      # label text idx
+        struct.pack_into(bo + "H", fl, 3 * ilen + 30, 0)
+        struct.pack_into(bo + "H", fl, 3 * ilen + 32, 0)
+        fmt_shs.append(bytes(fl))
+
+    subheaders = [bytes(rs), bytes(cs), bytes(ct), bytes(cn), bytes(ca)] + fmt_shs
+
+    # ---- rows
+    def row_bytes(r):
+        out = bytearray()
+        for _, typ, width, values in [c[:4] for c in cols]:
+            v = values[r]
+            if typ == "d":
+                out += struct.pack(bo + "d", np.nan if v is None else float(v))
+            else:
+                out += v.encode().ljust(width, b" ")[:width]
+        return bytes(out)
+
+    # ---- pages
+    pages = []
+
+    def meta_page(shs, page_type, row_slice):
+        page = bytearray(page_size)
+        ptrs_end = bit_off + 8 + ptr_len * len(shs)
+        # subheaders packed at page END (SAS convention)
+        cursor = page_size
+        offsets = []
+        for sh in shs:
+            cursor -= len(sh)
+            offsets.append(cursor)
+            page[cursor:cursor + len(sh)] = sh
+        # row data (mix page): 8-aligned after pointer array
+        align = (8 - (ptrs_end % 8)) % 8
+        data_start = ptrs_end + align
+        nrows_here = 0
+        if row_slice:
+            for r in row_slice:
+                rb = row_bytes(r)
+                assert data_start + len(rb) <= cursor, "page overflow"
+                page[data_start:data_start + len(rb)] = rb
+                data_start += len(rb)
+                nrows_here += 1
+        struct.pack_into(bo + "H", page, bit_off + 0, page_type)
+        struct.pack_into(bo + "H", page, bit_off + 2, len(shs) + nrows_here)
+        struct.pack_into(bo + "H", page, bit_off + 4, len(shs))
+        for i, (sh, off) in enumerate(zip(shs, offsets)):
+            p = bit_off + 8 + i * ptr_len
+            page[p:p + ilen] = UI(off)
+            page[p + ilen:p + 2 * ilen] = UI(len(sh))
+            page[p + 2 * ilen] = 0     # compression
+            page[p + 2 * ilen + 1] = 0 # type
+        return bytes(page)
+
+    def data_page(row_slice):
+        page = bytearray(page_size)
+        struct.pack_into(bo + "H", page, bit_off + 0, 0x0100)
+        struct.pack_into(bo + "H", page, bit_off + 2, len(row_slice))
+        struct.pack_into(bo + "H", page, bit_off + 4, 0)
+        pos = bit_off + 8
+        for r in row_slice:
+            rb = row_bytes(r)
+            assert pos + len(rb) <= page_size, "data page overflow"
+            page[pos:pos + len(rb)] = rb
+            pos += len(rb)
+        return bytes(page)
+
+    if page_kind == "mix":
+        pages.append(meta_page(subheaders, 0x0200, range(n_rows)))
+    else:
+        pages.append(meta_page(subheaders, 0x0000, None))
+        per_page = (page_size - bit_off - 8) // row_length
+        r = 0
+        while r < n_rows:
+            chunk = range(r, min(r + per_page, n_rows))
+            pages.append(data_page(chunk))
+            r += per_page
+
+    # ---- header
+    hdr = bytearray(header_size)
+    hdr[0:32] = MAGIC
+    if u64:
+        hdr[32] = 0x33
+    hdr[35] = 0x33  # align1 = 4 (header fields shift by 4)
+    a1 = 4
+    hdr[37] = 0x00 if big_endian else 0x01
+    hdr[39] = ord("1")  # unix
+    hdr[70] = 20        # utf-8
+    hdr[92:92 + 64] = b"GRAFT_FIXTURE".ljust(64)
+    hdr[156:164] = b"DATA    "
+    struct.pack_into(bo + "d", hdr, 164 + a1, 2.0e9)  # created
+    struct.pack_into(bo + "d", hdr, 172 + a1, 2.0e9)  # modified
+    struct.pack_into(bo + "I", hdr, 196 + a1, header_size)
+    struct.pack_into(bo + "I", hdr, 200 + a1, page_size)
+    struct.pack_into(bo + ("Q" if u64 else "I"), hdr, 204 + a1, len(pages))
+    hdr[216 + a1:216 + a1 + 8] = b"9.0401M2"
+    hdr[224 + a1:224 + a1 + 16] = b"X64_10PRO".ljust(16)
+    return bytes(hdr) + b"".join(pages)
+
+
+def validate(path, cols, n_rows):
+    from datetime import datetime, timedelta
+    df = pd.read_sas(path, format="sas7bdat", encoding="utf-8")
+    assert list(df.columns) == [c[0] for c in cols], (list(df.columns), path)
+    assert len(df) == n_rows, (len(df), n_rows, path)
+    for c in cols:
+        name, typ, width, values = c[:4]
+        fmt = c[4] if len(c) > 4 else ""
+        got = df[name].tolist()
+        for g, w in zip(got, values):
+            if typ == "d" and w is None:
+                assert pd.isna(g), (name, g, w, path)
+            elif typ == "d" and fmt in ("DATE", "DATE9", "YYMMDD", "MMDDYY"):
+                exp = datetime(1960, 1, 1) + timedelta(days=float(w))
+                assert g == exp, (name, g, exp, path)
+            elif typ == "d" and fmt in ("DATETIME", "DATETIME20"):
+                exp = datetime(1960, 1, 1) + timedelta(seconds=float(w))
+                assert g == exp, (name, g, exp, path)
+            elif typ == "d":
+                assert abs(g - float(w)) < 1e-9, (name, g, w, path)
+            else:
+                assert g == w, (name, repr(g), repr(w), path)
+    print(f"OK {path}: {len(df)} rows, cols={list(df.columns)}, formats applied")
+
+
+def make_cols(n):
+    return [
+        ("id", "d", 8, list(range(1, n + 1))),
+        ("ratio", "d", 8, [None if i % 7 == 3 else i * 0.5 - 3.25 for i in range(n)]),
+        ("name", "s", 12, [f"row_{i:03d}" for i in range(n)]),
+        ("flag", "s", 1, ["Y" if i % 2 == 0 else "N" for i in range(n)]),
+    ]
+
+
+def main(outdir):
+    fixtures = [
+        # multi-page: 1 meta + several data pages (69 rows fit per 2048 page)
+        ("u64_pages.sas7bdat", 200, None, dict(u64=True, page_kind="data", page_size=2048)),
+        ("u64_mix.sas7bdat", 25, None, dict(u64=True, page_kind="mix", page_size=4096)),
+        ("x86_mix.sas7bdat", 25, None, dict(u64=False, page_kind="mix", page_size=4096)),
+        ("u64_bigend.sas7bdat", 25, None, dict(u64=True, page_kind="mix", page_size=4096, big_endian=True)),
+        ("u64_dates.sas7bdat", 25, "dates", dict(u64=True, page_kind="mix", page_size=4096)),
+    ]
+    for fname, n, kind, kw in fixtures:
+        if kind == "dates":
+            cols = [
+                ("id", "d", 8, list(range(1, n + 1))),
+                ("d1", "d", 8, [None if i == 5 else 20000 + 31 * i for i in range(n)], "DATE"),
+                ("ts1", "d", 8, [None if i == 9 else 1.9e9 + 3600.0 * i for i in range(n)], "DATETIME"),
+                ("plain", "d", 8, [i * 1.25 for i in range(n)]),
+            ]
+        else:
+            cols = make_cols(n)
+        data = build(rows=n, cols=cols, **kw)
+        p = f"{outdir}/{fname}"
+        with open(p, "wb") as f:
+            f.write(data)
+        validate(p, cols, n)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/sas7bdat")
