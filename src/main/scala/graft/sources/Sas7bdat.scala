@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   * subheader-pointer array) and `data` pages. Both 32-bit and 64-bit
   * variants, either endianness, truncated (3–7 byte) numerics, and the
   * DATE/DATETIME format→type conversions (SAS epoch 1960-01-01) are
-  * handled; the two RLE/RDC compressed layouts are detected and rejected
-  * with a clear error. Fixtures are validated against pandas.read_sas (an
-  * independent reader) before the Scala spec pins values — see
+  * handled. RLE compression (COMPRESS=CHAR, "SASYZCRL") is decoded
+  * natively — compressed rows ride as per-row page subheaders — while the
+  * RDC layout (COMPRESS=BINARY) is detected and rejected with a clear
+  * error. Fixtures are validated against pandas.read_sas (an independent
+  * reader) before the Scala spec pins values — see
   * tools/make_sas7bdat_fixtures.py.
   *
   * ==Scale shape==
@@ -83,7 +85,7 @@ object Sas7bdat {
       u64: Boolean, littleEndian: Boolean, encoding: Charset,
       headerSize: Int, pageSize: Int, pageCount: Long,
       rowLength: Int, rowCount: Long, mixPageRowCount: Long,
-      columns: Seq[SasColumn]) {
+      columns: Seq[SasColumn], rleCompressed: Boolean = false) {
     def schema: StructType =
       StructType(columns.map(c => StructField(c.name, c.dataType, nullable = true)))
   }
@@ -153,6 +155,7 @@ object Sas7bdat {
 
     val bitOff = if (u64) 32 else 16
     val ptrLen = if (u64) 24 else 12
+    var rle = false
     var done = false
     var pagesRead = 0
     while (!done && pagesRead < pageCount) {
@@ -180,10 +183,11 @@ object Sas7bdat {
                 val blob = page.raw(shOff + intLen, blobSize)
                 if (textHeap.isEmpty) {
                   val s = new String(blob, StandardCharsets.ISO_8859_1)
-                  if (s.contains("SASYZCRL") || s.contains("SASYZCR2"))
+                  if (s.contains("SASYZCR2"))
                     throw new UnsupportedOperationException(
-                      "compressed sas7bdat (RLE/RDC) is not supported; " +
-                        "export uncompressed (COMPRESS=NO)")
+                      "RDC-compressed sas7bdat (COMPRESS=BINARY) is not " +
+                        "supported; export with COMPRESS=CHAR or COMPRESS=NO")
+                  rle = s.contains("SASYZCRL")
                 }
                 textHeap += blob
               case "colname" =>
@@ -229,7 +233,51 @@ object Sas7bdat {
         if (i < formats.size) formats(i) else "")
     }
     SasMeta(u64, little, encoding, headerSize, pageSize, pageCount,
-      rowLength.toInt, rowCount, mixRows, cols)
+      rowLength.toInt, rowCount, mixRows, cols, rleCompressed = rle)
+  }
+
+  // ------------------------------------------------------------------- RLE
+
+  /** SASYZCRL (COMPRESS=CHAR) decoder. Command set per the public format
+    * documentation, each confirmed against pandas.read_sas on generated
+    * probes (tools/make_sas7bdat_fixtures.py): high nibble selects the
+    * command, low nibble (and for long forms the next byte) carries the
+    * length. */
+  private[sources] def rleDecompress(src: Array[Byte], outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = 0
+    var o = 0
+    def nxt(): Int = { val b = src(i) & 0xff; i += 1; b }
+    def fill(n: Int, b: Byte): Unit = {
+      require(o + n <= outLen, s"RLE overrun at $o + $n > $outLen")
+      java.util.Arrays.fill(out, o, o + n, b); o += n
+    }
+    def copy(n: Int): Unit = {
+      require(o + n <= outLen && i + n <= src.length, s"RLE copy overrun")
+      System.arraycopy(src, i, out, o, n); i += n; o += n
+    }
+    while (i < src.length && o < outLen) {
+      val c = nxt()
+      val nib = c & 0x0f
+      (c & 0xf0) match {
+        case 0x00 => copy((nib << 8) + nxt() + 64)
+        case 0x40 => val n = (nib << 8) + nxt() + 18; fill(n, nxt().toByte)
+        case 0x60 => fill((nib << 8) + nxt() + 17, ' '.toByte)
+        case 0x70 => fill((nib << 8) + nxt() + 17, 0x00)
+        case 0x80 => copy(nib + 1)
+        case 0x90 => copy(nib + 17)
+        case 0xa0 => copy(nib + 33)
+        case 0xb0 => copy(nib + 49)
+        case 0xc0 => fill(nib + 3, nxt().toByte)
+        case 0xd0 => fill(nib + 2, '@'.toByte)
+        case 0xe0 => fill(nib + 2, ' '.toByte)
+        case 0xf0 => fill(nib + 2, 0x00)
+        case bad => throw new IllegalStateException(
+          f"unknown RLE control byte 0x$bad%02x at input offset ${i - 1}")
+      }
+    }
+    require(o == outLen, s"RLE decompressed $o bytes, expected $outLen")
+    out
   }
 
   private def signatureKind(sig: Array[Byte], u64: Boolean): String = {
@@ -286,6 +334,7 @@ object Sas7bdat {
     readFully(in, meta.headerSize) // position at the first page
     val bitOff = if (meta.u64) 32 else 16
     val ptrLen = if (meta.u64) 24 else 12
+    def intLenOf(m: SasMeta): Int = if (m.u64) 8 else 4
     var emitted = 0L
     var pagesRead = 0L
 
@@ -304,6 +353,29 @@ object Sas7bdat {
             val pageType = page.u2(bitOff) & 0xff00
             val blockCount = page.u2(bitOff + 2)
             val shCount = page.u2(bitOff + 4)
+            // compressed files: rows ride as subheaders (pointer
+            // compression=4 — or 0 when RLE didn't shrink a row — with
+            // type=1 and an unrecognized signature) on meta-ish pages
+            val shRows: Seq[Row] =
+              if (!meta.rleCompressed || shCount == 0 || pageType == PageData) Nil
+              else (0 until shCount).flatMap { idx =>
+                val p = bitOff + 8 + idx * ptrLen
+                val shOff = page.uint(p, intLenOf(meta)).toInt
+                val shLen = page.uint(p + intLenOf(meta), intLenOf(meta)).toInt
+                val comp = page.raw(p + 2 * intLenOf(meta), 1)(0)
+                val typ = page.raw(p + 2 * intLenOf(meta) + 1, 1)(0)
+                val isData = shLen > 0 && comp != 1 && typ == 1 &&
+                  (comp == 4 || comp == 0) &&
+                  signatureKind(page.raw(shOff, intLenOf(meta)), meta.u64) == "?"
+                if (!isData) None
+                else {
+                  val payload = page.raw(shOff, shLen)
+                  val rowBytes =
+                    if (shLen < meta.rowLength) rleDecompress(payload, meta.rowLength)
+                    else payload
+                  Some(decodeRow(new B(rowBytes, meta.littleEndian), 0, meta))
+                }
+              }
             val (start, n) =
               if (pageType == PageMix) {
                 val ptrEnd = bitOff + 8 + shCount * ptrLen
@@ -313,12 +385,13 @@ object Sas7bdat {
               } else if (pageType == PageData) {
                 (bitOff + 8, math.min(blockCount, meta.rowCount - emitted).toInt)
               } else (0, 0)
-            if (n > 0) {
-              val rows = (0 until n).iterator.map { i =>
-                decodeRow(page, start + i * meta.rowLength, meta)
-              }
-              emitted += n
-              pageRows = rows
+            val packed = (0 until n).map { i =>
+              decodeRow(page, start + i * meta.rowLength, meta)
+            }
+            val all = (shRows ++ packed).take((meta.rowCount - emitted).toInt)
+            if (all.nonEmpty) {
+              emitted += all.size
+              pageRows = all.iterator
             }
           }
         }

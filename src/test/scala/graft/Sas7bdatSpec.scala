@@ -52,6 +52,14 @@ class Sas7bdatSpec extends AnyFunSuite {
     checkStandard("u64_bigend.sas7bdat", 25)
   }
 
+  test("RLE-compressed (SASYZCRL) rows decode across spilled meta pages") {
+    // fixture: 40 rows as compressed subheaders over 2048-byte pages; the
+    // generator's greedy encoder exercises literal copies (short + long),
+    // blank/zero fills (short + long) and byte repeats, all of which
+    // pandas.read_sas accepted at generation time
+    checkStandard("u64_rle.sas7bdat", 40)
+  }
+
   test("DATE/DATETIME formats become DateType/TimestampType at the SAS epoch") {
     val df = Sas7bdat.read(spark, s"$dir/u64_dates.sas7bdat")
     assert(df.schema == StructType(Seq(

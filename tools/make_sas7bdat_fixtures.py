@@ -207,6 +207,206 @@ def build(u64, page_kind, rows, cols, page_size=4096, header_size=None, big_endi
     return bytes(hdr) + b"".join(pages)
 
 
+def rle_compress(row):
+    """Greedy SASYZCRL encoder over the command set confirmed against
+    pandas (see the round-5 probe): blank/zero/byte runs collapse to fill
+    commands, everything else goes out as literal copies. Long forms stay
+    at nib=0 where every public implementation agrees on the length."""
+    out = bytearray()
+    i, n = 0, len(row)
+    lit = bytearray()
+
+    def flush_lit():
+        j = 0
+        while j < len(lit):
+            take = min(64, len(lit) - j)
+            if take > 64 - 15 and len(lit) - j > 64:  # prefer long copy for big blocks
+                take = min(319, len(lit) - j)
+                out.append(0x00)
+                out.append(take - 64)
+                out.extend(lit[j:j + take])
+            else:
+                k = take - 1
+                out.append([0x80, 0x90, 0xA0, 0xB0][k // 16] | (k % 16))
+                out.extend(lit[j:j + take])
+            j += take
+        lit.clear()
+
+    while i < n:
+        b = row[i]
+        run = 1
+        while i + run < n and row[i + run] == b and run < 272:
+            run += 1
+        if b == 0x20 and run >= 2:
+            flush_lit()
+            take = run if run <= 17 else min(run, 272)
+            if take <= 17:
+                out.append(0xE0 | (take - 2))
+            else:
+                out.append(0x60)
+                out.append(take - 17)
+            i += take
+        elif b == 0x00 and run >= 2:
+            flush_lit()
+            take = run if run <= 17 else min(run, 272)
+            if take <= 17:
+                out.append(0xF0 | (take - 2))
+            else:
+                out.append(0x70)
+                out.append(take - 17)
+            i += take
+        elif run >= 3:
+            flush_lit()
+            take = run if run <= 18 else min(run, 273)
+            if take <= 18:
+                out.append(0xC0 | (take - 3))
+            else:
+                out.append(0x40)
+                out.append(take - 18)
+            out.append(b)
+            i += take
+        else:
+            lit.append(b)
+            i += 1
+    flush_lit()
+    return bytes(out)
+
+
+def build_rle_file(u64, rows, cols, page_size=4096, header_size=None):
+    """Compressed (SASYZCRL) file: rows stored as compressed subheaders
+    (pointer compression=4, type=1) on meta pages, spilling across pages."""
+    import importlib
+    ilen = 8 if u64 else 4
+    bit_off = 32 if u64 else 16
+    ptr_len = 24 if u64 else 12
+    if header_size is None:
+        header_size = 8192 if u64 else 1024
+    bo = "<"
+    W = lambda fmt, v: struct.pack(bo + fmt, v)
+    UI = lambda v: W("Q" if u64 else "I", v)
+    row_length = sum(c[2] for c in cols)
+
+    def sig(le4):
+        if not u64:
+            return le4
+        if le4 in (b"\xf7\xf7\xf7\xf7", b"\xf6\xf6\xf6\xf6"):
+            return b"\x00\x00\x00\x00" + le4
+        return le4 + b"\xff\xff\xff\xff"
+
+    rs = bytearray(808 if u64 else 480)
+    rs[0:ilen] = sig(b"\xf7\xf7\xf7\xf7")
+    rs[5 * ilen:6 * ilen] = UI(row_length)
+    rs[6 * ilen:7 * ilen] = UI(rows)
+    rs[9 * ilen:10 * ilen] = UI(len(cols))
+    rs[15 * ilen:16 * ilen] = UI(0)
+    struct.pack_into(bo + "H", rs, 682 if u64 else 354, 0)  # lcs
+    struct.pack_into(bo + "H", rs, 706 if u64 else 378, 8)  # lcp
+
+    cs = bytearray(3 * ilen)
+    cs[0:ilen] = sig(b"\xf6\xf6\xf6\xf6")
+    cs[ilen:2 * ilen] = UI(len(cols))
+
+    blob = bytearray(28)
+    # compression literal where readers look for it (offset+16(+4) from
+    # subheader start = blob position 12 for u64, 16-4-... keep 12)
+    blob[12:20] = b"SASYZCRL"
+    name_pos = []
+    for c in cols:
+        nb = c[0].encode()
+        name_pos.append((len(blob), len(nb)))
+        blob += nb
+    fmt_pos = [(len(blob), 0)] * len(cols)
+    while len(blob) % 4:
+        blob += b"\x00"
+    struct.pack_into(bo + "H", blob, 0, len(blob))
+    ct = bytearray(ilen) + bytes(blob)
+    ct[0:ilen] = sig(b"\xfd\xff\xff\xff")
+
+    cn = bytearray(2 * ilen + 12 + 8 * len(cols))
+    cn[0:ilen] = sig(b"\xff\xff\xff\xff")
+    for i, (off, ln) in enumerate(name_pos):
+        struct.pack_into(bo + "HHH", cn, ilen + 8 * (i + 1), 0, off, ln)
+
+    esz = ilen + 8
+    ca = bytearray(2 * ilen + 12 + esz * len(cols))
+    ca[0:ilen] = sig(b"\xfc\xff\xff\xff")
+    doff = 0
+    for i, c in enumerate(cols):
+        ca[ilen + 8 + i * esz:ilen + 8 + i * esz + ilen] = UI(doff)
+        struct.pack_into(bo + "I", ca, 2 * ilen + 8 + i * esz, c[2])
+        ca[2 * ilen + 14 + i * esz] = 1 if c[1] == "d" else 2
+        doff += c[2]
+
+    fmt_shs = []
+    for i in range(len(cols)):
+        fl = bytearray(3 * ilen + 40)
+        fl[0:ilen] = sig(b"\xfe\xfb\xff\xff")
+        fmt_shs.append(bytes(fl))
+
+    def row_bytes(r):
+        out = bytearray()
+        for _, typ, width, values in [c[:4] for c in cols]:
+            v = values[r]
+            if typ == "d":
+                out += struct.pack(bo + "d", np.nan if v is None else float(v))
+            else:
+                out += v.encode().ljust(width, b" ")[:width]
+        return bytes(out)
+
+    meta_shs = [(bytes(rs), 0, 0), (bytes(cs), 0, 0), (bytes(ct), 0, 0),
+                (bytes(cn), 0, 0), (bytes(ca), 0, 0)] + [(f, 0, 0) for f in fmt_shs]
+    row_shs = []
+    for r in range(rows):
+        payload = rle_compress(row_bytes(r))
+        assert len(payload) < row_length, "row did not compress"
+        row_shs.append((payload, 4, 1))
+
+    pages = []
+    pending = meta_shs + row_shs
+    while pending:
+        page = bytearray(page_size)
+        cursor = page_size
+        placed = []
+        while pending:
+            sh, comp, typ = pending[0]
+            need = len(sh)
+            ptrs_end = bit_off + 8 + ptr_len * (len(placed) + 1)
+            if cursor - need < ptrs_end:
+                break
+            cursor -= need
+            page[cursor:cursor + need] = sh
+            placed.append((sh, comp, typ, cursor))
+            pending.pop(0)
+        assert placed, "page too small for a subheader"
+        struct.pack_into(bo + "H", page, bit_off, 0x0000)
+        struct.pack_into(bo + "H", page, bit_off + 2, len(placed))
+        struct.pack_into(bo + "H", page, bit_off + 4, len(placed))
+        for i, (sh, comp, typ, off) in enumerate(placed):
+            p = bit_off + 8 + i * ptr_len
+            page[p:p + ilen] = UI(off)
+            page[p + ilen:p + 2 * ilen] = UI(len(sh))
+            page[p + 2 * ilen] = comp
+            page[p + 2 * ilen + 1] = typ
+        pages.append(bytes(page))
+
+    hdr = bytearray(header_size)
+    hdr[0:32] = MAGIC
+    if u64:
+        hdr[32] = 0x33
+    hdr[35] = 0x33
+    hdr[37] = 0x01
+    hdr[39] = ord("1")
+    hdr[70] = 20
+    hdr[92:92 + 64] = b"GRAFT_RLE".ljust(64)
+    hdr[156:164] = b"DATA    "
+    struct.pack_into(bo + "d", hdr, 168, 2.0e9)
+    struct.pack_into(bo + "d", hdr, 176, 2.0e9)
+    struct.pack_into(bo + "I", hdr, 200, header_size)
+    struct.pack_into(bo + "I", hdr, 204, page_size)
+    struct.pack_into(bo + ("Q" if u64 else "I"), hdr, 208 if u64 else 204, len(pages))
+    return bytes(hdr) + b"".join(pages)
+
+
 def validate(path, cols, n_rows):
     from datetime import datetime, timedelta
     df = pd.read_sas(path, format="sas7bdat", encoding="utf-8")
@@ -250,6 +450,14 @@ def main(outdir):
         ("u64_bigend.sas7bdat", 25, None, dict(u64=True, page_kind="mix", page_size=4096, big_endian=True)),
         ("u64_dates.sas7bdat", 25, "dates", dict(u64=True, page_kind="mix", page_size=4096)),
     ]
+    n = 40
+    cols = make_cols(n)
+    data = build_rle_file(u64=True, rows=n, cols=cols, page_size=2048)
+    pth = f"{outdir}/u64_rle.sas7bdat"
+    with open(pth, "wb") as f:
+        f.write(data)
+    validate(pth, cols, n)
+
     for fname, n, kind, kw in fixtures:
         if kind == "dates":
             cols = [
