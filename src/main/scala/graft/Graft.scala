@@ -99,7 +99,10 @@ object Graft {
   /** Native `.sas7bdat` read — one file or a library directory, no SAS
     * export step ([[sources.Sas7bdat]]; the reference instead drives a
     * remote SAS process to export, api.py:219-234). Composes with
-    * [[extract]] for the keep/drop/rename/where option semantics. */
+    * [[extract]] for the keep/drop/rename/where option semantics.
+    * Equivalent DataSource V2 face: `spark.read.format("sas7bdat")`
+    * ([[sources.Sas7bdatSourceV2]]) — same decoder, plus column pruning
+    * pushed into the fixed-width byte reader. */
   def readSas7bdat(spark: SparkSession, path: String): DataFrame =
     sources.Sas7bdat.read(spark, path)
 

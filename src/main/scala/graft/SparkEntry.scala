@@ -1006,17 +1006,20 @@ object Queries {
   }
 
   /** Native sas7bdat ingest: the binary SAS dataset boundary read
-    * directly (sources.Sas7bdat — no export step), against fixtures that
-    * pandas.read_sas independently validates at generation time. Rows-only
-    * here (DuckDB reads no sas7bdat); the spec pins every value, type and
-    * the date/datetime epoch conversions. */
+    * directly (no export step), through the DataSource V2 face
+    * (`spark.read.format("sas7bdat")`, sources.Sas7bdatSourceV2) so the
+    * gate exercises the registered source with column pruning in the
+    * scan; value-equality with the RDD reader and pandas-validated
+    * fixtures is spec-pinned. Rows-only here (DuckDB reads no sas7bdat);
+    * the spec pins every value, type and the date/datetime epoch
+    * conversions. */
   def q99Sas7bdat(spark: SparkSession, dir: String): DataFrame = {
     val fixture = Seq(
       "src/test/resources/sas7bdat/u64_pages.sas7bdat",
       "/root/repo/src/test/resources/sas7bdat/u64_pages.sas7bdat")
       .map(new java.io.File(_)).find(_.exists())
       .getOrElse(sys.error("sas7bdat fixture not found")).getAbsolutePath
-    Graft.readSas7bdat(spark, fixture)
+    spark.read.format("sas7bdat").load(fixture)
       .where(col("ratio").isNotNull)
       .orderBy("id")
   }

@@ -324,22 +324,21 @@ object Sas7bdat {
     Row.fromSeq(vals)
   }
 
-  /** Stream every row of one file. Reads the header/meta again (cheap —
-    * metadata pages precede data) and then walks pages sequentially, so
-    * memory stays O(pageSize). */
-  private def rowIterator(open: () => InputStream): Iterator[Row] = {
-    val metaIn = open()
-    val meta = try readMeta(metaIn) finally metaIn.close()
+  /** Walk every row of one file as (page-or-row buffer, row start
+    * offset) slices — the shared core under both the external-Row reader
+    * and the DataSource V2 internal-row reader. Streams pages through one
+    * fixed buffer, so memory stays O(pageSize). */
+  private def rowSlices(open: () => InputStream, meta: SasMeta): Iterator[(B, Int)] = {
     val in = open()
     readFully(in, meta.headerSize) // position at the first page
     val bitOff = if (meta.u64) 32 else 16
     val ptrLen = if (meta.u64) 24 else 12
-    def intLenOf(m: SasMeta): Int = if (m.u64) 8 else 4
+    val intLen = if (meta.u64) 8 else 4
     var emitted = 0L
     var pagesRead = 0L
 
-    new Iterator[Row] {
-      private var pageRows: Iterator[Row] = Iterator.empty
+    new Iterator[(B, Int)] {
+      private var pageRows: Iterator[(B, Int)] = Iterator.empty
 
       private def advance(): Unit = {
         while (!pageRows.hasNext && pagesRead < meta.pageCount &&
@@ -356,24 +355,24 @@ object Sas7bdat {
             // compressed files: rows ride as subheaders (pointer
             // compression=4 — or 0 when RLE didn't shrink a row — with
             // type=1 and an unrecognized signature) on meta-ish pages
-            val shRows: Seq[Row] =
+            val shRows: Seq[(B, Int)] =
               if (!meta.rleCompressed || shCount == 0 || pageType == PageData) Nil
               else (0 until shCount).flatMap { idx =>
                 val p = bitOff + 8 + idx * ptrLen
-                val shOff = page.uint(p, intLenOf(meta)).toInt
-                val shLen = page.uint(p + intLenOf(meta), intLenOf(meta)).toInt
-                val comp = page.raw(p + 2 * intLenOf(meta), 1)(0)
-                val typ = page.raw(p + 2 * intLenOf(meta) + 1, 1)(0)
+                val shOff = page.uint(p, intLen).toInt
+                val shLen = page.uint(p + intLen, intLen).toInt
+                val comp = page.raw(p + 2 * intLen, 1)(0)
+                val typ = page.raw(p + 2 * intLen + 1, 1)(0)
                 val isData = shLen > 0 && comp != 1 && typ == 1 &&
                   (comp == 4 || comp == 0) &&
-                  signatureKind(page.raw(shOff, intLenOf(meta)), meta.u64) == "?"
+                  signatureKind(page.raw(shOff, intLen), meta.u64) == "?"
                 if (!isData) None
                 else {
                   val payload = page.raw(shOff, shLen)
                   val rowBytes =
                     if (shLen < meta.rowLength) rleDecompress(payload, meta.rowLength)
                     else payload
-                  Some(decodeRow(new B(rowBytes, meta.littleEndian), 0, meta))
+                  Some((new B(rowBytes, meta.littleEndian), 0))
                 }
               }
             val (start, n) =
@@ -385,9 +384,7 @@ object Sas7bdat {
               } else if (pageType == PageData) {
                 (bitOff + 8, math.min(blockCount, meta.rowCount - emitted).toInt)
               } else (0, 0)
-            val packed = (0 until n).map { i =>
-              decodeRow(page, start + i * meta.rowLength, meta)
-            }
+            val packed = (0 until n).map(i => (page, start + i * meta.rowLength))
             val all = (shRows ++ packed).take((meta.rowCount - emitted).toInt)
             if (all.nonEmpty) {
               emitted += all.size
@@ -403,10 +400,53 @@ object Sas7bdat {
         if (!h) in.close()
         h
       }
-      override def next(): Row = {
+      override def next(): (B, Int) = {
         if (!hasNext) throw new NoSuchElementException
         pageRows.next()
       }
+    }
+  }
+
+  /** Stream every row of one file as external Rows. */
+  private def rowIterator(open: () => InputStream): Iterator[Row] = {
+    val metaIn = open()
+    val meta = try readMeta(metaIn) finally metaIn.close()
+    rowSlices(open, meta).map { case (b, start) => decodeRow(b, start, meta) }
+  }
+
+  /** Stream rows of one file as Catalyst InternalRows containing ONLY the
+    * `projected` columns — the DataSource V2 read path, where column
+    * pruning reaches the byte decoder (unprojected columns are never
+    * decoded, dates/strings never converted). */
+  private[sources] def internalRowIterator(
+      open: () => InputStream, meta: SasMeta, projected: Array[Int])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val cols = projected.map(meta.columns)
+    rowSlices(open, meta).map { case (b, start) =>
+      val vals = new Array[Any](cols.length)
+      var i = 0
+      while (i < cols.length) {
+        val c = cols(i)
+        vals(i) =
+          if (c.isNumeric) {
+            val d = b.num(start + c.dataOffset, math.min(c.dataLength, 8))
+            if (d.isNaN) null
+            else c.dataType match {
+              case DateType => (math.round(d) - SasEpochDays).toInt
+              case TimestampType =>
+                math.round(d * 1000.0) * 1000L - SasEpochSeconds * 1000000L
+              case _ => d
+            }
+          } else {
+            val s = new String(b.raw(start + c.dataOffset, c.dataLength), meta.encoding)
+            val t = s.replaceAll("[ \u0000]+$", "")
+            if (t.isEmpty) null else UTF8String.fromString(t)
+          }
+        i += 1
+      }
+      new GenericInternalRow(vals)
     }
   }
 
@@ -415,6 +455,12 @@ object Sas7bdat {
   /** Schema of a dataset (driver-side: header + metadata pages only). */
   def schemaOf(spark: SparkSession, file: String): StructType =
     metaOf(spark, file).schema
+
+  /** Executor-side meta read for the DataSource V2 path (no SparkSession). */
+  private[sources] def readMetaFrom(open: () => InputStream): SasMeta = {
+    val in = open()
+    try readMeta(in) finally in.close()
+  }
 
   private[sources] def metaOf(spark: SparkSession, file: String): SasMeta = {
     val p = new Path(file)
