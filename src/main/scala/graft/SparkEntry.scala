@@ -1024,6 +1024,28 @@ object Queries {
       .orderBy("id")
   }
 
+  /** SemDeDup (Abbas et al. 2023): k-means the embedding space, near-dup
+    * only within clusters, keep the min-id exemplar per duplicate group.
+    * Deterministic end-to-end (kMeans init is the first C vectors by id),
+    * but k-means is not SQL-expressible so the oracle is rows-only; the
+    * spec pins survivors against the exact quadratic pass on clustered
+    * vectors and measures the boundary-split recall trade. */
+  def q100SemDedup(spark: SparkSession, dir: String): DataFrame =
+    operators.SemDedup.semDedup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      c = 8, iters = 3, tau = 0.45)
+      .select(col("vec_id"), col("label"), col("bucket"))
+      .orderBy("vec_id")
+
+  /** Substring-span duplication profile (Lee et al. 2022 re-expressed):
+    * per-doc count of 40-char windows (stride 1) whose text occurs at more
+    * than one site corpus-wide. Exact string-keyed variant here (DuckDB
+    * oracle); the hashed scale path and the span REMOVAL verb
+    * (stripDupSpans) are spec-pinned equal/correct. */
+  def q101DupSpans(spark: SparkSession, dir: String): DataFrame =
+    operators.SpanDedup.dupSpanStats(t(spark, dir, "documents"), "doc_id", "text",
+      l = 40, s = 1)
+      .orderBy("doc_id")
+
   /** Perceptual near-dup payloads: every 5th doc gets a 1-byte-perturbed
     * copy planted (id+1e6); aHash + pigeonhole hamming join recovers the
     * planted pairs that exact digests (q73) cannot (different md5). Rows
@@ -1179,6 +1201,8 @@ object Queries {
     "q97_phash_dedup" -> q97PhashDedup _,
     "q98_bpe_merges" -> q98BpeMerges _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
+    "q100_semdedup" -> q100SemDedup _,
+    "q101_dup_spans" -> q101DupSpans _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1433,6 +1457,20 @@ object Queries {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q101_dup_spans" ->
+      """WITH sp0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 39, 1)) AS pos, text
+        |  FROM documents WHERE length(text) >= 40
+        |), sp AS (
+        |  SELECT doc_id, substr(text, CAST(pos AS INT), 40) AS span FROM sp0
+        |), dup AS (
+        |  SELECT span FROM sp GROUP BY span HAVING count(*) > 1
+        |), per_doc AS (
+        |  SELECT sp.doc_id, count(*) AS dup_spans FROM sp JOIN dup USING (span)
+        |  GROUP BY sp.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q31_dedup_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Substring-level (span) deduplication: find — and optionally cut out —
+  * long character spans that occur at more than one site in the corpus,
+  * the document-crossing repeated-text problem of Lee et al. 2022
+  * ("Deduplicating Training Data Makes Language Models Better",
+  * arXiv:2107.06499): boilerplate, licenses, quoted chunks that whole-doc
+  * and near-dup passes all miss because the HOST documents differ.
+  *
+  * The paper builds a corpus-wide suffix array — inherently sequential and
+  * RAM-bound. The Spark-first re-expression: every length-`l` character
+  * window at stride `s` becomes a (doc, pos, window) row via
+  * `explode(sequence(...))` + `substring` (pure codegen, no UDF); a window
+  * text occurring at >1 site marks ALL its sites duplicated. At stride 1
+  * this finds every duplicated span of length >= l exactly (any such span
+  * contains a duplicated l-window at its start); larger strides trade
+  * alignment sensitivity for an s-fold smaller intermediate.
+  *
+  * Scale shape: ONE shuffle, the groupBy on the window key. The exact
+  * variant groups the l-char strings (oracle-comparable); the scale variant
+  * [[dupSpanSitesHashed]] groups 8-byte xxhash64 keys so the wide strings
+  * never enter the exchange — the q45/q78 two-phase pattern, spec-proven
+  * equal. Removal broadcasts nothing and joins loser sites back by doc id.
+  *
+  * Reference scope note: the reference engine (wrds2pg) has no text
+  * operators; this extends the training-data-pipeline surface (SURVEY §2).
+  */
+object SpanDedup {
+
+  /** All (id, pos, span) windows: `l`-char substrings at 1-based positions
+    * 1, 1+s, 1+2s, … within each text. Docs shorter than `l` emit nothing. */
+  def spans(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
+    require(l >= 2, "need window length l >= 2")
+    require(s >= 1, "need stride s >= 1")
+    df.where(length(col(textCol)) >= l)
+      .select(
+        col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (l - 1), lit(s))).as("pos"),
+        col(textCol).as("_t"))
+      .select(col(idCol), col("pos"), expr(s"substring(_t, pos, $l)").as("span"))
+  }
+
+  private def dupSites(sp: DataFrame, key: Column): DataFrame = {
+    val keyed = sp.withColumn("_k", key)
+    val dup = keyed.groupBy("_k").agg(count(lit(1)).as("sites"))
+      .where(col("sites") > 1)
+    keyed.join(dup, "_k").drop("_k", "span")
+  }
+
+  /** Duplicated sites, exact: every (id, pos) whose span text occurs at >1
+    * site corpus-wide, with that span's total site count. */
+  def dupSpanSites(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame =
+    dupSites(spans(df, idCol, textCol, l, s), col("span"))
+
+  /** Duplicated sites, hashed scale path: identical semantics but the
+    * groupBy key is xxhash64(span), so the exchange carries 8 bytes per
+    * window instead of `l` chars. Spec-proven equal to [[dupSpanSites]]
+    * (a corpus-wide hash collision would need ~2^32 distinct windows). */
+  def dupSpanSitesHashed(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame =
+    dupSites(spans(df, idCol, textCol, l, s), xxhash64(col("span")))
+
+  /** Per-document duplicated-window count (0 for clean docs) — the profile
+    * a curation pass thresholds on. Exact (string-keyed), DuckDB-oracle
+    * comparable. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame =
+    df.select(col(idCol))
+      .join(
+        dupSpanSites(df, idCol, textCol, l, s)
+          .groupBy(idCol).agg(count(lit(1)).as("dup_spans")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+
+  /** Cuts duplicated spans out of the corpus, keeping ONE copy corpus-wide:
+    * the first site of each duplicated window (min id, then min pos)
+    * survives; every other site's [pos, pos+l) character range is removed
+    * from its document. Overlapping loser ranges merge before cutting, so
+    * a long repeated region excises once, cleanly.
+    *
+    * Interval merge and text reassembly are higher-order array expressions
+    * (`aggregate` over the sorted loser positions) — no UDF, no
+    * per-doc driver work; the only shuffles are the window-key groupBy
+    * inherited from [[dupSpanSites]], one row_number window keyed by the
+    * (already shrunken) duplicated-window key, and the doc-id join of loser
+    * position arrays back to the corpus. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
+    require(!df.columns.contains("_cuts"), "input already has a _cuts column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k").orderBy(col(idCol).asc, col("pos").asc)
+    val losers = spans(df, idCol, textCol, l, s)
+      .select(col(idCol), col("pos"), xxhash64(col("span")).as("_k"))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
+    // Merge the sorted loser positions into disjoint [s, e) intervals, then
+    // rebuild the text as the concatenation of the inter-interval gaps —
+    // both folds are a single codegen'd higher-order expression per doc.
+    val rebuilt = expr(
+      s"""aggregate(
+         |  aggregate(_cuts, cast(array() as array<struct<s:int,e:int>>),
+         |    (acc, p) -> if (size(acc) > 0 AND element_at(acc, -1).e >= p,
+         |      concat(slice(acc, 1, size(acc) - 1),
+         |             array(named_struct('s', element_at(acc, -1).s,
+         |                                'e', greatest(element_at(acc, -1).e, p + $l)))),
+         |      concat(acc, array(named_struct('s', p, 'e', p + $l))))),
+         |  named_struct('prev', 1, 'acc', ''),
+         |  (st, iv) -> named_struct(
+         |    'prev', iv.e,
+         |    'acc', concat(st.acc, substring(`$textCol`, st.prev, iv.s - st.prev))),
+         |  st -> concat(st.acc,
+         |               substring(`$textCol`, st.prev, length(`$textCol`) - st.prev + 1)))
+         |""".stripMargin)
+    df.join(losers, Seq(idCol), "left")
+      .withColumn(textCol, when(col("_cuts").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("_cuts")
+  }
+}

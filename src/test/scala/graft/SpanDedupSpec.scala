@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.SpanDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpanDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // B = "0123456789" shared by docs 1/2; C = "ABCDEFGH" repeated inside doc 3;
+  // doc 4 is clean; doc 5 is shorter than the window and must emit nothing.
+  private def fixture = Seq(
+    (1L, "abcde0123456789fghij"),
+    (2L, "klmno0123456789pqrst"),
+    (3L, "zzABCDEFGHwwABCDEFGHvv"),
+    (4L, "uniquetextwithnorepeats!"),
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("spans enumerates l-windows at stride s, 1-based") {
+    val got = SpanDedup.spans(Seq((7L, "abcdef")).toDF("doc_id", "text"), "doc_id", "text",
+      l = 4, s = 2)
+      .select("doc_id", "pos", "span").as[(Long, Int, String)].collect().toSet
+    assert(got === Set((7L, 1, "abcd"), (7L, 3, "cdef")))
+  }
+
+  test("dupSpanStats counts duplicated windows per doc (0 for clean docs)") {
+    val got = SpanDedup.dupSpanStats(fixture, "doc_id", "text", l = 6, s = 1)
+      .as[(Long, Long)].collect().toMap
+    // docs 1/2 share B: windows at pos 6..10 (5 each); doc 3 repeats C:
+    // pos 3..5 and 13..15 all duplicated (6); docs 4/5 clean.
+    assert(got === Map(1L -> 5L, 2L -> 5L, 3L -> 6L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("hashed scale path matches the exact string-keyed sites on the sf corpus") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = SpanDedup.dupSpanSites(docs, "doc_id", "text", l = 40, s = 1)
+      .select("doc_id", "pos", "sites").as[(Long, Int, Long)].collect().toSet
+    val hashed = SpanDedup.dupSpanSitesHashed(docs, "doc_id", "text", l = 40, s = 1)
+      .select("doc_id", "pos", "sites").as[(Long, Int, Long)].collect().toSet
+    assert(exact.nonEmpty) // the synthetic corpus has real repeated structure
+    assert(hashed === exact)
+  }
+
+  test("stripDupSpans keeps the first site corpus-wide and excises merged ranges") {
+    val got = SpanDedup.stripDupSpans(fixture, "doc_id", "text", l = 6, s = 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) === "abcde0123456789fghij")  // owns every first site: intact
+    assert(got(2L) === "klmnopqrst")            // B excised as ONE merged range
+    assert(got(3L) === "zzABCDEFGHwwvv")        // second C excised, first kept
+    assert(got(4L) === "uniquetextwithnorepeats!")
+    assert(got(5L) === "tiny")
+  }
+
+  test("stripDupSpans preserves non-text columns and row count") {
+    val withCols = fixture.withColumn("lang", lit("en"))
+    val out = SpanDedup.stripDupSpans(withCols, "doc_id", "text", l = 6, s = 1)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(out.count() === 5L)
+    assert(out.where(col("lang") === "en").count() === 5L)
+  }
+}
