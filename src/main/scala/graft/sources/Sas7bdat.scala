@@ -23,12 +23,11 @@ import org.apache.spark.sql.types._
   * subheader-pointer array) and `data` pages. Both 32-bit and 64-bit
   * variants, either endianness, truncated (3–7 byte) numerics, and the
   * DATE/DATETIME format→type conversions (SAS epoch 1960-01-01) are
-  * handled. RLE compression (COMPRESS=CHAR, "SASYZCRL") is decoded
-  * natively — compressed rows ride as per-row page subheaders — while the
-  * RDC layout (COMPRESS=BINARY) is detected and rejected with a clear
-  * error. Fixtures are validated against pandas.read_sas (an independent
-  * reader) before the Scala spec pins values — see
-  * tools/make_sas7bdat_fixtures.py.
+  * handled. Both compressed layouts are decoded natively — RLE
+  * (COMPRESS=CHAR, "SASYZCRL") and RDC (COMPRESS=BINARY, "SASYZCR2") —
+  * compressed rows ride as per-row page subheaders. Fixtures are
+  * validated against pandas.read_sas (an independent reader) before the
+  * Scala spec pins values — see tools/make_sas7bdat_fixtures.py.
   *
   * ==Scale shape==
   * SAS datasets are single sequential streams (no internal split points
@@ -85,7 +84,9 @@ object Sas7bdat {
       u64: Boolean, littleEndian: Boolean, encoding: Charset,
       headerSize: Int, pageSize: Int, pageCount: Long,
       rowLength: Int, rowCount: Long, mixPageRowCount: Long,
-      columns: Seq[SasColumn], rleCompressed: Boolean = false) {
+      columns: Seq[SasColumn], rleCompressed: Boolean = false,
+      rdcCompressed: Boolean = false) {
+    def compressed: Boolean = rleCompressed || rdcCompressed
     def schema: StructType =
       StructType(columns.map(c => StructField(c.name, c.dataType, nullable = true)))
   }
@@ -156,6 +157,7 @@ object Sas7bdat {
     val bitOff = if (u64) 32 else 16
     val ptrLen = if (u64) 24 else 12
     var rle = false
+    var rdc = false
     var done = false
     var pagesRead = 0
     while (!done && pagesRead < pageCount) {
@@ -183,11 +185,8 @@ object Sas7bdat {
                 val blob = page.raw(shOff + intLen, blobSize)
                 if (textHeap.isEmpty) {
                   val s = new String(blob, StandardCharsets.ISO_8859_1)
-                  if (s.contains("SASYZCR2"))
-                    throw new UnsupportedOperationException(
-                      "RDC-compressed sas7bdat (COMPRESS=BINARY) is not " +
-                        "supported; export with COMPRESS=CHAR or COMPRESS=NO")
-                  rle = s.contains("SASYZCRL")
+                  rdc = s.contains("SASYZCR2")
+                  rle = !rdc && s.contains("SASYZCRL")
                 }
                 textHeap += blob
               case "colname" =>
@@ -233,7 +232,8 @@ object Sas7bdat {
         if (i < formats.size) formats(i) else "")
     }
     SasMeta(u64, little, encoding, headerSize, pageSize, pageCount,
-      rowLength.toInt, rowCount, mixRows, cols, rleCompressed = rle)
+      rowLength.toInt, rowCount, mixRows, cols,
+      rleCompressed = rle, rdcCompressed = rdc)
   }
 
   // ------------------------------------------------------------------- RLE
@@ -277,6 +277,62 @@ object Sas7bdat {
       }
     }
     require(o == outLen, s"RLE decompressed $o bytes, expected $outLen")
+    out
+  }
+
+  // ------------------------------------------------------------------- RDC
+  /** SASYZCR2 (COMPRESS=BINARY, Ross Data Compression) decoder. Command
+    * set per the public format documentation, confirmed against
+    * pandas.read_sas on generated probes exercising every command family
+    * (tools/make_sas7bdat_fixtures.py `rdc_compress`): a 16-bit big-endian
+    * control word gates each group of 16 items — a 0 bit is one literal
+    * byte; a 1 bit is a command byte whose high nibble selects
+    * short RLE (0), long RLE (1), long copy (2) or a short copy of
+    * `cmd` bytes (3–15), with the low nibble (+ following bytes for the
+    * long forms) carrying length/offset. Copies may self-overlap, so they
+    * run byte-at-a-time forward. */
+  private[sources] def rdcDecompress(src: Array[Byte], outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = 0
+    var o = 0
+    var ctrl = 0
+    var mask = 0
+    def nxt(): Int = { val b = src(i) & 0xff; i += 1; b }
+    def fill(n: Int, b: Byte): Unit = {
+      require(o + n <= outLen, s"RDC overrun at $o + $n > $outLen")
+      java.util.Arrays.fill(out, o, o + n, b); o += n
+    }
+    def copyBack(ofs: Int, n: Int): Unit = {
+      require(ofs <= o && o + n <= outLen, s"RDC copy overrun (ofs=$ofs, o=$o, n=$n)")
+      var k = 0
+      while (k < n) { out(o + k) = out(o - ofs + k); k += 1 }
+      o += n
+    }
+    while (i < src.length && o < outLen) {
+      mask >>= 1
+      if (mask == 0) {
+        ctrl = (nxt() << 8) | nxt()
+        mask = 0x8000
+      }
+      if ((ctrl & mask) == 0) {
+        out(o) = src(i); o += 1; i += 1
+      } else {
+        val c = nxt()
+        val cmd = (c >> 4) & 0x0f
+        val nib = c & 0x0f
+        cmd match {
+          case 0 => val b = nxt().toByte; fill(nib + 3, b)
+          case 1 => val n = nib + (nxt() << 4) + 19; fill(n, nxt().toByte)
+          case 2 =>
+            val ofs = nib + 3 + (nxt() << 4)
+            copyBack(ofs, nxt() + 16)
+          case _ =>
+            val ofs = nib + 3 + (nxt() << 4)
+            copyBack(ofs, cmd)
+        }
+      }
+    }
+    require(o == outLen, s"RDC decompressed $o bytes, expected $outLen")
     out
   }
 
@@ -356,7 +412,7 @@ object Sas7bdat {
             // compression=4 — or 0 when RLE didn't shrink a row — with
             // type=1 and an unrecognized signature) on meta-ish pages
             val shRows: Seq[(B, Int)] =
-              if (!meta.rleCompressed || shCount == 0 || pageType == PageData) Nil
+              if (!meta.compressed || shCount == 0 || pageType == PageData) Nil
               else (0 until shCount).flatMap { idx =>
                 val p = bitOff + 8 + idx * ptrLen
                 val shOff = page.uint(p, intLen).toInt
@@ -370,8 +426,9 @@ object Sas7bdat {
                 else {
                   val payload = page.raw(shOff, shLen)
                   val rowBytes =
-                    if (shLen < meta.rowLength) rleDecompress(payload, meta.rowLength)
-                    else payload
+                    if (shLen >= meta.rowLength) payload
+                    else if (meta.rdcCompressed) rdcDecompress(payload, meta.rowLength)
+                    else rleDecompress(payload, meta.rowLength)
                   Some((new B(rowBytes, meta.littleEndian), 0))
                 }
               }

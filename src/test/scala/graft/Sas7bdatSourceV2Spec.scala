@@ -21,7 +21,7 @@ class Sas7bdatSourceV2Spec extends AnyFunSuite {
 
   test("format(\"sas7bdat\") matches the RDD reader on every fixture") {
     for (f <- Seq("u64_pages", "u64_mix", "x86_mix", "u64_bigend",
-        "u64_rle", "u64_dates")) {
+        "u64_rle", "u64_rdc", "u64_dates")) {
       val p = s"$dir/$f.sas7bdat"
       val a = v2(p)
       val b = Sas7bdat.read(spark, p)

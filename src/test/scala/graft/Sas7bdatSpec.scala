@@ -60,6 +60,33 @@ class Sas7bdatSpec extends AnyFunSuite {
     checkStandard("u64_rle.sas7bdat", 40)
   }
 
+  test("RDC-compressed (SASYZCR2) rows decode: literals, RLE fills, overlapped copies") {
+    // fixture: the standard 4 columns plus a `blurb` crafted so the
+    // generator's greedy RDC encoder emits every command family — literal
+    // bits, short RLE (pad runs <= 18), long RLE (>= 19), short copies
+    // (6-byte echo at offset 9) and long self-overlapping copies (the
+    // period-5 "PATnn" repetition) — all accepted by pandas.read_sas at
+    // generation time
+    val df = Sas7bdat.read(spark, s"$dir/u64_rdc.sas7bdat")
+    assert(df.schema == StructType(Seq(
+      StructField("id", DoubleType), StructField("ratio", DoubleType),
+      StructField("name", StringType), StructField("flag", StringType),
+      StructField("blurb", StringType))))
+    val got = df.orderBy("id").collect().map { r =>
+      (r.getDouble(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getString(2), r.getString(3), r.getString(4))
+    }.toSeq
+    val exp = (0 until 40).map { i =>
+      (i + 1.0,
+        if (i % 7 == 3) None else Some(i * 0.5 - 3.25),
+        f"row_$i%03d",
+        if (i % 2 == 0) "Y" else "N",
+        f"u$i%02dvkz-!#u$i%02dvkz" + (f"PAT$i%02d" * 5))
+    }
+    assert(got == exp)
+  }
+
   test("DATE/DATETIME formats become DateType/TimestampType at the SAS epoch") {
     val df = Sas7bdat.read(spark, s"$dir/u64_dates.sas7bdat")
     assert(df.schema == StructType(Seq(

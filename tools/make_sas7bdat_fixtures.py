@@ -272,7 +272,72 @@ def rle_compress(row):
     return bytes(out)
 
 
-def build_rle_file(u64, rows, cols, page_size=4096, header_size=None):
+def rdc_compress(row):
+    """Greedy SASYZCR2 (RDC, COMPRESS=BINARY) encoder over the command set
+    confirmed against pandas (round-5 probe): a 16-bit big-endian control
+    word precedes each group of 16 items; a 0 bit is one literal byte, a 1
+    bit is a command byte (high nibble = cmd, low nibble = cnt):
+      cmd 0: short RLE, run = cnt + 3, fill byte follows
+      cmd 1: long RLE, run = cnt + (next << 4) + 19, fill byte follows
+      cmd 2: long copy, ofs = cnt + 3 + (next << 4), len = next2 + 16
+      cmd 3-15: short copy of cmd bytes, ofs = cnt + 3 + (next << 4)
+    The encoder prefers RLE for runs >= 3, then the longest back-reference
+    within offset 4098 (len capped at 271), else a literal."""
+    items = []  # (is_cmd, bytes)
+    i, n = 0, len(row)
+    while i < n:
+        b = row[i]
+        run = 1
+        while i + run < n and row[i + run] == b and run < 4114:
+            run += 1
+        if run >= 3:
+            take = run
+            if take <= 18:
+                items.append((1, bytes([0x00 | (take - 3), b])))
+            else:
+                take = min(take, 19 + 0xFFF)
+                c = take - 19
+                items.append((1, bytes([0x10 | (c & 0x0F), c >> 4, b])))
+            i += take
+            continue
+        # longest back-reference ending before i within offset window
+        best_len, best_ofs = 0, 0
+        lo = max(0, i - 4098)
+        for j in range(lo, i):
+            if row[j] != b:
+                continue
+            m = 0
+            while i + m < n and m < 271 and row[j + m] == row[i + m]:
+                m += 1
+            if m > best_len:
+                best_len, best_ofs = m, i - j
+        if best_len >= 3 and best_ofs >= 3:
+            take = best_len
+            o = best_ofs - 3
+            if take <= 15:
+                items.append((1, bytes([(take << 4) | (o & 0x0F), o >> 4])))
+            else:
+                take = min(take, 271)
+                items.append((1, bytes([0x20 | (o & 0x0F), o >> 4, take - 16])))
+            i += take
+            continue
+        items.append((0, bytes([b])))
+        i += 1
+    out = bytearray()
+    for g in range(0, len(items), 16):
+        grp = items[g:g + 16]
+        ctrl = 0
+        for k, (is_cmd, _) in enumerate(grp):
+            if is_cmd:
+                ctrl |= 0x8000 >> k
+        out += bytes([ctrl >> 8, ctrl & 0xFF])
+        for _, bs in grp:
+            out += bs
+    return bytes(out)
+
+
+def build_rle_file(u64, rows, cols, page_size=4096, header_size=None,
+                   comp_lit=b"SASYZCRL", compressor=rle_compress, tag=b"GRAFT_RLE"):
     """Compressed (SASYZCRL) file: rows stored as compressed subheaders
     (pointer compression=4, type=1) on meta pages, spilling across pages."""
     import importlib
@@ -309,7 +374,7 @@ def build_rle_file(u64, rows, cols, page_size=4096, header_size=None):
     blob = bytearray(28)
     # compression literal where readers look for it (offset+16(+4) from
     # subheader start = blob position 12 for u64, 16-4-... keep 12)
-    blob[12:20] = b"SASYZCRL"
+    blob[12:20] = comp_lit
     name_pos = []
     for c in cols:
         nb = c[0].encode()
@@ -357,7 +422,7 @@ def build_rle_file(u64, rows, cols, page_size=4096, header_size=None):
                 (bytes(cn), 0, 0), (bytes(ca), 0, 0)] + [(f, 0, 0) for f in fmt_shs]
     row_shs = []
     for r in range(rows):
-        payload = rle_compress(row_bytes(r))
+        payload = compressor(row_bytes(r))
         assert len(payload) < row_length, "row did not compress"
         row_shs.append((payload, 4, 1))
 
@@ -397,7 +462,7 @@ def build_rle_file(u64, rows, cols, page_size=4096, header_size=None):
     hdr[37] = 0x01
     hdr[39] = ord("1")
     hdr[70] = 20
-    hdr[92:92 + 64] = b"GRAFT_RLE".ljust(64)
+    hdr[92:92 + 64] = tag.ljust(64)
     hdr[156:164] = b"DATA    "
     struct.pack_into(bo + "d", hdr, 168, 2.0e9)
     struct.pack_into(bo + "d", hdr, 176, 2.0e9)
@@ -457,6 +522,20 @@ def main(outdir):
     with open(pth, "wb") as f:
         f.write(data)
     validate(pth, cols, n)
+
+    # RDC twin: same rows/geometry, SASYZCR2 literal + RDC row payloads.
+    # repeat_tail forces back-reference commands (short + long copies).
+    rcols = make_cols(n)
+    rcols.append(("blurb", "s", 64,
+                  [f"u{i:02d}vkz-!#u{i:02d}vkz" + ("PAT" + f"{i:02d}") * 5
+                   for i in range(n)]))
+    data = build_rle_file(u64=True, rows=n, cols=rcols, page_size=2048,
+                          comp_lit=b"SASYZCR2", compressor=rdc_compress,
+                          tag=b"GRAFT_RDC")
+    pth = f"{outdir}/u64_rdc.sas7bdat"
+    with open(pth, "wb") as f:
+        f.write(data)
+    validate(pth, rcols, n)
 
     for fname, n, kind, kw in fixtures:
         if kind == "dates":
