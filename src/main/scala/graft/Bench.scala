@@ -31,7 +31,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // SPARK_GRAFT_ONLY=q101_dup_spans,q45_ngram_topk runs a subset — for
+    // iterating on one operator without paying the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Only SUCCESSFUL runs feed the per-query minimum: a throwing query's
     // near-zero elapsed time must not masquerade as a speedup. A query with
     // zero successful reps is reported in "failed" (value -1) and excluded

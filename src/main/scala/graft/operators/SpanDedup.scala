@@ -31,11 +31,21 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** All (id, pos, span) windows: `l`-char substrings at 1-based positions
-    * 1, 1+s, 1+2s, … within each text. Docs shorter than `l` emit nothing. */
+    * 1, 1+s, 1+2s, … within each text. Docs shorter than `l` emit nothing.
+    *
+    * The explode is a ~l/s-fold ROW MULTIPLIER, and Spark cannot re-split
+    * a partition mid-generate — an under-parallel input (one small file,
+    * a collapsed upstream) would pin the whole window pass to a few cores.
+    * So inputs with fewer partitions than the cluster fan out BEFORE the
+    * generate (one narrow (id, text) shuffle); well-split inputs pass
+    * through untouched. */
   def spans(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
     require(l >= 2, "need window length l >= 2")
     require(s >= 1, "need stride s >= 1")
-    df.where(length(col(textCol)) >= l)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val docs = df.select(col(idCol), col(textCol))
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread.where(length(col(textCol)) >= l)
       .select(
         col(idCol),
         explode(sequence(lit(1), length(col(textCol)) - (l - 1), lit(s))).as("pos"),
@@ -51,9 +61,26 @@ object SpanDedup {
   }
 
   /** Duplicated sites, exact: every (id, pos) whose span text occurs at >1
-    * site corpus-wide, with that span's total site count. */
-  def dupSpanSites(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame =
-    dupSites(spans(df, idCol, textCol, l, s), col("span"))
+    * site corpus-wide, with that span's total site count.
+    *
+    * Two-phase (the q45 top-ngrams shape): phase 1 counts 8-byte
+    * xxhash64(span) keys — the corpus-sized shuffle never carries the
+    * `l`-char strings; phase 2 re-groups ONLY the hash-candidate sites
+    * (typically a few % of windows) by their actual span text, so a hash
+    * collision between distinct spans is caught and exactness is
+    * unconditional. */
+  def dupSpanSites(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
+    // cached: the window pass feeds the hash count AND the candidate probe
+    // (the Dedup.shingleHashes pattern — one generate instead of three)
+    val sp = spans(df, idCol, textCol, l, s)
+      .withColumn("_k", xxhash64(col("span"))).cache()
+    val dupK = sp.groupBy("_k").agg(count(lit(1)).as("_kc"))
+      .where(col("_kc") > 1).select("_k")
+    val cand = sp.join(dupK, "_k")
+    val dup = cand.groupBy("span").agg(count(lit(1)).as("sites"))
+      .where(col("sites") > 1)
+    cand.join(dup, "span").drop("_k", "span")
+  }
 
   /** Duplicated sites, hashed scale path: identical semantics but the
     * groupBy key is xxhash64(span), so the exchange carries 8 bytes per
