@@ -190,7 +190,11 @@ object Graft {
       chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
     import graft.operators.{Curation, Dedup}
     import org.apache.spark.sql.functions.broadcast
-    val scrubbed = Curation.redactPii(docs, idCol, textCol)
+    // one fan-out feeds every stage: the PII regex scrub is the first,
+    // CPU-bound stage and local single-split corpora would pin the whole
+    // pipeline's pre-shuffle work to one core (core.Par)
+    val spread = graft.core.Par.fanOut(docs.select(col(idCol), col(textCol)))
+    val scrubbed = Curation.redactPii(spread, idCol, textCol)
       .withColumnRenamed("clean_text", textCol)
       .select(col(idCol), col(textCol))
     val quality = scrubbed.join(

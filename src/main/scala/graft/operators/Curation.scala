@@ -121,7 +121,9 @@ object Curation {
     val benchGrams = grams(benchmark)
       .distinct()
       .withColumn("hit", lit(1))
-    grams(corpus, col(idCol))
+    // corpus side fans out first: the gram explode is CPU-bound and local
+    // single-split inputs would otherwise run it on one core (core.Par)
+    grams(graft.core.Par.fanOut(corpus.select(col(idCol), col(textCol))), col(idCol))
       .distinct()
       .join(benchGrams, Seq("ng"), "left")
       .groupBy(col(idCol)).agg(
@@ -232,7 +234,7 @@ object Curation {
       ceil(size(toks).cast("double") / blockWords), lit(1L))
     val blkText = array_join(slice(col("_toks"),
       (col("_g") * blockWords + 1).cast("int"), lit(blockWords)), " ")
-    val blocks = df
+    val blocks = graft.core.Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), toks.as("_toks"),
         explode(sequence(lit(0L), nBlocks - 1)).as("_g"))
       .select(col(idCol), col("_g"), blkText.as("_blk"),

@@ -326,7 +326,7 @@ object Dedup {
     val cells = byTable.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("t"), Similarity.lshBucket(col(vecCol), planes).as("b"))
     }
-    val bucketed = df
+    val bucketed = graft.core.Par.fanOut(df.select(col(idCol), col(vecCol)))
       .select(col(idCol), col(vecCol), explode(array(cells: _*)).as("_cell"))
     val x = bucketed.select(col(idCol).as("a"), col(vecCol).as("_va"), col("_cell"))
     val y = bucketed.select(col(idCol).as("b"), col(vecCol).as("_vb"), col("_cell"))

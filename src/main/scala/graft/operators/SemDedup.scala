@@ -53,7 +53,8 @@ object SemDedup {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], tau: Double): DataFrame = {
     import graft.functions.ArrayMath
-    val assigned = withBucket(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+    val assigned = withBucket(
+      graft.core.Par.fanOut(df.select(col(idCol), col(vecCol))), vecCol, centroids)
       .withColumn("_n", ArrayMath.norm2(col(vecCol)))
     val x = assigned.select(
       col(idCol).as("a"), col(vecCol).as("_va"), col("_n").as("_na"), col("bucket"))
@@ -77,7 +78,8 @@ object SemDedup {
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       c: Int, iters: Int, tau: Double): DataFrame = {
-    val centroids = Similarity.kMeans(df, idCol, vecCol, c, iters)
+    val centroids =
+      Similarity.kMeans(graft.core.Par.fanOut(df), idCol, vecCol, c, iters)
     val p = pairs(df, idCol, vecCol, centroids, tau)
     val losers = Dedup.connectedComponents(p, "a", "b")
       .where(col("id") =!= col("comp"))

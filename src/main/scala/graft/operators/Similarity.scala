@@ -85,6 +85,17 @@ object Similarity {
   def kMeans(
       df: DataFrame, idCol: String, vecCol: String,
       c: Int, iters: Int): Seq[Seq[Double]] = {
+    // Lloyd re-scans the corpus every round (dim probe + init + one agg per
+    // iteration): cache the two columns it reads for the loop's lifetime —
+    // the classic iterative-ML persist — and release before returning.
+    val vecs = df.select(col(idCol), col(vecCol)).cache()
+    try kMeansCached(vecs, idCol, vecCol, c, iters)
+    finally { vecs.unpersist(); () }
+  }
+
+  private def kMeansCached(
+      df: DataFrame, idCol: String, vecCol: String,
+      c: Int, iters: Int): Seq[Seq[Double]] = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(c)
       .select(col(vecCol)).collect()

@@ -26,12 +26,14 @@ object VectorIndex {
   // ------------------------------------------------------------------ IVF
 
   /** Builds the IVF index: one assignment pass (broadcast centroids,
-    * codegen argmax) + one partitioned write. No shuffle — partitionBy
-    * splits files per task. */
+    * codegen argmax) + one write repartitioned BY BUCKET, so each bucket
+    * directory is one task's single file — parallel across buckets and
+    * no small-file spray, whatever the input split count. */
   def writeIvf(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], path: String): Unit = {
     Similarity.assignBuckets(df, idCol, vecCol, centroids)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
     val spark = df.sparkSession
     val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c) }
@@ -59,6 +61,7 @@ object VectorIndex {
       df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val centroids = readIvfCentroids(df.sparkSession, path)
     Similarity.assignBuckets(df, idCol, vecCol, centroids)
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/corpus")
   }
 
@@ -82,7 +85,9 @@ object VectorIndex {
   /** Builds the multi-table LSH index: each vector lands in `tables`
     * buckets (its sign-hash per table), so the corpus is written `tables`
     * times under `table=<t>/bucket=<b>` — the classic space-for-probes
-    * trade. One projection + explode, no shuffle. */
+    * trade. One projection + explode, then a write repartitioned BY
+    * (table, bucket): each cell directory is one task's single file —
+    * parallel across cells, no small-file spray. */
   def writeLsh(
       df: DataFrame, idCol: String, vecCol: String,
       bitsPerTable: Int, tables: Int, seed: Long, path: String): Unit = {
@@ -95,6 +100,7 @@ object VectorIndex {
     }
     df.select(col(idCol), col(vecCol), explode(array(entries: _*)).as("_e"))
       .select(col(idCol), col(vecCol), col("_e.table").as("table"), col("_e.bucket").as("bucket"))
+      .repartition(col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(s"$path/corpus")
     val spark = df.sparkSession
     val schema = StructType(Seq(
@@ -124,6 +130,7 @@ object VectorIndex {
     }
     df.select(col(idCol), col(vecCol), explode(array(entries: _*)).as("_e"))
       .select(col(idCol), col(vecCol), col("_e.table").as("table"), col("_e.bucket").as("bucket"))
+      .repartition(col("table"), col("bucket"))
       .write.mode("append").partitionBy("table", "bucket").parquet(s"$path/corpus")
   }
 
