@@ -165,6 +165,24 @@ object Graft {
       Dedup.topNgramsFromHashes(docs, textCol, sh, n, topK))
   }
 
+  /** Semantic (embedding-space) dedup — SemDeDup: k-means clusters, then
+    * near-dup removal within clusters only, min-id exemplar kept
+    * ([[operators.SemDedup.semDedup]]); survivors keep every column plus
+    * their cluster id. */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      c: Int, iters: Int = 3, tau: Double = 0.95): DataFrame =
+    graft.operators.SemDedup.semDedup(df, idCol, vecCol, c, iters, tau)
+
+  /** Substring-span dedup — cut character spans of length >= `l` that occur
+    * at more than one site corpus-wide, keeping the first site
+    * ([[operators.SpanDedup.stripDupSpans]]); see
+    * [[operators.SpanDedup.dupSpanStats]] for the measure-only profile. */
+  def stripDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      l: Int = 50, s: Int = 1): DataFrame =
+    graft.operators.SpanDedup.stripDupSpans(df, idCol, textCol, l, s)
+
   /** End-to-end corpus curation — the operators composed in their canonical
     * order (each stage is the oracle-checked operator behind the matching
     * q-query; see SURVEY §2.3/§2.5b):

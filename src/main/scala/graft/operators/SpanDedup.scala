@@ -114,10 +114,17 @@ object SpanDedup {
     * position arrays back to the corpus. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
     require(!df.columns.contains("_cuts"), "input already has a _cuts column")
+    // Same two-phase discipline as [[dupSpanSites]]: the corpus-sized
+    // shuffle carries 8-byte keys; the first-site ranking then runs on the
+    // ACTUAL span text of the (tiny) hash-candidate subset, so a hash
+    // collision can never cut innocent text.
+    val sp = spans(df, idCol, textCol, l, s)
+      .withColumn("_k", xxhash64(col("span"))).cache()
+    val dupK = sp.groupBy("_k").agg(count(lit(1)).as("_kc"))
+      .where(col("_kc") > 1).select("_k")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_k").orderBy(col(idCol).asc, col("pos").asc)
-    val losers = spans(df, idCol, textCol, l, s)
-      .select(col(idCol), col("pos"), xxhash64(col("span")).as("_k"))
+      .partitionBy("span").orderBy(col(idCol).asc, col("pos").asc)
+    val losers = sp.join(dupK, "_k")
       .withColumn("_r", row_number().over(w))
       .where(col("_r") > 1)
       .groupBy(col(idCol))

@@ -67,6 +67,22 @@ class GraftApiSpec extends AnyFunSuite {
     } finally suite.unpersist()
   }
 
+  test("semDedup and stripDupSpans facades delegate to the operators") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(1.8f, 0.2f)) // 2×vec10: cosine 1
+    ).toDF("vec_id", "embedding")
+    val kept = Graft.semDedup(vecs, "vec_id", "embedding", c = 2, iters = 2, tau = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 10L))
+    val docs = Seq(
+      (1L, "abcde0123456789fghij"),
+      (2L, "klmno0123456789pqrst")).toDF("doc_id", "text")
+    val stripped = Graft.stripDupSpans(docs, "doc_id", "text", l = 6, s = 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(stripped(1L) === "abcde0123456789fghij" && stripped(2L) === "klmnopqrst")
+  }
+
   test("curateCorpus: scrub → gate → dedup → decontaminate → chunk, end to end") {
     val s = spark
     import s.implicits._
