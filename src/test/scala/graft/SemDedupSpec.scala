@@ -63,6 +63,26 @@ class SemDedupSpec extends AnyFunSuite {
     assert(exact.count() === 1L)
   }
 
+  test("fuzz: pairs == exact pairs restricted to same-bucket, random vectors") {
+    val rng = new scala.util.Random(20260813L)
+    val vecs = (0L until 150L).map { i =>
+      (i, Array.fill(6)(rng.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0), Seq(0, 1.0, 0, 0, 0, 0),
+      Seq(0, 0, 1.0, 0, 0, 0), Seq(-1.0, 0, 0, 0, 0, 0))
+    val tau = 0.7
+    val blocked = SemDedup.pairs(vecs, "vec_id", "embedding", centroids, tau)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val bucketOf = Similarity.assignBuckets(vecs, "vec_id", "embedding", centroids)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val exactPairs: Set[(Long, Long)] =
+      Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", tau)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val exactSameBucket = exactPairs.filter { case (a, b) => bucketOf(a) == bucketOf(b) }
+    assert(blocked === exactSameBucket && blocked.nonEmpty)
+  }
+
   test("sf0.001 corpus: within-cluster pairs are a subset of exact pairs at the same tau") {
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 3)
