@@ -487,4 +487,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(out("b")._3 - 100.0) / 100.0 < 0.05)
     } finally q.stop()
   }
+
+  test("streaming semantic dedup: within-batch, cross-batch, replay, stale cleanup") {
+    import graft.streaming.StreamingSemDedup
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-semstream").toString
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    def ids(): Set[Long] = spark.read.parquet(s"$path/corpus")
+      .select("vec_id").as[Long].collect().toSet
+
+    // seed: one vector per cluster (axis directions), canonical as-is
+    StreamingSemDedup.bootstrap(
+      vecs(1L -> Array(1.0f, 0.05f), 2L -> Array(0.05f, 1.0f)),
+      "vec_id", "embedding", c = 2, iters = 2, path)
+    assert(ids() === Set(1L, 2L))
+
+    // batch 0: 10 ≈ persisted 1 (dropped), 11 new (kept), 20/21 a
+    // within-batch near-identical pair (min-id 20 kept)
+    val b0 = vecs(
+      10L -> Array(0.9f, 0.1f), 11L -> Array(0.5f, 0.87f),
+      20L -> Array(0.7f, 0.25f), 21L -> Array(1.4f, 0.5f))
+    StreamingSemDedup.processBatch(b0, 0L, path, "vec_id", "embedding", tau = 0.99)
+    assert(ids() === Set(1L, 2L, 11L, 20L))
+
+    // replay of batch 0 (at-least-once crash window): converges, no dupes
+    StreamingSemDedup.processBatch(b0, 0L, path, "vec_id", "embedding", tau = 0.99)
+    assert(ids() === Set(1L, 2L, 11L, 20L))
+    assert(spark.read.parquet(s"$path/corpus").count() === 4L, "no duplicate rows")
+
+    // batch 1: 30 ≈ batch-0 survivor 20 (cross-batch dup), 31 genuinely new
+    val b1 = vecs(30L -> Array(0.71f, 0.253f), 31L -> Array(0.05f, -1.0f))
+    StreamingSemDedup.processBatch(b1, 1L, path, "vec_id", "embedding", tau = 0.99)
+    assert(ids() === Set(1L, 2L, 11L, 20L, 31L))
+
+    // crash window: a half-written batch_id=2 partition exists, then the
+    // retry finds every batch-2 row duplicated → stale partition cleared
+    vecs(99L -> Array(0.7f, 0.25f)).withColumn("bucket", lit(0))
+      .withColumn("batch_id", lit(2L))
+      .write.mode("append").partitionBy("bucket", "batch_id")
+      .parquet(s"$path/corpus")
+    assert(ids().contains(99L))
+    val b2 = vecs(40L -> Array(1.4f, 0.5f)) // ≈ survivor 20 → dropped
+    StreamingSemDedup.processBatch(b2, 2L, path, "vec_id", "embedding", tau = 0.99)
+    assert(ids() === Set(1L, 2L, 11L, 20L, 31L), "stale half-write must clear")
+
+    // wiring smoke: the same batches through a real MemoryStream query
+    val path2 = java.nio.file.Files.createTempDirectory("graft-semstream2").toString
+    StreamingSemDedup.bootstrap(
+      vecs(1L -> Array(1.0f, 0.05f), 2L -> Array(0.05f, 1.0f)),
+      "vec_id", "embedding", c = 2, iters = 2, path2)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamingSemDedup.appendDeduped(
+      input.toDF().toDF("vec_id", "embedding"), path2, "vec_id", "embedding", tau = 0.99)
+    try {
+      input.addData(10L -> Array(0.9f, 0.1f), 11L -> Array(0.5f, 0.87f))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$path2/corpus")
+        .select("vec_id").as[Long].collect().toSet
+      assert(got === Set(1L, 2L, 11L))
+    } finally q.stop()
+  }
 }
