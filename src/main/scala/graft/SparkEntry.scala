@@ -1046,6 +1046,19 @@ object Queries {
       l = 40, s = 1)
       .orderBy("doc_id")
 
+  /** Span-granular benchmark decontamination (the q78 gate refined from
+    * doc-drop to span-strip): per-corpus-doc count of 40-char windows
+    * whose text occurs anywhere in the benchmark split. The benchmark
+    * window set broadcasts, so the corpus never shuffles; exact DuckDB
+    * oracle. The REMOVAL verb (stripContamSpans) is spec-pinned. */
+  def q102ContamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.SpanDedup.contamSpanStats(
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+      docs.where(pmod(col("doc_id"), lit(97)) === 0), "text", l = 40, s = 1)
+      .orderBy("doc_id")
+  }
+
   /** Perceptual near-dup payloads: every 5th doc gets a 1-byte-perturbed
     * copy planted (id+1e6); aHash + pigeonhole hamming join recovers the
     * planted pairs that exact digests (q73) cannot (different md5). Rows
@@ -1203,6 +1216,7 @@ object Queries {
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
+    "q102_contam_spans" -> q102ContamSpans _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1470,6 +1484,24 @@ object Queries {
         |  GROUP BY sp.doc_id)
         |SELECT d.doc_id, CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q102_contam_spans" ->
+      """WITH bsp0 AS (
+        |  SELECT unnest(generate_series(1, length(text) - 39, 1)) AS pos, text
+        |  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 40
+        |), bsp AS (
+        |  SELECT DISTINCT substr(text, CAST(pos AS INT), 40) AS span FROM bsp0
+        |), sp0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 39, 1)) AS pos, text
+        |  FROM documents WHERE doc_id % 97 <> 0 AND length(text) >= 40
+        |), sp AS (
+        |  SELECT doc_id, substr(text, CAST(pos AS INT), 40) AS span FROM sp0
+        |), per_doc AS (
+        |  SELECT sp.doc_id, count(*) AS contam_spans FROM sp JOIN bsp USING (span)
+        |  GROUP BY sp.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(p.contam_spans, 0) AS BIGINT) AS contam_spans
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0
         |ORDER BY d.doc_id""".stripMargin,
     "q31_dedup_ngram" ->
       """WITH toks AS (

@@ -129,9 +129,63 @@ object SpanDedup {
       .where(col("_r") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
-    // Merge the sorted loser positions into disjoint [s, e) intervals, then
-    // rebuild the text as the concatenation of the inter-interval gaps —
-    // both folds are a single codegen'd higher-order expression per doc.
+    excise(df, idCol, textCol, losers, l)
+  }
+
+  /** Removes from `df` every `l`-char span whose text occurs ANYWHERE in
+    * `bench` — span-granular benchmark decontamination, the complement of
+    * [[graft.operators.Curation.ngramContamination]]'s whole-doc gate: a
+    * doc quoting one benchmark passage loses the quote, not its life.
+    * Sites are string-confirmed (the hash join is only a prefilter), and
+    * the benchmark side enumerates stride-1 windows so any alignment of
+    * the quote is caught. The benchmark window set is an eval suite, tiny
+    * by construction — it BROADCASTS, so the corpus side never shuffles
+    * at all (better than [[dupSpanSites]], which must self-join). */
+  def contamSpanSites(
+      df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, l: Int, s: Int): DataFrame = {
+    val sp = spans(df, idCol, textCol, l, s)
+    val bkeys = spans(
+      bench.select(col(benchTextCol)).withColumn("_bid", lit(0L)),
+      "_bid", benchTextCol, l, 1)
+      .select(col("span").as("_bspan")).distinct()
+    sp.join(broadcast(bkeys), xxhash64(col("span")) === xxhash64(col("_bspan")))
+      .where(col("span") === col("_bspan"))
+      .select(col(idCol), col("pos"))
+  }
+
+  /** Per-document count of benchmark-contaminated windows (0 for clean
+    * docs) — the span-granular q78 profile; DuckDB-oracle comparable. */
+  def contamSpanStats(
+      df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, l: Int, s: Int): DataFrame =
+    df.select(col(idCol))
+      .join(
+        contamSpanSites(df, idCol, textCol, bench, benchTextCol, l, s)
+          .groupBy(idCol).agg(count(lit(1)).as("contam_spans")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contam_spans"), lit(0L)).as("contam_spans"))
+
+  /** Cuts EVERY benchmark-contaminated span out of `df` (no first-site
+    * exemption — benchmark text must go), merged-interval excision as in
+    * [[stripDupSpans]]. */
+  def stripContamSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, l: Int, s: Int): DataFrame = {
+    val cuts = contamSpanSites(df, idCol, textCol, bench, benchTextCol, l, s)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
+    excise(df, idCol, textCol, cuts, l)
+  }
+
+  /** Removes the merged [p, p+l) ranges of `cuts` (`(idCol, _cuts)` with
+    * sorted position arrays) from each document's text. Interval merge and
+    * text reassembly are one codegen'd higher-order expression per doc —
+    * no UDF, no driver work; docs without cuts pass through verbatim. */
+  private def excise(
+      df: DataFrame, idCol: String, textCol: String,
+      cuts: DataFrame, l: Int): DataFrame = {
+    require(!df.columns.contains("_cuts"), "input already has a _cuts column")
     val rebuilt = expr(
       s"""aggregate(
          |  aggregate(_cuts, cast(array() as array<struct<s:int,e:int>>),
@@ -147,7 +201,7 @@ object SpanDedup {
          |  st -> concat(st.acc,
          |               substring(`$textCol`, st.prev, length(`$textCol`) - st.prev + 1)))
          |""".stripMargin)
-    df.join(losers, Seq(idCol), "left")
+    df.join(cuts, Seq(idCol), "left")
       .withColumn(textCol, when(col("_cuts").isNull, col(textCol)).otherwise(rebuilt))
       .drop("_cuts")
   }

@@ -53,6 +53,31 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got(5L) === "tiny")
   }
 
+  test("contamSpanStats counts benchmark-overlapping windows at any alignment") {
+    // corpus doc 1 quotes the benchmark block B mid-text at an offset the
+    // corpus stride (s=2) does not land on — the stride-1 benchmark side
+    // must still catch the windows the corpus does enumerate
+    val corpus = Seq(
+      (1L, "xy0123456789AB"), // quotes B="0123456789" at pos 3
+      (2L, "nothingincommon!")).toDF("doc_id", "text")
+    val bench = Seq("qq0123456789zz").toDF("text")
+    val got = SpanDedup.contamSpanStats(corpus, "doc_id", "text", bench, "text",
+      l = 6, s = 1).as[(Long, Long)].collect().toMap
+    // windows of doc 1 inside B: pos 3..7 ("012345".."56789"), all in bench
+    assert(got === Map(1L -> 5L, 2L -> 0L))
+  }
+
+  test("stripContamSpans excises every benchmark quote, keeps clean docs") {
+    val corpus = Seq(
+      (1L, "xy0123456789AB"),
+      (2L, "nothingincommon!")).toDF("doc_id", "text")
+    val bench = Seq("qq0123456789zz").toDF("text")
+    val got = SpanDedup.stripContamSpans(corpus, "doc_id", "text", bench, "text",
+      l = 6, s = 1).select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) === "xyAB") // [3, 13) = exactly B excised as one range
+    assert(got(2L) === "nothingincommon!")
+  }
+
   test("stripDupSpans preserves non-text columns and row count") {
     val withCols = fixture.withColumn("lang", lit("en"))
     val out = SpanDedup.stripDupSpans(withCols, "doc_id", "text", l = 6, s = 1)
