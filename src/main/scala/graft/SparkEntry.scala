@@ -1059,6 +1059,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split: the q35 near-dup clusters as the split unit, so
+    * near-copies never straddle train/val/test (the held-out set stays
+    * honest). Oracle = q35's recursive-CTE clusters + q54's portable hash
+    * split keyed by cluster id. */
+  def q103LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.leakageSafeSplit(
+      t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6,
+      trainPct = 80, valPct = 10)
+      .orderBy("doc_id")
+
   /** Perceptual near-dup payloads: every 5th doc gets a 1-byte-perturbed
     * copy planted (id+1e6); aHash + pigeonhole hamming join recovers the
     * planted pairs that exact digests (q73) cannot (different md5). Rows
@@ -1217,6 +1227,7 @@ object Queries {
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
     "q102_contam_spans" -> q102ContamSpans _,
+    "q103_leakage_safe_split" -> q103LeakageSafeSplit _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1537,6 +1548,41 @@ object Queries {
         |  FROM v x JOIN v y ON x.vec_id < y.vec_id)
         |SELECT a, b, ROUND(cosine, 6) AS cosine FROM p
         |WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin,
+    "q103_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), cpairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), jpairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        |    FROM cpairs JOIN sizes sa ON cpairs.a = sa.doc_id
+        |                JOIN sizes sb ON cpairs.b = sb.doc_id)
+        |  WHERE jaccard >= 0.6
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM jpairs UNION ALL SELECT b, a FROM jpairs
+        |), cc(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst WHERE cc.comp < e.src
+        |), clusters AS (
+        |  SELECT d.doc_id, CAST(COALESCE(m.comp, d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM documents d
+        |  LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN (((cluster_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80 THEN 'train'
+        |       WHEN (((cluster_id % 1000000007) * 2654435761) % 1000000007) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clusters ORDER BY doc_id""".stripMargin,
     "q35_dedup_cluster" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -43,6 +43,26 @@ object Sampling {
       when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test"))
   }
 
+  /** Train/val/test split whose assignment unit is the NEAR-DUP CLUSTER
+    * ([[Dedup.nearDupClusters]] min-id label), not the document: every
+    * member of a near-duplicate group lands in the same split, so the
+    * held-out set can never contain a near-copy of a training doc — the
+    * leakage failure a per-doc hash split ([[deterministicSplit]]) cannot
+    * prevent. Returns (doc_id, cluster_id, split); join back by id for
+    * full columns. Topology = the q35 cluster pass (shingle equi-join +
+    * edge-bounded components) plus one pure projection — the split
+    * expression is the same SQL-portable hash, keyed by cluster id. */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 < valPct, trainPct + valPct < 100")
+    val b = hashBucket(col("cluster_id"), 100)
+    Dedup.nearDupClusters(df, idCol, textCol, n, tau)
+      .withColumn("split",
+        when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test"))
+  }
+
   /** Deterministic fraction sample: keeps ids whose bucket (out of `den`)
     * falls below `num` — e.g. (1, 10) keeps a stable 10%. */
   def hashSample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame = {

@@ -234,4 +234,30 @@ class SamplingSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, plan.toString)
   }
+
+  test("leakageSafeSplit: near-dup groups never straddle splits; singletons match q54") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog by the river"
+    // ids chosen so a naive per-doc split WOULD separate the pair
+    val docs = (0L until 40L).map { i =>
+      val text =
+        if (i == 7L || i == 23L) base // exact near-dups (jaccard 1)
+        else f"unique$i%02d " * 8 + f"tail$i%02d"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = graft.operators.Sampling.leakageSafeSplit(
+      docs, "doc_id", "text", n = 3, tau = 0.6, trainPct = 80, valPct = 10)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === 40)
+    // the planted pair shares cluster AND split, keyed by the min id
+    assert(out(7L) === out(23L) && out(7L)._1 === 7L)
+    // singletons: cluster = own id, split identical to the per-doc split
+    val perDoc = graft.operators.Sampling.deterministicSplit(
+      docs.select("doc_id"), "doc_id", trainPct = 80, valPct = 10)
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (id, (cl, sp)) =>
+      if (id != 23L) { assert(cl === id); assert(sp === perDoc(id), s"doc $id") }
+    }
+  }
 }
