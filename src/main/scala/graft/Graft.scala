@@ -183,6 +183,25 @@ object Graft {
       l: Int = 50, s: Int = 1): DataFrame =
     graft.operators.SpanDedup.stripDupSpans(df, idCol, textCol, l, s)
 
+  /** Span-granular benchmark decontamination — every `l`-char span of `df`
+    * that occurs anywhere in `bench` is excised (quotes go, docs stay;
+    * [[operators.SpanDedup.stripContamSpans]]); see
+    * [[operators.SpanDedup.contamSpanStats]] for the measure-only profile. */
+  def stripContamSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      l: Int = 50, s: Int = 1): DataFrame =
+    graft.operators.SpanDedup.stripContamSpans(df, idCol, textCol, bench, benchTextCol, l, s)
+
+  /** Leakage-safe train/val/test split — near-dup clusters as the
+    * assignment unit ([[operators.Sampling.leakageSafeSplit]]): returns
+    * (doc_id, cluster_id, split); join back by id for full columns. */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.6,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    graft.operators.Sampling.leakageSafeSplit(df, idCol, textCol, n, tau, trainPct, valPct)
+
   /** End-to-end corpus curation — the operators composed in their canonical
     * order (each stage is the oracle-checked operator behind the matching
     * q-query; see SURVEY §2.3/§2.5b):
