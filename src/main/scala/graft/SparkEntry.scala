@@ -620,6 +620,20 @@ object Queries {
       queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
   }
 
+  /** Int8-quantized materialized IVF: same pruning as q64, the corpus
+    * stored as (tinyint[64], float32 scale) — ~4× smaller on disk and over
+    * the probe's wire; only the pruned candidates dequantize. Rows-only
+    * oracle; the spec pins the deterministic scale/254 reconstruction
+    * bound and measures recall vs the float index. */
+  def q104AnnIvfQ8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
+    val path = indexPath(dir, "ivfq8")
+    VectorIndex.writeIvfQuantized(emb, "vec_id", "embedding", centroids, path)
+    VectorIndex.ivfTopKQuantized(spark, path, "vec_id",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
+  }
+
   /** Materialized multi-table LSH (6 tables × 4 sign bits): the corpus is
     * written `tables` times under table=/bucket= partitions; a probe reads
     * exactly 6 bucket directories. Build + probe. Rows-only oracle. */
@@ -1188,6 +1202,7 @@ object Queries {
     "q51_ann_ivf" -> q51AnnIvf _,
     "q63_ann_lsh" -> q63AnnLsh _,
     "q64_ann_ivf_index" -> q64AnnIvfIndex _,
+    "q104_ann_ivf_q8" -> q104AnnIvfQ8 _,
     "q65_ann_lsh_index" -> q65AnnLshIndex _,
     "q52_knn_join" -> q52KnnJoin _,
     "q40_token_count" -> q40TokenCount _,

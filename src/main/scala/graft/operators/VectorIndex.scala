@@ -35,13 +35,7 @@ object VectorIndex {
     Similarity.assignBuckets(df, idCol, vecCol, centroids)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
-    val spark = df.sparkSession
-    val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c) }
-    val schema = StructType(Seq(
-      StructField("bucket", IntegerType, nullable = false),
-      StructField("centroid", ArrayType(DoubleType), nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-      .write.mode("overwrite").parquet(s"$path/meta")
+    writeCentroidMeta(df.sparkSession, centroids, path)
   }
 
   def readIvfCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
@@ -78,6 +72,55 @@ object VectorIndex {
     val corpus = spark.read.parquet(s"$path/corpus")
       .where(col("bucket").isin(probe: _*))
     Similarity.bruteTopK(corpus, idCol, vecCol, query, k, excludeId)
+  }
+
+  /** Int8-quantized IVF build — the storage/IO lever at 100 TB: each
+    * vector stores as (tinyint[dim], float32 scale), ~4× smaller than
+    * float32 on disk AND over the probe's wire. Symmetric per-vector
+    * max-abs quantization: q_i = round(x_i / scale × 127), so every
+    * element reconstructs within scale/254. Quantization is a build-time
+    * projection (the higher-order `transform` lambdas are interpreted, but
+    * run once per ingested vector, off the query path). */
+  def writeIvfQuantized(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    val q8 = transform(col(vecCol),
+      x => round(x.cast("double") / col("scale") * 127.0).cast("byte"))
+    Similarity.assignBuckets(df, idCol, vecCol, centroids)
+      .withColumn("scale",
+        greatest(array_max(transform(col(vecCol), x => abs(x))), lit(1e-30f)))
+      .select(col(idCol), q8.as("q8"), col("scale"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+    writeCentroidMeta(df.sparkSession, centroids, path)
+  }
+
+  /** Top-k probe against a quantized index: identical pruning to
+    * [[ivfTopK]]; ONLY the nprobe-pruned candidates dequantize (one
+    * multiply per element) before the same codegen'd exact cosine. Recall
+    * vs the float32 index is spec-measured; the error bound is
+    * deterministic (scale/254 per element). */
+  def ivfTopKQuantized(
+      spark: SparkSession, path: String, idCol: String,
+      query: Seq[Double], nprobe: Int, k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val probe = Similarity.probeBuckets(centroids, query, nprobe)
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .where(col("bucket").isin(probe: _*))
+      .withColumn("_vec",
+        transform(col("q8"), b => b.cast("double") * col("scale") / 127.0))
+    Similarity.bruteTopK(corpus, idCol, "_vec", query, k, excludeId)
+  }
+
+  private def writeCentroidMeta(
+      spark: SparkSession, centroids: Seq[Seq[Double]], path: String): Unit = {
+    val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c) }
+    val schema = StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   // ------------------------------------------------------------------ LSH

@@ -178,6 +178,38 @@ class SimilaritySpec extends AnyFunSuite {
       here.filter(_.isDirectory).flatMap(parquetFilesUnder)
   }
 
+  test("VectorIndex quantized IVF: per-element error bound holds, recall tracks float index") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfq8").toString
+    VectorIndex.writeIvfQuantized(emb, "vec_id", "embedding", centroids, path)
+
+    // storage really is int8 + one float scale
+    val stored = spark.read.parquet(s"$path/corpus")
+    assert(stored.schema("q8").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+
+    // deterministic reconstruction bound: |x - q*scale/127| <= scale/254 (+eps)
+    val bad = stored.join(emb, "vec_id")
+      .select(expr(
+        """exists(zip_with(embedding, q8, (x, q) ->
+          |  abs(cast(x as double) - cast(q as double) * scale / 127.0)
+          |    > scale / 254.0 + 1e-9), b -> b)""".stripMargin).as("viol"))
+      .where(col("viol")).count()
+    assert(bad === 0L, "quantization error bound violated")
+
+    // probing EVERY bucket isolates pure quantization effect on the ranking
+    val q = emb.where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    val qTop = VectorIndex.ivfTopKQuantized(spark, path, "vec_id", q,
+      nprobe = 8, k = 10, excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    val fTop = Similarity.bruteTopK(emb, "vec_id", "embedding", q,
+      k = 10, excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    assert((qTop & fTop).size >= 8, s"recall@10 too low: ${(qTop & fTop).size}/10")
+  }
+
   test("VectorIndex IVF: probe equals unindexed IVF and scans only nprobe buckets") {
     import graft.operators.VectorIndex
     val dir = "/root/testdata/sf0.001"
