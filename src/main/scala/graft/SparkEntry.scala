@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1099,6 +1099,20 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  /** CCNet-style LM quality scoring (Wenzek et al., LREC 2020): add-½
+    * bigram LM trained on the trusted slice (English docs, train split),
+    * per-doc cross-entropy/perplexity over the whole corpus. Per-bigram
+    * log-probs are 6dp DECIMALs before summing, so the oracle compare is
+    * engine-exact (order-free integer addition, not float association). */
+  def q105LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    LanguageModel.perplexity(
+      docs.select("doc_id", "text"),
+      docs.where(col("lang") === "en" && pmod(col("doc_id"), lit(10)) < 8),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -1238,6 +1252,7 @@ object Queries {
     "q96_pack_sequences" -> q96PackSequences _,
     "q97_phash_dedup" -> q97PhashDedup _,
     "q98_bpe_merges" -> q98BpeMerges _,
+    "q105_lm_perplexity" -> q105LmPerplexity _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1563,6 +1578,37 @@ object Queries {
         |  FROM v x JOIN v y ON x.vec_id < y.vec_id)
         |SELECT a, b, ROUND(cosine, 6) AS cosine FROM p
         |WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin,
+    "q105_lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), ref AS (
+        |  SELECT w FROM tok WHERE lang = 'en' AND doc_id % 10 < 8
+        |), v AS (
+        |  SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM ref)
+        |), refg AS (
+        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS g FROM ref WHERE len(w) >= 2
+        |), c2 AS (
+        |  SELECT w[g] AS prev, w[g+1] AS cur, COUNT(*) AS c2 FROM refg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1
+        |), docg AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS g
+        |  FROM tok WHERE len(w) >= 2
+        |), docbg AS (
+        |  SELECT doc_id, w[g] AS prev, w[g+1] AS cur FROM docg
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |         CAST(ROUND(ln(CAST(2 * COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+        |                       / (2 * COALESCE(c1.c1, 0) + v.v + 1)), 6)
+        |              AS DECIMAL(20,6)) AS lp
+        |  FROM docbg d
+        |  LEFT JOIN c2 ON d.prev = c2.prev AND d.cur = c2.cur
+        |  LEFT JOIN c1 ON d.prev = c1.prev
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy,
+        |       ROUND(EXP(ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q103_leakage_safe_split" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
