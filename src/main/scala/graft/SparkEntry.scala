@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1113,6 +1113,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** GPT-3/LLaMA-style quality classifier: add-½ Naive-Bayes log-odds
+    * (the closed-form linear BoW classifier) trained on the train slice
+    * labeled "looks English", scored over the whole corpus. Integer-ratio
+    * probabilities + 6dp DECIMAL weight sums make score AND sign
+    * engine-exact — full DuckDB oracle. */
+  def q106NbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Classifier.nbScore(
+      docs.select("doc_id", "text"),
+      docs.where(pmod(col("doc_id"), lit(10)) < 8)
+        .select(col("doc_id"), col("text"), (col("lang") === "en").as("label")),
+      "doc_id", "text", "label")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -1253,6 +1268,7 @@ object Queries {
     "q97_phash_dedup" -> q97PhashDedup _,
     "q98_bpe_merges" -> q98BpeMerges _,
     "q105_lm_perplexity" -> q105LmPerplexity _,
+    "q106_nb_classifier" -> q106NbClassifier _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1609,6 +1625,42 @@ object Queries {
         |       ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy,
         |       ROUND(EXP(ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q106_nb_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), tr AS (
+        |  SELECT doc_id, lang = 'en' AS y, unnest(w) AS t FROM tok WHERE doc_id % 10 < 8
+        |), cnt AS (
+        |  SELECT t, COUNT(*) FILTER (WHERE y) AS cp, COUNT(*) FILTER (WHERE NOT y) AS cn
+        |  FROM tr GROUP BY t
+        |), c AS (
+        |  SELECT COUNT(*) FILTER (WHERE y) AS np, COUNT(*) FILTER (WHERE NOT y) AS nn,
+        |         COUNT(DISTINCT t) AS v
+        |  FROM tr
+        |), d AS (
+        |  SELECT COUNT(*) FILTER (WHERE lang = 'en') AS dp,
+        |         COUNT(*) FILTER (WHERE lang <> 'en') AS dn
+        |  FROM documents WHERE doc_id % 10 < 8
+        |), wts AS (
+        |  SELECT t, CAST(ROUND(ln(CAST(2 * cp + 1 AS DOUBLE) / (2 * c.np + c.v + 1))
+        |                 - ln(CAST(2 * cn + 1 AS DOUBLE) / (2 * c.nn + c.v + 1)), 6)
+        |            AS DECIMAL(20,6)) AS w
+        |  FROM cnt CROSS JOIN c
+        |), k AS (
+        |  SELECT CAST(ROUND(ln(CAST(1 AS DOUBLE) / (2 * np + v + 1))
+        |               - ln(CAST(1 AS DOUBLE) / (2 * nn + v + 1)), 6) AS DECIMAL(20,6)) AS w_oov,
+        |         CAST(ROUND(ln(CAST(dp AS DOUBLE) / dn), 6) AS DECIMAL(20,6)) AS prior
+        |  FROM c CROSS JOIN d
+        |), scored AS (
+        |  SELECT doc_id, COALESCE(wts.w, k.w_oov) AS w FROM (
+        |    SELECT doc_id, unnest(w) AS t FROM tok) dt
+        |  LEFT JOIN wts USING (t) CROSS JOIN k
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS sw FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       ROUND(CAST(sw + k.prior AS DOUBLE), 6) AS score,
+        |       CAST(sw + k.prior > 0 AS INT) AS pred
+        |FROM agg CROSS JOIN k ORDER BY doc_id""".stripMargin,
     "q103_leakage_safe_split" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
