@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1128,6 +1128,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance resampling (Xie et al., NeurIPS 2023): hashed
+    * unigram+bigram bucket models (md5-prefix buckets — engine-portable
+    * hashing), add-½ integer-ratio log importance weights summed as 6dp
+    * DECIMALs, Gumbel top-k selection seeded by the Knuth id hash. The
+    * whole select-toward-target pipeline has an exact DuckDB oracle. */
+  def q107DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Importance.dsirResample(
+      docs.select("doc_id", "text"),
+      docs.where(col("lang") === "en" && pmod(col("doc_id"), lit(10)) < 8)
+        .select("doc_id", "text"),
+      "doc_id", "text", sampleN = 100)
+  }
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -1269,6 +1283,7 @@ object Queries {
     "q98_bpe_merges" -> q98BpeMerges _,
     "q105_lm_perplexity" -> q105LmPerplexity _,
     "q106_nb_classifier" -> q106NbClassifier _,
+    "q107_dsir_resample" -> q107DsirResample _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1661,6 +1676,39 @@ object Queries {
         |       ROUND(CAST(sw + k.prior AS DOUBLE), 6) AS score,
         |       CAST(sw + k.prior > 0 AS INT) AS pred
         |FROM agg CROSS JOIN k ORDER BY doc_id""".stripMargin,
+    "q107_dsir_resample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), feat AS (
+        |  SELECT doc_id, lang, unnest(w) AS f FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, lang, array_to_string(w[g:g+1], ' ') AS f FROM (
+        |    SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS g
+        |    FROM tok WHERE len(w) >= 2)
+        |), fb AS (
+        |  SELECT doc_id, lang, substr(md5(f), 1, 3) AS b FROM feat
+        |), ct AS (
+        |  SELECT b, COUNT(*) AS ct FROM fb WHERE lang = 'en' AND doc_id % 10 < 8 GROUP BY b
+        |), nt AS (
+        |  SELECT COUNT(*) AS nt FROM fb WHERE lang = 'en' AND doc_id % 10 < 8
+        |), cr AS (
+        |  SELECT b, COUNT(*) AS cr FROM fb GROUP BY b
+        |), nr AS (
+        |  SELECT COUNT(*) AS nr FROM fb
+        |), scored AS (
+        |  SELECT fb.doc_id,
+        |         CAST(ROUND(ln(CAST(2 * COALESCE(ct.ct, 0) + 1 AS DOUBLE) / (2 * nt.nt + 4096))
+        |               - ln(CAST(2 * COALESCE(cr.cr, 0) + 1 AS DOUBLE) / (2 * nr.nr + 4096)), 6)
+        |              AS DECIMAL(20,6)) AS lw
+        |  FROM fb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN nt CROSS JOIN nr
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_features, SUM(lw) AS slw FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_features,
+        |       ROUND(CAST(slw AS DOUBLE), 6) AS logw,
+        |       ROUND(CAST(slw AS DOUBLE)
+        |             - ln(-ln(((((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 + 0.5)
+        |                      / 1000000)), 6) AS sel_key
+        |FROM agg ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
     "q103_leakage_safe_split" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Importance
+import org.scalatest.funsuite.AnyFunSuite
+
+class ImportanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("dsirResample: selection enriches toward the target vocabulary") {
+    // raw corpus: ids 1..40 in target vocabulary, 41..80 out of it
+    val raw = docs(
+      (1L to 40L).map(i => i -> s"alpha beta gamma delta u$i alpha beta") ++
+        (41L to 80L).map(i => i -> s"rojo verde azul lila u$i rojo verde"): _*)
+    val target = docs((100L to 119L).map(i => i -> s"alpha beta gamma delta t$i"): _*)
+    val sel = Importance.dsirResample(raw, target, "doc_id", "text", sampleN = 20)
+      .collect()
+    assert(sel.length == 20)
+    val inVocab = sel.count(_.getLong(0) <= 40)
+    assert(inVocab >= 18, s"expected >=18/20 target-vocabulary docs, got $inVocab")
+    // weights really separate the populations
+    val aW = sel.filter(_.getLong(0) <= 40).map(_.getDouble(2))
+    val bW = sel.filter(_.getLong(0) > 40).map(_.getDouble(2))
+    if (bW.nonEmpty) assert(aW.min > bW.max)
+  }
+
+  test("dsirResample: identical distributions give logw 0 and pure-Gumbel order") {
+    val corpus = docs((1L to 30L).map(i => i -> s"w${i % 5} w${(i * 7) % 11} end"): _*)
+    val sel = Importance.dsirResample(corpus, corpus, "doc_id", "text", sampleN = 10)
+      .collect()
+    assert(sel.forall(_.getDouble(2) == 0.0)) // ct==cr, nt==nr → every lw6 = 0
+    // selection = top-10 by the hand-computed deterministic Gumbel key
+    def gumbel(id: Long): Double = {
+      val u = (((id % 1000000007L) * 2654435761L % 1000000007L % 1000000L) + 0.5) / 1000000L
+      val g = -math.log(-math.log(u))
+      math.rint(g * 1e6) / 1e6
+    }
+    val expect = (1L to 30L).map(i => (i, gumbel(i)))
+      .sortBy { case (id, g) => (-g, id) }.take(10).map(_._1)
+    assert(sel.map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("dsirResample: stable under repartitioning; n_features = uni + bi") {
+    val raw = docs((1L to 25L).map(i => i -> s"a b c tail$i"): _*)
+    val target = docs(200L -> "a b c")
+    val once = Importance.dsirResample(raw, target, "doc_id", "text", sampleN = 25)
+      .collect()
+    val again = Importance.dsirResample(
+      raw.repartition(7), target, "doc_id", "text", sampleN = 25)
+      .collect()
+    assert(once.toSeq == again.toSeq)
+    assert(once.forall(_.getLong(1) == 4 + 3)) // 4 unigrams + 3 bigrams
+  }
+}
