@@ -202,6 +202,35 @@ object Graft {
       trainPct: Int = 80, valPct: Int = 10): DataFrame =
     graft.operators.Sampling.leakageSafeSplit(df, idCol, textCol, n, tau, trainPct, valPct)
 
+  /** LM perplexity quality scoring — CCNet-style add-½ bigram LM trained
+    * on `ref` (the trusted corpus), per-doc cross-entropy + perplexity
+    * over `corpus` ([[operators.LanguageModel.perplexity]]); filter on
+    * `ppl` to keep text near the target distribution. */
+  def lmPerplexity(
+      corpus: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String,
+      hashKeys: Boolean = false): DataFrame =
+    graft.operators.LanguageModel.perplexity(corpus, ref, idCol, textCol, hashKeys)
+
+  /** Quality classifier scoring — add-½ Naive-Bayes log-odds (closed-form
+    * linear BoW, the fastText-family member with an exact SQL oracle)
+    * trained on `train` (`labelCol` true = positive class), scored over
+    * `corpus` ([[operators.Classifier.nbScore]]); `pred` = 1 keeps docs
+    * that look like the positive class. */
+  def classifyQuality(
+      corpus: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, labelCol: String): DataFrame =
+    graft.operators.Classifier.nbScore(corpus, train, idCol, textCol, labelCol)
+
+  /** DSIR importance resampling — select `sampleN` docs from `raw` whose
+    * hashed unigram+bigram distribution looks like `target`
+    * ([[operators.Importance.dsirResample]]): deterministic Gumbel top-k,
+    * repartition-stable, engine-reproducible. */
+  def dsirResample(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, sampleN: Int): DataFrame =
+    graft.operators.Importance.dsirResample(raw, target, idCol, textCol, sampleN)
+
   /** End-to-end corpus curation — the operators composed in their canonical
     * order (each stage is the oracle-checked operator behind the matching
     * q-query; see SURVEY §2.3/§2.5b):

@@ -83,6 +83,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(stripped(1L) === "abcde0123456789fghij" && stripped(2L) === "klmnopqrst")
   }
 
+  test("lmPerplexity, classifyQuality, dsirResample facades delegate") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(1L -> "a b", 2L -> "z z").toDF("doc_id", "text")
+    val ref = Seq(100L -> "a b a c").toDF("doc_id", "text")
+    val ppl = Graft.lmPerplexity(corpus, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(ppl(0).getDouble(3) == 2.6667 && ppl(1).getDouble(3) == 4.0)
+    val train = Seq((10L, "good good", true), (11L, "bad", false))
+      .toDF("doc_id", "text", "label")
+    val scored = Graft.classifyQuality(
+      Seq(1L -> "good").toDF("doc_id", "text"), train, "doc_id", "text", "label")
+      .collect()
+    assert(scored(0).getInt(3) == 1)
+    val raw = ((1L to 10L).map(i => i -> s"aa bb u$i") ++
+      (11L to 20L).map(i => i -> s"xx yy u$i")).toDF("doc_id", "text")
+    val sel = Graft.dsirResample(
+      raw, Seq(100L -> "aa bb cc").toDF("doc_id", "text"),
+      "doc_id", "text", sampleN = 5)
+      .select("doc_id").as[Long].collect()
+    assert(sel.length == 5 && sel.count(_ <= 10) >= 4)
+  }
+
   test("curateCorpus: scrub → gate → dedup → decontaminate → chunk, end to end") {
     val s = spark
     import s.implicits._
