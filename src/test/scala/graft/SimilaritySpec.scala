@@ -46,6 +46,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets.nonEmpty && buckets.subsetOf((0 until 4).toSet))
   }
 
+  test("kMeansTree: matches the columnar rounds; large-C dispatch works") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val columnar = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 3)
+    val tree = Similarity.kMeansTree(emb, "vec_id", "embedding", c = 8, iters = 3)
+    assert(tree.length == 8 && tree.forall(_.length == 64))
+    // same assignments + means modulo combine-order float jitter
+    val maxDiff = columnar.zip(tree)
+      .flatMap { case (a, b) => a.zip(b).map { case (x, y) => math.abs(x - y) } }
+      .max
+    assert(maxDiff < 1e-9, s"centroid drift $maxDiff")
+    // c > 64 routes kMeans through the tree path and still converges
+    val big = Similarity.kMeans(emb, "vec_id", "embedding", c = 70, iters = 1)
+    assert(big.length == 70 && big.forall(_.length == 64))
+  }
+
   test("IVF recall vs brute force on the sf0.001 embeddings corpus") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
