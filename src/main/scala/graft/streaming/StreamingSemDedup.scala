@@ -130,4 +130,90 @@ object StreamingSemDedup {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processBatch(batch, batchId, path, idCol, vecCol, tau)
     }.start()
+
+  // ------------------------------------------------------------- drift
+
+  /** Drift summary of the streamed rows' bucket distribution vs the
+    * bootstrap's: `tvDistance` the total-variation distance between the
+    * two occupancy distributions (0 = identical, 1 = disjoint),
+    * `occupancySkew` the hottest bucket's streamed share relative to the
+    * uniform 1/C share (1 = perfectly balanced, C = everything in one
+    * bucket). An index with no streamed rows yet reports (0, 1). */
+  final case class DriftReport(
+      tvDistance: Double, occupancySkew: Double,
+      bootstrapRows: Long, streamedRows: Long)
+
+  /** Per-bucket occupancy of the persisted corpus: (bucket, n_bootstrap,
+    * n_streamed, n_total), one row per centroid (buckets nothing ever
+    * landed in included as zeros via the `meta` sidecar).
+    *
+    * Cost: `bucket` and `batch_id` are PARTITION columns, so the scan
+    * prunes to zero data columns — per-file row counts from parquet
+    * footers, never vector bytes. */
+  def driftStats(spark: SparkSession, path: String): DataFrame = {
+    val all = spark.read.parquet(s"$path/meta").select(col("bucket"))
+    val counts = spark.read.parquet(s"$path/corpus")
+      .select(col("bucket"), col("batch_id"))
+      .groupBy("bucket").agg(
+        count(when(col("batch_id") === BootstrapBatchId, 1)).as("n_bootstrap"),
+        count(when(col("batch_id") =!= BootstrapBatchId, 1)).as("n_streamed"))
+    all.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_bootstrap"), lit(0L)).as("n_bootstrap"),
+        coalesce(col("n_streamed"), lit(0L)).as("n_streamed"),
+        (coalesce(col("n_bootstrap"), lit(0L)) +
+          coalesce(col("n_streamed"), lit(0L))).as("n_total"))
+  }
+
+  /** The fixed-at-bootstrap centroids mis-serve a drifted stream long
+    * before recall visibly decays; this watches the cheap proxy — where
+    * new vectors LAND. Collects one row per centroid (C-bounded, the
+    * [[graft.operators.Dedup]] small-side argument). A bootstrap-empty
+    * index compares the stream against the uniform distribution. */
+  def driftReport(spark: SparkSession, path: String): DriftReport = {
+    val rows = driftStats(spark, path)
+      .select("n_bootstrap", "n_streamed").collect()
+    val c = rows.length
+    val nb = rows.map(_.getLong(0)).sum
+    val ns = rows.map(_.getLong(1)).sum
+    if (ns == 0L || c == 0) DriftReport(0.0, 1.0, nb, ns)
+    else {
+      val p0 = rows.map(r => if (nb == 0L) 1.0 / c else r.getLong(0).toDouble / nb)
+      val p1 = rows.map(_.getLong(1).toDouble / ns)
+      val tv = 0.5 * p0.zip(p1).map { case (a, b) => math.abs(a - b) }.sum
+      DriftReport(tv, p1.max * c, nb, ns)
+    }
+  }
+
+  /** Re-train centroids on the CURRENT corpus and rebuild the index iff
+    * the streamed distribution has drifted (tvDistance > `maxTv`) — the
+    * automatic trigger for the re-bootstrap half of the streaming-IVF
+    * bargain. Returns whether a rebuild happened.
+    *
+    * Survivor set is unchanged (this re-BALANCES, it does not re-dedup);
+    * every row returns as `batch_id = -1`, the new canonical set. The
+    * rebuild stages into `corpus.rebootstrap`/`meta.rebootstrap` and
+    * swaps via directory rename — never an in-place overwrite of files a
+    * lazy plan is still reading. Run it from the maintenance path with
+    * the ingest query STOPPED (the swap is not concurrent-writer-safe);
+    * a leftover `*.rebootstrap` dir after a crash is safe to delete. */
+  def rebootstrapIfDrifted(
+      spark: SparkSession, path: String,
+      idCol: String, vecCol: String,
+      c: Int, iters: Int, maxTv: Double = 0.25): Boolean = {
+    val report = driftReport(spark, path)
+    if (report.tvDistance <= maxTv) false
+    else {
+      val current = spark.read.parquet(s"$path/corpus").select(col(idCol), col(vecCol))
+      bootstrap(current, idCol, vecCol, c, iters, s"$path/.rebootstrap")
+      val (fs, root) = fsOf(spark, path)
+      Seq("corpus", "meta").foreach { d =>
+        val live = new Path(root, d)
+        if (fs.exists(live)) fs.delete(live, true)
+        fs.rename(new Path(root, s".rebootstrap/$d"), live)
+      }
+      fs.delete(new Path(root, ".rebootstrap"), true)
+      true
+    }
+  }
 }

@@ -488,6 +488,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: drift monitor triggers staged re-bootstrap") {
+    import graft.streaming.StreamingSemDedup
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-semdrift").toString
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    StreamingSemDedup.bootstrap(
+      vecs(1L -> Array(1.0f, 0.0f), 2L -> Array(0.0f, 1.0f)),
+      "vec_id", "embedding", c = 2, iters = 2, path)
+
+    // nothing streamed yet → no drift, no rebuild
+    assert(StreamingSemDedup.driftReport(spark, path)
+      == StreamingSemDedup.DriftReport(0.0, 1.0, 2, 0))
+    assert(!StreamingSemDedup.rebootstrapIfDrifted(
+      spark, path, "vec_id", "embedding", c = 2, iters = 2))
+
+    // stream a fan of new directions (9° apart and ≥15° off every
+    // bootstrap vector — below tau on all sides, all survive) that ALL
+    // land in bucket 0: streamed occupancy (1, 0) vs bootstrap (½, ½)
+    // → tv = 0.5, skew = 2
+    val drifted = (0 until 4).map { i =>
+      val a = math.toRadians(15.0 + 9 * i)
+      (10L + i) -> Array(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+    StreamingSemDedup.processBatch(
+      vecs(drifted: _*), 0L, path, "vec_id", "embedding", tau = 0.99)
+    val hot = StreamingSemDedup.driftReport(spark, path)
+    assert(hot.streamedRows == 4 && hot.tvDistance == 0.5 && hot.occupancySkew == 2.0)
+
+    // rebuild: survivors unchanged, all rows re-canonicalized, index
+    // re-balanced (both buckets live again), drift reads clean
+    assert(StreamingSemDedup.rebootstrapIfDrifted(
+      spark, path, "vec_id", "embedding", c = 2, iters = 2))
+    val after = spark.read.parquet(s"$path/corpus")
+    assert(after.select("vec_id").as[Long].collect().toSet
+      == (Set(1L, 2L) ++ drifted.map(_._1)))
+    assert(after.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    val stats = StreamingSemDedup.driftStats(spark, path)
+      .select("bucket", "n_bootstrap").as[(Int, Long)].collect().toMap
+    assert(stats.size == 2 && stats.values.forall(_ > 0), s"unbalanced: $stats")
+    assert(StreamingSemDedup.driftReport(spark, path)
+      == StreamingSemDedup.DriftReport(0.0, 1.0, 6, 0))
+    // and ingest keeps working against the rebuilt index
+    StreamingSemDedup.processBatch(
+      vecs(50L -> Array(-1.0f, 0.0f)), 1L, path, "vec_id", "embedding", tau = 0.99)
+    assert(spark.read.parquet(s"$path/corpus").count() == 7L)
+  }
+
   test("streaming semantic dedup: within-batch, cross-batch, replay, stale cleanup") {
     import graft.streaming.StreamingSemDedup
     val s = spark
@@ -531,6 +579,12 @@ class StreamingSpec extends AnyFunSuite {
     val b2 = vecs(40L -> Array(1.4f, 0.5f)) // ≈ survivor 20 → dropped
     StreamingSemDedup.processBatch(b2, 2L, path, "vec_id", "embedding", tau = 0.99)
     assert(ids() === Set(1L, 2L, 11L, 20L, 31L), "stale half-write must clear")
+
+    // drift monitor: stats/report on the corpus built above (streamed
+    // rows 11/20/31 spread across both buckets → low drift)
+    val calm = StreamingSemDedup.driftReport(spark, path)
+    assert(calm.bootstrapRows == 2 && calm.streamedRows == 3)
+    assert(calm.tvDistance <= 0.25)
 
     // wiring smoke: the same batches through a real MemoryStream query
     val path2 = java.nio.file.Files.createTempDirectory("graft-semstream2").toString
