@@ -1142,6 +1142,15 @@ object Queries {
       "doc_id", "text", sampleN = 100)
   }
 
+  /** Gopher repetition signals the per-word stats miss: fraction of each
+    * document's n-gram occurrences (n = 2, 3, 4) belonging to an n-gram
+    * repeated within the doc. String gram keys here so the DuckDB oracle
+    * reproduces them; `hashGrams = true` is the 100 TB form (spec-proven
+    * equal). Integer ratios at 6dp — exact oracle. */
+  def q108DupNgrams(spark: SparkSession, dir: String): DataFrame =
+    Curation.dupNgramStats(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- §2.6
 
   /** Binary payload column + per-partition feature extraction (multimodal
@@ -1284,6 +1293,7 @@ object Queries {
     "q105_lm_perplexity" -> q105LmPerplexity _,
     "q106_nb_classifier" -> q106NbClassifier _,
     "q107_dsir_resample" -> q107DsirResample _,
+    "q108_dup_ngrams" -> q108DupNgrams _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1709,6 +1719,27 @@ object Queries {
         |             - ln(-ln(((((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 + 0.5)
         |                      / 1000000)), 6) AS sel_key
         |FROM agg ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q108_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS g
+        |  FROM (
+        |    SELECT doc_id, n, w, unnest(generate_series(1, len(w) - n + 1)) AS i
+        |    FROM toks CROSS JOIN (VALUES (2), (3), (4)) ns(n)
+        |    WHERE len(w) >= n)
+        |), cnt AS (
+        |  SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+        |), pern AS (
+        |  SELECT doc_id, n, SUM(c) AS total,
+        |         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup
+        |  FROM cnt GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  ROUND(MAX(CASE WHEN n = 2 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END), 6) AS dup_frac_2,
+        |  ROUND(MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END), 6) AS dup_frac_3,
+        |  ROUND(MAX(CASE WHEN n = 4 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END), 6) AS dup_frac_4
+        |FROM pern GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q103_leakage_safe_split" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

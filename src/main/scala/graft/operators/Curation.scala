@@ -295,6 +295,52 @@ object Curation {
     * small aggregate broadcast back onto the corpus — the corpus itself
     * never shuffles.
     */
+  /** Gopher-style duplicate n-gram fractions (Rae et al. 2021, "Scaling
+    * Language Models", table A1's repetition signals; reference analog:
+    * wrds2pg has no text stats — this extends the quality-gate family of
+    * [[qualityFlags]]): for each n in `ns`, the fraction of the document's
+    * n-gram OCCURRENCES that belong to an n-gram appearing more than once
+    * in that document. High values mark the looping/boilerplate docs that
+    * per-word stats ([[repetitionStats]]) miss — a doc can have a healthy
+    * distinct-word ratio while cycling the same 3-gram.
+    *
+    * Topology: ONE explode produces (doc, n, gram) for every requested n
+    * (the blow-up is Σ_n (L−n+1) ≈ |ns|·L rows, all map-side), then a hash
+    * aggregate on (doc, n, gram) — partial aggregation combines within the
+    * mapper, so the shuffle carries per-doc distinct grams, not token
+    * occurrences — and two doc-keyed reductions that ride the same
+    * partitioning. The fractions are integer ratios rounded at 6dp, so the
+    * DuckDB oracle reproduces them exactly.
+    *
+    * @param hashGrams shuffle 8-byte xxhash64 gram keys instead of gram
+    *        strings — the 100 TB default (the counts only need key
+    *        identity); identical modulo a 2^-64 per-pair collision chance
+    *        (spec-checked equal on real text). Keep strings when the
+    *        oracle must reproduce the keys.
+    */
+  def dupNgramStats(
+      df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4), hashGrams: Boolean = false): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "need n-gram sizes >= 1")
+    val tagged = graft.core.Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol),
+        explode(flatten(array(ns.map(n =>
+          transform(wordNgrams(col(textCol), n),
+            g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("_ng"))
+      .select(col(idCol), col("_ng.n").as("_n"),
+        (if (hashGrams) xxhash64(col("_ng.gram")) else col("_ng.gram")).as("_g"))
+    val counts = tagged.groupBy(col(idCol), col("_n"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+    val perN = counts.groupBy(col(idCol), col("_n")).agg(
+      sum("_c").as("_total"),
+      coalesce(sum(when(col("_c") > 1, col("_c"))), lit(0L)).as("_dup"))
+    val pivots = ns.map(n =>
+      round(max(when(col("_n") === n,
+        col("_dup").cast("double") / col("_total"))), 6).as(s"dup_frac_$n"))
+    perN.groupBy(col(idCol)).agg(pivots.head, pivots.tail: _*)
+  }
+
   def domainMixSample(
       df: DataFrame, idCol: String, domainCol: String,
       weight: Column, targetTotal: Column): DataFrame = {

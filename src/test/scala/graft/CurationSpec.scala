@@ -45,6 +45,32 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out(1).getDouble(3) == 1.0 && out(1).getDouble(4) == 0.25)
   }
 
+  test("dupNgramStats: hand-computed duplicate fractions, short-doc nulls") {
+    val out = Curation.dupNgramStats(
+      docs(
+        1L -> "a b a b a",  // bigrams all repeat; "a b a" twice of 3; 4-grams distinct
+        2L -> "p q r s t",  // nothing repeats
+        3L -> "x y"),       // only one bigram; no tri/quad grams
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(0).getDouble(2) == 0.666667)
+    assert(out(0).getDouble(3) == 0.0)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 0.0 && out(1).getDouble(3) == 0.0)
+    assert(out(2).getDouble(1) == 0.0 && out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
+  test("dupNgramStats: hashed-gram scale path matches the string path") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the quick brown fox again and again",
+      2L -> "alpha beta gamma alpha beta gamma alpha beta delta",
+      3L -> "one two three four five six seven eight nine ten")
+    val str = Curation.dupNgramStats(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val hashed = Curation.dupNgramStats(corpus, "doc_id", "text", hashGrams = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(str == hashed)
+  }
+
   test("ngramContamination: containment fractions against a benchmark set") {
     // bench has grams: "a b c", "b c d"
     val bench = docs(100L -> "a b c d")
