@@ -196,6 +196,21 @@ object Graft {
   /** Leakage-safe train/val/test split — near-dup clusters as the
     * assignment unit ([[operators.Sampling.leakageSafeSplit]]): returns
     * (doc_id, cluster_id, split); join back by id for full columns. */
+  /** Crawl-level URL dedup — canonicalize ([[operators.Urls.canonicalize]]:
+    * case/www/fragment/utm/trailing-slash folding) and keep one doc per
+    * canonical URL ([[operators.Urls.dedupByUrl]]); run BEFORE text-level
+    * dedup so exact crawl duplicates never reach a text shuffle. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    graft.operators.Urls.dedupByUrl(df, idCol, urlCol)
+
+  /** Gopher repetition signals — per-doc duplicate n-gram occurrence
+    * fractions ([[operators.Curation.dupNgramStats]]); filter high values
+    * to drop looping/boilerplate docs whose per-word stats look healthy. */
+  def dupNgramStats(
+      df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4), hashGrams: Boolean = false): DataFrame =
+    graft.operators.Curation.dupNgramStats(df, idCol, textCol, ns, hashGrams)
+
   def leakageSafeSplit(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.6,

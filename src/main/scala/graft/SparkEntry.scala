@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, Urls, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1142,6 +1142,29 @@ object Queries {
       "doc_id", "text", sampleN = 100)
   }
 
+  /** Crawl-level URL dedup: synthetic crawl URLs (deterministic in BOTH
+    * engines — scheme/host case noise, www. prefixes, utm_* tracking
+    * params incl. back-to-back ones, fragments, trailing slashes) are
+    * canonicalized and collapsed to one kept doc per canonical URL.
+    * Exact oracle: every canonicalization step is a portable primitive. */
+  def q109UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val url = concat(
+      lit("HTTPS://"),
+      when(pmod(d, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.com/p/"), s(pmod(d, lit(50))),
+      when(pmod(d, lit(4)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(d, lit(5)) === 0, concat(lit("?utm_source=feed&ref="), s(pmod(d, lit(7)))))
+        .when(pmod(d, lit(5)) === 1, concat(lit("?ref="), s(pmod(d, lit(7)))))
+        .when(pmod(d, lit(5)) === 2,
+          concat(lit("?ref="), s(pmod(d, lit(7))), lit("&utm_campaign=x&utm_x=1")))
+        .otherwise(lit("")),
+      when(pmod(d, lit(6)) === 0, lit("#frag")).otherwise(lit("")))
+    val crawl = t(spark, dir, "documents").select(d, url.as("url"))
+    Urls.dedupByUrl(crawl, "doc_id", "url").orderBy("canon_url")
+  }
+
   /** Gopher repetition signals the per-word stats miss: fraction of each
     * document's n-gram occurrences (n = 2, 3, 4) belonging to an n-gram
     * repeated within the doc. String gram keys here so the DuckDB oracle
@@ -1294,6 +1317,7 @@ object Queries {
     "q106_nb_classifier" -> q106NbClassifier _,
     "q107_dsir_resample" -> q107DsirResample _,
     "q108_dup_ngrams" -> q108DupNgrams _,
+    "q109_url_dedup" -> q109UrlDedup _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1719,6 +1743,43 @@ object Queries {
         |             - ln(-ln(((((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 + 0.5)
         |                      / 1000000)), 6) AS sel_key
         |FROM agg ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q109_url_dedup" ->
+      """WITH crawl AS (
+        |  SELECT doc_id,
+        |    'HTTPS://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source || '.Example.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+        |         WHEN doc_id % 5 = 1 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+        |         WHEN doc_id % 5 = 2 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x&utm_x=1'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents
+        |), nf AS (
+        |  SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM crawl
+        |), hostpq AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      lower(regexp_extract(nofrag, '(^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS host,
+        |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS pq
+        |  FROM nf
+        |), parts AS (
+        |  SELECT doc_id, host,
+        |    regexp_replace(split_part(pq, '?', 1), '/+$', '') AS path,
+        |    CASE WHEN contains(pq, '?')
+        |         THEN substr(pq, length(split_part(pq, '?', 1)) + 2) ELSE '' END AS q
+        |  FROM hostpq
+        |), kept AS (
+        |  SELECT doc_id, host, path,
+        |    list_filter(string_split(q, '&'), p -> substr(p, 1, 4) <> 'utm_' AND p <> '') AS ps
+        |  FROM parts
+        |)
+        |SELECT host || path ||
+        |       CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM kept GROUP BY 1 ORDER BY canon_url""".stripMargin,
     "q108_dup_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
