@@ -196,6 +196,21 @@ object Graft {
   /** Leakage-safe train/val/test split — near-dup clusters as the
     * assignment unit ([[operators.Sampling.leakageSafeSplit]]): returns
     * (doc_id, cluster_id, split); join back by id for full columns. */
+  /** Product-quantized ANN — train m×k subspace codebooks, encode the
+    * corpus to byte codes (~32× smaller), ADC-shortlist and exactly
+    * re-rank ([[operators.ProductQuantizer]]); the memory-side companion
+    * to the IVF/LSH pruning indexes. */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, m: Int = 4, cells: Int = 16,
+      iters: Int = 2, shortlist: Int = 100,
+      excludeId: Option[Long] = None): DataFrame = {
+    val pq = graft.operators.ProductQuantizer
+    val model = pq.train(corpus, idCol, vecCol, m, cells, iters)
+    pq.rerankTopK(corpus, idCol, vecCol,
+      pq.encode(corpus, idCol, vecCol, model), model, query, k, shortlist, excludeId)
+  }
+
   /** Crawl-level URL dedup — canonicalize ([[operators.Urls.canonicalize]]:
     * case/www/fragment/utm/trailing-slash folding) and keep one doc per
     * canonical URL ([[operators.Urls.dedupByUrl]]); run BEFORE text-level

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, Urls, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, ProductQuantizer, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, Urls, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -644,6 +644,19 @@ object Queries {
       bitsPerTable = 4, tables = 6, seed = 42L, path = path)
     VectorIndex.lshTopK(spark, path, "vec_id", "embedding",
       queryVec(spark, dir, 0L), k = 10, excludeId = Some(0L))
+  }
+
+  /** Product-quantized ANN (train + encode + ADC shortlist + exact
+    * re-rank): 64 float dims become 4 byte codes + a norm (~32× smaller),
+    * scoring is m table lookups per row, and only the shortlist loads raw
+    * vectors. Rows-only oracle (approximate); spec pins an exact
+    * driver-side ADC model and measures clustered-corpus recall. */
+  def q110PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = ProductQuantizer.train(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val enc = ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+    ProductQuantizer.rerankTopK(emb, "vec_id", "embedding", enc, model,
+      queryVec(spark, dir, 0L), k = 10, shortlist = 100, excludeId = Some(0L))
   }
 
   /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
@@ -1318,6 +1331,7 @@ object Queries {
     "q107_dsir_resample" -> q107DsirResample _,
     "q108_dup_ngrams" -> q108DupNgrams _,
     "q109_url_dedup" -> q109UrlDedup _,
+    "q110_pq_ann" -> q110PqAnn _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,

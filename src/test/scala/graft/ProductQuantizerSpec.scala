@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{ProductQuantizer, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProductQuantizerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // 8 seeded Gaussian clusters in 64 dims — the structured corpus the ANN
+  // family's recall tests share (isotropic noise has no neighbors to find).
+  private lazy val fixture: (Seq[(Long, Seq[Float])], org.apache.spark.sql.DataFrame) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new java.util.Random(7L)
+    val dim = 64
+    val centers = IndexedSeq.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.25 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    (vecs, vecs.toDF("vec_id", "embedding").cache())
+  }
+
+  test("train: shapes, determinism, codes in range") {
+    val (_, df) = fixture
+    val model = ProductQuantizer.train(df, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    assert(model.m == 4 && model.dsub == 16 && model.k == 16)
+    val again = ProductQuantizer.train(df, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    assert(model.books == again.books, "same input + seedless deterministic init must agree")
+    val enc = ProductQuantizer.encode(df, "vec_id", "embedding", model)
+    val codes = enc.select("pq_code").collect().map(_.getSeq[Byte](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(b => b >= 0 && b < 16)))
+    assert(enc.schema("pq_code").dataType.simpleString == "array<tinyint>")
+  }
+
+  test("adcTopK matches a driver-side ADC model exactly") {
+    val (vecs, df) = fixture
+    val model = ProductQuantizer.train(df, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val enc = ProductQuantizer.encode(df, "vec_id", "embedding", model).cache()
+    val q = vecs(3)._2.map(_.toDouble)
+    val got = ProductQuantizer.adcTopK(enc, "vec_id", model, q, k = 320)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent Scala model: encode + LUT-sum each row from the raw data
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    def cell(j: Int, sv: Seq[Double]): Int =
+      model.books(j).zipWithIndex.maxBy { case (c, i) =>
+        (c.zip(sv).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2, -i)
+      }._2
+    vecs.foreach { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val dot = (0 until 4).map { j =>
+        val sv = vd.slice(j * 16, (j + 1) * 16)
+        val qj = q.slice(j * 16, (j + 1) * 16)
+        model.books(j)(cell(j, sv)).zip(qj).map { case (a, b) => a * b }.sum
+      }.sum
+      val vn = math.sqrt(vd.map(x => x * x).sum)
+      val expected = BigDecimal(dot / (vn.toFloat.toDouble * qn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(id) - expected) <= 1e-6,
+        s"id=$id got=${got(id)} expected=$expected")
+    }
+    enc.unpersist(); ()
+  }
+
+  test("shortlist+rerank recall vs brute force on clustered vectors") {
+    // ADC alone cannot rank inside a quantization cell (cluster members
+    // collapse to one code tuple — measured recall@10 ~0.2 here), which is
+    // why the operator surface is shortlist + exact re-rank. The assertion
+    // covers BOTH: the shortlist must capture the true neighbors (codes
+    // good enough) and the re-rank must order them exactly.
+    val (vecs, df) = fixture
+    val s = spark
+    import s.implicits._
+    val model = ProductQuantizer.train(df, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val enc = ProductQuantizer.encode(df, "vec_id", "embedding", model).cache()
+    val qIds = Seq(0L, 3L, 10L, 17L, 21L, 30L)
+    var rec = 0.0
+    qIds.foreach { qid =>
+      val q = vecs(qid.toInt)._2.map(_.toDouble)
+      val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, 10, Some(qid))
+        .select("vec_id").as[Long].collect().toSet
+      val pq = ProductQuantizer.rerankTopK(df, "vec_id", "embedding", enc, model, q,
+          k = 10, shortlist = 60, excludeId = Some(qid))
+        .select("vec_id").as[Long].collect().toSet
+      rec += (pq & brute).size.toDouble / brute.size
+    }
+    rec /= qIds.size
+    assert(rec >= 0.9, s"PQ shortlist+rerank recall@10 too low: $rec")
+    enc.unpersist(); ()
+  }
+}
