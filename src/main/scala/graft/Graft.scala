@@ -211,6 +211,14 @@ object Graft {
       pq.encode(corpus, idCol, vecCol, model), model, query, k, shortlist, excludeId)
   }
 
+  /** Content-defined chunking — shift-resistant chunk boundaries from a
+    * window-hash predicate ([[operators.Curation.cdcChunks]]); dedup the
+    * `chunk_md5` column across versions/docs for storage-side dedup. */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64): DataFrame =
+    graft.operators.Curation.cdcChunks(df, idCol, textCol, k, divisor)
+
   /** Crawl-level URL dedup — canonicalize ([[operators.Urls.canonicalize]]:
     * case/www/fragment/utm/trailing-slash folding) and keep one doc per
     * canonical URL ([[operators.Urls.dedupByUrl]]); run BEFORE text-level

@@ -1178,6 +1178,15 @@ object Queries {
     Urls.dedupByUrl(crawl, "doc_id", "url").orderBy("canon_url")
   }
 
+  /** Content-defined chunking: boundaries set by a window-hash predicate,
+    * so chunk identity survives insertions (shift-resistant dedup chunks —
+    * the storage-side complement of q80's fixed word chunker). Pure
+    * integer polynomial hash → exact DuckDB oracle for boundaries, lens,
+    * and chunk md5s. */
+  def q111CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Curation.cdcChunks(t(spark, dir, "documents"), "doc_id", "text", k = 8, divisor = 64)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Gopher repetition signals the per-word stats miss: fraction of each
     * document's n-gram occurrences (n = 2, 3, 4) belonging to an n-gram
     * repeated within the doc. String gram keys here so the DuckDB oracle
@@ -1332,6 +1341,7 @@ object Queries {
     "q108_dup_ngrams" -> q108DupNgrams _,
     "q109_url_dedup" -> q109UrlDedup _,
     "q110_pq_ann" -> q110PqAnn _,
+    "q111_cdc_chunks" -> q111CdcChunks _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1757,6 +1767,32 @@ object Queries {
         |             - ln(-ln(((((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 + 0.5)
         |                      / 1000000)), 6) AS sel_key
         |FROM agg ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q111_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(2, length(text) - 7)) AS p
+        |  FROM documents WHERE length(text) >= 9
+        |), cuts AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(0, 7),
+        |                       i -> CAST(ascii(substr(text, CAST(p + i AS INT), 1)) AS BIGINT))),
+        |        (a, b) -> (a * 257 + b) % 1000000007) AS h
+        |    FROM pos)
+        |  WHERE h % 64 = 0
+        |), starts AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS s FROM documents WHERE length(text) >= 1
+        |  UNION ALL SELECT doc_id, p FROM cuts
+        |), chunks AS (
+        |  SELECT doc_id, s,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_idx,
+        |         LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        |  FROM starts
+        |)
+        |SELECT c.doc_id, chunk_idx, CAST(c.s AS INT) AS chunk_start,
+        |       CAST(COALESCE(c.nxt, length(d.text) + 1) - c.s AS INT) AS chunk_len,
+        |       md5(substr(d.text, CAST(c.s AS INT), CAST(COALESCE(c.nxt, length(d.text) + 1) - c.s AS INT))) AS chunk_md5
+        |FROM chunks c JOIN documents d USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q109_url_dedup" ->
       """WITH crawl AS (
         |  SELECT doc_id,

@@ -162,6 +162,52 @@ object Curation {
         size(chunk).as("n_words"))
   }
 
+  /** Content-defined chunking (the FastCDC/LBFS family re-expressed):
+    * chunk boundaries are set by the TEXT, not by offsets — a window-hash
+    * boundary predicate cuts wherever the local content says so, which
+    * makes chunk identity shift-resistant: insert a paragraph at the top
+    * of a document and every downstream chunk of [[chunkWords]] changes,
+    * while here only the chunks touching the edit do, so cross-version /
+    * cross-doc chunk dedup (by `chunk_md5`) still hits. The storage-side
+    * complement to the training-side fixed chunker.
+    *
+    * The boundary hash is a polynomial rolling form over `k` chars with a
+    * per-step modulus — every value a ratio-free 63-bit integer, so the
+    * DuckDB oracle reproduces boundaries (and therefore chunks) exactly.
+    * Entirely expression-level: ONE projection computes each doc's cut
+    * list via nested higher-order functions (no UDF), one `posexplode`
+    * emits chunk rows, zero shuffles end-to-end — cost scales with input
+    * splits ([[graft.core.Par.fanOut]] guards the single-split local
+    * case).
+    *
+    * A window can only start at positions `2 .. L-k+1`, so docs shorter
+    * than `k+1` chars are one whole-doc chunk — no minimum-size pathology.
+    */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64): DataFrame = {
+    require(k >= 2 && divisor >= 2, "need window k >= 2 and divisor >= 2")
+    val text = col(textCol)
+    val len = length(text)
+    def hashAt(p: Column): Column =
+      aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+        (acc, i) => pmod(acc * 257 + ascii(text.substr((p + i).cast("int"), lit(1))).cast("long"),
+          lit(1000000007L)))
+    val cuts = when(len >= k + 1,
+      filter(sequence(lit(2), len - (k - 1)), p => hashAt(p) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), cuts)
+    val chunks = transform(col("_starts"), (s, i) =>
+      struct(s.as("start"), (coalesce(get(col("_starts"), i + 1), len + 1) - s).as("len")))
+    graft.core.Par.fanOut(df.select(col(idCol), text))
+      .where(len >= 1)
+      .select(col(idCol), text, starts.as("_starts"))
+      .select(col(idCol), text, posexplode(chunks))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.start").as("chunk_start"), col("col.len").as("chunk_len"),
+        md5(text.substr(col("col.start"), col("col.len")).cast("binary")).as("chunk_md5"))
+  }
+
   /** PII-redaction patterns, deliberately restricted to syntax that parses
     * identically under Java regex (Spark) and RE2 (DuckDB, the oracle):
     * character classes + bounded repetition only — no lookaround, no

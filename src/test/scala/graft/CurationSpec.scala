@@ -71,6 +71,65 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(str == hashed)
   }
 
+  // independent model of cdcChunks' boundary rule, for differential checks
+  private def cdcModel(text: String, k: Int, divisor: Int): Seq[(Int, Int)] = {
+    def hashAt(p: Int): Long =
+      (0 until k).foldLeft(0L)((acc, i) => (acc * 257 + text.charAt(p - 1 + i).toInt) % 1000000007L)
+    val cuts = (2 to text.length - k + 1).filter(p => hashAt(p) % divisor == 0)
+    val starts = 1 +: cuts
+    starts.zipWithIndex.map { case (s, i) =>
+      val next = if (i + 1 < starts.length) starts(i + 1) else text.length + 1
+      (s, next - s)
+    }
+  }
+
+  test("cdcChunks: chunks partition each doc and match an independent model") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("spark", "merge", "table", "join", "scan", "row", "agg", "key")
+    val corpus = (1L to 5L).map(i =>
+      i -> Seq.fill(60)(words(rnd.nextInt(words.length))).mkString(" "))
+    val out = Curation.cdcChunks(docs(corpus: _*), "doc_id", "text", k = 8, divisor = 16)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    corpus.foreach { case (id, text) =>
+      val got = byDoc(id).map(r => (r.getInt(2), r.getInt(3)))
+      assert(got.toSeq == cdcModel(text, 8, 16), s"doc $id boundary mismatch")
+      // chunks tile the doc: contiguous, full-cover, md5s match the slices
+      assert(got.map(_._2).sum == text.length)
+      byDoc(id).foreach { r =>
+        val slice = text.substring(r.getInt(2) - 1, r.getInt(2) - 1 + r.getInt(3))
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(4) == md)
+      }
+    }
+  }
+
+  test("cdcChunks: content-defined boundaries survive a prefix insertion") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val base = Seq.fill(120)(words(rnd.nextInt(words.length))).mkString(" ")
+    val shifted = "breaking news paragraph inserted up top " + base
+    val out = Curation.cdcChunks(
+      docs(1L -> base, 2L -> shifted), "doc_id", "text", k = 8, divisor = 16)
+      .collect()
+    val h1 = out.filter(_.getLong(0) == 1L).map(_.getString(4)).toSet
+    val h2 = out.filter(_.getLong(0) == 2L).map(_.getString(4)).toSet
+    // a fixed-offset chunker shares ZERO chunks after the insertion; CDC
+    // re-synchronizes at the first boundary past the edit
+    val shared = (h1 & h2).size
+    assert(shared >= h1.size - 2 && h1.size >= 4,
+      s"expected near-total chunk reuse, got $shared of ${h1.size}")
+  }
+
+  test("cdcChunks: short docs come back as one whole-doc chunk") {
+    val out = Curation.cdcChunks(docs(1L -> "tiny", 2L -> "abcdefgh"), "doc_id", "text",
+      k = 8, divisor = 16).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getInt(1) == 0 && r.getInt(2) == 1))
+    assert(out(0).getInt(3) == 4 && out(1).getInt(3) == 8)
+  }
+
   test("ngramContamination: containment fractions against a benchmark set") {
     // bench has grams: "a b c", "b c d"
     val bench = docs(100L -> "a b c d")
