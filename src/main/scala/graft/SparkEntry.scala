@@ -659,6 +659,22 @@ object Queries {
       queryVec(spark, dir, 0L), k = 10, shortlist = 100, excludeId = Some(0L))
   }
 
+  /** IVF-PQ materialized index — both scale levers composed (q64's bucket
+    * pruning × q110's byte codes): probes read the nprobe bucket dirs'
+    * CODE columns (~8 B/row via parquet column pruning), raw vectors load
+    * only for the broadcast shortlist's exact re-rank. Build + probe;
+    * rows-only oracle (spec pins sidecar round-trip, pruning, narrow
+    * scan, recall). */
+  def q112AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
+    val model = ProductQuantizer.train(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val path = indexPath(dir, "ivfpq")
+    VectorIndex.writeIvfPq(emb, "vec_id", "embedding", centroids, model, path)
+    VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
+  }
+
   /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
     * (broadcast queries, precomputed norms, one window shuffle). */
   def q52KnnJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1342,6 +1358,7 @@ object Queries {
     "q109_url_dedup" -> q109UrlDedup _,
     "q110_pq_ann" -> q110PqAnn _,
     "q111_cdc_chunks" -> q111CdcChunks _,
+    "q112_ann_ivfpq" -> q112AnnIvfPq _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,

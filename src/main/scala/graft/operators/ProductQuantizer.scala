@@ -98,18 +98,27 @@ object ProductQuantizer {
     } finally { subRows.unpersist(); () }
   }
 
+  /** The code column for `vecCol` under `model` (array<tinyint>, one cell
+    * per subspace) — exposed so index writers can encode inside their own
+    * projection instead of joining an encoded copy back on. */
+  def codeCol(vecCol: Column, model: PqModel): Column = {
+    require(model.k <= 256, "tinyint codes hold at most 256 cells")
+    array((0 until model.m).map(j =>
+      cellOf(slice(vecCol, j * model.dsub + 1, model.dsub), model.books(j))): _*)
+      .cast("array<tinyint>")
+  }
+
+  /** Float L2 norm column (for cosine at query time). */
+  def normCol(vecCol: Column): Column = ArrayMath.norm2(vecCol).cast("float")
+
   /** Encode the corpus: `idCol`, `pq_code` (array<tinyint>, one cell per
     * subspace) and `pq_norm` (float L2 norm, for cosine at query time) —
     * m + 4 bytes of payload per row. Pure projection, zero shuffles. */
-  def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
-    require(model.k <= 256, "tinyint codes hold at most 256 cells")
-    val codes = (0 until model.m).map(j =>
-      cellOf(slice(col(vecCol), j * model.dsub + 1, model.dsub), model.books(j)))
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
     df.select(
       col(idCol),
-      array(codes: _*).cast("array<tinyint>").as("pq_code"),
-      ArrayMath.norm2(col(vecCol)).cast("float").as("pq_norm"))
-  }
+      codeCol(col(vecCol), model).as("pq_code"),
+      normCol(col(vecCol)).as("pq_norm"))
 
   /** Approximate cosine top-k over an encoded corpus (asymmetric distance):
     * the query's m×k dot-product table becomes literal arrays, each row

@@ -113,6 +113,78 @@ object VectorIndex {
     Similarity.bruteTopK(corpus, idCol, "_vec", query, k, excludeId)
   }
 
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Builds the IVF-PQ index — the two scale levers composed, the shape a
+    * 100 TB ANN corpus actually ships (coarse pruning picks WHICH bucket
+    * dirs a probe reads; product codes shrink WHAT the scan of those dirs
+    * costs). Each bucket file stores `(id, pq_code, pq_norm, vec)`:
+    * parquet column pruning means the ADC pass reads ~8 bytes/row (codes +
+    * norm) and the full-precision `vec` column is touched ONLY by the
+    * shortlist re-rank's pushed-down id filter. Codebooks and coarse
+    * centroids both live in sidecars — a probe (or an append) needs no
+    * driver state beyond the path. */
+  def writeIvfPq(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], model: ProductQuantizer.PqModel,
+      path: String): Unit = {
+    Similarity.assignBuckets(df, idCol, vecCol, centroids)
+      .select(col(idCol),
+        ProductQuantizer.codeCol(col(vecCol), model).as("pq_code"),
+        ProductQuantizer.normCol(col(vecCol)).as("pq_norm"),
+        col(vecCol), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+    writeCentroidMeta(df.sparkSession, centroids, path)
+    writePqMeta(df.sparkSession, model, path)
+  }
+
+  /** Top-k probe: prune to `nprobe` bucket dirs, ADC-score their code
+    * columns (m lookups/row off the narrow scan), broadcast the
+    * `shortlist` ids back as a pushed-down semi-join on the SAME pruned
+    * dirs to fetch raw vectors, exact-rank those. Recall is spec-measured;
+    * cost per probe is (pruned rows × 8 B) + (shortlist × dim × 4 B). */
+  def ivfTopKPq(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      query: Seq[Double], nprobe: Int, k: Int, shortlist: Int = 100,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val centroids = readIvfCentroids(spark, path)
+    val model = readPqMeta(spark, path)
+    val probe = Similarity.probeBuckets(centroids, query, nprobe)
+    val pruned = spark.read.parquet(s"$path/corpus")
+      .where(col("bucket").isin(probe: _*))
+    val short = ProductQuantizer.adcTopK(
+      pruned.select(col(idCol), col("pq_code"), col("pq_norm")),
+      idCol, model, query, shortlist, excludeId).select(col(idCol))
+    Similarity.bruteTopK(
+      pruned.join(broadcast(short), Seq(idCol), "left_semi"),
+      idCol, vecCol, query, k, excludeId)
+  }
+
+  private def writePqMeta(
+      spark: SparkSession, model: ProductQuantizer.PqModel, path: String): Unit = {
+    val rows = for {
+      (book, j) <- model.books.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield Row(j, c, cent)
+    val schema = StructType(Seq(
+      StructField("subspace", IntegerType, nullable = false),
+      StructField("cell", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .write.mode("overwrite").parquet(s"$path/pqmeta")
+  }
+
+  def readPqMeta(spark: SparkSession, path: String): ProductQuantizer.PqModel = {
+    val rows = spark.read.parquet(s"$path/pqmeta")
+      .orderBy("subspace", "cell").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+    ProductQuantizer.PqModel(m, books.head.head.length, books)
+  }
+
   private def writeCentroidMeta(
       spark: SparkSession, centroids: Seq[Seq[Double]], path: String): Unit = {
     val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c) }

@@ -62,6 +62,53 @@ class ProductQuantizerSpec extends AnyFunSuite {
     enc.unpersist(); ()
   }
 
+  // AQE/stage-walking scan collector (the SimilaritySpec helper's twin)
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+
+  test("IVF-PQ index: sidecar round-trip, bucket pruning, narrow ADC scan, recall") {
+    import graft.operators.{Similarity, VectorIndex}
+    val s = spark
+    import s.implicits._
+    val (vecs, df) = fixture
+    val centroids = Similarity.kMeans(df, "vec_id", "embedding", c = 8, iters = 2)
+    val model = ProductQuantizer.train(df, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, model, path)
+
+    // codebook sidecar survives the round trip — a probe needs only the path
+    assert(VectorIndex.readPqMeta(spark, path).books == model.books)
+
+    val q = vecs(3)._2.map(_.toDouble)
+    val probed = VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding", q,
+      nprobe = 8, k = 10, shortlist = 60, excludeId = Some(3L))
+    val got = probed.select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, 10, Some(3L))
+      .select("vec_id").as[Long].collect().toSet
+    // full probe isolates the PQ shortlist effect: re-rank is exact
+    assert((got & brute).size >= 9, s"IVF-PQ recall@10: ${(got & brute).size}/10")
+
+    // the ADC pass reads codes, not vectors: one scan's schema must omit
+    // the full-precision column (parquet column pruning is the compression
+    // payoff — without it every probe would read the raw vectors anyway)
+    val scans = allScans(probed.queryExecution.executedPlan)
+    assert(scans.exists(!_.schema.fieldNames.contains("embedding")),
+      scans.map(_.schema.fieldNames.mkString(",")).mkString(" | "))
+
+    // nprobe=2 probes read only their bucket directories
+    val pruned = VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding", q,
+      nprobe = 2, k = 10, shortlist = 60, excludeId = Some(3L))
+    pruned.collect()
+    val scan = allScans(pruned.queryExecution.executedPlan).head
+    assert(scan.metadata("PartitionFilters").contains("bucket"), scan.metadata.toString)
+  }
+
   test("shortlist+rerank recall vs brute force on clustered vectors") {
     // ADC alone cannot rank inside a quantization cell (cluster members
     // collapse to one code tuple — measured recall@10 ~0.2 here), which is
