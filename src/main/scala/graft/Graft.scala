@@ -211,6 +211,14 @@ object Graft {
       pq.encode(corpus, idCol, vecCol, model), model, query, k, shortlist, excludeId)
   }
 
+  /** Exact top-n items at sketch shuffle cost — Misra-Gries candidates
+    * ([[graft.functions.MisraGries.sketch]], a mergeable native aggregate)
+    * + certified exact recount ([[operators.Sketches.exactTopN]]); refuses
+    * loudly when n outruns the sketch's guarantee. */
+  def exactTopN(df: DataFrame, item: org.apache.spark.sql.Column,
+      n: Int, k: Int = 1024): DataFrame =
+    graft.operators.Sketches.exactTopN(df, item, n, k)
+
   /** Content-defined chunking — shift-resistant chunk boundaries from a
     * window-hash predicate ([[operators.Curation.cdcChunks]]); dedup the
     * `chunk_md5` column across versions/docs for storage-side dedup. */

@@ -1194,6 +1194,15 @@ object Queries {
     Urls.dedupByUrl(crawl, "doc_id", "url").orderBy("canon_url")
   }
 
+  /** Exact global top-15 words at sketch shuffle cost: Misra-Gries
+    * candidate pass (a native TypedImperativeAggregate — ≤ k counters per
+    * mapper on the wire) + exact recount of the ≤ k candidates, certified
+    * against the MG slack or failed loudly. Exact output → exact oracle. */
+  def q113HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Sketches.exactTopN(
+      t(spark, dir, "documents").select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+      col("w"), n = 15, k = 64)
+
   /** Content-defined chunking: boundaries set by a window-hash predicate,
     * so chunk identity survives insertions (shift-resistant dedup chunks —
     * the storage-side complement of q80's fixed word chunker). Pure
@@ -1359,6 +1368,7 @@ object Queries {
     "q110_pq_ann" -> q110PqAnn _,
     "q111_cdc_chunks" -> q111CdcChunks _,
     "q112_ann_ivfpq" -> q112AnnIvfPq _,
+    "q113_heavy_hitters" -> q113HeavyHitters _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1784,6 +1794,12 @@ object Queries {
         |             - ln(-ln(((((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 + 0.5)
         |                      / 1000000)), 6) AS sel_key
         |FROM agg ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q113_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS item FROM documents
+        |)
+        |SELECT item, COUNT(*) AS n_occurrences FROM w
+        |GROUP BY item ORDER BY n_occurrences DESC, item LIMIT 15""".stripMargin,
     "q111_cdc_chunks" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(generate_series(2, length(text) - 7)) AS p

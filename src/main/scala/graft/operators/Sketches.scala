@@ -52,4 +52,53 @@ object Sketches {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("approx_distinct"))
+
+  /** EXACT global top-`n` items at sketch shuffle cost — the two-phase
+    * q45 shape with the exact first phase swapped for [[graft.functions
+    * .MisraGries]]: phase 1 aggregates ≤ `k` counters per (mapper, group)
+    * into one candidate superset (where an exact first phase shuffles
+    * every distinct item — the difference between k and billions of
+    * fingerprints at 100 TB), phase 2 recounts ONLY the candidates
+    * exactly and takes the top `n` with a deterministic (count desc,
+    * item asc) tie order.
+    *
+    * Sound, not heuristic: MG guarantees every item with true count
+    * > total/(k+1) is a candidate, so the result is provably the exact
+    * top-n whenever the n-th count clears that bar — require()d from the
+    * exact phase-2 counts, with "raise k" in the message (the [[Dedup
+    * .topNgrams]] tieCap bargain: loud failure, never a silent
+    * approximation). */
+  def exactTopN(df: DataFrame, item: Column, n: Int, k: Int = 1024): DataFrame = {
+    require(n >= 1 && k > n, s"need k > n >= 1 (got n=$n, k=$k)")
+    val spark = df.sparkSession
+    val sk = df.agg(
+      graft.functions.MisraGries.sketch(item, k).as("cands"),
+      count(item).as("total")).head()
+    val cands = sk.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val total = sk.getLong(1)
+    val counts = df.select(item.as("item")).where(col("item").isin(cands: _*))
+      .groupBy("item").agg(count(lit(1)).as("n_occurrences"))
+      .collect() // ≤ k rows
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (i, c) => (-c, i) }
+    val top = counts.take(n)
+    // certified iff the candidates account for the whole stream (they ARE
+    // the item universe — exact by construction), or the rank-n exact
+    // count clears the MG slack (everything outside the candidate set is
+    // provably below it)
+    val covered = counts.map(_._2).sum == total
+    if (!covered)
+      require(top.length == n && top.last._2 > total / (k + 1),
+        s"top-$n not certified: rank-${top.length} count " +
+          s"${top.lastOption.map(_._2).getOrElse(0L)} is within the " +
+          s"Misra-Gries slack ${total / (k + 1)} — raise k (=$k)")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        top.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_occurrences",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

@@ -16,6 +16,77 @@ class SketchesSpec extends AnyFunSuite {
     }.toDF("grp", "v", "x")
   }
 
+  // Zipf-ish adversarial stream: heavy items drowned in a long tail of
+  // distinct singletons, vocabulary far larger than the sketch's k.
+  private def zipfish = {
+    val s = spark
+    import s.implicits._
+    val heavy = (0 until 20).flatMap(i => Seq.fill(400 - 15 * i)(s"hot$i"))
+    val tail = (0 until 6000).map(i => s"cold$i")
+    new scala.util.Random(3).shuffle(heavy ++ tail).toDF("item")
+  }
+
+  test("MisraGries sketch: every above-slack item survives, k bounds the state") {
+    val df = zipfish.repartition(8)
+    val n = df.count()
+    val k = 64
+    val got = df.agg(graft.functions.MisraGries.sketch(col("item"), k).as("s"))
+      .selectExpr("explode(s) AS e").select("e.item", "e.count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= k, s"state exceeded k: ${got.size}")
+    val exact = zipfish.groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slack = n / (k + 1)
+    exact.filter(_._2 > slack).keys.foreach(item =>
+      assert(got.contains(item), s"guaranteed item $item missing (count ${exact(item)})"))
+    // counters never overestimate, and underestimate by at most the slack
+    got.foreach { case (item, c) =>
+      assert(c <= exact(item) && c >= exact(item) - slack, s"$item: $c vs ${exact(item)}")
+    }
+  }
+
+  test("MisraGries guarantee holds under any partition layout (merge path)") {
+    val k = 32
+    Seq(1, 4, 32).foreach { parts =>
+      val df = zipfish.repartition(parts)
+      val got = df.agg(graft.functions.MisraGries.sketch(col("item"), k).as("s"))
+        .selectExpr("explode(s) AS e").select("e.item")
+        .collect().map(_.getString(0)).toSet
+      val n = zipfish.count()
+      val exact = zipfish.groupBy("item").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.filter(_._2 > n / (k + 1)).keys.foreach(item =>
+        assert(got.contains(item), s"parts=$parts: guaranteed item $item missing"))
+    }
+  }
+
+  test("MisraGries composes with groupBy for per-group candidates") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i => ("a", if (i % 2 == 0) "x" else s"t$i")).toDF("g", "item")
+      .union((0 until 500).map(i => ("b", if (i % 2 == 0) "y" else s"u$i")).toDF("g", "item"))
+    val got = df.groupBy("g")
+      .agg(graft.functions.MisraGries.sketch(col("item"), 16).as("s"))
+      .selectExpr("g", "s[0].item AS top").orderBy("g").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "x"), ("b", "y")))
+  }
+
+  test("exactTopN: exact counts and order; uncertifiable n fails loudly") {
+    val df = zipfish
+    val got = Sketches.exactTopN(df, col("item"), n = 10, k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = zipfish.groupBy("item").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (i, c) => (-c, i) }.take(10).toSeq
+    assert(got == want)
+    // rank-n inside the slack → loud refusal naming k, never a silent result
+    val err = intercept[IllegalArgumentException] {
+      Sketches.exactTopN(df, col("item"), n = 30, k = 40)
+    }
+    assert(err.getMessage.contains("raise k"))
+  }
+
   test("profile: HLL distinct within 5% of exact, quantiles near exact") {
     val out = Sketches.profile(data, "grp", col("v"), col("x"))
       .orderBy("grp").collect()
