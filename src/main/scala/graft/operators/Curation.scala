@@ -183,9 +183,13 @@ object Curation {
     * A window can only start at positions `2 .. L-k+1`, so docs shorter
     * than `k+1` chars are one whole-doc chunk — no minimum-size pathology.
     */
+  /** @param withText also emit the chunk's text (`chunk_text`) — for
+    *        consumers that store chunk content (the streaming chunk
+    *        store); off by default so the stats/dedup path ships only
+    *        offsets + md5. */
   def cdcChunks(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, divisor: Int = 64): DataFrame = {
+      k: Int = 8, divisor: Int = 64, withText: Boolean = false): DataFrame = {
     require(k >= 2 && divisor >= 2, "need window k >= 2 and divisor >= 2")
     val text = col(textCol)
     val len = length(text)
@@ -203,9 +207,11 @@ object Curation {
       .where(len >= 1)
       .select(col(idCol), text, starts.as("_starts"))
       .select(col(idCol), text, posexplode(chunks))
-      .select(col(idCol), col("pos").as("chunk_idx"),
+      .select((Seq(col(idCol), col("pos").as("chunk_idx"),
         col("col.start").as("chunk_start"), col("col.len").as("chunk_len"),
-        md5(text.substr(col("col.start"), col("col.len")).cast("binary")).as("chunk_md5"))
+        md5(text.substr(col("col.start"), col("col.len")).cast("binary")).as("chunk_md5")) ++
+        (if (withText) Seq(text.substr(col("col.start"), col("col.len")).as("chunk_text"))
+         else Seq.empty)): _*)
   }
 
   /** PII-redaction patterns, deliberately restricted to syntax that parses

@@ -602,4 +602,84 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === Set(1L, 2L, 11L))
     } finally q.stop()
   }
+
+  test("streaming CDC ingest: chunk store dedups within and across batches, docs round-trip") {
+    import spark.implicits._
+    import graft.streaming.StreamingCdcIngest
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val rnd = new scala.util.Random(17)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val base = Seq.fill(150)(words(rnd.nextInt(words.length))).mkString(" ")
+    val other = Seq.fill(80)(words(rnd.nextInt(words.length))).mkString(" ")
+
+    // batch 0: two docs sharing a long block → within-batch chunk reuse
+    val b0 = Seq((1L, base), (2L, s"$other $base")).toDF("doc_id", "text")
+    StreamingCdcIngest.processBatch(b0, 0L, path, "doc_id", "text", k = 8, divisor = 16)
+    val manifest0 = spark.read.parquet(StreamingCdcIngest.manifestPath(path))
+    val store0 = spark.read.parquet(StreamingCdcIngest.storePath(path))
+    assert(store0.count() == store0.select("chunk_md5").distinct().count(),
+      "store holds each chunk once")
+    assert(store0.count() < manifest0.count(),
+      "shared chunks referenced twice but stored once")
+
+    // round trip: reassembled docs equal the originals byte-for-byte
+    val docs0 = StreamingCdcIngest.readDocs(spark, path, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(docs0 == Map(1L -> base, 2L -> s"$other $base"))
+
+    // batch 1: a recrawl of doc 1 with an edit up top → only the chunks
+    // touching the edit are new; the tail re-synchronizes and is reused
+    val edited = s"edited headline $base"
+    val b1 = Seq((3L, edited)).toDF("doc_id", "text")
+    StreamingCdcIngest.processBatch(b1, 1L, path, "doc_id", "text", k = 8, divisor = 16)
+    val newChunks = spark.read.parquet(StreamingCdcIngest.storePath(path))
+      .where(col("batch_id") === 1L).count()
+    val doc3Chunks = spark.read.parquet(StreamingCdcIngest.manifestPath(path))
+      .where(col("doc_id") === 3L).count()
+    assert(newChunks <= 3 && doc3Chunks >= 4,
+      s"expected near-total reuse: $newChunks new of $doc3Chunks referenced")
+
+    // replay batch 1 (at-least-once): store and manifest converge unchanged
+    val storeBefore = spark.read.parquet(StreamingCdcIngest.storePath(path))
+      .collect().map(_.toString).sorted.toSeq
+    StreamingCdcIngest.processBatch(b1, 1L, path, "doc_id", "text", k = 8, divisor = 16)
+    val storeAfter = spark.read.parquet(StreamingCdcIngest.storePath(path))
+      .collect().map(_.toString).sorted.toSeq
+    assert(storeBefore == storeAfter, "replayed batch must not grow the store")
+    val docsAll = StreamingCdcIngest.readDocs(spark, path, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(docsAll(3L) == edited)
+
+    // crash window: a half-written store partition for batch 2 is
+    // overwritten by the batch's own replay, never double-counted
+    Seq(("deadbeef", "junk", 2L)).toDF("chunk_md5", "chunk_text", "batch_id")
+      .write.mode("append").partitionBy("batch_id")
+      .parquet(StreamingCdcIngest.storePath(path))
+    val b2 = Seq((4L, s"fresh tail $other")).toDF("doc_id", "text")
+    StreamingCdcIngest.processBatch(b2, 2L, path, "doc_id", "text", k = 8, divisor = 16)
+    val junk = spark.read.parquet(StreamingCdcIngest.storePath(path))
+      .where(col("chunk_md5") === "deadbeef").count()
+    assert(junk == 0L, "stale half-write must be replaced by the replay")
+    val docs4 = StreamingCdcIngest.readDocs(spark, path, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(docs4(4L) == s"fresh tail $other")
+  }
+
+  test("streaming CDC ingest wired through foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCdcIngest
+    val path = java.nio.file.Files.createTempDirectory("graft-cdcq").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCdcIngest.appendChunked(
+      input.toDF().toDF("doc_id", "text"), path, "doc_id", "text", k = 8, divisor = 16)
+    try {
+      input.addData(1L -> "one streamed document body here", 2L -> "two streamed bodies")
+      q.processAllAvailable()
+      val docs = StreamingCdcIngest.readDocs(spark, path, "doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(docs == Map(1L -> "one streamed document body here",
+        2L -> "two streamed bodies"))
+    } finally q.stop()
+  }
 }
