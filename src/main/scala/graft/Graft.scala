@@ -219,6 +219,12 @@ object Graft {
       n: Int, k: Int = 1024): DataFrame =
     graft.operators.Sketches.exactTopN(df, item, n, k)
 
+  /** Per-group certified exact top-n
+    * ([[operators.Sketches.exactTopNPerGroup]]). */
+  def exactTopNPerGroup(df: DataFrame, groupCol: String,
+      item: org.apache.spark.sql.Column, n: Int, k: Int = 1024): DataFrame =
+    graft.operators.Sketches.exactTopNPerGroup(df, groupCol, item, n, k)
+
   /** Content-defined chunking — shift-resistant chunk boundaries from a
     * window-hash predicate ([[operators.Curation.cdcChunks]]); dedup the
     * `chunk_md5` column across versions/docs for storage-side dedup. */

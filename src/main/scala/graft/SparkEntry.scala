@@ -1203,6 +1203,17 @@ object Queries {
       t(spark, dir, "documents").select(explode(TextAnalysis.tokens(col("text"))).as("w")),
       col("w"), n = 15, k = 64)
 
+  /** Per-source exact top-5 words via grouped Misra-Gries: one groupBy of
+    * mergeable sketches, broadcast candidate pairs, exact recount, window
+    * top-n — certification (coverage or slack) runs inside the plan and
+    * any uncertified group fails loudly. Exact output → exact oracle. */
+  def q114HeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame =
+    Sketches.exactTopNPerGroup(
+      t(spark, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w")),
+      "source", col("w"), n = 5, k = 64)
+      .orderBy("source", "rank")
+
   /** Content-defined chunking: boundaries set by a window-hash predicate,
     * so chunk identity survives insertions (shift-resistant dedup chunks —
     * the storage-side complement of q80's fixed word chunker). Pure
@@ -1369,6 +1380,7 @@ object Queries {
     "q111_cdc_chunks" -> q111CdcChunks _,
     "q112_ann_ivfpq" -> q112AnnIvfPq _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
+    "q114_heavy_hitters_grouped" -> q114HeavyHittersGrouped _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1794,6 +1806,19 @@ object Queries {
         |             - ln(-ln(((((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 + 0.5)
         |                      / 1000000)), 6) AS sel_key
         |FROM agg ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
+    "q114_heavy_hitters_grouped" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS item FROM documents
+        |), c AS (
+        |  SELECT source, item, COUNT(*) AS n_occurrences FROM w GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, item, n_occurrences,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |                                 ORDER BY n_occurrences DESC, item) AS INT) AS rank
+        |  FROM c
+        |)
+        |SELECT source, item, n_occurrences, rank FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "q113_heavy_hitters" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS item FROM documents

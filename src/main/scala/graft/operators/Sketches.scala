@@ -101,4 +101,45 @@ object Sketches {
         org.apache.spark.sql.types.StructField("n_occurrences",
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
+
+  /** Per-group [[exactTopN]] — exact top-`n` items WITHIN each group, with
+    * the certification fully inside the plan: phase 1 is one groupBy
+    * producing each group's MG candidates + total (map-side-merged
+    * sketches — k counters per (mapper, group) on the wire), the candidate
+    * (group, item) pairs broadcast back for the exact recount, and a group
+    * is certified when its candidates cover its whole stream OR its exact
+    * rank-n count clears the group's n/(k+1) slack. Any uncertified group
+    * fails the job loudly (collected flags are ≤ one row per group) —
+    * same bargain as [[exactTopN]], distributed per group. */
+  def exactTopNPerGroup(
+      df: DataFrame, groupCol: String, item: Column, n: Int,
+      k: Int = 1024): DataFrame = {
+    require(n >= 1 && k > n, s"need k > n >= 1 (got n=$n, k=$k)")
+    val g = col(groupCol)
+    val sk = df.groupBy(g).agg(
+      graft.functions.MisraGries.sketch(item, k).as("_cands"),
+      count(item).as("_total"))
+    val pairs = sk.select(g, explode(col("_cands")).as("_c"))
+      .select(g, col("_c.item").as("item"))
+    val exact = df.select(g, item.as("item"))
+      .join(broadcast(pairs), Seq(groupCol, "item"))
+      .groupBy(g, col("item")).agg(count(lit(1)).as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col("n_occurrences").desc, col("item").asc)
+    val ranked = exact.withColumn("rank", row_number().over(w))
+    val cert = ranked.groupBy(g).agg(
+        sum("n_occurrences").as("_cand_sum"),
+        max(when(col("rank") === n, col("n_occurrences"))).as("_nth"),
+        count(lit(1)).as("_n_cands"))
+      .join(sk.select(g, col("_total")), groupCol)
+      .where(col("_cand_sum") =!= col("_total") && // not fully covered...
+        (col("_n_cands") < n || // ...and either too few candidates
+          col("_nth") <= col("_total") / (k + 1))) // ...or rank-n in the slack
+      .select(g).collect()
+    require(cert.isEmpty,
+      s"top-$n not certified for group(s) ${cert.map(_.get(0)).mkString(", ")} " +
+        s"— raise k (=$k)")
+    ranked.where(col("rank") <= n)
+      .select(g, col("item"), col("n_occurrences"), col("rank"))
+  }
 }

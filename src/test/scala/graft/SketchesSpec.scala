@@ -87,6 +87,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("raise k"))
   }
 
+  test("exactTopNPerGroup: per-group exact results; uncertified group fails naming it") {
+    val s = spark
+    import s.implicits._
+    // group A: skewed with long tail; group B: small closed vocabulary
+    val a = (0 until 10).flatMap(i => Seq.fill(300 - 20 * i)(("A", s"hot$i"))) ++
+      (0 until 3000).map(i => ("A", s"cold$i"))
+    val b = (0 until 900).map(i => ("B", s"word${i % 6}"))
+    val df = new scala.util.Random(9).shuffle(a ++ b).toDF("g", "item").repartition(8)
+    val got = Sketches.exactTopNPerGroup(df, "g", col("item"), n = 5, k = 64)
+      .orderBy("g", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    def want(rows: Seq[(String, String)], g: String) =
+      rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (i, c) => (-c, i) }.take(5).zipWithIndex
+        .map { case ((i, c), r) => (g, i, c, r + 1) }
+    assert(got == want(a, "A") ++ want(b, "B"))
+    // group A's rank-30 is deep in the tail: the group is named in the error
+    val err = intercept[IllegalArgumentException] {
+      Sketches.exactTopNPerGroup(df, "g", col("item"), n = 30, k = 40)
+    }
+    assert(err.getMessage.contains("A") && err.getMessage.contains("raise k"))
+  }
+
   test("profile: HLL distinct within 5% of exact, quantiles near exact") {
     val out = Sketches.profile(data, "grp", col("v"), col("x"))
       .orderBy("grp").collect()
