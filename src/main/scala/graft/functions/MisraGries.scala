@@ -40,6 +40,16 @@ case class MisraGriesAgg(
 
   require(k >= 1, "need k >= 1 counters")
 
+  // analysis-time type gate (ExpectsInputTypes needs the private[sql]
+  // AbstractDataType, so the check is spelled out): a non-string child
+  // would otherwise ClassCastException mid-task in update()
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string item column, got ${child.dataType.catalogString}")
+    }
   override def prettyName: String = "graft_misra_gries"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -56,7 +56,12 @@ object StreamingCdcIngest {
       batch: DataFrame, batchId: Long, path: String,
       idCol: String, textCol: String, k: Int, divisor: Int): Unit = {
     val spark = batch.sparkSession
-    val chunks = Curation.cdcChunks(batch, idCol, textCol, k, divisor, withText = true)
+    // within-batch id dedup (deterministic min-text wins): two versions of
+    // one id in a batch would otherwise interleave their manifest rows and
+    // readDocs would concatenate both versions' chunks
+    val docs = batch.groupBy(col(idCol))
+      .agg(min(struct(col(textCol))).getField(textCol).as(textCol))
+    val chunks = Curation.cdcChunks(docs, idCol, textCol, k, divisor, withText = true)
       .select(col(idCol), col("chunk_idx"), col("chunk_md5"), col("chunk_text"))
       .cache()
     try {

@@ -60,6 +60,14 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("MisraGries rejects non-string items at analysis, not mid-task") {
+    val err = intercept[Exception] {
+      zipfish.select(length(col("item")).as("n"))
+        .agg(graft.functions.MisraGries.sketch(col("n"), 8)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"), err.getMessage)
+  }
+
   test("MisraGries composes with groupBy for per-group candidates") {
     val s = spark
     import s.implicits._

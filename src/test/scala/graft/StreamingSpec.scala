@@ -663,6 +663,15 @@ class StreamingSpec extends AnyFunSuite {
     val docs4 = StreamingCdcIngest.readDocs(spark, path, "doc_id", "text")
       .as[(Long, String)].collect().toMap
     assert(docs4(4L) == s"fresh tail $other")
+
+    // a batch carrying the same id twice keeps ONE version (deterministic
+    // min-text), never an interleaved chimera of both manifests
+    val b3 = Seq((9L, "version b of the page"), (9L, "version a of the page"))
+      .toDF("doc_id", "text")
+    StreamingCdcIngest.processBatch(b3, 3L, path, "doc_id", "text", k = 8, divisor = 16)
+    val doc9 = StreamingCdcIngest.readDocs(spark, path, "doc_id", "text")
+      .as[(Long, String)].collect().toMap.apply(9L)
+    assert(doc9 == "version a of the page")
   }
 
   test("streaming CDC ingest wired through foreachBatch") {
