@@ -829,6 +829,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q84's semantics with the steady-state recurring-crawl plan: a
+    * prebuilt corpus bloom gates the batch (`might=false` rows are
+    * definitely new), one shuffle-free corpus confirmation scan kills the
+    * false positives — the result is exact, identical to q84's oracle. */
+  def q115BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+    val bloom = Dedup.corpusBloom(corpus, "text", expectedItems = 1 << 20)
+    Dedup.bloomIncrementalDedup(
+      docs.where(pmod(col("doc_id"), lit(10)) === 7), corpus, "text", bloom)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Per-source relative quality gate: keep docs at/above the P75 of
     * n_chars WITHIN their source (cume_dist = rank/count, ratio-of-ints
     * exact across engines). One window shuffle partitioned by source. */
@@ -1386,6 +1400,7 @@ object Queries {
     "q101_dup_spans" -> q101DupSpans _,
     "q102_contam_spans" -> q102ContamSpans _,
     "q103_leakage_safe_split" -> q103LeakageSafeSplit _,
+    "q115_bloom_dedup" -> q115BloomDedup _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -2280,6 +2295,16 @@ object Queries {
         |  FROM documents)
         |WHERE score_cd >= 0.75 ORDER BY doc_id""".stripMargin,
     "q84_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                                    '\s+', ' ', 'g'))) AS f
+        |  FROM documents)
+        |SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+        |FROM (SELECT * FROM fp WHERE doc_id % 10 = 7) b
+        |ANTI JOIN (SELECT DISTINCT f FROM fp WHERE doc_id % 10 <> 7) c
+        |  ON b.f = c.f
+        |ORDER BY b.doc_id""".stripMargin,
+    "q115_bloom_dedup" ->
       """WITH fp AS (
         |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
         |                                    '\s+', ' ', 'g'))) AS f

@@ -42,6 +42,87 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** Serialized Bloom filter over the corpus' normalized-text fingerprints
+    * (xxhash64 of [[TextAnalysis.fingerprint]]), built by Spark's own
+    * runtime-filter aggregate (`BloomFilterAggregate` — the machinery
+    * behind `spark.sql.optimizer.runtimeFilter.bloomFilter`): partials
+    * merge map-side, so the one-partition final merge moves one bloom per
+    * mapper, never a per-row shuffle. No DISTINCT is needed — inserting a
+    * fingerprint twice is idempotent.
+    *
+    * Sizing: `expectedItems` may overestimate (fpp only improves); bits
+    * follow the textbook optimum for (n, fpp). At 10⁹ distinct docs and
+    * 1% fpp the filter is ~1.2 GB — broadcastable; beyond that, shard the
+    * corpus and keep one bloom per shard, or fall back to the bucketed
+    * anti-join ([[incrementalDedup]] + [[Bucketing]]). The aggregate
+    * clamps silently at `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems`/`.maxNumBits`, which would quietly raise the measured
+    * fpp — so this `require`s the request fits and names the confs. */
+  def corpusBloom(
+      corpus: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnShim
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom of $expectedItems items @ fpp=$fpp needs $numBits bits, over the session caps " +
+        "(spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits) — raise them, or " +
+        "the aggregate would clamp silently and the real fpp would exceed the requested one")
+    val key = ColumnShim.expression(xxhash64(TextAnalysis.fingerprint(col(textCol))))
+    val agg = ColumnShim.column(
+      new BloomFilterAggregate(key, Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+    corpus.select(agg).head.getAs[Array[Byte]](0)
+  }
+
+  /** [[incrementalDedup]] semantics (batch rows whose fingerprint is not
+    * in the corpus) gated by a prebuilt corpus bloom — the steady-state
+    * recurring-ingest shape, and the plan is shuffle-FREE:
+    *
+    *   1. probe: every batch row tests the broadcast-literal bloom
+    *      (`BloomFilterMightContain`, codegen). No false negatives, so
+    *      `might = false` rows are DEFINITELY new — emitted untouched.
+    *      In steady state (most of a recrawl batch is dupes, the rest
+    *      misses) the maybe set is |dupes| + fpp·|new|.
+    *   2. confirm: one corpus SCAN probes the broadcast maybe-set
+    *      fingerprints (semi join) — the corpus never shuffles, never
+    *      sorts; duplicates collapse inside the broadcast hash relation,
+    *      so no DISTINCT shuffle either. Bloom false positives die here:
+    *      the final result is EXACT, identical to [[incrementalDedup]].
+    *
+    * Versus [[incrementalDedup]], which shuffles the corpus' distinct
+    * fingerprints every batch: here the recurring cost is one corpus scan
+    * + broadcast-sized joins, and the bloom itself amortizes across
+    * batches (build once with [[corpusBloom]], then add each appended
+    * batch's keys — or rebuild on the compaction cadence). */
+  def bloomIncrementalDedup(
+      batch: DataFrame, corpus: DataFrame, textCol: String,
+      bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.types.BinaryType
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    def might(fpCol: Column): Column = ColumnShim.column(
+      BloomFilterMightContain(
+        Literal(bloom, BinaryType), ColumnShim.expression(xxhash64(fpCol))))
+    val tagged = batch.withColumn("_fp", fp)
+    val definiteNew = tagged.where(!might(col("_fp")))
+    val maybe = tagged.where(might(col("_fp")))
+    val confirmedDup = corpus.select(fp.as("_fp"))
+      .join(broadcast(maybe.select("_fp")), Seq("_fp"), "left_semi")
+    definiteNew
+      .unionByName(maybe.join(broadcast(confirmedDup), Seq("_fp"), "left_anti"))
+      .drop("_fp")
+  }
+
   /** Distinct word n-gram shingles, exploded to (id, shingle) rows.
     * Docs shorter than n tokens produce no rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {

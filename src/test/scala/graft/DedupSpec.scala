@@ -175,4 +175,54 @@ class DedupSpec extends AnyFunSuite {
       .collect()
     assert(withNull.forall(_.isNullAt(0)))
   }
+
+  test("bloom incremental dedup equals the anti-join path exactly, and the plan is shuffle-free") {
+    val corpus = Seq(
+      (10L, "alpha bravo charlie"), (11L, "delta echo foxtrot"),
+      (12L, "golf hotel india"), (13L, "alpha bravo charlie")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha bravo charlie"),    // dup of corpus
+      (21L, "golf hotel india"),       // dup of corpus
+      (22L, "brand new document one"), // new
+      (23L, "brand new document two"), // new
+      (24L, "brand new document two")  // new, within-batch dup kept (q84 semantics)
+    ).toDF("doc_id", "text")
+    val exp = Dedup.incrementalDedup(batch, corpus, "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val bloom = Dedup.corpusBloom(corpus, "text", expectedItems = 1000)
+    val deduped = Dedup.bloomIncrementalDedup(batch, corpus, "text", bloom)
+    assert(deduped.orderBy("doc_id").as[(Long, String)].collect().toSeq == exp)
+    assert(exp.map(_._1) == Seq(22L, 23L, 24L))
+    // recurring-ingest plan shape: zero shuffles — the corpus scans stay in
+    // place and both joins broadcast the (tiny) maybe-set side
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bloom false positives die in the confirmation scan: saturated bloom still exact") {
+    // a 2-bit bloom over 60 inserts is saturated: nearly every fresh row
+    // false-positives into the maybe path, and the result must not change
+    val corpus = (0 until 60).map(i => (i.toLong, s"corpus doc number $i body"))
+      .toDF("doc_id", "text")
+    val batch = (0 until 30)
+      .map(i => (100L + i, if (i % 2 == 0) s"corpus doc number ${i} body" else s"fresh doc $i"))
+      .toDF("doc_id", "text")
+    val bloom = Dedup.corpusBloom(corpus, "text", expectedItems = 1, fpp = 0.5)
+    val exp = Dedup.incrementalDedup(batch, corpus, "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val got = Dedup.bloomIncrementalDedup(batch, corpus, "text", bloom)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == exp)
+    assert(got.size == 15) // the odd-i fresh docs
+  }
+
+  test("corpusBloom refuses sizes the session caps would silently clamp") {
+    val corpus = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.corpusBloom(corpus, "text", expectedItems = 100000000L)
+    }
+    assert(e.getMessage.contains("maxNumItems"), e.getMessage)
+  }
 }
