@@ -675,6 +675,22 @@ object Queries {
       queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
   }
 
+  /** q112's index with RESIDUAL codes (classic FAISS IndexIVFPQ): the PQ
+    * trains on `v − centroid(bucket)`, the ADC pass adds the per-bucket
+    * `q·c_b` constant back — same code budget, codes spent on
+    * within-bucket offsets instead of re-stating the bucket. */
+  def q116AnnIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
+    val model = VectorIndex.trainResidualPq(
+      emb, "vec_id", "embedding", centroids, m = 4, k = 16, iters = 2)
+    val path = indexPath(dir, "ivfpqres")
+    VectorIndex.writeIvfPq(emb, "vec_id", "embedding", centroids, model, path,
+      residual = true)
+    VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
+  }
+
   /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
     * (broadcast queries, precomputed norms, one window shuffle). */
   def q52KnnJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -1393,6 +1409,7 @@ object Queries {
     "q110_pq_ann" -> q110PqAnn _,
     "q111_cdc_chunks" -> q111CdcChunks _,
     "q112_ann_ivfpq" -> q112AnnIvfPq _,
+    "q116_ann_ivfpq_res" -> q116AnnIvfPqRes _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
     "q114_heavy_hitters_grouped" -> q114HeavyHittersGrouped _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,

@@ -74,7 +74,7 @@ object ProductQuantizer {
     try {
       var books: Seq[Seq[Seq[Double]]] = {
         val first = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
-          .map(_.getSeq[Float](0).map(_.toDouble))
+          .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()))
         require(first.length == k, s"need >= $k rows to seed codebooks")
         (0 until m).map(j => first.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq))
       }
@@ -110,6 +110,19 @@ object ProductQuantizer {
 
   /** Float L2 norm column (for cosine at query time). */
   def normCol(vecCol: Column): Column = ArrayMath.norm2(vecCol).cast("float")
+
+  /** `vec − centroid(bucket)` as array<double> — the residual classic
+    * IVF-PQ quantizes (Jégou 2011 §IV): after coarse assignment the
+    * per-bucket mean is gone from the signal, so the same m×k code budget
+    * quantizes the (much smaller) within-bucket offsets instead of
+    * absolute positions — on clustered data plain PQ spends its codes
+    * re-stating the cluster and collapses within it, exactly where the
+    * search happens. Pure projection (the C×dim centroid table is a
+    * literal), zero shuffles. */
+  def residualCol(vecCol: Column, bucketCol: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cents = array(centroids.map(litVec): _*)
+    zip_with(vecCol, element_at(cents, bucketCol + 1), (a, b) => a.cast("double") - b)
+  }
 
   /** Encode the corpus: `idCol`, `pq_code` (array<tinyint>, one cell per
     * subspace) and `pq_norm` (float L2 norm, for cosine at query time) —
@@ -147,16 +160,21 @@ object ProductQuantizer {
       idCol, vecCol, query, k, excludeId)
   }
 
+  /** `dotOffset` adds a per-row constant to the approximate dot before
+    * normalizing — residual indexes pass `q·centroid(bucket)` here, since
+    * their codes reconstruct `v − centroid` and
+    * `q·v ≈ q·c_b + q·residual̂`. */
   def adcTopK(
       encoded: DataFrame, idCol: String, model: PqModel,
-      query: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+      query: Seq[Double], k: Int, excludeId: Option[Long] = None,
+      dotOffset: Column = lit(0.0)): DataFrame = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val luts = (0 until model.m).map { j =>
       val qj = query.slice(j * model.dsub, (j + 1) * model.dsub)
       litVec(model.books(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum))
     }
     val dotApprox = (0 until model.m).map(j =>
-      element_at(luts(j), col("pq_code").getItem(j).cast("int") + 1)).reduce(_ + _)
+      element_at(luts(j), col("pq_code").getItem(j).cast("int") + 1)).reduce(_ + _) + dotOffset
     val base = excludeId.map(i => encoded.where(col(idCol) =!= i)).getOrElse(encoded)
     base
       .withColumn("score", round(dotApprox / (col("pq_norm") * lit(qNorm)), 6))

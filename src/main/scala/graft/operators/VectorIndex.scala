@@ -127,16 +127,35 @@ object VectorIndex {
   def writeIvfPq(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], model: ProductQuantizer.PqModel,
-      path: String): Unit = {
+      path: String, residual: Boolean = false): Unit = {
+    val codeSrc =
+      if (residual) ProductQuantizer.residualCol(col(vecCol), col("bucket"), centroids)
+      else col(vecCol)
     Similarity.assignBuckets(df, idCol, vecCol, centroids)
       .select(col(idCol),
-        ProductQuantizer.codeCol(col(vecCol), model).as("pq_code"),
+        ProductQuantizer.codeCol(codeSrc, model).as("pq_code"),
         ProductQuantizer.normCol(col(vecCol)).as("pq_norm"),
         col(vecCol), col("bucket"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
     writeCentroidMeta(df.sparkSession, centroids, path)
-    writePqMeta(df.sparkSession, model, path)
+    writePqMeta(df.sparkSession, model, path, residual)
+  }
+
+  /** Codebooks for a RESIDUAL IVF-PQ index ([[ProductQuantizer.residualCol]]):
+    * one assignment pass tags each vector's bucket, then the shared Lloyd
+    * loop trains on `v − centroid(bucket)` — same jobs, same shuffle
+    * shape, ~1 bit/dim better use of the code budget on clustered data
+    * (the classic FAISS IndexIVFPQ layout). Pass the result to
+    * [[writeIvfPq]] with `residual = true`. */
+  def trainResidualPq(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], m: Int, k: Int = 16, iters: Int = 2)
+      : ProductQuantizer.PqModel = {
+    val assigned = Similarity.assignBuckets(df, idCol, vecCol, centroids)
+      .withColumn("_res",
+        ProductQuantizer.residualCol(col(vecCol), col("bucket"), centroids))
+    ProductQuantizer.train(assigned, idCol, "_res", m, k, iters)
   }
 
   /** Top-k probe: prune to `nprobe` bucket dirs, ADC-score their code
@@ -151,29 +170,49 @@ object VectorIndex {
     require(shortlist >= k, "shortlist must cover k")
     val centroids = readIvfCentroids(spark, path)
     val model = readPqMeta(spark, path)
+    val residual = readPqResidual(spark, path)
     val probe = Similarity.probeBuckets(centroids, query, nprobe)
     val pruned = spark.read.parquet(s"$path/corpus")
       .where(col("bucket").isin(probe: _*))
+    // residual codes reconstruct v − c_b, so the ADC dot gets the
+    // per-bucket constant q·c_b back (C-length literal, indexed by the
+    // partition column — still a narrow codes+norm scan)
+    val offset =
+      if (residual) {
+        val qDotC = centroids.map(c => c.zip(query).map { case (a, b) => a * b }.sum)
+        element_at(array(qDotC.map(lit): _*), col("bucket").cast("int") + 1)
+      } else lit(0.0)
     val short = ProductQuantizer.adcTopK(
-      pruned.select(col(idCol), col("pq_code"), col("pq_norm")),
-      idCol, model, query, shortlist, excludeId).select(col(idCol))
+      pruned.select(col(idCol), col("pq_code"), col("pq_norm"), col("bucket")),
+      idCol, model, query, shortlist, excludeId, dotOffset = offset)
+      .select(col(idCol))
     Similarity.bruteTopK(
       pruned.join(broadcast(short), Seq(idCol), "left_semi"),
       idCol, vecCol, query, k, excludeId)
   }
 
   private def writePqMeta(
-      spark: SparkSession, model: ProductQuantizer.PqModel, path: String): Unit = {
+      spark: SparkSession, model: ProductQuantizer.PqModel, path: String,
+      residual: Boolean = false): Unit = {
     val rows = for {
       (book, j) <- model.books.zipWithIndex
       (cent, c) <- book.zipWithIndex
-    } yield Row(j, c, cent)
+    } yield Row(j, c, cent, residual)
     val schema = StructType(Seq(
       StructField("subspace", IntegerType, nullable = false),
       StructField("cell", IntegerType, nullable = false),
-      StructField("centroid", ArrayType(DoubleType), nullable = false)))
+      StructField("centroid", ArrayType(DoubleType), nullable = false),
+      StructField("residual", BooleanType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
       .write.mode("overwrite").parquet(s"$path/pqmeta")
+  }
+
+  /** Whether the index's codes quantize residuals (older sidecars without
+    * the column read as plain-PQ). */
+  def readPqResidual(spark: SparkSession, path: String): Boolean = {
+    val meta = spark.read.parquet(s"$path/pqmeta")
+    if (meta.columns.contains("residual")) meta.select("residual").head().getBoolean(0)
+    else false
   }
 
   def readPqMeta(spark: SparkSession, path: String): ProductQuantizer.PqModel = {

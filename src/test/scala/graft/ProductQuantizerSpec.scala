@@ -135,4 +135,65 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(rec >= 0.9, s"PQ shortlist+rerank recall@10 too low: $rec")
     enc.unpersist(); ()
   }
+
+  test("residual IVF-PQ: same code budget, better codes — raw ADC recall beats plain") {
+    import graft.operators.VectorIndex
+    val s = spark
+    import s.implicits._
+    // Sub-cluster structure — the case residual coding exists for: each
+    // vector = cluster center + one of 16 per-subspace offset patterns
+    // (+ tiny noise). A residual codebook's 16 cells can capture the 16
+    // offsets exactly; plain PQ's 16 cells must cover 8 centers × 16
+    // offsets = 128 combos and collide. Isotropic noise shows nothing:
+    // no code can quantize it, both variants floor at the same recall.
+    val rnd = new java.util.Random(11L)
+    val dim = 64
+    val centers = IndexedSeq.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val offsets = IndexedSeq.fill(16)(Array.fill(dim)(0.35 * rnd.nextGaussian()))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      val o = (0 until 4).map(_ => offsets(rnd.nextInt(16)))
+      val v = (0 until dim).map { d =>
+        (c(d) + o(d / 16)(d) + 0.02 * rnd.nextGaussian()).toFloat
+      }
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+
+    val centroids = Similarity.kMeans(df, "vec_id", "embedding", c = 8, iters = 2)
+    val plain = ProductQuantizer.train(df, "vec_id", "embedding", m = 4, k = 16, iters = 3)
+    val res = VectorIndex.trainResidualPq(df, "vec_id", "embedding", centroids, m = 4, k = 16, iters = 3)
+    assert(res.books != plain.books, "residual codebooks must differ from plain")
+    val again = VectorIndex.trainResidualPq(df, "vec_id", "embedding", centroids, m = 4, k = 16, iters = 3)
+    assert(res.books == again.books, "residual training must be deterministic")
+
+    val pathP = java.nio.file.Files.createTempDirectory("graft-ivfpq-plain").toString
+    val pathR = java.nio.file.Files.createTempDirectory("graft-ivfpq-res").toString
+    VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, plain, pathP)
+    VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, res, pathR, residual = true)
+    assert(VectorIndex.readPqResidual(spark, pathR))
+    assert(!VectorIndex.readPqResidual(spark, pathP))
+
+    // shortlist == k: the exact re-rank can only reorder what ADC already
+    // found, so recall measures CODE quality, nothing else
+    val qIds = Seq(0L, 3L, 10L, 17L, 21L, 30L)
+    def recallOf(path: String): Double = {
+      var r = 0.0
+      qIds.foreach { qid =>
+        val q = vecs(qid.toInt)._2.map(_.toDouble)
+        val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, 10, Some(qid))
+          .select("vec_id").as[Long].collect().toSet
+        val got = VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding", q,
+            nprobe = 8, k = 10, shortlist = 10, excludeId = Some(qid))
+          .select("vec_id").as[Long].collect().toSet
+        r += (got & brute).size.toDouble / brute.size
+      }
+      r / qIds.size
+    }
+    val (rp, rr) = (recallOf(pathP), recallOf(pathR))
+    info(s"raw-ADC recall@10: plain=$rp residual=$rr")
+    assert(rr > rp, s"residual ($rr) must beat plain ($rp) on sub-clustered data")
+    assert(rr >= 0.6, s"residual raw-ADC recall too low: $rr")
+    df.unpersist(); ()
+  }
 }
