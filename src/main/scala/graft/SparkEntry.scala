@@ -1233,6 +1233,15 @@ object Queries {
       t(spark, dir, "documents").select(explode(TextAnalysis.tokens(col("text"))).as("w")),
       col("w"), n = 15, k = 64)
 
+  /** Exact top-20 users by event count via the LONG-keyed Misra-Gries
+    * (primitive counters — no boxing, no string materialization on the
+    * update path; the shape fingerprint/id streams use). Certified exact
+    * (here by coverage: distinct users ≤ k at every test SF; at scale an
+    * uncertified result fails loudly) → exact oracle. */
+  def q117TopUsers(spark: SparkSession, dir: String): DataFrame =
+    Sketches.exactTopNLong(
+      t(spark, dir, "events"), col("user_id"), n = 20, k = 4096)
+
   /** Per-source exact top-5 words via grouped Misra-Gries: one groupBy of
     * mergeable sketches, broadcast candidate pairs, exact recount, window
     * top-n — certification (coverage or slack) runs inside the plan and
@@ -1411,6 +1420,7 @@ object Queries {
     "q112_ann_ivfpq" -> q112AnnIvfPq _,
     "q116_ann_ivfpq_res" -> q116AnnIvfPqRes _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
+    "q117_top_users" -> q117TopUsers _,
     "q114_heavy_hitters_grouped" -> q114HeavyHittersGrouped _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
@@ -1857,6 +1867,9 @@ object Queries {
         |)
         |SELECT item, COUNT(*) AS n_occurrences FROM w
         |GROUP BY item ORDER BY n_occurrences DESC, item LIMIT 15""".stripMargin,
+    "q117_top_users" ->
+      """SELECT user_id AS item, COUNT(*) AS n_occurrences FROM events
+        |GROUP BY user_id ORDER BY n_occurrences DESC, item LIMIT 20""".stripMargin,
     "q111_cdc_chunks" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(generate_series(2, length(text) - 7)) AS p

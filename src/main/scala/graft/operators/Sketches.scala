@@ -102,6 +102,40 @@ object Sketches {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** [[exactTopN]] for bigint item streams (fingerprints, hashed keys,
+    * numeric ids) — phase 1 runs the primitive-counter
+    * [[graft.functions.MisraGries.sketchLong]] (no per-update boxing),
+    * same certification bargain. */
+  def exactTopNLong(df: DataFrame, item: Column, n: Int, k: Int = 1024): DataFrame = {
+    require(n >= 1 && k > n, s"need k > n >= 1 (got n=$n, k=$k)")
+    val spark = df.sparkSession
+    val sk = df.agg(
+      graft.functions.MisraGries.sketchLong(item, k).as("cands"),
+      count(item).as("total")).head()
+    val cands = sk.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+    val total = sk.getLong(1)
+    val counts = df.select(item.as("item")).where(col("item").isin(cands: _*))
+      .groupBy("item").agg(count(lit(1)).as("n_occurrences"))
+      .collect() // ≤ k rows
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (i, c) => (-c, i) }
+    val top = counts.take(n)
+    val covered = counts.map(_._2).sum == total
+    if (!covered)
+      require(top.length == n && top.last._2 > total / (k + 1),
+        s"top-$n not certified: rank-${top.length} count " +
+          s"${top.lastOption.map(_._2).getOrElse(0L)} is within the " +
+          s"Misra-Gries slack ${total / (k + 1)} — raise k (=$k)")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        top.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_occurrences",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Per-group [[exactTopN]] — exact top-`n` items WITHIN each group, with
     * the certification fully inside the plan: phase 1 is one groupBy
     * producing each group's MG candidates + total (map-side-merged

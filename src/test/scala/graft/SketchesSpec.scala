@@ -139,4 +139,58 @@ class SketchesSpec extends AnyFunSuite {
     val exact = data.agg(count_distinct(col("v"))).collect()(0).getLong(0).toDouble
     assert(math.abs(est - exact) / exact < 0.05, s"union estimate $est vs exact $exact")
   }
+
+  // Long-keyed twin of zipfish: heavy ids drowned in distinct singletons,
+  // ids spread by a splitmix-style multiply so slots collide realistically.
+  private def zipfishLong = {
+    val s = spark
+    import s.implicits._
+    val heavy = (0 until 20).flatMap(i => Seq.fill(400 - 15 * i)(i.toLong * 0x9E3779B9L + 7L))
+    val tail = (0 until 6000).map(i => 1000000L + i * 0x85EBCA6BL)
+    new scala.util.Random(3).shuffle(heavy ++ tail).toDF("item")
+  }
+
+  test("MisraGriesLong: guarantee and k-bound hold under any partition layout") {
+    val n = zipfishLong.count()
+    val exact = zipfishLong.groupBy("item").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(32, 64); parts <- Seq(1, 4, 32)) {
+      val got = zipfishLong.repartition(parts)
+        .agg(graft.functions.MisraGries.sketchLong(col("item"), k).as("s"))
+        .selectExpr("explode(s) AS e").select("e.item", "e.count")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size <= k, s"state exceeded k=$k: ${got.size}")
+      val slack = n / (k + 1)
+      exact.filter(_._2 > slack).keys.foreach(item =>
+        assert(got.contains(item), s"k=$k parts=$parts: guaranteed item $item missing"))
+      got.foreach { case (item, c) =>
+        assert(c <= exact(item) && c >= exact(item) - slack,
+          s"k=$k parts=$parts: $item counter $c vs exact ${exact(item)}")
+      }
+    }
+  }
+
+  test("exactTopNLong: certified exact top-n equals the full groupBy") {
+    val s = spark
+    import s.implicits._
+    val exp = zipfishLong.groupBy("item").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (i, c) => (-c, i) }.take(10).toSeq
+    val got = Sketches.exactTopNLong(zipfishLong.repartition(8), col("item"), n = 10, k = 256)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == exp)
+    // below the certifiable bar the operator refuses instead of guessing
+    val e = intercept[IllegalArgumentException] {
+      Sketches.exactTopNLong(zipfishLong, col("item"), n = 30, k = 31).collect()
+    }
+    assert(e.getMessage.contains("raise k"), e.getMessage)
+  }
+
+  test("MisraGriesLong rejects non-bigint items at analysis, not mid-task") {
+    val err = intercept[Exception] {
+      zipfishLong.select(col("item").cast("int").as("i"))
+        .agg(graft.functions.MisraGries.sketchLong(col("i"), 8)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint"), err.getMessage)
+  }
 }
