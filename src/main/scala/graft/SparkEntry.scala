@@ -743,6 +743,13 @@ object Queries {
         graft.functions.TextHashes.rollingMinHash(col("text"), k = 16).as("rolling_fp"))
       .orderBy("doc_id")
 
+  /** Robust winnowing fingerprints (MOSS selector): per-window rightmost
+    * minimum of 8-char-gram polynomial hashes, window w=4 — sparse
+    * substring-overlap index with the ≥ w+k−1 detection guarantee. */
+  def q118Winnow(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnow(t(spark, dir, "documents"), "doc_id", "text", k = 8, w = 4)
+      .orderBy("doc_id", "pos")
+
   /** Corpus-wide top-20 3-gram shingles by document frequency — the
     * two-phase hashed path ([[Dedup.topNgrams]]): the wide shuffle
     * carries 8-byte hashes, winner strings resolve in a gated second
@@ -1379,6 +1386,7 @@ object Queries {
     "q52_knn_join" -> q52KnnJoin _,
     "q40_token_count" -> q40TokenCount _,
     "q44_rolling_fp" -> q44RollingFp _,
+    "q118_winnow" -> q118Winnow _,
     "q45_ngram_topk" -> q45NgramTopk _,
     "q41_text_quality" -> q41TextQuality _,
     "q42_lang_id" -> q42LangId _,
@@ -2137,6 +2145,32 @@ object Queries {
         |             (a, b) -> (a * 31 + b) % 1000000007)))
         |  ELSE NULL END AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q118_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= 8
+        |), g AS (
+        |  SELECT doc_id, p, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 7),
+        |                     i -> CAST(ascii(substr(text, CAST(p + i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 257 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len - 7)) AS p FROM d)
+        |), gg AS (
+        |  SELECT doc_id, count(*) AS ng, LEAST(4, count(*)) AS we FROM g GROUP BY doc_id
+        |), win AS (
+        |  SELECT g1.doc_id, g1.p AS i, gg.we, min(g2.h) AS mn
+        |  FROM g g1
+        |  JOIN gg ON gg.doc_id = g1.doc_id
+        |  JOIN g g2 ON g2.doc_id = g1.doc_id AND g2.p >= g1.p AND g2.p < g1.p + gg.we
+        |  WHERE g1.p <= gg.ng - gg.we + 1
+        |  GROUP BY 1, 2, 3
+        |), sel AS (
+        |  SELECT w.doc_id, max(g.p) AS pos, w.mn AS fp
+        |  FROM win w
+        |  JOIN g ON g.doc_id = w.doc_id AND g.p >= w.i AND g.p < w.i + w.we AND g.h = w.mn
+        |  GROUP BY w.doc_id, w.i, w.mn
+        |)
+        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel
+        |ORDER BY doc_id, pos""".stripMargin,
     "q45_ngram_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

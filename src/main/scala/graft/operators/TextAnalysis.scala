@@ -100,6 +100,51 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS selector): hash every char `k`-gram, slide a window
+    * of `w` consecutive gram hashes, keep each window's minimum (ties to
+    * the RIGHTMOST occurrence), dedup. Output (id, pos, fp) — the sparse
+    * ~2/(w+1) fingerprint density with the paper's guarantee: any two
+    * docs sharing a substring of ≥ w + k − 1 chars share at least one
+    * selected fingerprint, so an equi-join on `fp` is a complete
+    * candidate generator for local (substring-level) overlap — the
+    * sparser cousin of [[graft.operators.Dedup.shingleHashes]]' dense
+    * index and of [[graft.operators.SpanDedup]]'s stride-1 windows.
+    *
+    * One pure projection per doc (gram hashes materialize once as an
+    * array column; each window is a slice/min/reverse-position walk —
+    * higher-order functions, no UDF, no shuffle; `Par.fanOut` only
+    * rebalances unsplit local inputs). The gram hash is the q111
+    * polynomial (base 257 mod 1e9+7) so a SQL engine reproduces it
+    * verbatim. Docs with fewer than `w` grams winnow one whole-doc
+    * window; docs shorter than `k` emit nothing. */
+  def winnow(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 2 && w >= 1, s"need gram size k >= 2 and window w >= 1 (got k=$k, w=$w)")
+    val text = col(textCol)
+    val len = length(text)
+    def hashAt(p: Column): Column =
+      aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+        (acc, i) => pmod(acc * 257 + ascii(text.substr((p + i).cast("int"), lit(1))).cast("long"),
+          lit(1000000007L)))
+    val grams = transform(sequence(lit(1), len - (k - 1)), p => hashAt(p))
+    val hs = col("_hs")
+    val wEff = least(lit(w), size(hs))
+    val selected = transform(sequence(lit(1), size(hs) - wEff + 1), i => {
+      val sl = slice(hs, i, wEff)
+      val mn = array_min(sl)
+      val j = array_position(reverse(sl), mn) // 1-based from the right
+      struct((i + wEff - j).cast("int").as("pos"), mn.as("fp"))
+    })
+    graft.core.Par.fanOut(df.select(col(idCol), text))
+      .where(len >= k)
+      .select(col(idCol), grams.as("_hs"))
+      .select(col(idCol), explode(array_distinct(selected)).as("_s"))
+      .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
+  }
+
   /** Deflate compression ratio per document — the classic repetitiveness /
     * boilerplate signal (highly repetitive machine text compresses far below
     * natural prose; quality filters threshold on it).

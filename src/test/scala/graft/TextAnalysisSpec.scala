@@ -153,4 +153,66 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(enc(1).getSeq[Int](1) == Seq(1, 3, 0, 0)) // d, x are OOV
     assert(enc(1).getLong(2) == 4 && enc(1).getLong(3) == 2)
   }
+
+  // Driver-side robust-winnowing model: same polynomial gram hash, same
+  // rightmost-min selection — an independent oracle for the HOF pipeline.
+  private def winnowModel(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    if (text.length < k) return Set.empty
+    val hs = (0 to text.length - k).map { p =>
+      text.substring(p, p + k).foldLeft(0L)((a, c) => (a * 257 + c.toLong) % 1000000007L)
+    }
+    val we = math.min(w, hs.length)
+    (0 to hs.length - we).flatMap { i =>
+      val win = hs.slice(i, i + we)
+      val mn = win.min
+      val j = win.lastIndexOf(mn)
+      Some((i + j + 1, mn)) // 1-based char pos of the selected gram
+    }.toSet
+  }
+
+  test("winnow matches the driver model on random text (fuzz) and edge lengths") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13L)
+    val alphabet = "abcdef gh"
+    def randText(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // lengths straddling every edge: < k, == k, < k+w-1, long
+    val docs = (Seq(3, 8, 9, 10, 11, 40) ++ Seq.fill(20)(30 + rnd.nextInt(200)))
+      .zipWithIndex.map { case (n, i) => (i.toLong, randText(n)) }
+    val got = TextAnalysis.winnow(docs.toDF("doc_id", "text"), "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val exp = winnowModel(text, 8, 4)
+      assert(got.getOrElse(id, Set.empty) == exp, s"doc $id (len ${text.length})")
+    }
+  }
+
+  test("winnow guarantee: docs sharing >= w+k-1 chars share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17L)
+    val alphabet = "abcdefghij klmno"
+    def randText(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // plant an 11-char (= w+k-1 for k=8,w=4) common substring in distinct noise
+    val shared = "the same 11"
+    assert(shared.length == 11)
+    val docs = (0 until 10).map { i =>
+      val pre = randText(20 + rnd.nextInt(30))
+      val post = randText(20 + rnd.nextInt(30))
+      (i.toLong, pre + shared + post)
+    }
+    val fps = TextAnalysis.winnow(docs.toDF("doc_id", "text"), "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (a <- 0 until 10; b <- (a + 1) until 10) {
+      assert((fps(a.toLong) & fps(b.toLong)).nonEmpty,
+        s"docs $a and $b share an 11-char substring but no fingerprint")
+    }
+    // density sanity: winnowing keeps roughly 2/(w+1) of gram positions
+    val doc0Len = docs.head._2.length
+    val density = fps(0L).size.toDouble / (doc0Len - 7)
+    assert(density < 0.8, s"winnowing should be sparse, got density $density")
+  }
 }
+
