@@ -108,10 +108,40 @@ object Bench {
             emb, "vec_id", "embedding", q, 4, 6, 42L, 10, Some(qid), nprobe = np)))
         }
       }
+      // PQ code quality, plain vs residual: raw ADC at shortlist = k so
+      // the exact re-rank cannot mask the codes (full-probe — no IVF
+      // pruning in the way). On cluster-free embeddings both floors are
+      // expected low and close (SURVEY §9); the comparison is the point.
+      import graft.operators.{ProductQuantizer, VectorIndex}
+      val pqPlain = ProductQuantizer.train(emb, "vec_id", "embedding", 4, 16, 2)
+      val encP = ProductQuantizer.encode(emb, "vec_id", "embedding", pqPlain).cache()
+      val pqRes = VectorIndex.trainResidualPq(emb, "vec_id", "embedding", centroids, 4, 16, 2)
+      val encR = Similarity.assignBuckets(emb, "vec_id", "embedding", centroids)
+        .select(col("vec_id"),
+          ProductQuantizer.codeCol(
+            ProductQuantizer.residualCol(col("embedding"), col("bucket"), centroids),
+            pqRes).as("pq_code"),
+          ProductQuantizer.normCol(col("embedding")).as("pq_norm"),
+          col("bucket")).cache()
+      var rPq = 0.0
+      var rPqRes = 0.0
+      qvecs.foreach { case (qid, q) =>
+        val brute = ids(Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, Some(qid)))
+        def r(s: Set[Long]) = (s & brute).size.toDouble / brute.size
+        rPq += r(ids(ProductQuantizer.adcTopK(encP, "vec_id", pqPlain, q, 10, Some(qid))))
+        val off = org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.array(
+            centroids.map(c => org.apache.spark.sql.functions.lit(
+              c.zip(q).map { case (a, b) => a * b }.sum)): _*),
+          col("bucket").cast("int") + 1)
+        rPqRes += r(ids(ProductQuantizer.adcTopK(
+          encR, "vec_id", pqRes, q, 10, Some(qid), dotOffset = off)))
+      }
+      encP.unpersist(); encR.unpersist()
       val nq = qvecs.length
       emb.unpersist()
       def f(x: Double) = math.rint(x / nq * 1000) / 1000.0
-      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
+      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()

@@ -225,6 +225,35 @@ object Graft {
       item: org.apache.spark.sql.Column, n: Int, k: Int = 1024): DataFrame =
     graft.operators.Sketches.exactTopNPerGroup(df, groupCol, item, n, k)
 
+  /** [[exactTopN]] for bigint item streams (fingerprints, hashed keys,
+    * ids) — primitive Misra-Gries counters, no per-update boxing
+    * ([[operators.Sketches.exactTopNLong]]). */
+  def exactTopNLong(df: DataFrame, item: org.apache.spark.sql.Column,
+      n: Int, k: Int = 1024): DataFrame =
+    graft.operators.Sketches.exactTopNLong(df, item, n, k)
+
+  /** Bloom filter over the corpus' normalized-text fingerprints
+    * ([[operators.Dedup.corpusBloom]]) — build once, then gate every
+    * recurring ingest batch with [[bloomDedup]] at zero shuffle cost. */
+  def corpusBloom(corpus: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
+    graft.operators.Dedup.corpusBloom(corpus, textCol, expectedItems, fpp)
+
+  /** Shuffle-free incremental ingest dedup gated by a prebuilt corpus
+    * bloom ([[operators.Dedup.bloomIncrementalDedup]]): definite-new rows
+    * pass straight through, the maybe-set is confirmed exactly by one
+    * corpus scan — identical results to the anti-join path. */
+  def bloomDedup(batch: DataFrame, corpus: DataFrame, textCol: String,
+      bloom: Array[Byte]): DataFrame =
+    graft.operators.Dedup.bloomIncrementalDedup(batch, corpus, textCol, bloom)
+
+  /** Robust winnowing fingerprints ([[operators.TextAnalysis.winnow]],
+    * the MOSS selector): sparse (id, pos, fp) rows; equi-join `fp` for a
+    * complete candidate index of shared substrings ≥ w + k − 1 chars. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    graft.operators.TextAnalysis.winnow(df, idCol, textCol, k, w)
+
   /** Content-defined chunking — shift-resistant chunk boundaries from a
     * window-hash predicate ([[operators.Curation.cdcChunks]]); dedup the
     * `chunk_md5` column across versions/docs for storage-side dedup. */
