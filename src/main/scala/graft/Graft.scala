@@ -183,6 +183,16 @@ object Graft {
       l: Int = 50, s: Int = 1): DataFrame =
     graft.operators.SpanDedup.stripDupSpans(df, idCol, textCol, l, s)
 
+  /** [[stripDupSpans]] with a winnowing pre-gate
+    * ([[operators.SpanDedup.stripDupSpansWinnowed]]): a sparse fingerprint
+    * pass (~1/(l−k+1) of the window rows) proves most docs clean, and the
+    * stride-1 span pass runs only over the rest — identical output
+    * (spec-proven), the shape to prefer on mostly-clean corpora. */
+  def stripDupSpansWinnowed(
+      df: DataFrame, idCol: String, textCol: String,
+      l: Int = 50, k: Int = 8): DataFrame =
+    graft.operators.SpanDedup.stripDupSpansWinnowed(df, idCol, textCol, l, k)
+
   /** Span-granular benchmark decontamination — every `l`-char span of `df`
     * that occurs anywhere in `bench` is excised (quotes go, docs stay;
     * [[operators.SpanDedup.stripContamSpans]]); see

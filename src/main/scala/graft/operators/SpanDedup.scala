@@ -112,24 +112,77 @@ object SpanDedup {
     * inherited from [[dupSpanSites]], one row_number window keyed by the
     * (already shrunken) duplicated-window key, and the doc-id join of loser
     * position arrays back to the corpus. */
-  def stripDupSpans(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
-    require(!df.columns.contains("_cuts"), "input already has a _cuts column")
-    // Same two-phase discipline as [[dupSpanSites]]: the corpus-sized
-    // shuffle carries 8-byte keys; the first-site ranking then runs on the
-    // ACTUAL span text of the (tiny) hash-candidate subset, so a hash
-    // collision can never cut innocent text.
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame =
+    excise(df, idCol, textCol, loserCuts(df, idCol, textCol, l, s), l)
+
+  /** Per-doc sorted loser positions (all-but-first sites of duplicated
+    * windows) — the cut lists [[stripDupSpans]] feeds to [[excise]].
+    *
+    * Same two-phase discipline as [[dupSpanSites]]: the corpus-sized
+    * shuffle carries 8-byte keys; the first-site ranking then runs on the
+    * ACTUAL span text of the (tiny) hash-candidate subset, so a hash
+    * collision can never cut innocent text. */
+  private def loserCuts(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
     val sp = spans(df, idCol, textCol, l, s)
       .withColumn("_k", xxhash64(col("span"))).cache()
     val dupK = sp.groupBy("_k").agg(count(lit(1)).as("_kc"))
       .where(col("_kc") > 1).select("_k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("span").orderBy(col(idCol).asc, col("pos").asc)
-    val losers = sp.join(dupK, "_k")
+    sp.join(dupK, "_k")
       .withColumn("_r", row_number().over(w))
       .where(col("_r") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
-    excise(df, idCol, textCol, losers, l)
+  }
+
+  /** Ids of docs that can possibly own a duplicated `l`-window, from a
+    * winnowing pre-pass ([[TextAnalysis.winnow]] with gram size `k` and
+    * window `w = l − k + 1`): the SIGMOD'03 guarantee says any substring
+    * of length >= w + k − 1 = l shared between two sites selects the same
+    * fingerprint at both — so every doc owning a duplicated-site window
+    * also owns a fingerprint with global count >= 2, and docs outside
+    * this set are PROVABLY clean. Fingerprint hash collisions only ever
+    * ADD candidate docs (the gate is a superset filter), so exactness
+    * downstream is unconditional.
+    *
+    * The winnow pass emits ~1/w as many rows as the stride-1 window pass
+    * and shuffles 8-byte fingerprints, so on a mostly-clean corpus the
+    * expensive span pass runs over a small gated subset. */
+  def winnowGatedIds(df: DataFrame, idCol: String, textCol: String, l: Int, k: Int): DataFrame = {
+    val w = l - k + 1
+    require(k >= 2 && w >= 1, s"need 2 <= k <= l (got k=$k, l=$l)")
+    val fps = TextAnalysis.winnow(df, idCol, textCol, k, w).cache()
+    val dupFp = fps.groupBy("fp").agg(count(lit(1)).as("_fc"))
+      .where(col("_fc") > 1).select("fp")
+    fps.join(dupFp, "fp").select(col(idCol)).distinct()
+  }
+
+  /** [[dupSpanStats]] with the winnowing gate: identical output (the gate
+    * never excludes a doc owning a duplicated site — see
+    * [[winnowGatedIds]]), but the stride-1 window pass enumerates only
+    * the gated docs. Stride is fixed at 1: the guarantee speaks about
+    * spans >= l, which only the stride-1 enumeration finds exactly. */
+  def dupSpanStatsWinnowed(
+      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int = 8): DataFrame = {
+    val gated = df.join(winnowGatedIds(df, idCol, textCol, l, k), Seq(idCol), "left_semi")
+    df.select(col(idCol))
+      .join(
+        dupSpanSites(gated, idCol, textCol, l, 1)
+          .groupBy(idCol).agg(count(lit(1)).as("dup_spans")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+  }
+
+  /** [[stripDupSpans]] with the winnowing gate: cut lists are computed on
+    * the gated subset only (every duplicated site lives there), then
+    * excised against the FULL corpus — ungated docs pass through verbatim
+    * on the excise join's left side. Spec-proven equal to the ungated
+    * strip. */
+  def stripDupSpansWinnowed(
+      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int = 8): DataFrame = {
+    val gated = df.join(winnowGatedIds(df, idCol, textCol, l, k), Seq(idCol), "left_semi")
+    excise(df, idCol, textCol, loserCuts(gated, idCol, textCol, l, 1), l)
   }
 
   /** Removes from `df` every `l`-char span whose text occurs ANYWHERE in

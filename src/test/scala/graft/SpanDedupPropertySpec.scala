@@ -67,4 +67,24 @@ class SpanDedupPropertySpec extends AnyFunSuite {
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(got === expected)
   }
+
+  test("winnow-gated fuzz: stats and strip equal the ungated pass across (l, k)") {
+    // 6-char alphabet + planted blocks + organic collisions — exactly the
+    // corpus where a LOSSY gate would slip: the gate must be a superset
+    // filter, so gated output === ungated output for every (l, k) shape.
+    val docs = corpus(120)
+    val df = docs.toDF("doc_id", "text")
+    for ((l, k) <- Seq((6, 3), (6, 5), (8, 4), (10, 8))) {
+      val stats = SpanDedup.dupSpanStats(df, "doc_id", "text", l, 1)
+        .as[(Long, Long)].collect().toMap
+      val statsG = SpanDedup.dupSpanStatsWinnowed(df, "doc_id", "text", l, k)
+        .as[(Long, Long)].collect().toMap
+      assert(statsG === stats, s"stats l=$l k=$k")
+      val strip = SpanDedup.stripDupSpans(df, "doc_id", "text", l, 1)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      val stripG = SpanDedup.stripDupSpansWinnowed(df, "doc_id", "text", l, k)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(stripG === strip, s"strip l=$l k=$k")
+    }
+  }
 }

@@ -85,4 +85,39 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out.count() === 5L)
     assert(out.where(col("lang") === "en").count() === 5L)
   }
+
+  test("winnowGatedIds keeps every doc owning a duplicated site, drops clean docs") {
+    val gated = SpanDedup.winnowGatedIds(fixture, "doc_id", "text", l = 6, k = 3)
+      .as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(gated)) // soundness: all dup-owning docs in
+    assert(!gated.contains(5L))             // too short to even hold a window
+  }
+
+  test("winnow-gated stats and strip equal the ungated exact pass") {
+    val stats = SpanDedup.dupSpanStats(fixture, "doc_id", "text", l = 6, s = 1)
+      .as[(Long, Long)].collect().toMap
+    val statsG = SpanDedup.dupSpanStatsWinnowed(fixture, "doc_id", "text", l = 6, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(statsG === stats)
+    val strip = SpanDedup.stripDupSpans(fixture, "doc_id", "text", l = 6, s = 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val stripG = SpanDedup.stripDupSpansWinnowed(fixture, "doc_id", "text", l = 6, k = 3)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(stripG === strip)
+  }
+
+  test("winnow gate is sound on self-overlapping periodic repeats") {
+    // "abababab…": the duplicated window at pos p and p+2 OVERLAPS itself;
+    // the gate stays sound because the two winnow alignment windows are
+    // shifted copies selecting the same relative argmin — same fp at two
+    // DISTINCT positions. This is the adversarial case for any
+    // fingerprint-sparsification gate.
+    val docs = Seq((1L, "ababababab"), (2L, "cdefghijkl")).toDF("doc_id", "text")
+    val stats = SpanDedup.dupSpanStats(docs, "doc_id", "text", l = 6, s = 1)
+      .as[(Long, Long)].collect().toMap
+    val statsG = SpanDedup.dupSpanStatsWinnowed(docs, "doc_id", "text", l = 6, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(stats(1L) > 0L) // the periodic doc really does have duplicated windows
+    assert(statsG === stats)
+  }
 }
