@@ -866,6 +866,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** C4/RefinedWeb-style corpus-level LINE dedup: docs are re-lined
+    * deterministically (3 words per line — the injection pattern of
+    * q85/q109, since the synthetic corpus is single-line), then every
+    * non-first occurrence of a line corpus-wide is excised and the doc
+    * rebuilt. Corpus never shuffles: 8-byte hashed lines count, only
+    * hash-candidates re-group by text (collision-proof), loser index
+    * lists join back by doc id. ~19% of injected lines are repeats at
+    * sf0.01, so the pass does real work. */
+  def q119LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nl = ceil(size(words) / lit(3.0)).cast("int")
+    val injected = array_join(
+      transform(sequence(lit(0), nl - 1), i => array_join(slice(words, i * 3 + 1, lit(3)), " ")),
+      "\n")
+    val docs = t(spark, dir, "documents").select(col("doc_id"), injected.as("text"))
+    Curation.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Per-source relative quality gate: keep docs at/above the P75 of
     * n_chars WITHIN their source (cume_dist = rank/count, ratio-of-ints
     * exact across engines). One window shuffle partitioned by source. */
@@ -1436,6 +1454,7 @@ object Queries {
     "q102_contam_spans" -> q102ContamSpans _,
     "q103_leakage_safe_split" -> q103LeakageSafeSplit _,
     "q115_bloom_dedup" -> q115BloomDedup _,
+    "q119_line_dedup" -> q119LineDedup _,
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
@@ -1703,6 +1722,38 @@ object Queries {
         |  GROUP BY sp.doc_id)
         |SELECT d.doc_id, CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q119_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), ln AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(0, CAST(ceil(len(ws) / 3.0) AS INT) - 1)) AS idx
+        |  FROM w
+        |), lines AS (
+        |  SELECT doc_id, idx,
+        |         array_to_string(ws[idx * 3 + 1 : idx * 3 + 3], ' ') AS line
+        |  FROM ln
+        |), ranked AS (
+        |  SELECT doc_id, idx,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS r
+        |  FROM lines WHERE length(line) >= 1
+        |), losers AS (
+        |  SELECT doc_id, idx FROM ranked WHERE r > 1
+        |), kept AS (
+        |  SELECT l.doc_id,
+        |         array_to_string(list(l.line ORDER BY l.idx), chr(10)) AS text
+        |  FROM lines l ANTI JOIN losers lo
+        |    ON l.doc_id = lo.doc_id AND l.idx = lo.idx
+        |  GROUP BY l.doc_id
+        |), nrem AS (
+        |  SELECT doc_id, count(*) AS lines_removed FROM losers GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(k.text, '') AS text,
+        |       CAST(COALESCE(n.lines_removed, 0) AS INT) AS lines_removed
+        |FROM documents d
+        |LEFT JOIN kept k USING (doc_id)
+        |LEFT JOIN nrem n USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q102_contam_spans" ->
       """WITH bsp0 AS (

@@ -393,6 +393,51 @@ object Curation {
     perN.groupBy(col(idCol)).agg(pivots.head, pivots.tail: _*)
   }
 
+  /** Corpus-level exact LINE deduplication (the C4 / RefinedWeb pass that
+    * whole-doc and span dedup both miss at their granularity): every
+    * occurrence of a line — a `sep`-delimited segment — except the FIRST
+    * corpus-wide (min doc id, then min line index) is removed from its
+    * document; lines shorter than `minLineLen` chars are exempt (blank
+    * lines and separators stay put). Output keeps every input column,
+    * rebuilds `textCol`, and appends `lines_removed`.
+    *
+    * Scale shape — the corpus never shuffles: the exploded (id, idx,
+    * xxhash64(line)) rows carry 8-byte keys into the ONE counting
+    * aggregate; only the hash-candidate lines (dupes + collisions, a few
+    * % of a real corpus) re-group by their actual text, so collisions
+    * cannot delete an innocent line (the q45/SpanDedup two-phase
+    * discipline); per-doc loser-index arrays join back by doc id and the
+    * rebuild is one codegen'd filter-with-index + array_join projection.
+    */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minLineLen: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "need a non-empty line separator")
+    require(!df.columns.contains("_cuts"), "input already has a _cuts column")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = graft.core.Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(split(col(textCol), sepRe)).as(Seq("idx", "line")))
+      .where(length(col("line")) >= minLineLen)
+      .withColumn("_k", xxhash64(col("line"))).cache()
+    val dupK = lines.groupBy("_k").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1).select("_k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("line").orderBy(col(idCol).asc, col("idx").asc)
+    val losers = lines.join(dupK, "_k")
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("idx"))).as("_cuts"))
+    val rebuilt = array_join(
+      filter(split(col(textCol), sepRe), (x, i) => !array_contains(col("_cuts"), i)),
+      sep)
+    df.join(losers, Seq(idCol), "left")
+      .withColumn(textCol, when(col("_cuts").isNull, col(textCol)).otherwise(rebuilt))
+      .withColumn("lines_removed",
+        when(col("_cuts").isNull, lit(0)).otherwise(size(col("_cuts"))))
+      .drop("_cuts")
+  }
+
   def domainMixSample(
       df: DataFrame, idCol: String, domainCol: String,
       weight: Column, targetTotal: Column): DataFrame = {

@@ -386,4 +386,28 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(byId(3L) == ((1L, 1L, "")))       // every block boilerplate
     assert(byId(4L) == ((3L, 1L, "x y z w"))) // middle block removed, order kept
   }
+
+  test("lineDedup keeps first corpus-wide occurrence, exempts short lines") {
+    val out = Curation.lineDedup(
+      docs(
+        1L -> "alpha beta\nshared line\ntail one",
+        2L -> "shared line\nunique two\n\nshared line",
+        3L -> "shared line"),
+      "doc_id", "text", minLineLen = 1)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    // doc 1 holds the first "shared line" (lowest doc id, lowest idx)
+    assert(byId(1L) == (("alpha beta\nshared line\ntail one", 0)))
+    // doc 2 loses both copies; the empty line is exempt and survives
+    assert(byId(2L) == (("unique two\n", 2)))
+    assert(byId(3L) == (("", 1)))
+  }
+
+  test("lineDedup first-occurrence tie breaks on line index within a doc") {
+    val out = Curation.lineDedup(
+      docs(1L -> "dup\nmid\ndup\ndup"), "doc_id", "text")
+      .collect()
+    assert(out.head.getString(1) == "dup\nmid")
+    assert(out.head.getInt(2) == 2)
+  }
 }
