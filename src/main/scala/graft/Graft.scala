@@ -242,6 +242,33 @@ object Graft {
       n: Int, k: Int = 1024): DataFrame =
     graft.operators.Sketches.exactTopNLong(df, item, n, k)
 
+  /** Exact top-k rows per group by (score desc, id asc) via the bounded
+    * heap aggregate ([[operators.Sketches.topKPerGroup]]) — k pairs per
+    * (mapper, group) on the wire instead of the window idiom's
+    * whole-table shuffle + sort; no slack to certify. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      score: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      k: Int): DataFrame =
+    graft.operators.Sketches.topKPerGroup(df, groupCols, score, id, k)
+
+  /** Okapi BM25 top-k retrieval of corpus docs per query
+    * ([[operators.TextAnalysis.bm25TopK]]) — the
+    * decontamination-by-retrieval pass: broadcast benchmark queries,
+    * one corpus postings shuffle, ranked leak suspects out. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qIdCol: String, qTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame =
+    graft.operators.TextAnalysis.bm25TopK(
+      corpus, queries, idCol, textCol, qIdCol, qTextCol, k1, b, topK)
+
+  /** Corpus-level exact line dedup ([[operators.Curation.lineDedup]]) —
+    * every non-first occurrence of a line corpus-wide excised, docs
+    * rebuilt; hash-gated two-phase counting so the corpus never
+    * shuffles. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minLineLen: Int = 1): DataFrame =
+    graft.operators.Curation.lineDedup(df, idCol, textCol, sep, minLineLen)
+
   /** Bloom filter over the corpus' normalized-text fingerprints
     * ([[operators.Dedup.corpusBloom]]) — build once, then gate every
     * recurring ingest batch with [[bloomDedup]] at zero shuffle cost. */

@@ -1157,6 +1157,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** BM25 decontamination-by-retrieval: every corpus doc scored against
+    * the broadcast benchmark split (doc_id % 97 == 0, q102's convention),
+    * top-10 leak suspects per benchmark query. Per-term scores are 6dp
+    * DECIMAL before the order-free sum (q105 discipline) → exact oracle;
+    * the final per-query top-k is the bounded TopK aggregate, not a
+    * window sort. */
+  def q120Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    TextAnalysis.bm25TopK(
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", "doc_id", "text")
+      .orderBy("q_id", "rank")
+  }
+
   /** Leakage-safe split: the q35 near-dup clusters as the split unit, so
     * near-copies never straddle train/val/test (the held-out set stays
     * honest). Oracle = q35's recursive-CTE clusters + q54's portable hash
@@ -1277,6 +1292,18 @@ object Queries {
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w")),
       "source", col("w"), n = 5, k = 64)
       .orderBy("source", "rank")
+
+  /** Exact top-3 orders by price per priority via the bounded TopK
+    * aggregate (functions.TopK) — k pairs per (mapper, group) on the
+    * wire instead of the window idiom's whole-table shuffle + sort.
+    * Total order (price desc, key asc) ⇒ exact, so an exact oracle. */
+  def q121TopkGroup(spark: SparkSession, dir: String): DataFrame =
+    Sketches.topKPerGroup(
+      t(spark, dir, "orders"), Seq("o_orderpriority"),
+      col("o_totalprice"), col("o_orderkey"), k = 3)
+      .select(col("o_orderpriority"), col("rank"),
+        col("id").as("o_orderkey"), col("score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
 
   /** Content-defined chunking: boundaries set by a window-hash predicate,
     * so chunk identity survives insertions (shift-resistant dedup chunks —
@@ -1448,6 +1475,8 @@ object Queries {
     "q113_heavy_hitters" -> q113HeavyHitters _,
     "q117_top_users" -> q117TopUsers _,
     "q114_heavy_hitters_grouped" -> q114HeavyHittersGrouped _,
+    "q121_topk_group" -> q121TopkGroup _,
+    "q120_bm25" -> q120Bm25 _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1723,6 +1752,48 @@ object Queries {
         |SELECT d.doc_id, CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q120_bm25" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |), q AS (
+        |  SELECT doc_id AS q_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), posts AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM c)
+        |  WHERE term <> '' GROUP BY 1, 2, 3
+        |), stats AS (
+        |  SELECT COUNT(*) AS n, SUM(len(w)) AS sumdl FROM c
+        |), qterms AS (
+        |  SELECT DISTINCT q_id, term FROM (SELECT q_id, unnest(w) AS term FROM q)
+        |  WHERE term <> ''
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM posts GROUP BY 1
+        |), scored AS (
+        |  SELECT qt.q_id, p.doc_id,
+        |         SUM(CAST(ROUND(
+        |           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |           (p.tf * (1.2 + 1) /
+        |            (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / (CAST(s.sumdl AS DOUBLE) / s.n)))),
+        |           6) AS DECIMAL(20,6))) AS sc
+        |  FROM posts p
+        |  JOIN qterms qt USING (term)
+        |  JOIN dfreq d USING (term)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, CAST(sc AS DOUBLE) AS score FROM (
+        |  SELECT q_id, doc_id, sc,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q121_topk_group" ->
+      """SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q119_line_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

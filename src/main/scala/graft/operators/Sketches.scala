@@ -176,4 +176,24 @@ object Sketches {
     ranked.where(col("rank") <= n)
       .select(g, col("item"), col("n_occurrences"), col("rank"))
   }
+
+  /** Exact top-`k` rows per group by (score desc, id asc) via the bounded
+    * [[graft.functions.TopK]] aggregate — the scale replacement for the
+    * window idiom `row_number() OVER (PARTITION BY g ORDER BY s DESC)`,
+    * which shuffles and per-partition-SORTS the entire input. Here the
+    * shuffle moves ≤ k (score, id) pairs per (mapper, group) — partials
+    * heap-reduce map-side — and nothing is ever globally sorted; at
+    * 10^12 rows the window plan moves the corpus, this moves k·groups
+    * tiny structs. Exact (total order, no sketch slack). Output:
+    * (group..., rank, id, score), rank 1-based best-first. */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], score: Column, id: Column,
+      k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    df.groupBy(g: _*)
+      .agg(graft.functions.TopK.topK(score, id, k).as("_top"))
+      .select(g :+ posexplode(col("_top")).as(Seq("_pos", "_e")): _*)
+      .select(g ++ Seq((col("_pos") + 1).cast("int").as("rank"),
+        col("_e.id").as("id"), col("_e.score").as("score")): _*)
+  }
 }

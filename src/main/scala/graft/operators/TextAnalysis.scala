@@ -94,6 +94,57 @@ object TextAnalysis {
       .select(col(groupCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Okapi BM25 retrieval of the `topK` corpus documents per query — the
+    * decontamination-by-retrieval primitive (score every training doc
+    * against a benchmark question set; high scorers are leak suspects),
+    * complementing q78/q102's exact n-gram/span matching with ranked
+    * lexical overlap.
+    *
+    * Scale shape: the QUERY set is the small side (benchmark suites are
+    * thousands of rows) and stays broadcast everywhere — the corpus
+    * postings shuffle ONCE, into the (id, term) tf aggregate; `_df` is an
+    * aggregate OF that aggregate's output (unique (id, term) pairs, no
+    * second corpus pass), immediately semi-joined to query terms so only
+    * matched-term df rows (≤ |query vocab|) broadcast back. The scored
+    * candidate set (postings ∩ query vocab) is the only other shuffle, by
+    * (query, doc), and the final top-k runs on the bounded
+    * [[graft.functions.TopK]] aggregate — no window sort over candidates.
+    *
+    * Cross-engine exactness (the q105 discipline): every per-term score
+    * is rounded to 6dp and cast to DECIMAL(20,6) BEFORE the sum, so
+    * per-(query, doc) aggregation is order-free exact integer arithmetic;
+    * libm's ln ulp vanishes against the 6dp round. */
+  def bm25TopK(
+      corpus: org.apache.spark.sql.DataFrame, queries: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, qIdCol: String, qTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    val sel = graft.core.Par.fanOut(
+      corpus.select(col(idCol).cast("long").as("_id"), tokens(lower(col(textCol))).as("_w")))
+    val posts = sel
+      .select(col("_id"), size(col("_w")).as("_dl"), explode(col("_w")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("_id", "_dl", "term").agg(count(lit(1)).as("_tf"))
+    val stats = sel.agg(count(lit(1)).as("_n"), sum(size(col("_w"))).as("_sumdl"))
+    val qterms = queries
+      .select(col(qIdCol).cast("long").as("q_id"),
+        explode(array_distinct(tokens(lower(col(qTextCol))))).as("term"))
+      .where(col("term") =!= "")
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("_df"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val avgdl = col("_sumdl").cast("double") / col("_n")
+    val idf = log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+    val tfn = col("_tf") * (lit(k1) + lit(1)) /
+      (col("_tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("_dl") / avgdl))
+    val scored = posts
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s6", round(idf * tfn, 6).cast("decimal(20,6)"))
+      .groupBy("q_id", "_id").agg(sum(col("_s6")).as("_s"))
+    Sketches.topKPerGroup(scored, Seq("q_id"), col("_s").cast("double"), col("_id"), topK)
+      .select(col("q_id"), col("rank"), col("id").as("doc_id"), col("score"))
+  }
+
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

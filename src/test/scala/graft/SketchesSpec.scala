@@ -193,4 +193,46 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("bigint"), err.getMessage)
   }
+
+  test("TopK heap: matches sort-based reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i => (rnd.nextInt(40).toDouble, i.toLong))
+    val heap = new graft.functions.TopKHeap(10)
+    rows.foreach { case (s, i) => heap.offer(s, i) }
+    val got = (0 until heap.size).map(i => (heap.scores(i), heap.ids(i)))
+      .sortBy { case (s, i) => (-s, i) }
+    val want = rows.sortBy { case (s, i) => (-s, i) }.take(10)
+    assert(got == want)
+  }
+
+  test("topKPerGroup: exact per-group winners, ties break on id, merge across partitions") {
+    val s = spark
+    import s.implicits._
+    // group "a": scores with ties at 9.0 (ids 3, 13, 23 — keep 3 then 13);
+    // group "b": fewer rows than k
+    val df = (Seq((9.0, 3L), (9.0, 13L), (9.0, 23L), (7.0, 1L), (10.0, 99L))
+      .map { case (sc, id) => ("a", sc, id) } ++
+      Seq(("b", 1.0, 7L)))
+      .toDF("g", "sc", "id").repartition(8)
+    val out = Sketches.topKPerGroup(df, Seq("g"), col("sc"), col("id"), k = 3)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1, 99L, 10.0), ("a", 2, 3L, 9.0), ("a", 3, 13L, 9.0),
+      ("b", 1, 7L, 1.0)))
+  }
+
+  test("TopK ignores null scores and survives a shuffle-merged plan") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(i => (i % 5, if (i % 97 == 0) None else Some(i.toDouble), i.toLong))
+      .toDF("g", "sc", "id").repartition(16)
+    val out = Sketches.topKPerGroup(df, Seq("g"), col("sc"), col("id"), k = 2)
+      .orderBy("g", "rank").collect()
+    // per residue class g, the largest non-filtered values of i with i%5==g
+    val want = (1 to 1000).filter(_ % 97 != 0).groupBy(_ % 5).flatMap { case (g, is) =>
+      is.sortBy(-_).take(2).zipWithIndex.map { case (i, r) => (g, r + 1, i.toLong, i.toDouble) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(out.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq == want)
+  }
 }

@@ -214,5 +214,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     val density = fps(0L).size.toDouble / (doc0Len - 7)
     assert(density < 0.8, s"winnowing should be sparse, got density $density")
   }
+
+  test("bm25TopK matches an independent scalar BM25 model, ranks and rounds alike") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "cherry cherry cherry cherry").toDF("doc_id", "text")
+    val queries = Seq(10L -> "apple cherry", 11L -> "banana").toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text", "doc_id", "text",
+      topK = 2).orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // independent model: same formula, per-term 6dp rounding before the sum
+    val docs = Map(1L -> Seq("apple", "banana", "apple"),
+      2L -> Seq("banana", "cherry"), 3L -> Seq("cherry", "cherry", "cherry", "cherry"))
+    val n = docs.size
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    def df(t: String) = docs.values.count(_.contains(t))
+    def score(q: Seq[String], d: Seq[String]): Double =
+      q.distinct.map { t =>
+        val tf = d.count(_ == t)
+        if (tf == 0) BigDecimal(0)
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          val tfn = tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * d.size / avgdl))
+          BigDecimal(idf * tfn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum.toDouble
+    val want = Seq(10L -> Seq("apple", "cherry"), 11L -> Seq("banana")).flatMap {
+      case (qid, q) =>
+        docs.toSeq.map { case (d, toks) => (d, score(q, toks)) }
+          .filter(_._2 > 0)
+          .sortBy { case (d, sc) => (-sc, d) }.take(2).zipWithIndex
+          .map { case ((d, sc), i) => (qid, i + 1, d, sc) }
+    }
+    assert(out.toSeq == want)
+  }
 }
 
