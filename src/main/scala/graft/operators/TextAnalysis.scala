@@ -120,25 +120,48 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {
     val sel = graft.core.Par.fanOut(
       corpus.select(col(idCol).cast("long").as("_id"), tokens(lower(col(textCol))).as("_w")))
-    val posts = sel
-      .select(col("_id"), size(col("_w")).as("_dl"), explode(col("_w")).as("term"))
+    val posts = bm25Posts(sel)
+    val stats = sel.agg(count(lit(1)).as("_n"), sum(size(col("_w"))).as("_sumdl"))
+    val qterms = bm25QueryTerms(queries, qIdCol, qTextCol)
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("_df"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val cands = posts
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+    bm25Rank(cands, k1, b, topK)
+  }
+
+  /** Tokenized corpus rows (`_id`, `_w`) → the BM25 postings list
+    * (`_id`, `_dl`, `term`, `_tf`) — the ONE corpus shuffle. */
+  private[operators] def bm25Posts(
+      sel: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sel.select(col("_id"), size(col("_w")).as("_dl"), explode(col("_w")).as("term"))
       .where(col("term") =!= "")
       .groupBy("_id", "_dl", "term").agg(count(lit(1)).as("_tf"))
-    val stats = sel.agg(count(lit(1)).as("_n"), sum(size(col("_w"))).as("_sumdl"))
-    val qterms = queries
+
+  /** Distinct (q_id, term) pairs of the query set — the broadcast side. */
+  private[operators] def bm25QueryTerms(
+      queries: org.apache.spark.sql.DataFrame, qIdCol: String,
+      qTextCol: String): org.apache.spark.sql.DataFrame =
+    queries
       .select(col(qIdCol).cast("long").as("q_id"),
         explode(array_distinct(tokens(lower(col(qTextCol))))).as("term"))
       .where(col("term") =!= "")
-    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("_df"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+
+  /** Candidate rows (q_id, _id, _tf, _dl, _df, _n, _sumdl) → the final
+    * ranked top-k per query, scored with the Robertson/Zaragoza formula
+    * (Lucene idf). Per-term scores round to 6dp DECIMAL before the sum
+    * (order-free exact aggregation — the q105 discipline) and the top-k
+    * runs on the bounded [[graft.functions.TopK]] aggregate. */
+  private[operators] def bm25Rank(
+      cands: org.apache.spark.sql.DataFrame, k1: Double, b: Double,
+      topK: Int): org.apache.spark.sql.DataFrame = {
     val avgdl = col("_sumdl").cast("double") / col("_n")
     val idf = log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
     val tfn = col("_tf") * (lit(k1) + lit(1)) /
       (col("_tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("_dl") / avgdl))
-    val scored = posts
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats))
+    val scored = cands
       .withColumn("_s6", round(idf * tfn, 6).cast("decimal(20,6)"))
       .groupBy("q_id", "_id").agg(sum(col("_s6")).as("_s"))
     Sketches.topKPerGroup(scored, Seq("q_id"), col("_s").cast("double"), col("_id"), topK)
