@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.ArrayMath
+import graft.functions.{ArrayMath, PqBooks, PqCodec}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -37,21 +37,32 @@ object ProductQuantizer {
   case class PqModel(m: Int, dsub: Int, books: Seq[Seq[Seq[Double]]]) {
     require(books.length == m && books.forall(_.forall(_.length == dsub)))
     def k: Int = books.head.length
+    /** The flat-array form the codegen codec expressions execute against. */
+    def toBooks: PqBooks = ProductQuantizer.flatten(m, dsub, books)
   }
 
   private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
 
-  /** argmax over `scores` by value, ties to the lowest index. */
-  private def argmax(scores: Seq[Column]): Column = {
-    val best = greatest(scores: _*)
-    coalesce(scores.zipWithIndex.map { case (s, i) => when(s === best, lit(i)) }: _*)
+  /** Pack nested codebooks into the [[PqBooks]] layout
+    * (`flat((j*k+c)*dsub + i) = books(j)(c)(i)`). */
+  private def flatten(m: Int, dsub: Int, books: Seq[Seq[Seq[Double]]]): PqBooks = {
+    val k = books.head.length
+    val flat = new Array[Double](m * k * dsub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        var i = 0
+        while (i < dsub) {
+          flat((j * k + c) * dsub + i) = books(j)(c)(i)
+          i += 1
+        }
+        c += 1
+      }
+      j += 1
+    }
+    new PqBooks(m, k, dsub, flat)
   }
-
-  /** L2-argmin cell for subvector `sv` among `cents`: maximize
-    * v·c − ½|c|² (the |v|² term is constant per row). */
-  private def cellOf(sv: Column, cents: Seq[Seq[Double]]): Column =
-    argmax(cents.map(c =>
-      ArrayMath.dot(sv, litVec(c)) - lit(c.map(x => x * x).sum / 2.0)))
 
   /** Train m×k subspace codebooks with `iters` Lloyd rounds.
     *
@@ -79,13 +90,14 @@ object ProductQuantizer {
         (0 until m).map(j => first.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq))
       }
       (1 to iters).foreach { _ =>
-        val cell = (0 until m).map(j => when(col("_j") === j, cellOf(col("_sv"), books(j))))
+        val bk = flatten(m, dsub, books)
         val sums = subRows
-          .select(col("_j"), coalesce(cell: _*).as("_cell"),
-            transform(col("_sv"), x => x.cast("double")).as("_v"))
+          .select(col("_j"), PqCodec.nearestCell(col("_sv"), col("_j"), bk).as("_cell"),
+            col("_sv"))
           .groupBy("_j", "_cell")
           .agg(count(lit(1)).as("_n"),
-            array((0 until dsub).map(i => sum(col("_v").getItem(i))): _*).as("_s"))
+            array((0 until dsub).map(i =>
+              sum(col("_sv").getItem(i).cast("double"))): _*).as("_s"))
           .collect()
         val next = books.map(_.toArray).toArray
         sums.foreach { r =>
@@ -103,9 +115,7 @@ object ProductQuantizer {
     * projection instead of joining an encoded copy back on. */
   def codeCol(vecCol: Column, model: PqModel): Column = {
     require(model.k <= 256, "tinyint codes hold at most 256 cells")
-    array((0 until model.m).map(j =>
-      cellOf(slice(vecCol, j * model.dsub + 1, model.dsub), model.books(j))): _*)
-      .cast("array<tinyint>")
+    PqCodec.encode(vecCol, model.toBooks)
   }
 
   /** Float L2 norm column (for cosine at query time). */

@@ -196,4 +196,43 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(rr >= 0.6, s"residual raw-ADC recall too low: $rr")
     df.unpersist(); ()
   }
+
+  test("codegen codec: driver-model equality, lowest-index tie-break, runtime j") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // Books with an exact tie for the zero vector: cells 1 and 2 are
+    // reflections (same |c|², zero dot with 0) — argmax must pick cell 1.
+    val books: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(5.0, 5.0), Seq(1.0, -1.0), Seq(-1.0, 1.0)),
+      Seq(Seq(0.5, 0.0), Seq(0.25, 0.25), Seq(9.0, 9.0)))
+    val model = ProductQuantizer.PqModel(m = 2, dsub = 2, books)
+    def cell(j: Int, sv: Seq[Double]): Int =
+      books(j).zipWithIndex.maxBy { case (c, i) =>
+        (c.zip(sv).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2, -i)
+      }._2
+    val rnd = new java.util.Random(11L)
+    val vecs = Seq.fill(40)(Seq.fill(4)(rnd.nextGaussian().toFloat)) :+
+      Seq(0f, 0f, 0f, 0f) // the planted tie row
+    val got = vecs.toDF("v")
+      .select(ProductQuantizer.codeCol(col("v"), model).as("code"))
+      .collect().map(_.getSeq[Byte](0))
+    vecs.zip(got).foreach { case (v, code) =>
+      val vd = v.map(_.toDouble)
+      val want = (0 until 2).map(j => cell(j, vd.slice(j * 2, (j + 1) * 2)).toByte)
+      assert(code == want, s"v=$v got=$code want=$want")
+    }
+    assert(got.last == Seq[Byte](1, 1), "tie must resolve to the lowest cell index")
+    // Runtime-j shape (the training loop's expression): same cells.
+    val subRows = vecs.zipWithIndex.flatMap { case (v, r) =>
+      (0 until 2).map(j => (r, j, v.slice(j * 2, (j + 1) * 2)))
+    }
+    val gotJ = subRows.toDF("r", "_j", "_sv")
+      .select(col("r"), col("_j"),
+        graft.functions.PqCodec.nearestCell(col("_sv"), col("_j"), model.toBooks).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    subRows.foreach { case (r, j, sv) =>
+      assert(gotJ((r, j)) == cell(j, sv.map(_.toDouble)), s"row=$r j=$j")
+    }
+  }
 }
