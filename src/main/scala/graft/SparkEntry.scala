@@ -945,10 +945,12 @@ object Queries {
     * (user, day-bin), duplicates killed arithmetically (first shared bin) —
     * never per-key all-pairs, no dedupe shuffle. */
   def q87IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "events").select(
+    val ev87 = t(spark, dir, "events")
+    val m87 = graft.functions.TimeCols.epochMicros(ev87, "ts")
+    val e = ev87.select(
       col("event_id"), col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("s"),
-      (unix_micros(col("ts")) + round(col("value") * 6e8).cast("long")).as("e"))
+      m87.as("s"),
+      (m87 + round(col("value") * 6e8).cast("long")).as("e"))
     val v = e.where(col("event_type") === "view").select(
       col("user_id"), col("event_id").as("view_id"),
       col("s").as("view_s"), col("e").as("view_e"))
@@ -1062,8 +1064,10 @@ object Queries {
     * layout loses nothing and the filter semantics are exact). */
   def q89Zorder(spark: SparkSession, dir: String): DataFrame = {
     val out = tempDir("zorder")
-    val e = t(spark, dir, "events").select(col("event_id"), col("user_id"),
-      expr("unix_micros(ts) div 86400000000").as("day"))
+    val ev89 = t(spark, dir, "events")
+    val e = ev89.select(col("event_id"), col("user_id"),
+      (graft.functions.TimeCols.epochMicros(ev89, "ts") / lit(86400000000L))
+        .cast("long").as("day"))
     Layout.writeZOrdered(e, "user_id", "day", out, files = 8)
     spark.read.parquet(out)
       .where(col("user_id").between(10, 20) && col("day").between(19730, 19739))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TimeCols
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,8 +28,9 @@ object Sessionize {
       tiebreak: String): DataFrame = {
     val order = Window.partitionBy(key).orderBy(col(time).asc, col(tiebreak).asc)
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prev = lag(unix_micros(col(time)), 1).over(order)
-    val isNew = when(prev.isNull || unix_micros(col(time)) - prev > gapSeconds * 1000000L, 1)
+    val micros = TimeCols.epochMicros(events, time)
+    val prev = lag(micros, 1).over(order)
+    val isNew = when(prev.isNull || micros - prev > gapSeconds * 1000000L, 1)
       .otherwise(0)
     events
       .withColumn("_new", isNew)
