@@ -186,37 +186,85 @@ object TextAnalysis {
     * sparser cousin of [[graft.operators.Dedup.shingleHashes]]' dense
     * index and of [[graft.operators.SpanDedup]]'s stride-1 windows.
     *
-    * One pure projection per doc (gram hashes materialize once as an
-    * array column; each window is a slice/min/reverse-position walk —
-    * higher-order functions, no UDF, no shuffle; `Par.fanOut` only
-    * rebalances unsplit local inputs). The gram hash is the q111
-    * polynomial (base 257 mod 1e9+7) so a SQL engine reproduces it
-    * verbatim. Docs with fewer than `w` grams winnow one whole-doc
-    * window; docs shorter than `k` emit nothing. */
+    * One fused per-partition pass per doc (the [[compressionRatio]]
+    * shape): a rolling polynomial hash over code points plus a monotonic
+    * deque for the sliding minimum — O(len) JVM work, no shuffle;
+    * `Par.fanOut` only rebalances unsplit local inputs. (The first cut
+    * materialized gram hashes as an array column and walked each window
+    * with slice/min/reverse-position higher-order functions; that is
+    * O(len·(w+k)) Catalyst array allocations per doc and was the
+    * slowest query on the board at sf0.1 — 4× the fused pass.) The gram
+    * hash is the q111 polynomial (base 257 mod 1e9+7) over `ascii`
+    * code-point values, so a SQL engine reproduces it verbatim. Docs
+    * with fewer than `w` grams winnow one whole-doc window; docs
+    * shorter than `k` emit nothing. */
   def winnow(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
     require(k >= 2 && w >= 1, s"need gram size k >= 2 and window w >= 1 (got k=$k, w=$w)")
-    val text = col(textCol)
-    val len = length(text)
-    def hashAt(p: Column): Column =
-      aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
-        (acc, i) => pmod(acc * 257 + ascii(text.substr((p + i).cast("int"), lit(1))).cast("long"),
-          lit(1000000007L)))
-    val grams = transform(sequence(lit(1), len - (k - 1)), p => hashAt(p))
-    val hs = col("_hs")
-    val wEff = least(lit(w), size(hs))
-    val selected = transform(sequence(lit(1), size(hs) - wEff + 1), i => {
-      val sl = slice(hs, i, wEff)
-      val mn = array_min(sl)
-      val j = array_position(reverse(sl), mn) // 1-based from the right
-      struct((i + wEff - j).cast("int").as("pos"), mn.as("fp"))
-    })
-    graft.core.Par.fanOut(df.select(col(idCol), text))
-      .where(len >= k)
-      .select(col(idCol), grams.as("_hs"))
-      .select(col(idCol), explode(array_distinct(selected)).as("_s"))
-      .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
+    val M = 1000000007L
+    // 257^(k-1) mod M, the leading-coefficient weight the rolling update removes.
+    val pow = (1 until k).foldLeft(1L)((a, _) => a * 257 % M)
+    val in = graft.core.Par.fanOut(df.select(col(idCol), col(textCol)))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.head,
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.LongType, nullable = false)))
+    in.mapPartitions { it =>
+      it.flatMap { row =>
+        val text = if (row.isNullAt(1)) null else row.getString(1)
+        if (text == null) Iterator.empty
+        else {
+          val cp = text.codePoints().toArray // `ascii`/`length` count code points
+          val n = cp.length
+          if (n < k) Iterator.empty
+          else {
+            val m = n - k + 1
+            val hs = new Array[Long](m)
+            var h = 0L
+            var i = 0
+            while (i < k) { h = (h * 257 + cp(i)) % M; i += 1 }
+            hs(0) = h
+            var p = 1
+            while (p < m) {
+              var t = (h - cp(p - 1) * pow % M) % M
+              if (t < 0) t += M
+              h = (t * 257 + cp(p + k - 1)) % M
+              hs(p) = h
+              p += 1
+            }
+            val we = math.min(w, m)
+            // Deque of gram indices with increasing hash front→back; popping
+            // `>=` on push makes the front the RIGHTMOST minimum of its window.
+            val dq = new Array[Int](m)
+            var head = 0
+            var tail = 0 // exclusive
+            val seen = new java.util.LinkedHashSet[(Int, Long)]()
+            var g = 0
+            while (g < m) {
+              while (tail > head && hs(dq(tail - 1)) >= hs(g)) tail -= 1
+              dq(tail) = g; tail += 1
+              if (g >= we - 1) {
+                while (dq(head) < g - we + 1) head += 1
+                val sel = dq(head)
+                seen.add((sel + 1, hs(sel))) // 1-based char pos of the gram
+              }
+              g += 1
+            }
+            val id = row.get(0)
+            val out = new Array[org.apache.spark.sql.Row](seen.size)
+            var o = 0
+            val itr = seen.iterator()
+            while (itr.hasNext) {
+              val (pos, fp) = itr.next()
+              out(o) = org.apache.spark.sql.Row(id, pos, fp)
+              o += 1
+            }
+            out.iterator
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Deflate compression ratio per document — the classic repetitiveness /
