@@ -174,11 +174,14 @@ object Curation {
     * The boundary hash is a polynomial rolling form over `k` chars with a
     * per-step modulus — every value a ratio-free 63-bit integer, so the
     * DuckDB oracle reproduces boundaries (and therefore chunks) exactly.
-    * Entirely expression-level: ONE projection computes each doc's cut
-    * list via nested higher-order functions (no UDF), one `posexplode`
-    * emits chunk rows, zero shuffles end-to-end — cost scales with input
-    * splits ([[graft.core.Par.fanOut]] guards the single-split local
-    * case).
+    * One fused per-partition pass (the [[graft.operators.TextAnalysis
+    * .winnow]] shape): a rolling hash over code points finds the cut
+    * list in O(len) JVM work, chunk rows are emitted directly — zero
+    * shuffles end-to-end, cost scales with input splits
+    * ([[graft.core.Par.fanOut]] guards the single-split local case).
+    * (The first cut computed every position's hash with an O(k)
+    * higher-order fold — O(len·k) Catalyst nodes per doc and one of the
+    * slowest queries on the sf0.1 board.)
     *
     * A window can only start at positions `2 .. L-k+1`, so docs shorter
     * than `k+1` chars are one whole-doc chunk — no minimum-size pathology.
@@ -191,27 +194,65 @@ object Curation {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, divisor: Int = 64, withText: Boolean = false): DataFrame = {
     require(k >= 2 && divisor >= 2, "need window k >= 2 and divisor >= 2")
-    val text = col(textCol)
-    val len = length(text)
-    def hashAt(p: Column): Column =
-      aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
-        (acc, i) => pmod(acc * 257 + ascii(text.substr((p + i).cast("int"), lit(1))).cast("long"),
-          lit(1000000007L)))
-    val cuts = when(len >= k + 1,
-      filter(sequence(lit(2), len - (k - 1)), p => hashAt(p) % divisor === 0))
-      .otherwise(array().cast("array<int>"))
-    val starts = concat(array(lit(1)), cuts)
-    val chunks = transform(col("_starts"), (s, i) =>
-      struct(s.as("start"), (coalesce(get(col("_starts"), i + 1), len + 1) - s).as("len")))
-    graft.core.Par.fanOut(df.select(col(idCol), text))
-      .where(len >= 1)
-      .select(col(idCol), text, starts.as("_starts"))
-      .select(col(idCol), text, posexplode(chunks))
-      .select((Seq(col(idCol), col("pos").as("chunk_idx"),
-        col("col.start").as("chunk_start"), col("col.len").as("chunk_len"),
-        md5(text.substr(col("col.start"), col("col.len")).cast("binary")).as("chunk_md5")) ++
-        (if (withText) Seq(text.substr(col("col.start"), col("col.len")).as("chunk_text"))
-         else Seq.empty)): _*)
+    val M = 1000000007L
+    val pow = (1 until k).foldLeft(1L)((a, _) => a * 257 % M)
+    val in = graft.core.Par.fanOut(df.select(col(idCol), col(textCol)))
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      in.schema.head,
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("chunk_start", IntegerType, nullable = false),
+      StructField("chunk_len", IntegerType, nullable = false),
+      StructField("chunk_md5", StringType, nullable = true)) ++
+      (if (withText) Seq(StructField("chunk_text", StringType, nullable = true)) else Nil))
+    in.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      it.flatMap { row =>
+        val text = if (row.isNullAt(1)) null else row.getString(1)
+        if (text == null || text.isEmpty) Iterator.empty
+        else {
+          // `substr`/`length`/`ascii` count code points; chunk offsets and
+          // hash values must match that unit exactly.
+          val n = text.codePointCount(0, text.length)
+          val charAt = new Array[Int](n + 1) // code-point index -> char offset
+          var ci = 0
+          var cpi = 0
+          while (cpi < n) { charAt(cpi) = ci; ci = text.offsetByCodePoints(ci, 1); cpi += 1 }
+          charAt(n) = text.length
+          def cp(i: Int): Int = text.codePointAt(charAt(i))
+          val starts = scala.collection.mutable.ArrayBuffer(1)
+          if (n >= k + 1) {
+            var h = 0L
+            var i = 0
+            while (i < k) { h = (h * 257 + cp(i)) % M; i += 1 }
+            var p = 2 // 1-based start of the NEXT window (p-1 is 0-based)
+            while (p <= n - k + 1) {
+              var t = (h - cp(p - 2) * pow % M) % M
+              if (t < 0) t += M
+              h = (t * 257 + cp(p + k - 2)) % M
+              if (h % divisor == 0) starts += p
+              p += 1
+            }
+          }
+          val id = row.get(0)
+          (0 until starts.length).iterator.map { i =>
+            val s = starts(i)
+            val e = if (i + 1 < starts.length) starts(i + 1) else n + 1
+            val chunk = text.substring(charAt(s - 1), charAt(e - 1))
+            md.reset()
+            val dig = md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val sb = new java.lang.StringBuilder(32)
+            var b = 0
+            while (b < dig.length) {
+              sb.append(hex((dig(b) >> 4) & 0xf)); sb.append(hex(dig(b) & 0xf)); b += 1
+            }
+            val base = Seq(id, i, s, e - s, sb.toString)
+            org.apache.spark.sql.Row.fromSeq(if (withText) base :+ chunk else base)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** PII-redaction patterns, deliberately restricted to syntax that parses
