@@ -125,10 +125,16 @@ object Bench {
           col("bucket")).cache()
       var rPq = 0.0
       var rPqRes = 0.0
+      var rPqRerank = 0.0
       qvecs.foreach { case (qid, q) =>
         val brute = ids(Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, Some(qid)))
         def r(s: Set[Long]) = (s & brute).size.toDouble / brute.size
         rPq += r(ids(ProductQuantizer.adcTopK(encP, "vec_id", pqPlain, q, 10, Some(qid))))
+        // The deployed form (q110): ADC shortlist=100 + exact re-rank —
+        // the raw-ADC floors above isolate CODE quality, this one reports
+        // what the operator actually returns.
+        rPqRerank += r(ids(ProductQuantizer.rerankTopK(
+          emb, "vec_id", "embedding", encP, pqPlain, q, 10, 100, Some(qid))))
         val off = org.apache.spark.sql.functions.element_at(
           org.apache.spark.sql.functions.array(
             centroids.map(c => org.apache.spark.sql.functions.lit(
@@ -141,7 +147,7 @@ object Bench {
       val nq = qvecs.length
       emb.unpersist()
       def f(x: Double) = math.rint(x / nq * 1000) / 1000.0
-      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
+      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"pq_rerank_m4":${f(rPqRerank)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
