@@ -61,8 +61,11 @@ object Importance {
     def bucketCounts(df: DataFrame, cnt: String, tot: String): (DataFrame, DataFrame) = {
       val rows = featureRows(df.select(col(textCol)), textCol)
         .select(bucket(col("f")).as("_b"))
-      (rows.groupBy(col("_b")).agg(count(lit(1)).as(cnt)),
-        rows.agg(count(lit(1)).as(tot)))
+      val counts = rows.groupBy(col("_b")).agg(count(lit(1)).as(cnt))
+      // Total derived from the ≤B-row counts (the planner reuses the
+      // groupBy exchange) — the side's feature explode scans once, not
+      // twice; coalesce keeps the empty-corpus total at 0 like count(*).
+      (counts, counts.agg(coalesce(sum(col(cnt)), lit(0L)).as(tot)))
     }
     val (ct, nt) = bucketCounts(target, "_ct", "_nt")
     val (cr, nr) = bucketCounts(raw, "_cr", "_nr")

@@ -123,9 +123,16 @@ object TextAnalysis {
     val posts = bm25Posts(sel)
     val stats = sel.agg(count(lit(1)).as("_n"), sum(size(col("_w"))).as("_sumdl"))
     val qterms = bm25QueryTerms(queries, qIdCol, qTextCol)
-    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("_df"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-    val cands = posts
+    // Restrict postings to query terms BEFORE the df count: per-term doc
+    // counts are unchanged by a term filter, but the df shuffle now carries
+    // only query-term postings instead of the full corpus vocabulary (the
+    // dominant exchange at corpus scale — decontamination query sets are
+    // small). `filtered` appears in both branches over the same postings
+    // exchange, which the planner reuses; df keeps a map-side-combining
+    // groupBy so a stopword-heavy query term cannot pile one task high.
+    val filtered = posts.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dfreq = filtered.groupBy("term").agg(count(lit(1)).as("_df"))
+    val cands = filtered
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
