@@ -1309,6 +1309,19 @@ object Queries {
         col("id").as("o_orderkey"), col("score").as("o_totalprice"))
       .orderBy("o_orderpriority", "rank")
 
+  /** JSONL export manifest: (doc_id, text) rows serialized to compact
+    * JSON (nulls explicit), byte-weighted (+1 newline), packed into
+    * contiguous 64 KiB shards in doc_id order by the distributed prefix
+    * sum — the manifest a training loader schedules from. The oracle
+    * recomputes the BYTES from its own `to_json`, so the serialized
+    * length arithmetic (not just the packing) is cross-engine exact;
+    * the physical one-file-per-shard write is spec-pinned against the
+    * filesystem in JsonlSinkSpec. */
+  def q122JsonlManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.sinks.JsonlSink.manifestOnly(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")),
+      Seq("doc_id"), budgetBytes = 65536L)
+
   /** Content-defined chunking: boundaries set by a window-hash predicate,
     * so chunk identity survives insertions (shift-resistant dedup chunks —
     * the storage-side complement of q80's fixed word chunker). Pure
@@ -1480,6 +1493,7 @@ object Queries {
     "q117_top_users" -> q117TopUsers _,
     "q114_heavy_hitters_grouped" -> q114HeavyHittersGrouped _,
     "q121_topk_group" -> q121TopkGroup _,
+    "q122_jsonl_manifest" -> q122JsonlManifest _,
     "q120_bm25" -> q120Bm25 _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
@@ -1791,6 +1805,22 @@ object Queries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q122_jsonl_manifest" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |         strlen(CAST(to_json(struct_pack(doc_id := doc_id, text := text))
+        |                AS VARCHAR)) + 1 AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |         CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM j
+        |), s AS (
+        |  SELECT doc_id, w, CAST((cum - 1) // 65536 AS BIGINT) AS shard FROM c
+        |)
+        |SELECT shard, COUNT(*) AS n_rows, CAST(SUM(w) AS BIGINT) AS bytes,
+        |       MIN(doc_id) AS first_key, MAX(doc_id) AS last_key
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_topk_group" ->
       """SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
