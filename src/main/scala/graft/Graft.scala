@@ -131,6 +131,16 @@ object Graft {
   /** Gzipped-CSV write. */
   def writeCsv(df: DataFrame, path: String): Unit = CsvSink.write(df, path)
 
+  /** Budget-sharded JSONL export + manifest
+    * ([[sinks.JsonlSink.writeSharded]]); returns the manifest. */
+  def writeJsonl(df: DataFrame, path: String, order: Seq[String],
+      budgetBytes: Long): DataFrame =
+    sinks.JsonlSink.writeSharded(df, path, order, budgetBytes)
+
+  /** Read back a [[writeJsonl]] export as raw (shard, value) lines. */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    sinks.JsonlSink.readSharded(spark, path)
+
   /** The three shingle-based dedup/analysis views [[dedupSuite]] derives
     * from ONE shared shingle pass. `unpersist()` releases the shared
     * intermediate once the outputs are materialized. */

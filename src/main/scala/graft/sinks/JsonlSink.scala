@@ -53,7 +53,7 @@ object JsonlSink {
   def manifestOnly(df: DataFrame, order: Seq[String], budgetBytes: Long): DataFrame =
     shardManifest(df, order, budgetBytes, keepJson = false)._1
 
-  private def shardManifest(
+  private[graft] def shardManifest(
       df: DataFrame, order: Seq[String], budgetBytes: Long,
       keepJson: Boolean): (DataFrame, DataFrame) = {
     val json = to_json(

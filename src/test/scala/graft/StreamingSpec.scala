@@ -691,4 +691,67 @@ class StreamingSpec extends AnyFunSuite {
         2L -> "two streamed bodies"))
     } finally q.stop()
   }
+
+  test("streaming JSONL export: per-batch shards, manifest commit point, replay converges") {
+    import spark.implicits._
+    import graft.streaming.StreamingJsonlExport
+    val path = java.nio.file.Files.createTempDirectory("graft-sjsonl").toString
+    val b0 = (0L until 40L).map(i => (i, s"doc $i " + ("pad " * (i % 7).toInt)))
+      .toDF("doc_id", "text")
+    StreamingJsonlExport.processBatch(b0, 0L, path, Seq("doc_id"), budgetBytes = 512L)
+    val m0 = StreamingJsonlExport.readManifest(spark, path).collect()
+    assert(m0.forall(_.getAs[Long]("batch_id") == 0L) && m0.length > 1)
+    // disk bytes equal manifest bytes per shard (one file per shard dir)
+    m0.foreach { m =>
+      val dir = new java.io.File(
+        s"${StreamingJsonlExport.shardsPath(path)}/batch_id=0/shard=${m.getAs[Long]("shard")}")
+      val files = dir.listFiles().filter(_.getName.endsWith(".txt"))
+      assert(files.length == 1 && files.head.length() == m.getAs[Long]("bytes"))
+    }
+    // a second batch appends without touching batch 0's files
+    val b1 = (100L until 120L).map(i => (i, s"later $i")).toDF("doc_id", "text")
+    StreamingJsonlExport.processBatch(b1, 1L, path, Seq("doc_id"), budgetBytes = 512L)
+    val lines = StreamingJsonlExport.readLines(spark, path)
+    assert(lines.count() == 60)
+    assert(lines.where(col("batch_id") === 0L).count() == 40)
+    // at-least-once replay of batch 1: identical end state
+    val before = StreamingJsonlExport.readLines(spark, path)
+      .collect().map(_.toString).sorted.toSeq
+    StreamingJsonlExport.processBatch(b1, 1L, path, Seq("doc_id"), budgetBytes = 512L)
+    val after = StreamingJsonlExport.readLines(spark, path)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before == after, "replay must converge to the same export")
+    // orphan shard files without a manifest row are invisible to readers
+    val orphanDir = new java.io.File(
+      s"${StreamingJsonlExport.shardsPath(path)}/batch_id=9/shard=0")
+    orphanDir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(orphanDir, "part-orphan.txt"))
+    w.println("{\"doc_id\":999}"); w.close()
+    assert(StreamingJsonlExport.readLines(spark, path).count() == 60,
+      "uncommitted batch must not be served")
+  }
+
+  test("streaming JSONL export wired through foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingJsonlExport
+    val path = java.nio.file.Files.createTempDirectory("graft-sjsonlq").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJsonlExport.appendSharded(
+      input.toDF().toDF("doc_id", "text"), path, Seq("doc_id"), budgetBytes = 256L)
+    try {
+      input.addData(1L -> "streamed one", 2L -> "streamed two")
+      q.processAllAvailable()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val back = StreamingJsonlExport.readLines(spark, path)
+        .select(from_json(col("value"), schema).as("r"))
+        .select(col("r.doc_id"), col("r.text"))
+        .as[(Long, String)].collect().toMap
+      assert(back == Map(1L -> "streamed one", 2L -> "streamed two"))
+    } finally q.stop()
+  }
 }
