@@ -38,5 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         RollingMinHash(exprs.head, k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ntz_micros"),
+      new ExpressionInfo(classOf[NtzEpochMicros].getName, "graft_ntz_micros"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_ntz_micros(ts_ntz) takes one argument")
+        NtzEpochMicros(exprs.head)
+      }))
   }
 }

@@ -76,6 +76,10 @@ class ArrayMathSpec extends AnyFunSuite {
     val viaColumn = Seq("the quick brown fox jumps").toDF("t")
       .select(graft.functions.TextHashes.rollingMinHash(col("t"), 16)).as[Long].head()
     assert(fp === viaColumn)
+    val ntz = s.sql(
+      "SELECT graft_ntz_micros(TIMESTAMP_NTZ '2024-01-01 00:09:58.778549')")
+      .as[Long].head()
+    assert(ntz === 1704067798778549L, "wall clock reads as UTC epoch micros")
   }
 
   test("mismatched lengths use the common prefix; empty arrays give 0") {
