@@ -105,6 +105,42 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("cdcChunks: code-point semantics on non-ASCII text (incl. supplementary chars)") {
+    // `substr`/`ascii`/`length` count CODE POINTS; 𝄞 (U+1D11E) is two Java
+    // chars but ONE unit everywhere in the operator's contract.
+    val rnd = new scala.util.Random(23)
+    val alphabet = "aé中𝄞 bß"
+    def randText(n: Int) = {
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        val cps = alphabet.codePoints().toArray
+        sb.appendAll(Character.toChars(cps(rnd.nextInt(cps.length))))
+      }
+      sb.toString
+    }
+    val corpus = (1L to 6L).map(i => i -> randText(40 + rnd.nextInt(120)))
+    def model(text: String, k: Int, divisor: Int): Seq[(Int, Int, String)] = {
+      val cp = text.codePoints().toArray
+      def hashAt(p: Int): Long = // 1-based code-point position
+        (0 until k).foldLeft(0L)((acc, i) => (acc * 257 + cp(p - 1 + i)) % 1000000007L)
+      val cuts = (2 to cp.length - k + 1).filter(p => hashAt(p) % divisor == 0)
+      val starts = 1 +: cuts
+      starts.zipWithIndex.map { case (s, i) =>
+        val next = if (i + 1 < starts.length) starts(i + 1) else cp.length + 1
+        val chunk = new String(cp, s - 1, next - s)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (s, next - s, md)
+      }
+    }
+    val out = Curation.cdcChunks(docs(corpus: _*), "doc_id", "text", k = 6, divisor = 8)
+      .orderBy("doc_id", "chunk_idx").collect().groupBy(_.getLong(0))
+    corpus.foreach { case (id, text) =>
+      val got = out(id).map(r => (r.getInt(2), r.getInt(3), r.getString(4))).toSeq
+      assert(got == model(text, 6, 8), s"doc $id")
+    }
+  }
+
   test("cdcChunks: content-defined boundaries survive a prefix insertion") {
     val rnd = new scala.util.Random(13)
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")

@@ -188,6 +188,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow: code-point semantics on non-ASCII text (incl. supplementary chars)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29L)
+    val cps = "aé中𝄞 bß".codePoints().toArray
+    def randText(n: Int) = {
+      val sb = new StringBuilder
+      (0 until n).foreach(_ => sb.appendAll(Character.toChars(cps(rnd.nextInt(cps.length)))))
+      sb.toString
+    }
+    def model(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val cp = text.codePoints().toArray
+      if (cp.length < k) return Set.empty
+      val hs = (0 to cp.length - k).map(p =>
+        (0 until k).foldLeft(0L)((a, i) => (a * 257 + cp(p + i)) % 1000000007L))
+      val we = math.min(w, hs.length)
+      (0 to hs.length - we).map { i =>
+        val win = hs.slice(i, i + we)
+        (i + win.lastIndexOf(win.min) + 1, win.min)
+      }.toSet
+    }
+    val docs = (Seq(5, 8, 12) ++ Seq.fill(10)(20 + rnd.nextInt(150)))
+      .zipWithIndex.map { case (n, i) => (i.toLong, randText(n)) }
+    val got = TextAnalysis.winnow(docs.toDF("doc_id", "text"), "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) == model(text, 8, 4), s"doc $id")
+    }
+  }
+
   test("winnow guarantee: docs sharing >= w+k-1 chars share a fingerprint") {
     val s = spark
     import s.implicits._
