@@ -1322,6 +1322,22 @@ object Queries {
       t(spark, dir, "documents").select(col("doc_id"), col("text")),
       Seq("doc_id"), budgetBytes = 65536L)
 
+  /** Corpus snapshot diff — the release audit (added/removed/modified/
+    * unchanged per doc id, identity = normalized-text fingerprint so
+    * formatting edits don't count). Both snapshots derive
+    * deterministically from `documents` in both engines; text never
+    * shuffles (both sides reduce to (id, fp) before the one full-outer
+    * equi-join). */
+  def q123CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val old = d.where(col("doc_id") % 7 =!= 3).select(col("doc_id"), col("text"))
+    val neu = d.where(col("doc_id") % 5 =!= 2).select(
+      col("doc_id"),
+      when(col("doc_id") % 11 === 0, concat(col("text"), lit(" version two")))
+        .otherwise(col("text")).as("text"))
+    Curation.corpusDiff(old, neu, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Content-defined chunking: boundaries set by a window-hash predicate,
     * so chunk identity survives insertions (shift-resistant dedup chunks —
     * the storage-side complement of q80's fixed word chunker). Pure
@@ -1494,6 +1510,7 @@ object Queries {
     "q114_heavy_hitters_grouped" -> q114HeavyHittersGrouped _,
     "q121_topk_group" -> q121TopkGroup _,
     "q122_jsonl_manifest" -> q122JsonlManifest _,
+    "q123_corpus_diff" -> q123CorpusDiff _,
     "q120_bm25" -> q120Bm25 _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
@@ -1805,6 +1822,28 @@ object Queries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q123_corpus_diff" ->
+      """WITH fp AS (
+        |  SELECT doc_id, text,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                                 '\s+', ' ', 'g'))) AS f
+        |  FROM documents
+        |), o AS (SELECT doc_id, f AS old_fp FROM fp WHERE doc_id % 7 <> 3),
+        |n AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(
+        |             lower(CASE WHEN doc_id % 11 = 0 THEN text || ' version two' ELSE text END),
+        |             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS new_fp
+        |  FROM fp WHERE doc_id % 5 <> 2
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.old_fp IS NULL THEN 'added'
+        |            WHEN n.new_fp IS NULL THEN 'removed'
+        |            WHEN o.old_fp <> n.new_fp THEN 'modified'
+        |            ELSE 'unchanged' END AS status,
+        |       o.old_fp, n.new_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q122_jsonl_manifest" ->
       """WITH j AS (
         |  SELECT doc_id,

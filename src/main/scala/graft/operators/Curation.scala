@@ -495,4 +495,35 @@ object Curation {
         "_u <= (1000000 * _target * _w_s - 1) div (_n_s * _sum_w)"))
       .drop("_n_s", "_w_s", "_sum_w", "_target", "_u")
   }
+
+  /** Snapshot diff between two corpus versions — the audit a dataset
+    * release runs before publishing (what changed since v1?), and the
+    * read-only complement of [[graft.operators.Merge]]'s MERGE upsert
+    * (which APPLIES changes): per doc id, `added` (new only), `removed`
+    * (old only), `modified` (both, normalized fingerprint differs), or
+    * `unchanged`. Content identity is [[TextAnalysis.fingerprint]] — md5
+    * of the normalized text, the q84/q93 discipline — so formatting-only
+    * edits don't count as modifications.
+    *
+    * Scale shape: both sides project to (id, 32-hex fp) BEFORE the one
+    * full-outer equi-join on id — document text never shuffles; at 100 TB
+    * the join co-locates if both snapshots are id-bucketed
+    * ([[Bucketing]]), and the output is id+status+fingerprints only.
+    */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq("_id"), "full_outer")
+      .select(
+        col("_id").as(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("modified"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
 }

@@ -105,6 +105,16 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("corpusDiff: status per id, formatting-only edits are unchanged") {
+    val old = docs(1L -> "Hello, World!", 2L -> "stays put", 3L -> "will vanish")
+    val neu = docs(1L -> "hello   world", 2L -> "stays put edited", 4L -> "brand new")
+    val got = Curation.corpusDiff(old, neu, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // doc 1: punctuation/case/whitespace differences normalize away
+    assert(got == Seq(1L -> "unchanged", 2L -> "modified", 3L -> "removed", 4L -> "added"))
+  }
+
   test("cdcChunks: code-point semantics on non-ASCII text (incl. supplementary chars)") {
     // `substr`/`ascii`/`length` count CODE POINTS; 𝄞 (U+1D11E) is two Java
     // chars but ONE unit everywhere in the operator's contract.
