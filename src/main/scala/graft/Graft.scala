@@ -324,6 +324,13 @@ object Graft {
       ns: Seq[Int] = Seq(2, 3, 4), hashGrams: Boolean = false): DataFrame =
     graft.operators.Curation.dupNgramStats(df, idCol, textCol, ns, hashGrams)
 
+  /** Corpus snapshot diff — added/removed/modified/unchanged per doc id,
+    * identity = normalized-text fingerprint
+    * ([[operators.Curation.corpusDiff]]). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Curation.corpusDiff(oldDf, newDf, idCol, textCol)
+
   def leakageSafeSplit(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.6,
