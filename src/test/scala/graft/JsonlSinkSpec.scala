@@ -66,6 +66,27 @@ class JsonlSinkSpec extends AnyFunSuite {
     assert(lines.length == 21)
   }
 
+  test("multibyte text: manifest bytes still equal UTF-8 disk bytes, round-trip exact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "héllo wörld"), (2L, "中文文本 with mixed ascii"),
+      (3L, "clef: 𝄞 and emoji 😀"), (4L, "plain"))
+    val out = tmp("jsonl-utf8")
+    val manifest = JsonlSink.writeSharded(docs.toDF("doc_id", "text"), out,
+      Seq("doc_id"), budgetBytes = 96L).collect()
+    manifest.foreach { m =>
+      val dir = new java.io.File(s"$out/shards/shard=${m.getLong(0)}")
+      val files = dir.listFiles().filter(_.getName.endsWith(".txt"))
+      assert(files.length == 1 && files.head.length() == m.getLong(2),
+        s"shard ${m.getLong(0)}: UTF-8 byte accounting must match the disk")
+    }
+    val schema = docs.toDF("doc_id", "text").schema
+    val back = JsonlSink.readSharded(s, out)
+      .select(from_json(col("value"), schema).as("r"))
+      .select(col("r.doc_id"), col("r.text")).as[(Long, String)].collect().toSet
+    assert(back == docs.toSet)
+  }
+
   test("manifestOnly equals the manifest writeSharded returns") {
     val d2 = spark.createDataFrame(mkDocs(50)).toDF("doc_id", "text")
     val a = JsonlSink.manifestOnly(d2, Seq("doc_id"), 2048L).collect().map(_.toSeq)
