@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (SURVEY §4): one shuffle on the key, then two in-order
   * window passes (lag → running sum) — no self-join, no range join. Gap
-  * comparison uses exact microsecond integers (`unix_micros`) so the
+  * comparison uses exact microsecond integers ([[graft.functions.TimeCols
+  * .epochMicros]], NTZ-safe) so the
   * boundary semantics are bit-identical to the SQL oracle.
   */
 object Sessionize {

@@ -31,17 +31,24 @@ object JsonlSink {
     * manifest: (shard, n_rows, bytes, first_key, last_key over
     * `order.head`).
     *
+    * `bytes` is always the UNCOMPRESSED line total — the loader-budget
+    * unit — so with `codec` set (e.g. `Some("gzip")`; shard files gain
+    * the codec extension and `readSharded` decompresses transparently)
+    * the manifest arithmetic and the DuckDB oracle are unchanged; only
+    * the disk-equality invariant is codec-free.
+    *
     * @param order columns forming a TOTAL order (add a unique tiebreak) */
   def writeSharded(
       df: DataFrame, path: String, order: Seq[String],
-      budgetBytes: Long): DataFrame = {
+      budgetBytes: Long, codec: Option[String] = None): DataFrame = {
     require(order.nonEmpty, "need at least one order column")
     val manifest = shardManifest(df, order, budgetBytes, keepJson = true)
-    manifest._2
+    val writer = manifest._2
       .repartition(col("shard"))
       .sortWithinPartitions((col("shard") +: order.map(col)): _*)
       .select(col("_json").as("value"), col("shard"))
-      .write.mode("overwrite").partitionBy("shard").text(s"$path/shards")
+      .write.mode("overwrite").partitionBy("shard")
+    codec.fold(writer)(c => writer.option("compression", c)).text(s"$path/shards")
     val m = manifest._1
     m.coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     m

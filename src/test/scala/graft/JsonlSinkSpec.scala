@@ -87,6 +87,31 @@ class JsonlSinkSpec extends AnyFunSuite {
     assert(back == docs.toSet)
   }
 
+  test("gzip codec: manifest keeps uncompressed budget bytes, round-trip transparent") {
+    val s = spark
+    import s.implicits._
+    val docs = mkDocs(120)
+    val out = tmp("jsonl-gz")
+    val manifest = JsonlSink.writeSharded(docs.toDF("doc_id", "text"), out,
+      Seq("doc_id"), budgetBytes = 4096L, codec = Some("gzip")).collect()
+    manifest.foreach { m =>
+      val dir = new java.io.File(s"$out/shards/shard=${m.getLong(0)}")
+      val files = dir.listFiles().filter(_.getName.endsWith(".txt.gz"))
+      assert(files.length == 1, s"shard ${m.getLong(0)} must hold one gzipped file")
+      assert(files.head.length() < m.getLong(2),
+        "compressed file should undercut the uncompressed manifest bytes")
+    }
+    val schema = docs.toDF("doc_id", "text").schema
+    val back = JsonlSink.readSharded(s, out)
+      .select(from_json(col("value"), schema).as("r"))
+      .select(col("r.doc_id"), col("r.text")).as[(Long, String)].collect().toSet
+    assert(back == docs.toSet)
+    // identical packing with and without the codec
+    val plain = JsonlSink.manifestOnly(docs.toDF("doc_id", "text"), Seq("doc_id"), 4096L)
+      .collect().map(_.toSeq).toSeq
+    assert(manifest.map(_.toSeq).toSeq == plain)
+  }
+
   test("manifestOnly equals the manifest writeSharded returns") {
     val d2 = spark.createDataFrame(mkDocs(50)).toDF("doc_id", "text")
     val a = JsonlSink.manifestOnly(d2, Seq("doc_id"), 2048L).collect().map(_.toSeq)
