@@ -731,6 +731,36 @@ class StreamingSpec extends AnyFunSuite {
       "uncommitted batch must not be served")
   }
 
+  test("stream-stream interval join: pairs within horizon, across batches, none outside") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIntervalJoin
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val views = MemoryStream[(Long, Long, Timestamp)] // (view_id, user, vts)
+    val clicks = MemoryStream[(Long, Long, Timestamp)] // (click_id, cuser, cts)
+    val joined = StreamingIntervalJoin.within(
+      views.toDF().toDF("view_id", "user", "vts"),
+      clicks.toDF().toDF("click_id", "cuser", "cts"),
+      "user", "cuser", "vts", "cts", horizonSec = 3600L,
+      watermarkDelay = "0 seconds")
+    val q = joined.select("view_id", "click_id").writeStream
+      .format("memory").queryName("sij").outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, 7L, ts(1000)), (2L, 8L, ts(5000)))
+      clicks.addData((10L, 7L, ts(1500)))        // within 1 h of view 1
+      q.processAllAvailable()
+      // cross-batch: a later click still lands inside view 1's horizon
+      clicks.addData((11L, 7L, ts(4500)))        // within (4600 > 1000+3600 would miss)
+      clicks.addData((12L, 7L, ts(4601)))        // OUTSIDE view 1's horizon
+      clicks.addData((13L, 9L, ts(1200)))        // key with no view
+      clicks.addData((14L, 8L, ts(4999)))        // before view 2 → excluded
+      q.processAllAvailable()
+      val got = spark.table("sij").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (1L, 11L)),
+        s"expected exactly the in-horizon pairs, got $got")
+    } finally q.stop()
+  }
+
   test("streaming JSONL export wired through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
