@@ -284,5 +284,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(out.toSeq == want)
   }
+
+  test("bm25TopK plan reuses the postings exchange across the df and score branches") {
+    val s = spark
+    import s.implicits._
+    val corpus = (1L to 50L).map(i => i -> s"term$i shared common words here").toDF("doc_id", "text")
+    val queries = Seq(1L -> "shared common term3").toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text", "doc_id", "text", topK = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(plan).nonEmpty,
+      "df-count branch must reuse the postings aggregate's exchange, not rescan+reshuffle")
+  }
 }
 
