@@ -28,10 +28,16 @@ import org.apache.spark.sql.functions._
   * rand(): deterministic, repartition-stable, reproducible in the oracle.
   *
   * Scale shape: both bucket-count tables are ≤ B rows (one map-side
-  * combining aggregate each) and BROADCAST onto the exploded corpus; the
-  * only corpus-sized shuffle is the per-document weight aggregate, and
-  * the final top-k is a TakeOrdered (no global sort). The feature explode
-  * fans out first ([[graft.core.Par.fanOut]] — no-op on split inputs).
+  * combining aggregate each), MATERIALIZED on the driver — they are
+  * broadcast onto the exploded corpus anyway, so fitting in driver
+  * memory is already a requirement, and collecting them once means each
+  * side's feature explode runs exactly once for statistics (a lazy
+  * two-branch formulation recomputed the full feature scan per total;
+  * the spec pins the single-scan plan). Totals become literals — no
+  * scalar crossJoins in the plan at all. The only corpus-sized shuffle
+  * is the per-document weight aggregate, and the final top-k is a
+  * TakeOrdered (no global sort). The feature explode fans out first
+  * ([[graft.core.Par.fanOut]] — no-op on split inputs).
   */
 object Importance {
 
@@ -58,25 +64,35 @@ object Importance {
     val b = 1L << (4 * hexChars)
     def bucket(f: Column): Column = substring(md5(f.cast("binary")), 1, hexChars)
 
-    def bucketCounts(df: DataFrame, cnt: String, tot: String): (DataFrame, DataFrame) = {
+    // Bucket counts are driver-materialized: they're broadcast below, so
+    // driver-fit is already required, and collecting them once means one
+    // statistics scan per side (a lazy totals branch re-ran the full
+    // feature explode — measured, no exchange reuse survived pruning).
+    def bucketCounts(df: DataFrame, cnt: String): (DataFrame, Long) = {
+      val spark = df.sparkSession
       val rows = featureRows(df.select(col(textCol)), textCol)
         .select(bucket(col("f")).as("_b"))
-      val counts = rows.groupBy(col("_b")).agg(count(lit(1)).as(cnt))
-      // Total derived from the ≤B-row counts (the planner reuses the
-      // groupBy exchange) — the side's feature explode scans once, not
-      // twice; coalesce keeps the empty-corpus total at 0 like count(*).
-      (counts, counts.agg(coalesce(sum(col(cnt)), lit(0L)).as(tot)))
+        .groupBy(col("_b")).agg(count(lit(1)).as(cnt))
+        .collect()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_b",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField(cnt,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema),
+        rows.map(_.getLong(1)).sum)
     }
-    val (ct, nt) = bucketCounts(target, "_ct", "_nt")
-    val (cr, nr) = bucketCounts(raw, "_cr", "_nr")
+    val (ct, nt) = bucketCounts(target, "_ct")
+    val (cr, nr) = bucketCounts(raw, "_cr")
 
     // identical float shape to the oracle: one ln per side of an exact
     // integer ratio, subtract, 6dp DECIMAL before the per-doc sum
     val lw6 = round(
       log((lit(2) * coalesce(col("_ct"), lit(0L)) + 1).cast("double") /
-        (lit(2) * col("_nt") + b)) -
+        lit(2L * nt + b)) - // long literal: same double promotion as the oracle's (2N+B)
         log((lit(2) * coalesce(col("_cr"), lit(0L)) + 1).cast("double") /
-          (lit(2) * col("_nr") + b)), 6)
+          lit(2L * nr + b)), 6)
       .cast("decimal(20,6)")
     val u = (Sampling.hashBucket(col(idCol), 1000000) + lit(0.5)) / lit(1000000)
     val selKey = round(col("_slw").cast("double") + -log(-log(u)), 6)
@@ -87,8 +103,6 @@ object Importance {
       .select(col(idCol), bucket(col("f")).as("_b"))
       .join(broadcast(ct), Seq("_b"), "left")
       .join(broadcast(cr), Seq("_b"), "left")
-      .crossJoin(broadcast(nt))
-      .crossJoin(broadcast(nr))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_features"),
         sum(lw6).as("_slw"))

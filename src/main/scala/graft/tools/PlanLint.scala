@@ -56,20 +56,20 @@ object PlanLint extends AdaptiveSparkPlanHelper {
         // row with no possible equi-key (q24 threshold, q47 min/max, q67's
         // corpus-size N for the idf term, q79's total-weight and target-row
         // scalars riding onto the mix predicate, q105's vocabulary size V,
-        // q106's class totals + prior, q107's model total counts, q120's
+        // q106's class totals + prior, q120's
         // corpus N/sumdl pair feeding every BM25 score).
         if (lines.exists(l => l.contains("BroadcastNestedLoopJoin")) &&
             !Set("q34_dedup_embedding", "q52_knn_join", "q24_scalar_subquery",
               "q47_histogram", "q67_tfidf_topk", "q79_domain_mix",
               "q105_lm_perplexity", "q106_nb_classifier",
-              "q107_dsir_resample", "q120_bm25").contains(name))
+              "q120_bm25").contains(name))
           flag("BroadcastNestedLoopJoin in plan")
         // SinglePartition allowed only for global SCALAR aggregates (q24
         // threshold, q47 min/max, q62's per-constraint violation tallies,
         // q67's one-row N, q68's one-row funnel report, q79's one-row
-        // total-weight/target scalars, q105/q106/q107's one-row model
-        // constants — vocabulary size, class totals + prior, bucket
-        // totals) and q91's id-assignment window over the
+        // total-weight/target scalars, q105/q106's one-row model
+        // constants — vocabulary size, class totals + prior) and q91's
+        // id-assignment window over the
         // already-reduced, size-bounded vocabulary (50 rows): the
         // exchange moves one partial row per task (or a bounded table),
         // not data. Everything else must stay partitioned.
@@ -77,7 +77,7 @@ object PlanLint extends AdaptiveSparkPlanHelper {
             !Set("q24_scalar_subquery", "q47_histogram", "q62_quality_checks",
               "q67_tfidf_topk", "q68_funnel", "q79_domain_mix",
               "q91_vocab_encode", "q105_lm_perplexity", "q106_nb_classifier",
-              "q107_dsir_resample", "q120_bm25").contains(name))
+              "q120_bm25").contains(name))
           flag("shuffle to a single partition")
         // Column-pruning misses: a wide-table scan whose ReadSchema is the
         // FULL table. Whole-table ETL verbs legitimately read everything —

@@ -56,4 +56,21 @@ class ImportanceSpec extends AnyFunSuite {
     assert(once.toSeq == again.toSeq)
     assert(once.forall(_.getLong(1) == 4 + 3)) // 4 unigrams + 3 bigrams
   }
+
+  test("dsirResample scoring plan: no scalar crossJoins, totals are literals") {
+    val s = spark
+    import s.implicits._
+    val raw = (1L to 40L).map(i => i -> s"alpha beta doc$i gamma").toDF("doc_id", "text")
+    val target = (1L to 10L).map(i => i -> "alpha beta gamma delta").toDF("doc_id", "text")
+    val out = Importance.dsirResample(raw, target, "doc_id", "text", sampleN = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "driver-materialized totals must leave no scalar crossJoin in the scoring plan")
+    // exactly the two bucket-count broadcasts remain (final plan section —
+    // the AQE string repeats nodes in its initial-plan dump)
+    val finalPlan = plan.split("== Initial Plan", 2)(0)
+    assert("BroadcastExchange".r.findAllIn(finalPlan).length == 2,
+      finalPlan.linesIterator.take(8).mkString("\n"))
+  }
 }
