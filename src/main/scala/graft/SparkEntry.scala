@@ -1322,6 +1322,22 @@ object Queries {
       t(spark, dir, "documents").select(col("doc_id"), col("text")),
       Seq("doc_id"), budgetBytes = 65536L)
 
+  /** Unicode NFC normalization (native codegen expression — Spark has no
+    * builtin): canonically-equal text in different normal forms defeats
+    * exact dedup (different bytes → different md5s/shingles), so curation
+    * normalizes before fingerprints. A combining-accent suffix is
+    * injected deterministically in both engines; JVM Normalizer NFC is
+    * byte-compatible with DuckDB's nfc_normalize, so the md5 of the
+    * composed text is oracle-exact. */
+  def q124NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"), lit(" caf"), lit("e"), lit("\u0301"), lit(" nfd"))
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.functions.TextNorm.unicodeNormalize(injected).as("norm_text"))
+      .withColumn("fp", md5(col("norm_text").cast("binary")))
+      .orderBy("doc_id")
+  }
+
   /** Corpus snapshot diff — the release audit (added/removed/modified/
     * unchanged per doc id, identity = normalized-text fingerprint so
     * formatting edits don't count). Both snapshots derive
@@ -1511,6 +1527,7 @@ object Queries {
     "q121_topk_group" -> q121TopkGroup _,
     "q122_jsonl_manifest" -> q122JsonlManifest _,
     "q123_corpus_diff" -> q123CorpusDiff _,
+    "q124_nfc_normalize" -> q124NfcNormalize _,
     "q120_bm25" -> q120Bm25 _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
@@ -1822,6 +1839,11 @@ object Queries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q124_nfc_normalize" ->
+      """SELECT doc_id,
+        |       nfc_normalize(text || ' caf' || 'e' || chr(769) || ' nfd') AS norm_text,
+        |       md5(nfc_normalize(text || ' caf' || 'e' || chr(769) || ' nfd')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q123_corpus_diff" ->
       """WITH fp AS (
         |  SELECT doc_id, text,
