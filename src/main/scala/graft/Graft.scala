@@ -324,6 +324,11 @@ object Graft {
       ns: Seq[Int] = Seq(2, 3, 4), hashGrams: Boolean = false): DataFrame =
     graft.operators.Curation.dupNgramStats(df, idCol, textCol, ns, hashGrams)
 
+  /** HTML-to-text extraction — the crawl-to-corpus step
+    * ([[operators.Curation.stripHtml]]). */
+  def stripHtml(df: DataFrame, htmlCol: String, outCol: String = "text"): DataFrame =
+    graft.operators.Curation.stripHtml(df, htmlCol, outCol)
+
   /** Corpus snapshot diff — added/removed/modified/unchanged per doc id,
     * identity = normalized-text fingerprint
     * ([[operators.Curation.corpusDiff]]). */

@@ -1322,6 +1322,22 @@ object Queries {
       t(spark, dir, "documents").select(col("doc_id"), col("text")),
       Seq("doc_id"), budgetBytes = 65536L)
 
+  /** HTML-to-text extraction over a deterministically built page wrapper
+    * (script/style/comment/tag strip, entity decode with `&amp;` last,
+    * whitespace collapse) — every pattern RE2-compatible, so the oracle
+    * runs the identical `regexp_replace` chain. */
+  def q125HtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><style>p{color:red}</style><script>var x=1<2;</script></head><body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><!-- note --> A&amp;B &lt;tag&gt; 1&nbsp;2</body></html>"))
+    Curation.stripHtml(
+      t(spark, dir, "documents").select(col("doc_id"), html.as("html")),
+      "html", "clean_text")
+      .select("doc_id", "clean_text").orderBy("doc_id")
+  }
+
   /** Unicode NFC normalization (native codegen expression — Spark has no
     * builtin): canonically-equal text in different normal forms defeats
     * exact dedup (different bytes → different md5s/shingles), so curation
@@ -1528,6 +1544,7 @@ object Queries {
     "q122_jsonl_manifest" -> q122JsonlManifest _,
     "q123_corpus_diff" -> q123CorpusDiff _,
     "q124_nfc_normalize" -> q124NfcNormalize _,
+    "q125_html_strip" -> q125HtmlStrip _,
     "q120_bm25" -> q120Bm25 _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
@@ -1839,6 +1856,29 @@ object Queries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q125_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style><script>var x=1<2;</script></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        |    || '</p><!-- note --> A&amp;B &lt;tag&gt; 1&nbsp;2</body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'),
+        |    '&nbsp;', ' ', 'g'),
+        |    '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q124_nfc_normalize" ->
       """SELECT doc_id,
         |       nfc_normalize(text || ' caf' || 'e' || chr(769) || ' nfd') AS norm_text,

@@ -496,6 +496,35 @@ object Curation {
       .drop("_n_s", "_w_s", "_sum_w", "_target", "_u")
   }
 
+  /** HTML-to-text extraction — the step between crawl and every text
+    * operator here: script/style/comment blocks removed, tags become
+    * spaces, the five ubiquitous named entities (+ nbsp + &#39;) decode
+    * (`&amp;` LAST so `&amp;lt;` yields the literal `&lt;`, per the HTML
+    * spec's double-escaping), whitespace collapses. One codegen'd
+    * projection (chained `regexp_replace`, zero shuffles); every pattern
+    * is RE2-compatible with inline `(?is)` flags, so the DuckDB oracle
+    * runs the identical chain. NOT a browser-grade parser — it is the
+    * deterministic, engine-portable 99% case (malformed nesting degrades
+    * to extra whitespace, never to dropped text). */
+  def stripHtml(df: DataFrame, htmlCol: String, outCol: String = "text"): DataFrame = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?is)<script[^>]*>.*?</script>" -> " ",
+      "(?is)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]+>" -> " ",
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&nbsp;" -> " ",
+      "&amp;" -> "&",
+      "\\s+" -> " ")
+    val cleaned = steps.foldLeft(col(htmlCol)) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    df.withColumn(outCol, trim(cleaned))
+  }
+
   /** Snapshot diff between two corpus versions — the audit a dataset
     * release runs before publishing (what changed since v1?), and the
     * read-only complement of [[graft.operators.Merge]]'s MERGE upsert

@@ -105,6 +105,25 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("stripHtml: blocks, tags, entity order, double-escaping, malformed nesting") {
+    val cases = Seq(
+      1L -> "<p>plain</p>",
+      2L -> "<script>if (a<b) alert('x')</script>keep",     // inner < inside script
+      3L -> "A&amp;B and &amp;lt; stays escaped",           // double-escaped entity
+      4L -> "<style>p{}</style><!-- gone -->1&nbsp;2 &quot;q&quot; &#39;a&#39;",
+      5L -> "<div><p>no closing order</div></p>tail",       // malformed nesting
+      6L -> "x &lt;not-a-tag&gt; y")
+    val got = Curation.stripHtml(docs(cases: _*), "text", "clean")
+      .orderBy("doc_id").collect().map(_.getAs[String]("clean")).toSeq
+    assert(got == Seq(
+      "plain",
+      "keep",
+      "A&B and &lt; stays escaped",
+      "1 2 \"q\" 'a'",
+      "no closing order tail",
+      "x <not-a-tag> y"))
+  }
+
   test("corpusDiff: status per id, formatting-only edits are unchanged") {
     val old = docs(1L -> "Hello, World!", 2L -> "stays put", 3L -> "will vanish")
     val neu = docs(1L -> "hello   world", 2L -> "stays put edited", 4L -> "brand new")
