@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, ProductQuantizer, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, Urls, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Paths, ProductQuantizer, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, Urls, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1322,6 +1322,14 @@ object Queries {
       t(spark, dir, "documents").select(col("doc_id"), col("text")),
       Seq("doc_id"), budgetBytes = 65536L)
 
+  /** Top-15 session paths (first 5 event types per 30-min-gap session,
+    * joined with `->`), ranked by frequency — the discovery twin of
+    * q68's prescribed funnel. Exact SQL oracle (same session rule as
+    * q21, ordered string_agg). */
+  def q126TopPaths(spark: SparkSession, dir: String): DataFrame =
+    Paths.topPaths(t(spark, dir, "events"), "user_id", "ts", "event_type",
+      gapSeconds = 1800L, tiebreak = "event_id", maxSteps = 5, k = 15)
+
   /** HTML-to-text extraction over a deterministically built page wrapper
     * (script/style/comment/tag strip, entity decode with `&amp;` last,
     * whitespace collapse) — every pattern RE2-compatible, so the oracle
@@ -1545,6 +1553,7 @@ object Queries {
     "q123_corpus_diff" -> q123CorpusDiff _,
     "q124_nfc_normalize" -> q124NfcNormalize _,
     "q125_html_strip" -> q125HtmlStrip _,
+    "q126_top_paths" -> q126TopPaths _,
     "q120_bm25" -> q120Bm25 _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
@@ -1856,6 +1865,30 @@ object Queries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q126_top_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |                               ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM sessions
+        |), paths AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '->' ORDER BY ts ASC, event_id ASC) AS path
+        |  FROM ranked WHERE rn <= 5 GROUP BY user_id, session_id
+        |)
+        |SELECT path, COUNT(*) AS n_sessions FROM paths
+        |GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 15""".stripMargin,
     "q125_html_strip" ->
       """WITH h AS (
         |  SELECT doc_id,
