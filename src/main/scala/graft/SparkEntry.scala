@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.multimodal.Binary
-import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Paths, ProductQuantizer, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, Urls, VectorIndex}
+import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Graph, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Paths, ProductQuantizer, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, Urls, VectorIndex}
 import graft.sinks.{CsvSink, ParquetSink}
 import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1330,6 +1330,27 @@ object Queries {
     Paths.topPaths(t(spark, dir, "events"), "user_id", "ts", "event_type",
       gapSeconds = 1800L, tiebreak = "event_id", maxSteps = 5, k = 15)
 
+  /** PageRank over the purchase graph: customer → supplier edges from
+    * orders⋈lineitem, plus supplier → customer back-edges on returned
+    * items (l_returnflag = 'R') so the graph is cyclic with genuine
+    * dangling nodes (suppliers nobody returned to). Fixed 5 iterations;
+    * ranks scaled to mean 1 and rounded so both engines' IEEE results
+    * collide at 6 decimals. */
+  def q127PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val joined = t(spark, dir, "orders").join(
+      t(spark, dir, "lineitem"),
+      col("o_orderkey") === col("l_orderkey"))
+    val supplierNode = col("l_suppkey") + lit(1000000L)
+    val fwd = joined.select(col("o_custkey").as("src"), supplierNode.as("dst"))
+    val back = joined.where(col("l_returnflag") === lit("R"))
+      .select(supplierNode.as("src"), col("o_custkey").as("dst"))
+    val pr = Graph.pageRank(fwd.unionAll(back), "src", "dst",
+      iters = 5, damping = 0.85)
+    val n = pr.count().toDouble
+    pr.select(col("node"), round(col("rank") * lit(n), 6).as("rank_n"))
+      .orderBy("node")
+  }
+
   /** HTML-to-text extraction over a deterministically built page wrapper
     * (script/style/comment/tag strip, entity decode with `&amp;` last,
     * whitespace collapse) — every pattern RE2-compatible, so the oracle
@@ -1554,6 +1575,7 @@ object Queries {
     "q124_nfc_normalize" -> q124NfcNormalize _,
     "q125_html_strip" -> q125HtmlStrip _,
     "q126_top_paths" -> q126TopPaths _,
+    "q127_pagerank" -> q127PageRank _,
     "q120_bm25" -> q120Bm25 _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
@@ -1568,7 +1590,45 @@ object Queries {
     "q73_frame_overlap" -> q73FrameOverlap _
   )
 
+  /** Unrolled fixed-iteration PageRank twin of [[q127PageRank]]: DuckDB
+    * recursive CTEs forbid aggregates over the recursive reference, so the
+    * five iterations are generated as chained CTEs. All literals carry the
+    * `e0` suffix (DuckDB parses bare decimals as DECIMAL, which would
+    * diverge from Spark's IEEE doubles); the per-iteration ops — 1/outdeg
+    * weight, per-dst sum, (1-d)/n + d*(c + dm/n) — mirror
+    * [[graft.operators.Graph.pageRank]] term for term. */
+  private def pageRankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH eraw AS (
+      |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  UNION ALL
+      |  SELECT l_suppkey + 1000000 AS src, o_custkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_returnflag = 'R'),
+      |edges AS (SELECT DISTINCT src, dst FROM eraw),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |pr0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    for (k <- 0 until iters) {
+      sb ++= s""",
+      |dang$k AS (SELECT coalesce(sum(rank), 0.0e0) AS dm FROM pr$k
+      |  WHERE node NOT IN (SELECT src FROM deg)),
+      |con$k AS (SELECT e.dst AS node, sum(p.rank * (1.0e0 / d.outdeg)) AS c
+      |  FROM pr$k p JOIN edges e ON p.node = e.src JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst),
+      |pr${k + 1} AS (SELECT n.node,
+      |    (1.0e0 - 0.85e0) / (SELECT n FROM nn)
+      |    + 0.85e0 * (coalesce(c.c, 0.0e0) + (SELECT dm FROM dang$k) / (SELECT n FROM nn)) AS rank
+      |  FROM nodes n LEFT JOIN con$k c ON n.node = c.node)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_n FROM pr$iters ORDER BY node"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q127_pagerank" -> pageRankOracle(5),
     "q01_sas_keep_rename" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

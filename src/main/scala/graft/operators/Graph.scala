@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative link-graph ranking — the crawl-side quality signal family
+  * (Common Crawl ranks hosts by centrality before page-level filters run;
+  * reference analog: wrds2pg has no graph surface — this extends the
+  * curation stack the way [[Curation.qualityFlags]] extends its absent
+  * text stats).
+  *
+  * Scale shape: the adjacency (src, dst, 1/outdeg) is built once,
+  * hash-partitioned by `src`, and persisted — every iteration's
+  * contribution join then shuffles ONLY the rank vector (n rows of
+  * (long, double)) onto that fixed layout; the edge set, the big side at
+  * crawl scale (edges >> nodes), never moves again. Per iteration the
+  * work is one rank-by-src shuffle, one map-side-combining sum per dst,
+  * and one broadcast-friendly left join back onto the node set. The
+  * dangling mass is a driver-side scalar per iteration (one tiny
+  * aggregate over the rank vector, the [[graft.SparkEntry]] DSIR-totals
+  * pattern) so the per-node update is a pure projection. Each iteration
+  * materializes and persists its rank vector and unpersists the
+  * predecessor, so lineage never re-executes; for iteration counts far
+  * beyond the PageRank-typical tens, callers should additionally
+  * `localCheckpoint` every ~20 rounds to bound plan depth.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list, `iters` fixed power iterations
+    * with teleport damping `d`:
+    *
+    *   r_{k+1}(v) = (1-d)/N + d * ( Σ_{(u,v)∈E} r_k(u)/outdeg(u) + D_k/N )
+    *
+    * where D_k is the total rank mass on dangling nodes (no out-edges) —
+    * redistributed uniformly, the standard stochastic-matrix completion,
+    * so Σ r = 1 is invariant. Parallel edges collapse (DISTINCT) before
+    * degrees are taken; the node set is every id appearing as src or dst.
+    * Fixed-iteration (not convergence-tested) so the result is exactly
+    * reproducible in any engine with IEEE doubles.
+    *
+    * Returns (node LONG, rank DOUBLE); the result is left persisted (n
+    * rows) for the caller to consume.
+    */
+  def pageRank(
+      edgesIn: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"pageRank: damping must be in (0, 1), got $damping")
+    val edges = edgesIn
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // per-edge contribution weight 1/outdeg, fixed src layout for every
+    // iteration's join
+    val adj = edges.join(deg, "src")
+      .select(col("src"), col("dst"),
+        (lit(1.0) / col("outdeg")).as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    // nodes with no out-edges: their mass teleports uniformly each round
+    val dangling = nodes
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_semi")
+      .select(col("node"))
+    val danglingSet = nodes.join(dangling, Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    for (_ <- 1 to iters) {
+      val dm = ranks.join(danglingSet, Seq("node"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)))
+        .head.getDouble(0)
+      val contribs = ranks
+        .join(adj, ranks("node") === adj("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("w")).as("c"))
+        .withColumnRenamed("dst", "node")
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dm / n))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+}

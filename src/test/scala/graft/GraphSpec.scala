@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side power-iteration twin of [[Graph.pageRank]] — the same
+    * formulation (distinct edges, dangling mass redistributed uniformly)
+    * in plain Scala, so the distributed result must agree to float noise. */
+  private def model(
+      edges: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length.toDouble
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val in = e.groupBy(_._2)
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filter(v => !outdeg.contains(v)).map(r).sum
+      r = nodes.map { v =>
+        val c = in.getOrElse(v, Nil).map { case (s, _) => r(s) / outdeg(s) }.sum
+        v -> ((1.0 - d) / n + d * (c + dm / n))
+      }.toMap
+    }
+    r
+  }
+
+  /** Cyclic 5-node graph with a dangling sink (4 has no out-edges) and a
+    * parallel edge (0→1 twice) that must collapse. */
+  private val g = Seq(
+    (0L, 1L), (0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (2L, 3L),
+    (3L, 0L), (3L, 4L), (1L, 4L))
+
+  private def run(edges: Seq[(Long, Long)], iters: Int, d: Double = 0.85) =
+    Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters, d)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank matches the driver power-iteration model on a cyclic graph with a sink") {
+    for (iters <- Seq(1, 3, 5)) {
+      val got = run(g, iters)
+      val want = model(g, iters, 0.85)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-12, s"node $v at iters=$iters")
+      }
+    }
+  }
+
+  test("rank mass is conserved at 1 (dangling mass redistributed, not lost)") {
+    val got = run(g, 5)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("all-dangling target side: a pure bipartite graph still sums to 1 and ranks in-link mass") {
+    // 1,2,3 → 10 and 3 → 11: node 10 has three in-links, 11 one; both dangle.
+    val bi = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L))
+    val got = run(bi, 4)
+    val want = model(bi, 4, 0.85)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"node $v") }
+    assert(got(10L) > got(11L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("hub gains rank: the node every other node links to ranks highest") {
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (9L, 1L))
+    val got = run(star, 5)
+    assert(got(9L) === got.values.max)
+  }
+
+  test("damping and iteration validation") {
+    intercept[IllegalArgumentException](run(g, 0))
+    intercept[IllegalArgumentException](run(g, 3, d = 1.0))
+  }
+
+  test("null endpoints are dropped, not ranked") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]))
+      .toDF("s", "t")
+    val got = Graph.pageRank(df, "s", "t", 2).as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L))
+  }
+}
