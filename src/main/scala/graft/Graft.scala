@@ -418,4 +418,61 @@ object Graft {
       Seq(idCol), "left_anti")
     Curation.chunkWords(clean, idCol, textCol, chunkSize, overlap)
   }
+
+  /** Per-document disposition audit of [[curateCorpus]] — the lineage
+    * report a dataset release ships alongside the corpus: every input doc
+    * gets exactly one row saying whether it survived and, if not, the
+    * FIRST stage that dropped it and why.
+    *
+    * Returns (id, disposition, dup_of, contam_frac) where disposition ∈
+    * {'quality', 'duplicate', 'contaminated', 'kept'}; `dup_of` names the
+    * surviving twin for duplicates; `contam_frac` carries the measured
+    * benchmark overlap for dedup winners (contaminated AND kept rows, so
+    * the margin to the threshold is visible).
+    *
+    * Same stage semantics (and the same operators) as [[curateCorpus]]:
+    * PII-redacted text feeds quality gating, exact dedup keeps the min id
+    * per redacted text, and n-gram contamination runs over winners only.
+    * Scale shape: every join is an id- or text-keyed equi-join; the only
+    * corpus-sized shuffles are the dedup groupBy and the final id-keyed
+    * assembly — no stage moves more than (id, small columns) once the
+    * redacted text has served its stage.
+    */
+  def curateCorpusAudit(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, maxContam: Double = 0.2): DataFrame = {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.{lit, min, when}
+    val spread = graft.core.Par.fanOut(docs.select(col(idCol), col(textCol)))
+    val scrubbed = Curation.redactPii(spread, idCol, textCol)
+      .withColumnRenamed("clean_text", textCol)
+      .select(col(idCol), col(textCol))
+    val keepFlags = Curation.qualityFlags(scrubbed, idCol, textCol)
+      .select(col(idCol), col("keep"))
+    val qualityPass = scrubbed.join(
+      keepFlags.where(col("keep") === 1).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val winners = qualityPass.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("_dup_of"))
+    val dupMap = qualityPass.join(winners, Seq(textCol))
+      .select(col(idCol), col("_dup_of"))
+    val winnerDocs = qualityPass.join(
+      dupMap.where(col(idCol) === col("_dup_of")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val contam = Curation.ngramContamination(
+        winnerDocs, benchmark, idCol, textCol, hashGrams = true)
+      .select(col(idCol), col("contam_frac"))
+    docs.select(col(idCol))
+      .join(keepFlags, Seq(idCol), "left")
+      .join(dupMap, Seq(idCol), "left")
+      .join(contam, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("keep") === 0, lit("quality"))
+          .when(col(idCol) =!= col("_dup_of"), lit("duplicate"))
+          .when(col("contam_frac") >= maxContam, lit("contaminated"))
+          .otherwise(lit("kept")).as("disposition"),
+        when(col(idCol) =!= col("_dup_of"), col("_dup_of")).as("dup_of"),
+        when(col(idCol) === col("_dup_of"), col("contam_frac"))
+          .as("contam_frac"))
+  }
 }

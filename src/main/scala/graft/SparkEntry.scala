@@ -1351,6 +1351,19 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Per-document curation lineage over the same corpus/benchmark split as
+    * [[q93CurateCorpus]]: one row per input doc naming the first stage
+    * that dropped it (quality / duplicate / contaminated) or 'kept'. */
+  def q128CurationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Graft.curateCorpusAudit(
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0).select("doc_id", "text"),
+      "doc_id", "text",
+      docs.where(pmod(col("doc_id"), lit(97)) === 0).select("doc_id", "text"),
+      maxContam = 0.2)
+      .orderBy("doc_id")
+  }
+
   /** HTML-to-text extraction over a deterministically built page wrapper
     * (script/style/comment/tag strip, entity decode with `&amp;` last,
     * whitespace collapse) — every pattern RE2-compatible, so the oracle
@@ -1576,6 +1589,7 @@ object Queries {
     "q125_html_strip" -> q125HtmlStrip _,
     "q126_top_paths" -> q126TopPaths _,
     "q127_pagerank" -> q127PageRank _,
+    "q128_curation_audit" -> q128CurationAudit _,
     "q120_bm25" -> q120Bm25 _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
@@ -1629,6 +1643,52 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q127_pagerank" -> pageRankOracle(5),
+    "q128_curation_audit" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g') AS text
+        |  FROM corpus),
+        |w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM red),
+        |f AS (
+        |  SELECT doc_id, text, words,
+        |    (n BETWEEN 20 AND 80 AND mwl >= 4.2 AND mwl <= 4.8
+        |     AND stopr >= 0.02 AND distr >= 0.35) AS keep
+        |  FROM (
+        |    SELECT doc_id, text, words, len(words) AS n,
+        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)/len(words) AS mwl,
+        |      CAST(len(list_filter(words, t -> list_contains(['the','a','an','and','of','is','in','to'], t))) AS DOUBLE)/len(words) AS stopr,
+        |      CAST(len(list_distinct(words)) AS DOUBLE)/len(words) AS distr
+        |    FROM w)),
+        |q AS (SELECT doc_id, text, words FROM f WHERE keep),
+        |win AS (SELECT text, min(doc_id) AS dup_of FROM q GROUP BY text),
+        |d AS (SELECT q.doc_id, q.words, win.dup_of FROM q JOIN win ON q.text = win.text),
+        |dw AS (SELECT doc_id, words FROM d WHERE doc_id = dup_of),
+        |gi AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS g
+        |       FROM dw WHERE len(words) >= 3),
+        |gr AS (SELECT doc_id, array_to_string(words[g:g+2], ' ') AS ng FROM gi),
+        |bw AS (SELECT string_split_regex(trim(text), '\s+') AS words FROM bench),
+        |bgi AS (SELECT words, unnest(generate_series(1, len(words)-2)) AS g
+        |        FROM bw WHERE len(words) >= 3),
+        |bgr AS (SELECT DISTINCT array_to_string(words[g:g+2], ' ') AS ng FROM bgi),
+        |contam AS (
+        |  SELECT dg.doc_id, CAST(count(b.ng) AS DOUBLE)/count(*) AS cf
+        |  FROM (SELECT DISTINCT doc_id, ng FROM gr) dg LEFT JOIN bgr b ON dg.ng = b.ng
+        |  GROUP BY 1)
+        |SELECT f.doc_id,
+        |  CASE WHEN NOT f.keep THEN 'quality'
+        |       WHEN f.doc_id <> d.dup_of THEN 'duplicate'
+        |       WHEN coalesce(c.cf, 0) >= 0.2 THEN 'contaminated'
+        |       ELSE 'kept' END AS disposition,
+        |  CASE WHEN f.keep AND f.doc_id <> d.dup_of THEN d.dup_of END AS dup_of,
+        |  CASE WHEN f.keep AND f.doc_id = d.dup_of THEN round(c.cf, 6) END AS contam_frac
+        |FROM f LEFT JOIN d ON f.doc_id = d.doc_id
+        |       LEFT JOIN contam c ON f.doc_id = c.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "q01_sas_keep_rename" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

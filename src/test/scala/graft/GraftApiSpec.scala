@@ -131,4 +131,40 @@ class GraftApiSpec extends AnyFunSuite {
     assert(doc1.contains("<EMAIL>") && !doc1.contains("bob@example.com"))
     assert(byDoc(3L).length == 2 && byDoc(3L)(0).split(" ").length == 16)
   }
+
+  test("curateCorpusAudit: one disposition per doc, consistent with curateCorpus") {
+    val s = spark
+    import s.implicits._
+    def good(tag: String) =
+      ((1 to 20).map(i => f"${tag}wd$i%02d") ++ Seq("the", "a", "of", "is", "in"))
+        .mkString(" ")
+    val bench = Seq(100L -> good("x")).toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> (good("a") + " reach me at bob@example.com"),
+      2L -> "way too short",
+      3L -> good("b"),
+      4L -> good("b"),
+      5L -> good("x")
+    ).toDF("doc_id", "text")
+    val audit = Graft.curateCorpusAudit(docs, "doc_id", "text", bench, maxContam = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(audit.keySet === Set(1L, 2L, 3L, 4L, 5L)) // every input doc, exactly once
+    assert(audit(1L)._1 === "kept")
+    assert(audit(2L) === (("quality", None, None)))
+    assert(audit(3L)._1 === "kept")
+    assert(audit(4L) === (("duplicate", Some(3L), None)))
+    assert(audit(5L)._1 === "contaminated" && audit(5L)._3.exists(_ >= 0.2))
+    // kept docs carry their measured margin to the threshold
+    assert(audit(1L)._3.exists(_ < 0.2) && audit(3L)._3.exists(_ < 0.2))
+    // lineage agrees with the pipeline: audit's kept set IS the doc set
+    // curateCorpus emits chunks for
+    val kept = audit.collect { case (id, ("kept", _, _)) => id }.toSet
+    val survived = Graft.curateCorpus(docs, "doc_id", "text", bench,
+      maxContam = 0.2, chunkSize = 16, overlap = 0)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept === survived)
+  }
 }
