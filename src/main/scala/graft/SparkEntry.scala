@@ -523,6 +523,16 @@ object Queries {
     Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
       .orderBy("a", "b")
 
+  /** q31's exact output through the prefix-filtered candidate path
+    * (Chaudhuri et al. ICDE'06): candidates from a prefix×prefix join over
+    * each doc's (1−τ)-fraction smallest shingle hashes, verification
+    * restricted to candidate docs. Same oracle as q31 — the filter is
+    * provably lossless. */
+  def q129JaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, tau = 0.6)
+      .orderBy("a", "b")
+
   /** Embedding cosine near-dup pairs at tau=0.45 (exact; oracle-checked). */
   def q34DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
@@ -1523,6 +1533,7 @@ object Queries {
     "q47_histogram" -> q47Histogram _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_dedup_ngram" -> q31DedupNgram _,
+    "q129_jaccard_prefix" -> q129JaccardPrefix _,
     "q32_dedup_minhash" -> q32DedupMinhash _,
     "q33_dedup_simhash" -> q33DedupSimhash _,
     "q34_dedup_embedding" -> q34DedupEmbedding _,
@@ -1641,8 +1652,33 @@ object Queries {
     sb.toString
   }
 
+  /** Shared by q31 (shingle equi-join) and q129 (prefix-filtered): both
+    * compute the identical exact pair set, so one oracle pins both. */
+  private val ngramJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |           list_transform(range(1, len(w) - 1),
+      |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(w) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM (
+      |  SELECT a, b,
+      |         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+      |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+      |             JOIN sizes sb ON pairs.b = sb.doc_id)
+      |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q127_pagerank" -> pageRankOracle(5),
+    // q129 is q31's exact output via the lossless prefix filter — same oracle
+    "q129_jaccard_prefix" -> ngramJaccardOracle,
     "q128_curation_audit" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
@@ -2132,26 +2168,7 @@ object Queries {
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |WHERE d.doc_id % 97 <> 0
         |ORDER BY d.doc_id""".stripMargin,
-    "q31_dedup_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |           list_transform(range(1, len(w) - 1),
-        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-        |  FROM toks WHERE len(w) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM (
-        |  SELECT a, b,
-        |         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
-        |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
-        |             JOIN sizes sb ON pairs.b = sb.doc_id)
-        |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+    "q31_dedup_ngram" -> ngramJaccardOracle,
     "q34_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

@@ -301,6 +301,72 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard pairs — same output as
+    * [[ngramJaccardPairs]], far fewer candidate pairs at corpus scale.
+    *
+    * The shared-shingle equi-join generates one candidate row per COMMON
+    * shingle of every meeting pair; near-duplicate pairs (the very pairs
+    * we're hunting) share most of their shingles, so the candidate volume
+    * is ~Σ common(a,b) — quadratic in similarity density. The prefix
+    * filter (Chaudhuri/Ganti/Kaushik, ICDE 2006; Xiao et al.'s PPJoin
+    * family builds on it) cuts that to at most one meeting per pair and
+    * joins only a (1−τ)-fraction of each document's shingles:
+    *
+    * Under ANY fixed global order of the shingle universe (here: hash
+    * numeric order), if J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and by
+    * pigeonhole the smallest common shingle must lie within the first
+    * |A| − ⌈τ·|A|⌉ + 1 shingles of A AND the first |B| − ⌈τ·|B|⌉ + 1 of B
+    * — so joining prefix×prefix loses no qualifying pair. Verification
+    * then counts TRUE intersections only for docs that produced a
+    * candidate: the full shingle sets are semi-joined down to candidate
+    * docs before the counting join, and the counting join itself is
+    * semi-joined to the candidate pair list (broadcast — near-dup
+    * candidates are edge-bounded), so no non-candidate pair is ever
+    * counted. Exact completeness AND exact precision; the corpus-wide
+    * shuffle carries only prefix hashes.
+    *
+    * τ·|A| is computed with a 1e-9 downward guard before ⌈⌉ so a binary
+    * rounding error can only LENGTHEN a prefix (safe), never shorten it. */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame =
+    ngramJaccardPairsPrefixFromHashes(shingleHashes(df, idCol, textCol, n).cache(), tau)
+
+  /** Candidate pairs (a, b) from the prefix×prefix join alone — exposed so
+    * the spec can measure the candidate reduction vs the full equi-join. */
+  private[graft] def prefixCandidates(sh: DataFrame, tau: Double): DataFrame = {
+    val prefix = sh.groupBy("_id")
+      .agg(sort_array(collect_list(col("sh"))).as("_hs"), count(lit(1)).as("sz"))
+      .withColumn("_plen",
+        (col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + lit(1)).cast("int"))
+      .select(col("_id"), explode(slice(col("_hs"), lit(1), col("_plen"))).as("sh"))
+    prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
+      .where(col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
+      .distinct()
+  }
+
+  /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh) intermediate. */
+  def ngramJaccardPairsPrefixFromHashes(sh: DataFrame, tau: Double): DataFrame = {
+    val cands = prefixCandidates(sh, tau)
+    val candIds = cands.select(col("a").as("_id"))
+      .unionByName(cands.select(col("b").as("_id"))).distinct()
+    val shc = sh.join(broadcast(candIds), Seq("_id"))
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
+    val common = shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh"))
+      .where(col("x._id") < col("y._id"))
+      .join(broadcast(cands),
+        col("x._id") === col("a") && col("y._id") === col("b"), "left_semi")
+      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("sz", "sa"), "a")
+      .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("sz", "sb"), "b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sa") + col("sb") - col("common")))
+      .where(col("jaccard") >= tau)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Connected components over an undirected edge list, as (id, comp) with
     * comp = the minimum node id reachable from `id`.
     *

@@ -55,6 +55,46 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tieCap"))
   }
 
+  test("prefix-filtered jaccard equals the full equi-join at every tau, with fewer candidates") {
+    // randomized corpus with planted mutation families: doc i and its copies
+    // at increasing edit counts span similarities from ~0.95 down past any
+    // tested tau, so every threshold cuts INSIDE a family.
+    val rnd = new scala.util.Random(11L)
+    val vocab = (0 until 200).map(i => f"w$i%03d")
+    val base = (0 until 25).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val mutated = base.flatMap { case (id, text) =>
+      (1 to 3).map { m =>
+        val w = text.split(" ")
+        (0 until m * 3).foreach(_ => w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size)))
+        (id + 1000L * m, w.mkString(" "))
+      }
+    }
+    // exact copies keep every tau (incl. 1.0) non-vacuous
+    val copies = base.take(5).map { case (id, tx) => (id + 5000L, tx) }
+    val corpus = (base ++ mutated ++ copies).toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.6, 0.8, 1.0)) {
+      val sh = Dedup.shingleHashes(corpus, "doc_id", "text", n = 3).cache()
+      val exp = Dedup.ngramJaccardPairsFromHashes(sh, tau)
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      val got = Dedup.ngramJaccardPairsPrefixFromHashes(sh, tau)
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      assert(got == exp, s"tau=$tau")
+      if (tau >= 0.6) {
+        // candidate pairs from prefixes alone must undercut the full
+        // equi-join's distinct meeting pairs — the whole point of the filter
+        val full = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
+          .where(col("x._id") < col("y._id"))
+          .select(col("x._id"), col("y._id")).distinct().count()
+        val pref = Dedup.prefixCandidates(sh, tau).count()
+        assert(pref < full, s"tau=$tau: prefix $pref !< full $full")
+      }
+      assert(exp.nonEmpty, s"tau=$tau cut above every planted pair")
+      sh.unpersist()
+    }
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact ngram jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
       .orderBy("a", "b").as[(Long, Long, Double)].collect()
