@@ -16,14 +16,14 @@ import org.apache.spark.storage.StorageLevel
   * (long, double)) onto that fixed layout; the edge set, the big side at
   * crawl scale (edges >> nodes), never moves again. Per iteration the
   * work is one rank-by-src shuffle, one map-side-combining sum per dst,
-  * and one broadcast-friendly left join back onto the node set. The
-  * dangling mass is a driver-side scalar per iteration (one tiny
-  * aggregate over the rank vector, the [[graft.SparkEntry]] DSIR-totals
-  * pattern) so the per-node update is a pure projection. Each iteration
-  * materializes and persists its rank vector and unpersists the
-  * predecessor, so lineage never re-executes; for iteration counts far
-  * beyond the PageRank-typical tens, callers should additionally
-  * `localCheckpoint` every ~20 rounds to bound plan depth.
+  * and one broadcast-friendly left join back onto the node set — ONE
+  * Spark job total: the contribution vector is persisted and its sum
+  * (which determines the dangling mass, since Σ rank = 1 is invariant
+  * and every non-dangling node emits exactly its own rank) is taken in
+  * the same action, the [[graft.SparkEntry]] DSIR-totals pattern. The
+  * rank vector itself is never materialized mid-loop — it stays a
+  * constant-depth lazy projection over the persisted contribs, so
+  * lineage cannot grow with the iteration count.
   */
 object Graph {
 
@@ -66,33 +66,36 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
-    // nodes with no out-edges: their mass teleports uniformly each round
-    val dangling = nodes
-      .join(deg.select(col("src").as("node")), Seq("node"), "left_semi")
-      .select(col("node"))
-    val danglingSet = nodes.join(dangling, Seq("node"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE job per iteration: materialize the contribution vector and take
+    // its total in the same action. The dangling mass needs no dangling-set
+    // join — Σ rank is 1.0 by construction every round (the stochastic
+    // completion preserves it), and each non-dangling node contributes
+    // exactly its rank (Σ_v 1/outdeg = 1), so D_k = 1 − Σ contribs. The
+    // rank vector itself stays a LAZY projection over the persisted
+    // contribs (constant plan depth: nodes ⋈ cached contribs), so no
+    // per-iteration rank persist/count is needed.
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+    var prevContribs: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val dm = ranks.join(danglingSet, Seq("node"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0)))
-        .head.getDouble(0)
       val contribs = ranks
         .join(adj, ranks("node") === adj("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("w")).as("c"))
         .withColumnRenamed("dst", "node")
-      val next = nodes.join(contribs, Seq("node"), "left")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val outMass = contribs.agg(coalesce(sum("c"), lit(0.0)))
+        .head.getDouble(0) // populates the cache — the iteration's one job
+      val dm = 1.0 - outMass
+      prevContribs.foreach(_.unpersist())
+      prevContribs = Some(contribs)
+      ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + lit(dm / n))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist()
-      ranks = next
     }
-    ranks
+    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    prevContribs.foreach(_.unpersist())
+    out
   }
 }

@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   * side's feature explode runs exactly once for statistics (a lazy
   * two-branch formulation recomputed the full feature scan per total;
   * the spec pins the single-scan plan). Totals become literals — no
-  * scalar crossJoins in the plan at all. The only corpus-sized shuffle
-  * is the per-document weight aggregate, and the final top-k is a
-  * TakeOrdered (no global sort). The feature explode fans out first
+  * scalar crossJoins in the plan at all. The raw side's (id, bucket)
+  * rows are persisted so ONE explode feeds both its counts and the
+  * scoring join (previously two full text scans). The only corpus-sized
+  * shuffle is the per-document weight aggregate, and the final top-k is
+  * a TakeOrdered (no global sort). The feature explode fans out first
   * ([[graft.core.Par.fanOut]] — no-op on split inputs).
   */
 object Importance {
@@ -68,10 +70,9 @@ object Importance {
     // driver-fit is already required, and collecting them once means one
     // statistics scan per side (a lazy totals branch re-ran the full
     // feature explode — measured, no exchange reuse survived pruning).
-    def bucketCounts(df: DataFrame, cnt: String): (DataFrame, Long) = {
-      val spark = df.sparkSession
-      val rows = featureRows(df.select(col(textCol)), textCol)
-        .select(bucket(col("f")).as("_b"))
+    def countsFrom(bucketed: DataFrame, cnt: String): (DataFrame, Long) = {
+      val spark = bucketed.sparkSession
+      val rows = bucketed
         .groupBy(col("_b")).agg(count(lit(1)).as(cnt))
         .collect()
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -83,8 +84,21 @@ object Importance {
         java.util.Arrays.asList(rows: _*), schema),
         rows.map(_.getLong(1)).sum)
     }
-    val (ct, nt) = bucketCounts(target, "_ct")
-    val (cr, nr) = bucketCounts(raw, "_cr")
+    val (ct, nt) = countsFrom(
+      featureRows(target.select(col(textCol)), textCol)
+        .select(bucket(col("f")).as("_b")), "_ct")
+    // The raw side feeds BOTH its bucket counts and the scoring join, so
+    // its (id, bucket) rows are exploded+md5-hashed ONCE and persisted;
+    // the counts collect doubles as the cache-populating action. The
+    // cached rows are exactly what the scoring shuffle carries anyway —
+    // this trades a full second text scan (tokenize + md5 per feature)
+    // for a spill-able cache of the same volume.
+    val rawRows = featureRows(
+      graft.core.Par.fanOut(raw.select(col(idCol), col(textCol))),
+      textCol, col(idCol))
+      .select(col(idCol), bucket(col("f")).as("_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cr, nr) = countsFrom(rawRows, "_cr")
 
     // identical float shape to the oracle: one ln per side of an exact
     // integer ratio, subtract, 6dp DECIMAL before the per-doc sum
@@ -97,10 +111,7 @@ object Importance {
     val u = (Sampling.hashBucket(col(idCol), 1000000) + lit(0.5)) / lit(1000000)
     val selKey = round(col("_slw").cast("double") + -log(-log(u)), 6)
 
-    featureRows(
-      graft.core.Par.fanOut(raw.select(col(idCol), col(textCol))),
-      textCol, col(idCol))
-      .select(col(idCol), bucket(col("f")).as("_b"))
+    rawRows
       .join(broadcast(ct), Seq("_b"), "left")
       .join(broadcast(cr), Seq("_b"), "left")
       .groupBy(col(idCol)).agg(
