@@ -101,14 +101,16 @@ object TextAnalysis {
     * lexical overlap.
     *
     * Scale shape: the QUERY set is the small side (benchmark suites are
-    * thousands of rows) and stays broadcast everywhere — the corpus
-    * postings shuffle ONCE, into the (id, term) tf aggregate; `_df` is an
-    * aggregate OF that aggregate's output (unique (id, term) pairs, no
-    * second corpus pass), immediately semi-joined to query terms so only
-    * matched-term df rows (≤ |query vocab|) broadcast back. The scored
-    * candidate set (postings ∩ query vocab) is the only other shuffle, by
-    * (query, doc), and the final top-k runs on the bounded
-    * [[graft.functions.TopK]] aggregate — no window sort over candidates.
+    * thousands of rows) and stays broadcast everywhere — the corpus NEVER
+    * shuffles: term frequency is intra-document state, so the postings
+    * list comes out of ONE fused per-partition tokenize pass
+    * ([[bm25PostsFused]], persisted; its stats sentinels double as the
+    * (_n, _sumdl) aggregate, so there is no second text scan either).
+    * `_df` counts postings already restricted to query terms (≤ |query
+    * vocab| rows shuffle), and the scored candidate set (postings ∩ query
+    * vocab) is the only other shuffle, by (query, doc); the final top-k
+    * runs on the bounded [[graft.functions.TopK]] aggregate — no window
+    * sort over candidates.
     *
     * Cross-engine exactness (the q105 discipline): every per-term score
     * is rounded to 6dp and cast to DECIMAL(20,6) BEFORE the sum, so
@@ -118,34 +120,88 @@ object TextAnalysis {
       corpus: org.apache.spark.sql.DataFrame, queries: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, qIdCol: String, qTextCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {
-    val sel = graft.core.Par.fanOut(
-      corpus.select(col(idCol).cast("long").as("_id"), tokens(lower(col(textCol))).as("_w")))
-    val posts = bm25Posts(sel)
-    val stats = sel.agg(count(lit(1)).as("_n"), sum(size(col("_w"))).as("_sumdl"))
+    // ONE fused tokenize pass, zero corpus shuffles: postings come out of
+    // [[bm25PostsFused]] per-partition (tf is intra-document state), the
+    // stats sentinels in the same cached pass replace the old second
+    // tokenize scan, and totals become literals (the DSIR pattern — no
+    // scalar crossJoin). The only shuffles left carry query-term rows.
+    val fused = bm25PostsFused(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statsRow = fused.where(col("term").isNull)
+      .agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+      .head() // populates the cache
+    val nDocs = statsRow.getLong(0)
+    val sumdl: Any = if (statsRow.isNullAt(1)) null else statsRow.getLong(1)
+    val posts = fused.where(col("term").isNotNull)
     val qterms = bm25QueryTerms(queries, qIdCol, qTextCol)
     // Restrict postings to query terms BEFORE the df count: per-term doc
     // counts are unchanged by a term filter, but the df shuffle now carries
     // only query-term postings instead of the full corpus vocabulary (the
     // dominant exchange at corpus scale — decontamination query sets are
-    // small). `filtered` appears in both branches over the same postings
-    // exchange, which the planner reuses; df keeps a map-side-combining
-    // groupBy so a stopword-heavy query term cannot pile one task high.
+    // small). Both branches read the SAME persisted fused pass; df keeps a
+    // map-side-combining groupBy so a stopword-heavy query term cannot
+    // pile one task high.
     val filtered = posts.join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val dfreq = filtered.groupBy("term").agg(count(lit(1)).as("_df"))
     val cands = filtered
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .withColumn("_n", lit(nDocs))
+      .withColumn("_sumdl", lit(sumdl).cast("long"))
     bm25Rank(cands, k1, b, topK)
   }
 
   /** Tokenized corpus rows (`_id`, `_w`) → the BM25 postings list
-    * (`_id`, `_dl`, `term`, `_tf`) — the ONE corpus shuffle. */
-  private[operators] def bm25Posts(
+    * (`_id`, `_dl`, `term`, `_tf`) — the declarative (explode + shuffle)
+    * form, kept as the spec's independent model for [[bm25PostsFused]]. */
+  private[graft] def bm25Posts(
       sel: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     sel.select(col("_id"), size(col("_w")).as("_dl"), explode(col("_w")).as("term"))
       .where(col("term") =!= "")
       .groupBy("_id", "_dl", "term").agg(count(lit(1)).as("_tf"))
+
+  /** The postings list computed with ZERO shuffle: term frequency is
+    * intra-document state, and a document never spans rows, so one fused
+    * per-partition pass (tokenize → local hash count) emits exactly the
+    * rows the explode + groupBy shuffle produced. Each input row also
+    * emits one null-term sentinel carrying `_dl` (null for null text,
+    * mirroring `size(null)`), so corpus stats (_n, _sumdl) come from the
+    * SAME single tokenize — no second text scan, no stats branch
+    * re-execution. Tokenization reuses Spark's own UTF8String
+    * lower/trim (byte parity with the `tokens(lower(text))` column form
+    * by construction) and `split("\\s+", -1)` limit semantics. */
+  private[graft] def bm25PostsFused(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.core.Par.fanOut(
+      df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null)
+            Iterator.single((id, None: Option[Int], null: String, 0L))
+          else {
+            val u = org.apache.spark.unsafe.types.UTF8String
+              .fromString(text).toLowerCase.trim()
+            val arr = u.toString.split("\\s+", -1)
+            val tf = new java.util.LinkedHashMap[String, Long]()
+            var i = 0
+            while (i < arr.length) {
+              if (arr(i).nonEmpty) tf.merge(arr(i), 1L, Long.box(_) + _)
+              i += 1
+            }
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Option[Int], String, Long)]
+            out += ((id, Some(arr.length), null, 0L)) // stats sentinel
+            tf.forEach((t, c) => out += ((id, Some(arr.length), t, c)))
+            out.iterator
+          }
+        }
+      }
+      .toDF("_id", "_dl", "term", "_tf")
+  }
 
   /** Distinct (q_id, term) pairs of the query set — the broadcast side. */
   private[operators] def bm25QueryTerms(

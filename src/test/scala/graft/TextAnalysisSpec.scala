@@ -285,16 +285,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.toSeq == want)
   }
 
-  test("bm25TopK plan reuses the postings exchange across the df and score branches") {
+  test("fused postings equal the declarative explode+shuffle form, and are exchange-free") {
     val s = spark
     import s.implicits._
-    val corpus = (1L to 50L).map(i => i -> s"term$i shared common words here").toDF("doc_id", "text")
-    val queries = Seq(1L -> "shared common term3").toDF("doc_id", "text")
-    val out = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text", "doc_id", "text", topK = 5)
-    out.collect()
-    val plan = out.queryExecution.executedPlan.toString
-    assert("ReusedExchange".r.findAllIn(plan).nonEmpty,
-      "df-count branch must reuse the postings aggregate's exchange, not rescan+reshuffle")
+    import org.apache.spark.sql.functions.{col, count, lit, lower, size, sum}
+    // adversarial whitespace/case/unicode: tabs, newlines, runs of spaces,
+    // trailing blanks (split limit -1 semantics), empty and null text,
+    // repeated terms, non-ASCII uppercase
+    val corpus = Seq(
+      (1L, "Apple banana APPLE"),
+      (2L, "  leading and\ttab\nnewline trailing  "),
+      (3L, "\u00c9L\u00c9PHANT caf\u00e9 CAF\u00c9"),
+      (4L, ""),
+      (5L, null: String),
+      (6L, "x x x  y\t\ty")
+    ).toDF("doc_id", "text")
+    val sel = corpus.select(col("doc_id").cast("long").as("_id"),
+      TextAnalysis.tokens(lower(col("text"))).as("_w"))
+    val exp = TextAnalysis.bm25Posts(sel)
+      .as[(Long, Int, String, Long)].collect().toSet
+    val fused = TextAnalysis.bm25PostsFused(corpus, "doc_id", "text")
+    val got = fused.where(col("term").isNotNull)
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(got == exp)
+    // stats sentinels reproduce the old second-scan aggregate exactly,
+    // including the null-text row (counted in _n, null _dl skipped by sum)
+    val expStats = sel.agg(count(lit(1)), sum(size(col("_w")))).head()
+    val gotStats = fused.where(col("term").isNull)
+      .agg(count(lit(1)), sum(col("_dl"))).head()
+    assert(gotStats == expStats)
+    // the postings side must be shuffle-free: tf is intra-document state
+    val plan = fused.where(col("term").isNotNull)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx <= 1 && (nEx == 0 || plan.contains("REPARTITION")),
+      s"postings must not shuffle (fanOut repartition is the only allowed exchange):\n$plan")
   }
 }
 
