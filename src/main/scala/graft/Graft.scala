@@ -321,8 +321,8 @@ object Graft {
     * to drop looping/boilerplate docs whose per-word stats look healthy. */
   def dupNgramStats(
       df: DataFrame, idCol: String, textCol: String,
-      ns: Seq[Int] = Seq(2, 3, 4), hashGrams: Boolean = false): DataFrame =
-    graft.operators.Curation.dupNgramStats(df, idCol, textCol, ns, hashGrams)
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame =
+    graft.operators.Curation.dupNgramStats(df, idCol, textCol, ns)
 
   /** HTML-to-text extraction — the crawl-to-corpus step
     * ([[operators.Curation.stripHtml]]). */

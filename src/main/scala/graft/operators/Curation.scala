@@ -397,21 +397,73 @@ object Curation {
     * per-word stats ([[repetitionStats]]) miss — a doc can have a healthy
     * distinct-word ratio while cycling the same 3-gram.
     *
-    * Topology: ONE explode produces (doc, n, gram) for every requested n
-    * (the blow-up is Σ_n (L−n+1) ≈ |ns|·L rows, all map-side), then a hash
-    * aggregate on (doc, n, gram) — partial aggregation combines within the
-    * mapper, so the shuffle carries per-doc distinct grams, not token
-    * occurrences — and two doc-keyed reductions that ride the same
-    * partitioning. The fractions are integer ratios rounded at 6dp, so the
-    * DuckDB oracle reproduces them exactly.
-    *
-    * @param hashGrams shuffle 8-byte xxhash64 gram keys instead of gram
-    *        strings — the 100 TB default (the counts only need key
-    *        identity); identical modulo a 2^-64 per-pair collision chance
-    *        (spec-checked equal on real text). Keep strings when the
-    *        oracle must reproduce the keys.
+    * Topology: ZERO shuffles — every count here is intra-document state
+    * and a document never spans rows, so one fused per-partition pass
+    * (tokenize once, then a local gram→count map per n) emits the final
+    * per-doc fractions directly; there is no exploded intermediate and no
+    * gram ever crosses the wire. The fractions are integer ratios rounded
+    * at 6dp (Spark's valueOf + HALF_UP round), so the DuckDB oracle
+    * reproduces them exactly; [[dupNgramStatsModel]] keeps the
+    * explode + aggregate formulation as the spec's independent model.
+    * Ids are cast to long (the fused pass is typed); short docs (< min n
+    * words) and null text emit nothing, exactly like the model.
     */
   def dupNgramStats(
+      df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "need n-gram sizes >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nsL = ns.toList
+    graft.core.Par.fanOut(
+      df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = org.apache.spark.unsafe.types.UTF8String
+              .fromString(text).trim().toString.split("\\s+", -1)
+            val fr = nsL.map { n =>
+              if (toks.length < n) None
+              else {
+                val m = new java.util.HashMap[String, Long]()
+                val sb = new java.lang.StringBuilder
+                var i = 0
+                while (i <= toks.length - n) {
+                  sb.setLength(0)
+                  var j = 0
+                  while (j < n) {
+                    if (j > 0) sb.append(' ')
+                    sb.append(toks(i + j)); j += 1
+                  }
+                  m.merge(sb.toString, 1L, Long.box(_) + _)
+                  i += 1
+                }
+                var dup = 0L
+                m.values.forEach(c => if (c > 1) dup += c)
+                val total = (toks.length - n + 1).toDouble
+                // Spark round(double, 6) codegen: valueOf + HALF_UP
+                Some(java.math.BigDecimal.valueOf(dup / total)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+              }
+            }
+            if (fr.forall(_.isEmpty)) Iterator.empty
+            else Iterator.single((id, fr))
+          }
+        }
+      }
+      .toDF("_id", "_fr")
+      .select(col("_id").as(idCol) +:
+        nsL.zipWithIndex.map { case (n, i) =>
+          col("_fr")(i).as(s"dup_frac_$n") }: _*)
+  }
+
+  /** The declarative explode + shuffle form of [[dupNgramStats]] — kept as
+    * the spec's independent model (and the shape a SQL engine would run).
+    * @param hashGrams shuffle 8-byte xxhash64 gram keys instead of gram
+    *        strings; identical modulo a 2^-64 per-pair collision chance. */
+  private[graft] def dupNgramStatsModel(
       df: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(2, 3, 4), hashGrams: Boolean = false): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "need n-gram sizes >= 1")

@@ -59,16 +59,26 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out(2).getDouble(1) == 0.0 && out(2).isNullAt(2) && out(2).isNullAt(3))
   }
 
-  test("dupNgramStats: hashed-gram scale path matches the string path") {
+  test("dupNgramStats: fused pass equals the declarative model (both gram paths)") {
     val corpus = docs(
       1L -> "the quick brown fox jumps over the quick brown fox again and again",
       2L -> "alpha beta gamma alpha beta gamma alpha beta delta",
-      3L -> "one two three four five six seven eight nine ten")
-    val str = Curation.dupNgramStats(corpus, "doc_id", "text")
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "  tab\tand\nnewline  splits  like spaces tab\tand\nnewline  ",
+      5L -> "solo")
+    val fused = Curation.dupNgramStats(corpus, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
-    val hashed = Curation.dupNgramStats(corpus, "doc_id", "text", hashGrams = true)
+    val model = Curation.dupNgramStatsModel(corpus, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
-    assert(str == hashed)
+    val hashed = Curation.dupNgramStatsModel(corpus, "doc_id", "text", hashGrams = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(fused == model)
+    assert(fused == hashed)
+    // zero exchanges: repetition state never leaves its partition
+    val plan = Curation.dupNgramStats(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx <= 1 && (nEx == 0 || plan.contains("REPARTITION")), plan)
   }
 
   // independent model of cdcChunks' boundary rule, for differential checks
