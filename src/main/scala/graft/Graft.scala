@@ -263,8 +263,11 @@ object Graft {
 
   /** Okapi BM25 top-k retrieval of corpus docs per query
     * ([[operators.TextAnalysis.bm25TopK]]) — the
-    * decontamination-by-retrieval pass: broadcast benchmark queries,
-    * one corpus postings shuffle, ranked leak suspects out. */
+    * decontamination-by-retrieval pass: broadcast benchmark queries, a
+    * zero-shuffle fused postings pass, ranked leak suspects out. For a
+    * corpus that serves repeated retrieval rounds, build a materialized
+    * index once instead ([[operators.TextIndex]]) and search with
+    * bucket-pruned scans. */
   def bm25TopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, qIdCol: String, qTextCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame =

@@ -1186,6 +1186,21 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  /** q120's retrieval against a MATERIALIZED inverted index: postings
+    * built once, hive-partitioned by term-hash bucket; the search reads
+    * only the query terms' bucket directories (partition pruning,
+    * spec-checked by file count). Identical scores — same oracle. */
+  def q130TextIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = indexPath(dir, "text")
+    operators.TextIndex.write(
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+      path, buckets = 64)
+    operators.TextIndex.search(spark, path,
+      docs.where(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text")
+      .orderBy("q_id", "rank")
+  }
+
   /** Leakage-safe split: the q35 near-dup clusters as the split unit, so
     * near-copies never straddle train/val/test (the held-out set stays
     * honest). Oracle = q35's recursive-CTE clusters + q54's portable hash
@@ -1602,6 +1617,7 @@ object Queries {
     "q127_pagerank" -> q127PageRank _,
     "q128_curation_audit" -> q128CurationAudit _,
     "q120_bm25" -> q120Bm25 _,
+    "q130_text_index" -> q130TextIndex _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
@@ -1674,6 +1690,43 @@ object Queries {
       |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
       |             JOIN sizes sb ON pairs.b = sb.doc_id)
       |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+
+  /** Shared by q120 (ad-hoc BM25) and q130 (materialized text index). */
+  private val bm25Oracle: String =
+    """WITH c AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |), q AS (
+        |  SELECT doc_id AS q_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), posts AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM c)
+        |  WHERE term <> '' GROUP BY 1, 2, 3
+        |), stats AS (
+        |  SELECT COUNT(*) AS n, SUM(len(w)) AS sumdl FROM c
+        |), qterms AS (
+        |  SELECT DISTINCT q_id, term FROM (SELECT q_id, unnest(w) AS term FROM q)
+        |  WHERE term <> ''
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM posts GROUP BY 1
+        |), scored AS (
+        |  SELECT qt.q_id, p.doc_id,
+        |         SUM(CAST(ROUND(
+        |           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |           (p.tf * (1.2 + 1) /
+        |            (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / (CAST(s.sumdl AS DOUBLE) / s.n)))),
+        |           6) AS DECIMAL(20,6))) AS sc
+        |  FROM posts p
+        |  JOIN qterms qt USING (term)
+        |  JOIN dfreq d USING (term)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, CAST(sc AS DOUBLE) AS score FROM (
+        |  SELECT q_id, doc_id, sc,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q127_pagerank" -> pageRankOracle(5),
@@ -1986,41 +2039,10 @@ object Queries {
         |SELECT d.doc_id, CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
-    "q120_bm25" ->
-      """WITH c AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id % 97 <> 0
-        |), q AS (
-        |  SELECT doc_id AS q_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id % 97 = 0
-        |), posts AS (
-        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM c)
-        |  WHERE term <> '' GROUP BY 1, 2, 3
-        |), stats AS (
-        |  SELECT COUNT(*) AS n, SUM(len(w)) AS sumdl FROM c
-        |), qterms AS (
-        |  SELECT DISTINCT q_id, term FROM (SELECT q_id, unnest(w) AS term FROM q)
-        |  WHERE term <> ''
-        |), dfreq AS (
-        |  SELECT term, COUNT(*) AS df FROM posts GROUP BY 1
-        |), scored AS (
-        |  SELECT qt.q_id, p.doc_id,
-        |         SUM(CAST(ROUND(
-        |           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-        |           (p.tf * (1.2 + 1) /
-        |            (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / (CAST(s.sumdl AS DOUBLE) / s.n)))),
-        |           6) AS DECIMAL(20,6))) AS sc
-        |  FROM posts p
-        |  JOIN qterms qt USING (term)
-        |  JOIN dfreq d USING (term)
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2)
-        |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, CAST(sc AS DOUBLE) AS score FROM (
-        |  SELECT q_id, doc_id, sc,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q120_bm25" -> bm25Oracle,
+    // q130 searches a materialized index over the same corpus split with
+    // identical BM25 arithmetic — one oracle pins both
+    "q130_text_index" -> bm25Oracle,
     "q126_top_paths" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Materialized inverted text index — [[VectorIndex]]'s discipline applied
+  * to BM25 retrieval ([[TextAnalysis.bm25TopK]]).
+  *
+  * The ad-hoc `bm25TopK` re-tokenizes the whole corpus per query batch:
+  * fine for a one-shot decontamination sweep, a full scan wearing an index
+  * costume when the same corpus serves many retrieval rounds. Here the
+  * postings list is built ONCE (the same fused zero-shuffle pass) and
+  * written hive-partitioned by `bucket = pmod(xxhash64(term), B)`; a
+  * search then reads ONLY the bucket directories its query terms hash
+  * into — Catalyst partition pruning, no corpus scan — and scores the
+  * pruned postings with the identical BM25 arithmetic. Per-term document
+  * frequency is computed from the pruned postings and is EXACT: every
+  * posting of a term lives in that term's bucket by construction.
+  *
+  * Layout: `<path>/postings/bucket=<b>/…` (doc_id, dl, term, tf — `dl`
+  * denormalized into the posting row so scoring needs no doc-length
+  * join), plus `<path>/meta/` (one row: n_docs, sumdl, buckets). Corpus
+  * stats live in the sidecar because BM25's idf/avgdl are corpus-global —
+  * a search must not have to scan anything outside its buckets.
+  *
+  * [[append]] grows the index in O(batch): new postings land in their
+  * bucket partitions and the meta row is replaced LAST (the commit point —
+  * a reader that wins a race sees consistent-if-stale stats, and scoring
+  * weights shift only when the meta lands). Bucket skew from a stopword
+  * term is bounded by that term's true posting count — the same bound the
+  * ad-hoc path's df shuffle carries — and searches prune to it only when
+  * the term is actually queried.
+  */
+object TextIndex {
+
+  private val MetaSchema = StructType(Seq(
+    StructField("n_docs", LongType, nullable = false),
+    StructField("sumdl", LongType, nullable = true),
+    StructField("buckets", IntegerType, nullable = false)))
+
+  /** Build the index: one fused tokenize pass over the corpus; postings
+    * written repartitioned BY bucket (one task per bucket directory — no
+    * small-file spray), stats sentinels from the same pass into the meta
+    * sidecar. */
+  def write(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int): Unit = {
+    require(buckets >= 1, s"TextIndex: need buckets >= 1, got $buckets")
+    val spark = df.sparkSession
+    val fused = TextAnalysis.bm25PostsFused(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = fused.where(col("term").isNull)
+      .agg(count(lit(1)), sum(col("_dl"))).head()
+    postings(fused, buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    writeMeta(spark, stats.getLong(0),
+      if (stats.isNullAt(1)) None else Some(stats.getLong(1)), buckets, path)
+    fused.unpersist()
+  }
+
+  /** Incremental append: the batch's postings are assigned against the
+    * SIDECAR bucket count (no rebuild, no touch of existing rows) and
+    * appended into the same partition directories; the meta row is
+    * summed and replaced last. */
+  def append(
+      df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (n0, sumdl0, buckets) = readMeta(spark, path)
+    val fused = TextAnalysis.bm25PostsFused(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = fused.where(col("term").isNull)
+      .agg(count(lit(1)), sum(col("_dl"))).head()
+    postings(fused, buckets)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val batchSum = if (stats.isNullAt(1)) None else Some(stats.getLong(1))
+    val sumdl = (sumdl0, batchSum) match {
+      case (Some(a), Some(b)) => Some(a + b)
+      case (a, b) => a.orElse(b)
+    }
+    writeMeta(spark, n0 + stats.getLong(0), sumdl, buckets, path)
+    fused.unpersist()
+  }
+
+  private def postings(fused: DataFrame, buckets: Int): DataFrame =
+    fused.where(col("term").isNotNull)
+      .select(col("_id").as("doc_id"), col("_dl").as("dl"),
+        col("term"), col("_tf").as("tf"),
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket"))
+      .repartition(col("bucket"))
+
+  private def writeMeta(
+      spark: SparkSession, n: Long, sumdl: Option[Long], buckets: Int,
+      path: String): Unit =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(n, sumdl.map(Long.box).orNull, buckets)),
+      MetaSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  private def readMeta(spark: SparkSession, path: String): (Long, Option[Long], Int) = {
+    val r = spark.read.schema(MetaSchema).parquet(s"$path/meta").head()
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2))
+  }
+
+  /** BM25 top-k against the written index. The needed bucket list comes
+    * from ONE tiny Spark job over the query terms (so the bucket hash is
+    * Spark's own xxhash64 — no driver-side reimplementation to drift);
+    * the postings scan then prunes to those partition directories
+    * (spec-checked via scanned-file counts). Scores are identical to
+    * [[TextAnalysis.bm25TopK]] on the same corpus: same postings, exact
+    * per-term df (a term's postings never leave its bucket), sidecar
+    * (n, sumdl) as literals, same 6dp-DECIMAL-before-sum arithmetic. */
+  def search(
+      spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val (n, sumdl, buckets) = readMeta(spark, path)
+    val qterms = TextAnalysis.bm25QueryTerms(queries, qIdCol, qTextCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val needed = qterms.select(
+      pmod(xxhash64(col("term")), lit(buckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val posts = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(needed: _*))
+    val filtered = posts.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dfreq = filtered.groupBy("term").agg(count(lit(1)).as("_df"))
+    val cands = filtered
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .select(col("q_id"), col("doc_id").as("_id"),
+        col("tf").as("_tf"), col("dl").as("_dl"), col("_df"))
+      .withColumn("_n", lit(n))
+      .withColumn("_sumdl", lit(sumdl.map(Long.box).orNull).cast("long"))
+    TextAnalysis.bm25Rank(cands, k1, b, topK)
+  }
+}

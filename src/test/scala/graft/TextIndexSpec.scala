@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{TextAnalysis, TextIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_tix_$name")
+    d.toFile.deleteOnExit()
+    d.toString + "/idx"
+  }
+
+  private val corpus = (1L to 80L).map { i =>
+    val shared = if (i % 3 == 0) "common shared words" else "other filler text"
+    (i, s"doc$i $shared token${i % 7} token${i % 11} tail")
+  }.toDF("doc_id", "text")
+  private val queries = Seq(
+    100L -> "common shared token3",
+    101L -> "filler token5 doc9").toDF("doc_id", "text")
+
+  // AQE-aware walk to every file scan (the SimilaritySpec helper)
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+
+  private def parquetFilesUnder(dir: java.io.File): Seq[java.io.File] = {
+    val here = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+    here.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+      here.filter(_.isDirectory).flatMap(parquetFilesUnder)
+  }
+
+  test("indexed search equals ad-hoc bm25TopK, and the scan is bucket-pruned") {
+    val path = tmp("eq")
+    TextIndex.write(corpus, "doc_id", "text", path, buckets = 32)
+    val got = TextIndex.search(spark, path, queries, "doc_id", "text", topK = 5)
+    val want = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
+      "doc_id", "text", topK = 5)
+    val g = got.orderBy("q_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val w = want.orderBy("q_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(g == w)
+    assert(g.nonEmpty)
+
+    // the scale property: only the query terms' bucket dirs are read
+    got.collect()
+    val scan = allScans(got.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("postings"))
+    assert(scan.nonEmpty, "no postings scan found")
+    val postingsDir = new java.io.File(s"$path/postings")
+    val totalFiles = parquetFilesUnder(postingsDir).size
+    val bucketDirs = postingsDir.listFiles().count(_.getName.startsWith("bucket="))
+    assert(bucketDirs > 8, s"fixture vocabulary must spread buckets, got $bucketDirs")
+    val filesRead = scan.map(_.metrics("numFiles").value).max
+    assert(filesRead < totalFiles,
+      s"search scanned the whole postings set: $filesRead of $totalFiles files")
+    assert(scan.head.metadata("PartitionFilters").contains("bucket"),
+      scan.head.metadata.toString)
+  }
+
+  test("append equals a from-scratch rebuild (postings, stats, and scores)") {
+    val (half1, half2) = (corpus.where(col("doc_id") <= 40),
+      corpus.where(col("doc_id") > 40))
+    val pInc = tmp("inc")
+    TextIndex.write(half1, "doc_id", "text", pInc, buckets = 16)
+    TextIndex.append(half2, "doc_id", "text", pInc)
+    val pFull = tmp("full")
+    TextIndex.write(corpus, "doc_id", "text", pFull, buckets = 16)
+    val inc = TextIndex.search(spark, pInc, queries, "doc_id", "text")
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    val full = TextIndex.search(spark, pFull, queries, "doc_id", "text")
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+}
