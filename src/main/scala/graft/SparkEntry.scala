@@ -586,7 +586,9 @@ object Queries {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
 
   private def queryVec(spark: SparkSession, dir: String, id: Long): Seq[Double] =
-    vecsByIds(spark, dir, Seq(id))(id)
+    vecsByIds(spark, dir, Seq(id)).getOrElse(id,
+      throw new IllegalArgumentException(
+        s"query vector vec_id=$id not found in embeddings (empty or filtered table?)"))
 
   /** Brute-force cosine top-10 for the vec_id=0 query vector: one codegen'd
     * O(N) scan + TakeOrdered, no corpus shuffle. */

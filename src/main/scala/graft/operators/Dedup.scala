@@ -467,7 +467,7 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
       bitsPerTable: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
     import graft.functions.ArrayMath
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = Similarity.vecDim(df, vecCol, "embeddingCosinePairsLsh")
     val byTable = Similarity.hyperplanes(bitsPerTable * tables, dim, seed)
       .grouped(bitsPerTable).toSeq
     val cells = byTable.zipWithIndex.map { case (planes, t) =>

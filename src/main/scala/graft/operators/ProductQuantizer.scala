@@ -74,7 +74,7 @@ object ProductQuantizer {
   def train(
       df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int = 16, iters: Int = 2): PqModel = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = Similarity.vecDim(df, vecCol, "ProductQuantizer.train")
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val subRows = graft.core.Par.fanOut(

@@ -121,12 +121,22 @@ object Similarity {
     finally { vecs.unpersist(); () }
   }
 
+  /** Vector dimensionality from the first row — a loud, named refusal on
+    * an empty corpus (training/banding cannot infer a dim from nothing;
+    * an empty input otherwise surfaces as a bare NoSuchElementException
+    * deep in a driver-side head()). */
+  private[graft] def vecDim(df: DataFrame, vecCol: String, who: String): Int = {
+    val row = df.select(size(col(vecCol))).limit(1).collect()
+    require(row.nonEmpty, s"$who: input has no rows - cannot infer vector dimension")
+    row.head.getInt(0)
+  }
+
   private def kMeansTreeCached(
       df: DataFrame, idCol: String, vecCol: String,
       c: Int, iters: Int, depth: Int = 2): Seq[Seq[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = vecDim(df, vecCol, "kMeans")
     var centroids: Array[Array[Double]] = df.orderBy(col(idCol)).limit(c)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -183,7 +193,7 @@ object Similarity {
   private def kMeansCached(
       df: DataFrame, idCol: String, vecCol: String,
       c: Int, iters: Int): Seq[Seq[Double]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = vecDim(df, vecCol, "kMeans")
     var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(c)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq

@@ -40,6 +40,16 @@ object TextIndex {
     StructField("sumdl", LongType, nullable = true),
     StructField("buckets", IntegerType, nullable = false)))
 
+  /** Read schema for the postings dirs (incl. the partition column) — an
+    * EMPTY index (built from a fully-filtered corpus) has no part files
+    * to infer from, and must still search cleanly to zero rows. */
+  private val PostingsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("dl", IntegerType, nullable = true),
+    StructField("term", StringType, nullable = true),
+    StructField("tf", LongType, nullable = true),
+    StructField("bucket", LongType, nullable = true)))
+
   /** Build the index: one fused tokenize pass over the corpus; postings
     * written repartitioned BY bucket (one task per bucket directory — no
     * small-file spray), stats sentinels from the same pass into the meta
@@ -121,7 +131,7 @@ object TextIndex {
     val needed = qterms.select(
       pmod(xxhash64(col("term")), lit(buckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0))
-    val posts = spark.read.parquet(s"$path/postings")
+    val posts = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
       .where(col("bucket").isin(needed: _*))
     val filtered = posts.join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val dfreq = filtered.groupBy("term").agg(count(lit(1)).as("_df"))

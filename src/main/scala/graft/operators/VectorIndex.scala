@@ -246,7 +246,7 @@ object VectorIndex {
       df: DataFrame, idCol: String, vecCol: String,
       bitsPerTable: Int, tables: Int, seed: Long, path: String): Unit = {
     require(bitsPerTable > 0 && bitsPerTable < 31 && tables > 0, "bad LSH shape")
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = Similarity.vecDim(df, vecCol, "VectorIndex")
     val byTable = Similarity.hyperplanes(bitsPerTable * tables, dim, seed)
       .grouped(bitsPerTable).toSeq
     val entries = byTable.zipWithIndex.map { case (planes, t) =>
