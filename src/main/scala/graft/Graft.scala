@@ -447,9 +447,13 @@ object Graft {
     import graft.operators.Curation
     import org.apache.spark.sql.functions.{lit, min, when}
     val spread = graft.core.Par.fanOut(docs.select(col(idCol), col(textCol)))
+    // every downstream branch (flags, quality gate, dedup winners, dup
+    // map, contamination) consumes the redacted text — persist it once or
+    // the regex redaction chain re-runs per branch
     val scrubbed = Curation.redactPii(spread, idCol, textCol)
       .withColumnRenamed("clean_text", textCol)
       .select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepFlags = Curation.qualityFlags(scrubbed, idCol, textCol)
       .select(col(idCol), col("keep"))
     val qualityPass = scrubbed.join(
