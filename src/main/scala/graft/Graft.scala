@@ -339,6 +339,13 @@ object Graft {
       textCol: String): DataFrame =
     graft.operators.Curation.corpusDiff(oldDf, newDf, idCol, textCol)
 
+  /** Two-corpus overlap profile (distinct/union/intersection/Jaccard)
+    * from bounded KMV sketches — no join, no corpus shuffle; exact and
+    * certified below k ([[operators.Sketches.corpusOverlap]]). */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 1 << 16): DataFrame =
+    graft.operators.Sketches.corpusOverlap(a, b, textCol, k)
+
   def leakageSafeSplit(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.6,

@@ -1429,6 +1429,20 @@ object Queries {
     * deterministically from `documents` in both engines; text never
     * shuffles (both sides reduce to (id, fp) before the one full-outer
     * equi-join). */
+  /** Two-corpus overlap profile via a KMV bottom-k sketch: 60%/60% doc
+    * splits with a designed 20% overlap band; neither corpus ever joins
+    * or shuffles (bounded per-partition sketches only). k exceeds every
+    * tested SF's distinct count, so the output is CERTIFIED exact
+    * (`is_exact` = true) and the oracle is plain distinct-set SQL; the
+    * estimator regime is spec-pinned within its 1/sqrt(k) bound. */
+  def q131CorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.Sketches.corpusOverlap(
+      docs.where(pmod(col("doc_id"), lit(10)) < 6),
+      docs.where(pmod(col("doc_id"), lit(10)) >= 4),
+      "text", k = 1 << 13)
+  }
+
   def q123CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     val old = d.where(col("doc_id") % 7 =!= 3).select(col("doc_id"), col("text"))
@@ -1613,6 +1627,7 @@ object Queries {
     "q121_topk_group" -> q121TopkGroup _,
     "q122_jsonl_manifest" -> q122JsonlManifest _,
     "q123_corpus_diff" -> q123CorpusDiff _,
+    "q131_corpus_overlap" -> q131CorpusOverlap _,
     "q124_nfc_normalize" -> q124NfcNormalize _,
     "q125_html_strip" -> q125HtmlStrip _,
     "q126_top_paths" -> q126TopPaths _,
@@ -2042,6 +2057,18 @@ object Queries {
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q120_bm25" -> bm25Oracle,
+    "q131_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 6),
+        |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 >= 4),
+        |st AS (SELECT
+        |  (SELECT COUNT(*) FROM a) AS n_a,
+        |  (SELECT COUNT(*) FROM b) AS n_b,
+        |  (SELECT COUNT(*) FROM (SELECT text FROM a UNION SELECT text FROM b)) AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT text FROM a INTERSECT SELECT text FROM b)) AS n_intersection)
+        |SELECT n_a, n_b, n_union, n_intersection,
+        |       ROUND(CAST(n_intersection AS DOUBLE) / n_union, 6) AS jaccard,
+        |       TRUE AS is_exact
+        |FROM st""".stripMargin,
     // q130 searches a materialized index over the same corpus split with
     // identical BM25 arithmetic — one oracle pins both
     "q130_text_index" -> bm25Oracle,

@@ -235,4 +235,56 @@ class SketchesSpec extends AnyFunSuite {
     }.toSeq.sortBy(t => (t._1, t._2))
     assert(out.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq == want)
   }
+
+  test("corpusOverlap exact regime: certified counts equal brute-force sets") {
+    val sp = spark
+    import sp.implicits._
+    val a = ((1 to 600).map(i => s"doc $i") ++ Seq("dup", "dup")).toDF("text")
+    val b = (401 to 1000).map(i => s"doc $i").toDF("text")
+    val out = graft.operators.Sketches.corpusOverlap(a, b, "text", k = 4096)
+      .head()
+    assert(out.getLong(0) == 601) // 600 + "dup", dups collapse
+    assert(out.getLong(1) == 600)
+    assert(out.getLong(2) == 1001)
+    assert(out.getLong(3) == 200)
+    assert(out.getDouble(4) == math.BigDecimal(200.0 / 1001)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getBoolean(5), "under-k sketches must certify exactness")
+  }
+
+  test("corpusOverlap estimator regime: within the 1/sqrt(k) band, layout-stable") {
+    val sp = spark
+    import sp.implicits._
+    // 8k-vs-8k with exactly 4k shared values: true J = 4096/12288
+    val a = (1 to 8192).map(i => s"item $i").toDF("text")
+    val b = (4097 to 12288).map(i => s"item $i").toDF("text")
+    val k = 512
+    val out = graft.operators.Sketches.corpusOverlap(a, b, "text", k = k).head()
+    assert(!out.getBoolean(5))
+    val trueJ = 4096.0 / 12288
+    val tol = 3.0 / math.sqrt(k) // ~3 sigma
+    assert(math.abs(out.getDouble(4) - trueJ) < tol,
+      s"jaccard ${out.getDouble(4)} vs $trueJ")
+    for ((est, truth) <- Seq((out.getLong(0), 8192L), (out.getLong(1), 8192L),
+        (out.getLong(2), 12288L))) {
+      assert(math.abs(est - truth).toDouble / truth < tol,
+        s"estimate $est vs $truth")
+    }
+    // partitioning must not change the sketch: bottom-k distinct is global
+    val again = graft.operators.Sketches.corpusOverlap(
+      a.repartition(7), b.repartition(3), "text", k = k).head()
+    assert(again == out)
+  }
+
+  test("corpusOverlap degenerate inputs: disjoint and empty corpora") {
+    val sp = spark
+    import sp.implicits._
+    val a = (1 to 50).map(i => s"a $i").toDF("text")
+    val b = (1 to 50).map(i => s"b $i").toDF("text")
+    val disjoint = graft.operators.Sketches.corpusOverlap(a, b, "text", k = 256).head()
+    assert(disjoint.getLong(3) == 0L && disjoint.getDouble(4) == 0.0)
+    val none = a.limit(0)
+    val empty = graft.operators.Sketches.corpusOverlap(none, none, "text", k = 16).head()
+    assert(empty.getLong(2) == 0L && empty.getDouble(4) == 0.0 && empty.getBoolean(5))
+  }
 }
