@@ -1435,6 +1435,17 @@ object Queries {
     * tested SF's distinct count, so the output is CERTIFIED exact
     * (`is_exact` = true) and the oracle is plain distinct-set SQL; the
     * estimator regime is spec-pinned within its 1/sqrt(k) bound. */
+  /** Deterministic global shuffle + sharding of the corpus (8 shards,
+    * seed 42): reproducible training order, shard-parallel windows, no
+    * global sort. Exact oracle: the portable Knuth mix and the
+    * (key, id) tie-break are plain int64 SQL. */
+  def q132ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.shuffleShards(
+      t(spark, dir, "documents").select("doc_id", "lang"),
+      "doc_id", shards = 8, seed = 42L)
+      .select("doc_id", "lang", "shard", "pos")
+      .orderBy("shard", "pos")
+
   def q131CorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     operators.Sketches.corpusOverlap(
@@ -1628,6 +1639,7 @@ object Queries {
     "q122_jsonl_manifest" -> q122JsonlManifest _,
     "q123_corpus_diff" -> q123CorpusDiff _,
     "q131_corpus_overlap" -> q131CorpusOverlap _,
+    "q132_shuffle_shards" -> q132ShuffleShards _,
     "q124_nfc_normalize" -> q124NfcNormalize _,
     "q125_html_strip" -> q125HtmlStrip _,
     "q126_top_paths" -> q126TopPaths _,
@@ -2057,6 +2069,14 @@ object Queries {
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q120_bm25" -> bm25Oracle,
+    "q132_shuffle_shards" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |         ((doc_id + 42) % 1000000007 * 2654435761) % 1000000007 % 1000000 AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(k % 8 AS INT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS INT) AS pos
+        |FROM keyed ORDER BY shard, pos""".stripMargin,
     "q131_corpus_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 6),
         |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 >= 4),

@@ -32,6 +32,37 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(pmod(pmod(id.cast("long"), lit(P)) * lit(A), lit(P)), lit(buckets))
 
+  /** Deterministic global shuffle + sharding — the "randomize the corpus
+    * order before training" step (domain- and time-ordered corpora bias
+    * early training; shuffling must be reproducible across reruns and
+    * engines, so `rand()` is out). Every row gets a `shard` in
+    * [0, shards) and a dense 1-based `pos` within its shard; reading
+    * shards in pos order IS the shuffled corpus.
+    *
+    * The shuffle key is the seeded portable mix ((id+seed) mod p · a
+    * mod p) mod 10^6 — same family as [[hashBucket]], reproducible in
+    * any 64-bit SQL engine; ties (two ids, one key) break on id. Scale
+    * shape: one hash projection + one window keyed BY SHARD — each
+    * shard's position numbering is independent, so parallelism is the
+    * shard count (hundreds-to-thousands of output files at corpus
+    * scale), never a single global sort. */
+  def shuffleShards(
+      df: DataFrame, idCol: String, shards: Int, seed: Long = 0L): DataFrame = {
+    require(shards >= 1, s"shuffleShards: need shards >= 1, got $shards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos") &&
+      !df.columns.contains("_sk"),
+      "shuffleShards: input already has a shard/pos/_sk column")
+    val key = pmod(
+      pmod(pmod(col(idCol).cast("long") + lit(seed), lit(P)) * lit(A), lit(P)),
+      lit(1000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_sk").asc, col(idCol).asc)
+    df.withColumn("_sk", key)
+      .withColumn("shard", pmod(col("_sk"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_sk")
+  }
+
   /** Adds a `split` column ("train"/"val"/"test") with the given percentage
     * cut points over 100 hash buckets, e.g. (80, 10) → 80/10/10. */
   def deterministicSplit(

@@ -260,4 +260,36 @@ class SamplingSpec extends AnyFunSuite {
       if (id != 23L) { assert(cl === id); assert(sp === perDoc(id), s"doc $id") }
     }
   }
+
+  test("shuffleShards: deterministic, dense per-shard positions, layout-stable") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("id", "v")
+    val out = graft.operators.Sampling.shuffleShards(df, "id", shards = 8, seed = 42L)
+    val rows = out.select("id", "shard", "pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(rows.map(_._1).sorted == (1L to 500L)) // nothing lost or duplicated
+    // dense 1..n_s positions within every shard
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted == (1 to g.size), s"shard $s positions not dense")
+    }
+    assert(rows.map(_._2).distinct.size == 8, "all shards populated")
+    // a different seed produces a different order; the same seed is stable
+    val again = graft.operators.Sampling.shuffleShards(
+      df.repartition(7), "id", shards = 8, seed = 42L)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect().toSeq
+    assert(again.toSet == rows.toSet, "repartitioning changed the shuffle")
+    val other = graft.operators.Sampling.shuffleShards(df, "id", shards = 8, seed = 7L)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect().toSeq
+    assert(other.toSet != rows.toSet, "seed must matter")
+    // the order is actually shuffled, not id order
+    val shard0 = rows.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0 != shard0.sorted, "shard read order should not be id order")
+    // collision guard
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.shuffleShards(
+        df.withColumnRenamed("v", "pos"), "id", shards = 4)
+    }
+    assert(e.getMessage.contains("shard/pos"))
+  }
 }
