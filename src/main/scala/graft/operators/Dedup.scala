@@ -184,6 +184,61 @@ object Dedup {
       .toDF("_id", "sh")
   }
 
+  /** [[shingleHashes]] with the PPJoin prefix flag computed in the SAME
+    * fused pass: prefix membership is intra-document state (the p = sz −
+    * ⌈τ·sz⌉ + 1 smallest of the doc's own distinct hashes), so tagging it
+    * here costs one local sort per doc and ZERO extra shuffles — where a
+    * declarative prefix (sort_array over collect_list) re-shuffles every
+    * (id, hash) row into a per-doc aggregate first. Emits
+    * (_id, sh, _sz, _pfx). */
+  private[graft] def shinglePrefixHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[Long]()
+            val sb = new java.lang.StringBuilder()
+            var i = 0
+            while (i <= toks.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j))
+                j += 1
+              }
+              val u = UTF8String.fromString(sb.toString)
+              seen.add(XXH64.hashUnsafeBytes(
+                u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+              i += 1
+            }
+            val hs = new Array[Long](seen.size)
+            val iter = seen.iterator()
+            var m = 0
+            while (iter.hasNext) { hs(m) = iter.next(); m += 1 }
+            val sorted = hs.clone()
+            java.util.Arrays.sort(sorted)
+            val sz = hs.length
+            // 1e-9 downward guard: float error may only LENGTHEN a prefix
+            val plen = sz - math.ceil(tau * sz - 1e-9).toInt + 1
+            val cut = sorted(math.min(plen, sz) - 1) // largest prefix hash
+            hs.iterator.map(h => (id, h, sz, h <= cut))
+          }
+        }
+      }
+      .toDF("_id", "sh", "_sz", "_pfx")
+  }
+
   /** xxhash64 (seed 42) of a string — identical to SQL `xxhash64(s)` and
     * to [[shingleHashes]]' fused-pass hashing. */
   private def xxh64(s: String): Long = {
@@ -328,8 +383,18 @@ object Dedup {
     * τ·|A| is computed with a 1e-9 downward guard before ⌈⌉ so a binary
     * rounding error can only LENGTHEN a prefix (safe), never shorten it. */
   def ngramJaccardPairsPrefix(
-      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame =
-    ngramJaccardPairsPrefixFromHashes(shingleHashes(df, idCol, textCol, n).cache(), tau)
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val sh = shinglePrefixHashes(df, idCol, textCol, n, tau).cache()
+    val pfx = sh.where(col("_pfx")).select(col("_id"), col("sh"))
+    // cache the candidate pairs: verification consumes them twice (doc
+    // semi-join + pair semi-join) and they are edge-bounded
+    val cands = pfx.as("x").join(pfx.as("y"), col("x.sh") === col("y.sh"))
+      .where(col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
+      .distinct().cache()
+    verifyPairs(sh.select(col("_id"), col("sh")),
+      sh.select(col("_id"), col("_sz").as("sz")).distinct(), cands, tau)
+  }
 
   /** Candidate pairs (a, b) from the prefix×prefix join alone — exposed so
     * the spec can measure the candidate reduction vs the full equi-join. */
@@ -345,13 +410,23 @@ object Dedup {
       .distinct()
   }
 
-  /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh) intermediate. */
-  def ngramJaccardPairsPrefixFromHashes(sh: DataFrame, tau: Double): DataFrame = {
-    val cands = prefixCandidates(sh, tau)
+  /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh) intermediate
+    * (prefixes via a per-doc aggregate — [[ngramJaccardPairsPrefix]] itself
+    * tags prefixes inside the fused shingle pass instead). */
+  def ngramJaccardPairsPrefixFromHashes(sh: DataFrame, tau: Double): DataFrame =
+    verifyPairs(sh, sh.groupBy("_id").agg(count(lit(1)).as("sz")),
+      prefixCandidates(sh, tau).cache(), tau)
+
+  /** Exact Jaccard verification restricted to candidate pairs: full sets
+    * semi-joined to candidate docs, the counting join semi-joined to the
+    * (broadcast, edge-bounded) pair list — no non-candidate pair is ever
+    * counted, and completeness is the prefix filter's theorem. */
+  private def verifyPairs(
+      sh: DataFrame, sizes: DataFrame, cands: DataFrame,
+      tau: Double): DataFrame = {
     val candIds = cands.select(col("a").as("_id"))
       .unionByName(cands.select(col("b").as("_id"))).distinct()
     val shc = sh.join(broadcast(candIds), Seq("_id"))
-    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
     val common = shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh"))
       .where(col("x._id") < col("y._id"))
       .join(broadcast(cands),

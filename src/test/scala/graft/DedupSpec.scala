@@ -81,6 +81,10 @@ class DedupSpec extends AnyFunSuite {
       val got = Dedup.ngramJaccardPairsPrefixFromHashes(sh, tau)
         .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
       assert(got == exp, s"tau=$tau")
+      // the fused path (prefix tagged inside the shingle pass) too
+      val fused = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", n = 3, tau)
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      assert(fused == exp, s"fused tau=$tau")
       if (tau >= 0.6) {
         // candidate pairs from prefixes alone must undercut the full
         // equi-join's distinct meeting pairs — the whole point of the filter
