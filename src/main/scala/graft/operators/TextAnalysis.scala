@@ -204,7 +204,7 @@ object TextAnalysis {
   }
 
   /** Distinct (q_id, term) pairs of the query set — the broadcast side. */
-  private[operators] def bm25QueryTerms(
+  private[graft] def bm25QueryTerms(
       queries: org.apache.spark.sql.DataFrame, qIdCol: String,
       qTextCol: String): org.apache.spark.sql.DataFrame =
     queries
@@ -217,7 +217,7 @@ object TextAnalysis {
     * (Lucene idf). Per-term scores round to 6dp DECIMAL before the sum
     * (order-free exact aggregation — the q105 discipline) and the top-k
     * runs on the bounded [[graft.functions.TopK]] aggregate. */
-  private[operators] def bm25Rank(
+  private[graft] def bm25Rank(
       cands: org.apache.spark.sql.DataFrame, k1: Double, b: Double,
       topK: Int): org.apache.spark.sql.DataFrame = {
     val avgdl = col("_sumdl").cast("double") / col("_n")

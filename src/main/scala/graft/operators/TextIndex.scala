@@ -128,11 +128,24 @@ object TextIndex {
     val (n, sumdl, buckets) = readMeta(spark, path)
     val qterms = TextAnalysis.bm25QueryTerms(queries, qIdCol, qTextCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val needed = qterms.select(
+    val posts = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
+      .where(col("bucket").isin(neededBuckets(qterms, buckets): _*))
+    scorePruned(posts, qterms, n, sumdl, k1, b, topK)
+  }
+
+  /** The query terms' bucket values, via ONE tiny Spark job (so the
+    * bucket hash is Spark's own xxhash64 — nothing to drift). */
+  private[graft] def neededBuckets(qterms: DataFrame, buckets: Int): Array[Long] =
+    qterms.select(
       pmod(xxhash64(col("term")), lit(buckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0))
-    val posts = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
-      .where(col("bucket").isin(needed: _*))
+
+  /** BM25 scoring over already-pruned postings (doc_id, dl, term, tf) —
+    * shared by the batch search and the streaming twin's meta-gated
+    * search. Identical arithmetic to [[TextAnalysis.bm25TopK]]. */
+  private[graft] def scorePruned(
+      posts: DataFrame, qterms: DataFrame, n: Long, sumdl: Option[Long],
+      k1: Double, b: Double, topK: Int): DataFrame = {
     val filtered = posts.join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val dfreq = filtered.groupBy("term").agg(count(lit(1)).as("_df"))
     val cands = filtered

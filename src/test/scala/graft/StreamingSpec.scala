@@ -784,4 +784,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(back == Map(1L -> "streamed one", 2L -> "streamed two"))
     } finally q.stop()
   }
+
+  test("streaming text index: append equals ad-hoc BM25, replay-safe, meta is the commit point") {
+    import spark.implicits._
+    import graft.streaming.StreamingTextIndex
+    val path = java.nio.file.Files.createTempDirectory("graft-stix").toString
+    val half1 = (1L to 40L).map(i =>
+      (i, s"doc$i ${if (i % 3 == 0) "common shared words" else "filler body text"} t${i % 7}"))
+    val half2 = (41L to 80L).map(i =>
+      (i, s"doc$i ${if (i % 3 == 0) "common shared words" else "filler body text"} t${i % 7}"))
+    val queries = Seq(100L -> "common shared t3", 101L -> "filler t5").toDF("doc_id", "text")
+
+    StreamingTextIndex.processBatch(
+      half1.toDF("doc_id", "text"), 0L, path, "doc_id", "text", buckets = 16)
+    StreamingTextIndex.processBatch(
+      half2.toDF("doc_id", "text"), 1L, path, "doc_id", "text", buckets = 16)
+
+    def results() = StreamingTextIndex.search(spark, path, queries, "doc_id", "text")
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    val want = graft.operators.TextAnalysis.bm25TopK(
+      (half1 ++ half2).toDF("doc_id", "text"), queries, "doc_id", "text", "doc_id", "text")
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(results() == want)
+    assert(want.nonEmpty)
+
+    // at-least-once replay: re-running batch 1 must not duplicate postings
+    StreamingTextIndex.processBatch(
+      half2.toDF("doc_id", "text"), 1L, path, "doc_id", "text", buckets = 16)
+    assert(results() == want, "replayed batch changed search results")
+
+    // crash window: postings published but meta (the commit point) not —
+    // the batch must be fully invisible, scored as if it never happened
+    val metaDir = new java.io.File(s"${StreamingTextIndex.metaPath(path)}/batch_id=1")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(metaDir)
+    val only1 = graft.operators.TextAnalysis.bm25TopK(
+      half1.toDF("doc_id", "text"), queries, "doc_id", "text", "doc_id", "text")
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(results() == only1, "uncommitted batch leaked into search")
+    // replay converges back
+    StreamingTextIndex.processBatch(
+      half2.toDF("doc_id", "text"), 1L, path, "doc_id", "text", buckets = 16)
+    assert(results() == want)
+  }
 }
