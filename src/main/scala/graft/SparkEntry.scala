@@ -562,6 +562,17 @@ object Queries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Quality-aware corpus dedup: q66's clusters, but each cluster keeps
+    * its LONGEST member (token count, ties min id) — the curation-grade
+    * keeper (drop the truncated mirror, keep the full copy). Exact
+    * recursive-CTE oracle with a per-cluster argmax window. */
+  def q133DedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpusBy(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, tau = 0.6,
+      score = size(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** MinHash (k=64) + LSH banding (b=16, r=4) candidates, Jaccard-verified
     * at tau=0.6. Rows-only oracle (LSH is sampling-free but approximate in
     * recall); spec checks it finds the planted >=0.9 pairs exactly. */
@@ -1584,6 +1595,7 @@ object Queries {
     "q34_dedup_embedding" -> q34DedupEmbedding _,
     "q35_dedup_cluster" -> q35DedupCluster _,
     "q66_dedup_corpus" -> q66DedupCorpus _,
+    "q133_dedup_keep_best" -> q133DedupKeepBest _,
     "q74_dedup_embedding_lsh" -> q74DedupEmbeddingLsh _,
     "q50_ann_brute" -> q50AnnBrute _,
     "q51_ann_ivf" -> q51AnnIvf _,
@@ -2562,6 +2574,46 @@ object Queries {
         |FROM documents d
         |LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id
         |WHERE COALESCE(m.comp, d.doc_id) = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q133_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), cpairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), jpairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        |    FROM cpairs JOIN sizes sa ON cpairs.a = sa.doc_id
+        |                JOIN sizes sb ON cpairs.b = sb.doc_id)
+        |  WHERE jaccard >= 0.6
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM jpairs UNION ALL SELECT b, a FROM jpairs
+        |), cc(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst WHERE cc.comp < e.src
+        |), members AS (
+        |  SELECT id, MIN(comp) AS comp FROM cc GROUP BY id
+        |), scored AS (
+        |  SELECT m.id, m.comp, len(t.w) AS sc FROM members m JOIN toks t ON t.doc_id = m.id
+        |), win AS (
+        |  SELECT id FROM (
+        |    SELECT id, ROW_NUMBER() OVER (PARTITION BY comp
+        |                                  ORDER BY sc DESC, id ASC) AS rn
+        |    FROM scored) WHERE rn = 1
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d LEFT JOIN members m ON d.doc_id = m.id
+        |WHERE m.id IS NULL OR d.doc_id IN (SELECT id FROM win)
         |ORDER BY doc_id""".stripMargin,
     "q67_tfidf_topk" ->
       """WITH toks AS (

@@ -577,6 +577,38 @@ object Dedup {
     df.join(broadcast(losers), col(idCol).cast("long") === col("_loser"), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a QUALITY-AWARE keeper: within each near-dup
+    * cluster the survivor is the member with the highest `score` (ties:
+    * min id) instead of the min id — the curation-grade choice when
+    * duplicates differ (keep the longest / least-boilerplate / highest-
+    * classifier-score copy, drop the truncated mirror).
+    *
+    * Same 100 TB shape as [[dedupCorpus]]: cluster members are the
+    * edge-bounded connected-component table (docs that matched SOME pair
+    * — orders of magnitude smaller than the corpus), scores attach via a
+    * broadcast semi-join of that table onto the corpus scan, the winner
+    * per cluster is ONE struct-max aggregate (score, then −id, carrying
+    * the id — no window sort), and the corpus itself only ever feels one
+    * broadcast anti-join of the loser list. Singletons never enter any
+    * join. `score` must be computable from the doc row (a Column over
+    * `df`'s columns). */
+  def dedupCorpusBy(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
+      score: Column): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, tau)
+    val comp = connectedComponents(pairs, "a", "b") // (id, comp), edge-bounded
+    val memberScores = df
+      .select(col(idCol).cast("long").as("id"), score.as("_score"))
+      .join(broadcast(comp), Seq("id"))
+    val winners = memberScores.groupBy(col("comp"))
+      .agg(max(struct(col("_score"), (-col("id")).as("_nid"),
+        col("id").as("_win"))).as("_m"))
+      .select(col("_m._win").as("_winner"))
+    val losers = comp.select(col("id").as("_loser"))
+      .join(broadcast(winners), col("_loser") === col("_winner"), "left_anti")
+    df.join(broadcast(losers), col(idCol).cast("long") === col("_loser"), "left_anti")
+  }
+
   /** Cosine of two float-vector columns, computed in double with a
     * sequential left fold (bit-identical to the SQL oracle's list_reduce).
     * Codegen'd — see [[graft.functions.DotProduct]]. */

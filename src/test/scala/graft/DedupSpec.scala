@@ -99,6 +99,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupCorpusBy keeps the highest-score member per cluster, min id on ties") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),                            // cluster A, short
+      (2L, base + " extra tail words here"), // cluster A, longest -> keeper
+      (3L, base),                            // cluster A, short
+      (4L, "a lonely singleton document with its own words"),
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"), // cluster B, equal length
+      (6L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")  // -> tie, min id 5 wins
+    ).toDF("doc_id", "text")
+    val score = size(graft.operators.TextAnalysis.tokens(col("text")))
+    val best = Dedup.dedupCorpusBy(corpus, "doc_id", "text", n = 3, tau = 0.6, score)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 4L, 5L), s"got $best")
+    // min-id keeper for contrast: same clusters, different survivor in A
+    val minId = Dedup.dedupCorpus(corpus, "doc_id", "text", n = 3, tau = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 4L, 5L), s"got $minId")
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact ngram jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
       .orderBy("a", "b").as[(Long, Long, Double)].collect()
