@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 /** Streaming maintenance of a materialized inverted text index
-  * ([[graft.operators.TextIndex]]) — the eleventh streaming twin: each
+  * ([[graft.operators.TextIndex]]) — the twelfth streaming twin: each
   * micro-batch's postings land in the bucket layout, and searches stay
   * partition-pruned while the index grows.
   *
