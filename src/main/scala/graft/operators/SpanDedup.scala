@@ -70,16 +70,78 @@ object SpanDedup {
     * collision between distinct spans is caught and exactness is
     * unconditional. */
   def dupSpanSites(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
-    // cached: the window pass feeds the hash count AND the candidate probe
-    // (the Dedup.shingleHashes pattern — one generate instead of three)
-    val sp = spans(df, idCol, textCol, l, s)
-      .withColumn("_k", xxhash64(col("span"))).cache()
-    val dupK = sp.groupBy("_k").agg(count(lit(1)).as("_kc"))
+    // Phase 1 is a fused per-partition ROLLING-hash pass ([[windowHashes]]):
+    // no span string is ever allocated, cached, or shuffled — the window
+    // pass that explode+substring ran amplified the corpus ~l-fold in
+    // memory. A weaker-than-xxhash64 polynomial key only ever ADDS
+    // candidates; phase 2 re-extracts candidate span TEXT (per-doc
+    // position arrays joined back to the corpus — one narrow id join) and
+    // re-groups by it, so exactness is unconditional either way.
+    val wh = windowHashes(df, idCol, textCol, l, s).cache()
+    val dupK = wh.groupBy("_k").agg(count(lit(1)).as("_kc"))
       .where(col("_kc") > 1).select("_k")
-    val cand = sp.join(dupK, "_k")
-    val dup = cand.groupBy("span").agg(count(lit(1)).as("sites"))
+    val candPos = wh.join(dupK, "_k")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_ps"))
+    val candSpans = df
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .join(candPos, Seq(idCol))
+      .select(col(idCol), explode(col("_ps")).as("pos"),
+        expr(s"substring(`$textCol`, pos, $l)").as("span"))
+    val dup = candSpans.groupBy("span").agg(count(lit(1)).as("sites"))
       .where(col("sites") > 1)
-    cand.join(dup, "span").drop("_k", "span")
+    candSpans.join(dup, "span").drop("span")
+  }
+
+  /** (id, pos, _k) for every stride-`s` `l`-char window, from ONE fused
+    * per-partition pass: a base-1000003 polynomial hash ROLLS across each
+    * document (O(len) per doc at s=1; O(len·l/s) otherwise), so no window
+    * substring is materialized. Positions are 1-based CODE-POINT indices —
+    * exactly `substring()`'s semantics (the winnow unicode lesson: Java
+    * char indices drift on supplementary characters). Ids cast to long.
+    * Collisions are phase-2's problem by design (string re-confirmation);
+    * this key only decides the candidate superset. */
+  private[graft] def windowHashes(
+      df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
+    require(l >= 2, "need window length l >= 2")
+    require(s >= 1, "need stride s >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.core.Par.fanOut(
+      df.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val B = 1000003L
+        var bPow = 1L // B^(l-1), wrapping — same wrap on both roll sides
+        var i = 0
+        while (i < l - 1) { bPow *= B; i += 1 }
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val cps = text.codePoints().toArray
+            val n = cps.length
+            if (n < l) Iterator.empty
+            else if (s == 1) {
+              var h = 0L
+              var j = 0
+              while (j < l) { h = h * B + cps(j); j += 1 }
+              val first = (id, 1, h)
+              var prev = h
+              Iterator.single(first) ++ (1 to n - l).iterator.map { p =>
+                prev = (prev - cps(p - 1) * bPow) * B + cps(p + l - 1)
+                (id, p + 1, prev)
+              }
+            } else {
+              (0 to n - l by s).iterator.map { p =>
+                var h = 0L
+                var j = 0
+                while (j < l) { h = h * B + cps(p + j); j += 1 }
+                (id, p + 1, h)
+              }
+            }
+          }
+        }
+      }
+      .toDF(idCol, "pos", "_k")
   }
 
   /** Duplicated sites, hashed scale path: identical semantics but the
