@@ -44,9 +44,26 @@ object Bench {
     // JSON rather than flattering it.
     val best = scala.collection.mutable.Map[String, Double]()
     val worst = scala.collection.mutable.Map[String, Double]()
+    val shufMb = scala.collection.mutable.Map[String, Double]()
     val everFailed = scala.collection.mutable.Set[String]()
+    // Per-query shuffle-WRITE bytes (runtime evidence for the zero-shuffle
+    // fusion claims — a plan audit shows intent, this shows what moved):
+    // a listener accumulates stage shuffle writes; the bus is drained
+    // before each delta is read so attribution follows the query.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
     (1 to reps).foreach { _ =>
       names.foreach { case (name, fn) =>
+        org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+        val b0 = shuffleBytes.get()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -54,6 +71,11 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         if (ok) {
+          if (dt < best.getOrElse(name, Double.MaxValue)) {
+            org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+            shufMb(name) =
+              math.round((shuffleBytes.get() - b0) / 1e6 * 100.0) / 100.0
+          }
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
           worst(name) = math.max(worst.getOrElse(name, 0.0), dt)
         } else everFailed += name
@@ -69,6 +91,9 @@ object Bench {
     // a reader distinguish host noise from a real regression without re-runs.
     val spread = names.collect { case (k, _) if best.contains(k) =>
       "\"" + k + "\":" + math.round(worst(k) / best(k) * 100.0) / 100.0
+    }.mkString("{", ",", "}")
+    val shuffleJson = names.collect { case (k, _) if shufMb.contains(k) =>
+      "\"" + k + "\":" + shufMb(k)
     }.mkString("{", ",", "}")
     // Approximate-ANN recall@10 vs brute force at this SF (SURVEY §9):
     // timings alone can't show an index trading away its recall, so the
@@ -149,7 +174,7 @@ object Bench {
       def f(x: Double) = math.rint(x / nq * 1000) / 1000.0
       s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"pq_rerank_m4":${f(rPqRerank)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
