@@ -66,7 +66,8 @@ object Binary {
       it.flatMap { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        (0 until payload.length by stride).iterator.zipWithIndex.map { case (off, idx) =>
+        if (payload == null) Iterator.empty // failed fetch/decode: no frames
+        else (0 until payload.length by stride).iterator.zipWithIndex.map { case (off, idx) =>
           val frame = payload.slice(off, math.min(off + frameBytes, payload.length))
           md.reset()
           Row(id, idx.toLong, frame.length.toLong,
@@ -95,7 +96,7 @@ object Binary {
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val sig =
-          if (payload.length < target) null
+          if (payload == null || payload.length < target) null
           else {
             val b = new Array[Byte](target)
             var i = 0
@@ -119,13 +120,15 @@ object Binary {
     val rows = df.select(col(idCol).cast(LongType), col("payload"))
     val out = rows.rdd.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
-      it.map { r =>
+      it.flatMap { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) Iterator.empty else Iterator.single {
         md.reset()
         val hex = md.digest(payload).map("%02x".format(_)).mkString
         val header = payload.take(4).map("%02x".format(_)).mkString
         Row(id, payload.length.toLong, header, hex, stubDecode(payload))
+        }
       }
     }
     spark.createDataFrame(out, featureSchema)
@@ -164,8 +167,10 @@ object Binary {
     // Hash within the scan's own partitions — repartitioning first would
     // shuffle the full payload bytes, exactly what this pass exists to avoid.
     val rows = df.select(col(idCol).cast(LongType), col("payload"))
-    val out = rows.rdd.mapPartitions(_.map { r =>
-      Row(r.getLong(0), aHashOf(r.getAs[Array[Byte]](1)))
+    val out = rows.rdd.mapPartitions(_.flatMap { r =>
+      val payload = r.getAs[Array[Byte]](1)
+      if (payload == null) Iterator.empty
+      else Iterator.single(Row(r.getLong(0), aHashOf(payload)))
     })
     spark.createDataFrame(out, StructType(Seq(
       StructField("_id", LongType), StructField("simhash", LongType))))

@@ -155,7 +155,11 @@ object Curation {
       ceil((size(toks) - overlap).cast("double") / stride), lit(1L))
     val chunk = slice(col("_toks"),
       (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize))
-    df.select(col(idCol), toks.as("_toks"),
+    // null text -> no chunks (explode-of-null semantics); without the
+    // filter it yields one all-null chunk row whose null n_words breaks
+    // downstream packing arithmetic
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("_toks"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
         array_join(chunk, " ").as("chunk_text"),

@@ -161,7 +161,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.trim.split("\\s+")
+          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
           if (toks.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[Long]()
@@ -203,7 +203,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.trim.split("\\s+")
+          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
           if (toks.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[Long]()
@@ -300,7 +300,7 @@ object Dedup {
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         val sb = new java.lang.StringBuilder()
         it.foreach { text =>
-          if (emitted.size < m.size) {
+          if (text != null && emitted.size < m.size) {
             val toks = text.trim.split("\\s+")
             if (toks.length >= n) {
               var i = 0

@@ -62,7 +62,11 @@ object SimHash {
     df.select(col(idCol).cast("long"), col(textCol))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => (id, simhashOf(text)) })
+      .mapPartitions(_.flatMap { case (id, text) =>
+        // null text emits nothing — the SQL twin's explode(null) semantics
+        if (text == null) Iterator.empty
+        else Iterator.single((id, simhashOf(text)))
+      })
       .toDF("_id", "simhash")
   }
 

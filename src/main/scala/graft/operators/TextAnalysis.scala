@@ -350,7 +350,8 @@ object TextAnalysis {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater()
         val buf = new Array[Byte](8192)
-        it.map { case (id, text) =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty else Iterator.single {
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(bytes)
@@ -359,6 +360,7 @@ object TextAnalysis {
           while (!deflater.finished()) compressed += deflater.deflate(buf)
           val ratio = if (bytes.length == 0) 1.0 else compressed.toDouble / bytes.length
           (id, bytes.length.toLong, compressed, math.rint(ratio * 1e6) / 1e6)
+          }
         }
       }
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "compress_ratio")
@@ -507,7 +509,9 @@ object TextAnalysis {
           w.toArray
         })
         it.map { case (id, text) =>
-          val subs = text.trim.split("\\s+").flatMap(segment)
+          val subs =
+            if (text == null) Array.empty[String]
+            else text.trim.split("\\s+").flatMap(segment)
           (id, subs, subs.length)
         }
       }
