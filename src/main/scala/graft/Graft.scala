@@ -346,6 +346,44 @@ object Graft {
       k: Int = 1 << 16): DataFrame =
     graft.operators.Sketches.corpusOverlap(a, b, textCol, k)
 
+  /** Build a materialized inverted text index (bucket-partitioned
+    * postings + stats sidecar) for repeated BM25 retrieval
+    * ([[operators.TextIndex.write]]); grow it with
+    * [[operators.TextIndex.append]]. */
+  def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 256): Unit =
+    graft.operators.TextIndex.write(df, idCol, textCol, path, buckets)
+
+  /** Bucket-pruned BM25 search against a built text index
+    * ([[operators.TextIndex.search]]) — identical scores to
+    * [[bm25TopK]] over the same corpus, reading only the query terms'
+    * bucket directories. */
+  def searchTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      topK: Int = 10): DataFrame =
+    graft.operators.TextIndex.search(spark, path, queries, qIdCol, qTextCol,
+      topK = topK)
+
+  /** Deterministic global shuffle + sharding for reproducible training
+    * order ([[operators.Sampling.shuffleShards]]). */
+  def shuffleShards(df: DataFrame, idCol: String, shards: Int,
+      seed: Long = 0L): DataFrame =
+    graft.operators.Sampling.shuffleShards(df, idCol, shards, seed)
+
+  /** Near-dup corpus dedup keeping the min-id survivor per cluster
+    * ([[operators.Dedup.dedupCorpus]]); [[dedupCorpusBy]] keeps the
+    * best-scoring one instead. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.6): DataFrame =
+    graft.operators.Dedup.dedupCorpus(df, idCol, textCol, n, tau)
+
+  /** Quality-aware near-dup dedup: each cluster keeps its highest-`score`
+    * member, ties min id ([[operators.Dedup.dedupCorpusBy]]). */
+  def dedupCorpusBy(df: DataFrame, idCol: String, textCol: String,
+      score: org.apache.spark.sql.Column,
+      n: Int = 3, tau: Double = 0.6): DataFrame =
+    graft.operators.Dedup.dedupCorpusBy(df, idCol, textCol, n, tau, score)
+
   def leakageSafeSplit(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.6,
