@@ -1468,6 +1468,24 @@ object Queries {
       "text", k = 1 << 13)
   }
 
+  /** Per-snapshot overlap MATRIX from ONE grouped aggregate: three
+    * overlapping doc snapshots sketched by the native [[functions.KmvAgg]]
+    * bottom-k aggregate (state merges map-side; the corpus is read once),
+    * pairwise stats from the driver-combined sketches. k exceeds every
+    * tested SF's distinct count → certified exact, plain SQL oracle; the
+    * estimator regime shares [[operators.Sketches]]' spec-pinned math. */
+  def q134OverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val m = pmod(col("doc_id"), lit(10))
+    val snaps = docs.where(m < 6).withColumn("snap", lit("s1"))
+      .unionByName(docs.where(m >= 3 && m < 9).withColumn("snap", lit("s2")))
+      .unionByName(docs.where(m >= 6 || m < 2).withColumn("snap", lit("s3")))
+    val k = 1 << 13
+    operators.Sketches.overlapMatrix(
+      operators.Sketches.groupKmv(snaps, "snap", col("text"), k), k)
+      .orderBy("ga", "gb")
+  }
+
   def q123CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     val old = d.where(col("doc_id") % 7 =!= 3).select(col("doc_id"), col("text"))
@@ -1655,6 +1673,7 @@ object Queries {
     "q123_corpus_diff" -> q123CorpusDiff _,
     "q131_corpus_overlap" -> q131CorpusOverlap _,
     "q132_shuffle_shards" -> q132ShuffleShards _,
+    "q134_overlap_matrix" -> q134OverlapMatrix _,
     "q124_nfc_normalize" -> q124NfcNormalize _,
     "q125_html_strip" -> q125HtmlStrip _,
     "q126_top_paths" -> q126TopPaths _,
@@ -2086,6 +2105,25 @@ object Queries {
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q120_bm25" -> bm25Oracle(97),
+    "q134_overlap_matrix" ->
+      """WITH d AS (
+        |  SELECT DISTINCT 's1' AS g, text FROM documents WHERE doc_id % 10 < 6
+        |  UNION SELECT DISTINCT 's2' AS g, text FROM documents WHERE doc_id % 10 BETWEEN 3 AND 8
+        |  UNION SELECT DISTINCT 's3' AS g, text FROM documents WHERE doc_id % 10 >= 6 OR doc_id % 10 < 2
+        |), gs AS (SELECT DISTINCT g FROM d),
+        |p AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        |st AS (SELECT ga, gb,
+        |  (SELECT COUNT(*) FROM d WHERE g = ga) AS n_a,
+        |  (SELECT COUNT(*) FROM d WHERE g = gb) AS n_b,
+        |  (SELECT COUNT(*) FROM d x JOIN d y ON x.text = y.text
+        |     AND x.g = ga AND y.g = gb) AS n_intersection
+        |  FROM p)
+        |SELECT ga, gb, n_a, n_b,
+        |       n_a + n_b - n_intersection AS n_union, n_intersection,
+        |       ROUND(CAST(n_intersection AS DOUBLE) /
+        |             (n_a + n_b - n_intersection), 6) AS jaccard,
+        |       TRUE AS is_exact
+        |FROM st ORDER BY ga, gb""".stripMargin,
     "q132_shuffle_shards" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang,

@@ -76,6 +76,39 @@ object Sketches {
       .toDF("h").distinct().orderBy("h").limit(k).as[Long].collect()
   }
 
+  /** Pairwise overlap stats from two sorted-ascending KMV sketches
+    * (shared by [[corpusOverlap]] and [[overlapMatrix]]): (n_a, n_b,
+    * n_union, n_intersection, jaccard@6dp, is_exact). */
+  private def pairStats(sa: Array[Long], sb: Array[Long], k: Int)
+      : (Long, Long, Long, Long, Double, Boolean) = {
+    def frac(h: Long): Double = // rank of h in (0, 1]: position of the hash
+      (h.toDouble - Long.MinValue.toDouble + 1.0) / math.pow(2.0, 64)
+    def estDistinct(s: Array[Long]): Long =
+      if (s.length < k) s.length.toLong
+      else math.round((k - 1).toDouble / frac(s.last))
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val exact = sa.length < k && sb.length < k
+    if (exact) {
+      val setA = sa.toSet; val setB = sb.toSet
+      val union = setA ++ setB
+      val inter = setA & setB
+      val j = if (union.isEmpty) 0.0 else inter.size.toDouble / union.size
+      (setA.size.toLong, setB.size.toLong, union.size.toLong,
+        inter.size.toLong, r6(j), true)
+    } else {
+      val merged = (sa ++ sb).distinct.sorted.take(k) // == bottom-k(A∪B)
+      val inBoth = merged.count(h =>
+        java.util.Arrays.binarySearch(sa, h) >= 0 &&
+          java.util.Arrays.binarySearch(sb, h) >= 0)
+      val j = inBoth.toDouble / k
+      val union = math.round((k - 1).toDouble / frac(merged.last))
+      (estDistinct(sa), estDistinct(sb), union,
+        math.round(j * union).longValue, r6(j), false)
+    }
+  }
+
   /** Overlap profile of two corpora WITHOUT joining them: distinct
     * counts, union, intersection, and Jaccard over `textCol`'s xxhash64
     * identity, from one bounded KMV sketch per side.
@@ -104,37 +137,59 @@ object Sketches {
     val spark = a.sparkSession
     val sa = kmvValues(a, col(textCol), k)
     val sb = kmvValues(b, col(textCol), k)
-    def frac(h: Long): Double = // rank of h in (0, 1]: position of the hash
-      (h.toDouble - Long.MinValue.toDouble + 1.0) / math.pow(2.0, 64)
-    def estDistinct(s: Array[Long]): Long =
-      if (s.length < k) s.length.toLong
-      else math.round((k - 1).toDouble / frac(s.last))
-    def r6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-        .doubleValue()
-    val exact = sa.length < k && sb.length < k
-    val (nA, nB, nUnion, nInter, jac) =
-      if (exact) {
-        val setA = sa.toSet; val setB = sb.toSet
-        val union = setA ++ setB
-        val inter = setA & setB
-        val j = if (union.isEmpty) 0.0 else inter.size.toDouble / union.size
-        (setA.size.toLong, setB.size.toLong, union.size.toLong,
-          inter.size.toLong, r6(j))
-      } else {
-        val merged = (sa ++ sb).distinct.sorted.take(k) // == bottom-k(A∪B)
-        val inBoth = merged.count(h =>
-          java.util.Arrays.binarySearch(sa, h) >= 0 &&
-            java.util.Arrays.binarySearch(sb, h) >= 0)
-        val j = inBoth.toDouble / k
-        val union = math.round((k - 1).toDouble / frac(merged.last))
-        (estDistinct(sa), estDistinct(sb), union,
-          math.round(j * union).longValue, r6(j))
-      }
+    val (nA, nB, nUnion, nInter, jac, exact) = pairStats(sa, sb, k)
     spark.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row(nA, nB, nUnion, nInter, jac, exact)),
       org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_union",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_intersection",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("is_exact",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
+  /** Per-group KMV sketches via the NATIVE [[graft.functions.KmvAgg]]
+    * aggregate: one row per group holding the sorted bottom-k hash array.
+    * State merges map-side (≤ k longs per mapper-group), so N groups over
+    * a 100 TB corpus cost one combining aggregate — the grouped upgrade
+    * of [[corpusOverlap]]'s two-corpus driver combine. Persist the result
+    * and diff snapshots without rescanning either. */
+  def groupKmv(
+      df: DataFrame, groupCol: String, key: Column, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.Kmv.sketch(xxhash64(key), k).as("kmv"))
+
+  /** Pairwise overlap matrix over [[groupKmv]] output: one row per
+    * unordered group pair (ga < gb by name) with the [[corpusOverlap]]
+    * stats. Driver-side by design — the matrix is |groups|² and each
+    * sketch is ≤ k longs, so the driver holds |groups|·k longs; the
+    * corpus itself was touched exactly once, by the grouped aggregate. */
+  def overlapMatrix(sketches: DataFrame, k: Int): DataFrame = {
+    val spark = sketches.sparkSession
+    val rows = sketches.collect()
+      .map(r => (String.valueOf(r.get(0)), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for (i <- rows.indices; j <- i + 1 until rows.length) {
+      val (ga, sa) = rows(i)
+      val (gb, sb) = rows(j)
+      val (nA, nB, nUnion, nInter, jac, exact) = pairStats(sa, sb, k)
+      out.add(org.apache.spark.sql.Row(ga, gb, nA, nB, nUnion, nInter, jac, exact))
+    }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ga",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("gb",
+          org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("n_a",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n_b",

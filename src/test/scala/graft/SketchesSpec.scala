@@ -287,4 +287,65 @@ class SketchesSpec extends AnyFunSuite {
     val empty = graft.operators.Sketches.corpusOverlap(none, none, "text", k = 16).head()
     assert(empty.getLong(2) == 0L && empty.getDouble(4) == 0.0 && empty.getBoolean(5))
   }
+
+  test("KmvAgg: native grouped sketch equals the dataset-level kmvValues, layout-stable") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"item ${i % 700}")).toDF("g", "v")
+    val k = 64
+    for (parts <- Seq(1, 7)) {
+      val got = graft.operators.Sketches.groupKmv(df.repartition(parts), "g", col("v"), k)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      (0 until 3).foreach { g =>
+        val want = graft.operators.Sketches.kmvValues(
+          df.where(col("g") === s"g$g").select("v"), col("v"), k).toSeq
+        assert(got(s"g$g") == want, s"g$g parts=$parts")
+      }
+    }
+    // analysis-time type gate: a non-long key is rejected, not a task crash
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(graft.functions.Kmv.sketch(col("v"), k)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("long"))
+  }
+
+  test("overlapMatrix: exact regime equals brute pairwise sets; estimator within band") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // three snapshots over 1..1000 with designed overlaps
+    val snaps = ((1 to 600).map(i => ("a", s"d$i")) ++
+      (301 to 900).map(i => ("b", s"d$i")) ++
+      (601 to 1000).map(i => ("c", s"d$i")) ++ (1 to 100).map(i => ("c", s"d$i")))
+      .toDF("g", "v")
+    val k = 4096 // over every group size -> exact
+    val m = graft.operators.Sketches.overlapMatrix(
+      graft.operators.Sketches.groupKmv(snaps, "g", col("v"), k), k)
+      .orderBy("ga", "gb").collect()
+    def stats(a: Set[Int], b: Set[Int]) =
+      (a.size.toLong, b.size.toLong, (a ++ b).size.toLong, (a & b).size.toLong)
+    val sets = Map("a" -> (1 to 600).toSet, "b" -> (301 to 900).toSet,
+      "c" -> ((601 to 1000).toSet ++ (1 to 100).toSet))
+    val pairs = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+    assert(m.length == 3)
+    m.zip(pairs).foreach { case (r, (ga, gb)) =>
+      assert(r.getString(0) == ga && r.getString(1) == gb)
+      val (na, nb, nu, ni) = stats(sets(ga), sets(gb))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == ((na, nb, nu, ni)))
+      assert(r.getBoolean(7), "under-k sketches must certify exactness")
+    }
+    // estimator regime: small k, tolerance 3/sqrt(k)
+    val k2 = 256
+    val est = graft.operators.Sketches.overlapMatrix(
+      graft.operators.Sketches.groupKmv(snaps, "g", col("v"), k2), k2)
+      .orderBy("ga", "gb").collect()
+    est.zip(pairs).foreach { case (r, (ga, gb)) =>
+      assert(!r.getBoolean(7))
+      val (na, nb, nu, ni) = stats(sets(ga), sets(gb))
+      val trueJ = ni.toDouble / nu
+      assert(math.abs(r.getDouble(6) - trueJ) < 3.0 / math.sqrt(k2),
+        s"$ga-$gb jaccard ${r.getDouble(6)} vs $trueJ")
+    }
+  }
 }
