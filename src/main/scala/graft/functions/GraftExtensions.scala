@@ -45,5 +45,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_ntz_micros(ts_ntz) takes one argument")
         NtzEpochMicros(exprs.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_kmv(long_key, k) takes two arguments")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv k must be an integer literal, got $other")
+        }
+        KmvAgg(exprs.head, k)
+      }))
   }
 }

@@ -310,6 +310,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("long"))
   }
 
+  test("graft_kmv is SQL-callable and equals the column form") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    (1 to 500).map(i => s"v${i % 90}").toDF("v").createOrReplaceTempView("kmv_in")
+    val viaSql = sp.sql("SELECT graft_kmv(xxhash64(v), 32) AS s FROM kmv_in")
+      .head().getSeq[Long](0).toSeq
+    val viaCol = (1 to 500).map(i => s"v${i % 90}").toDF("v")
+      .agg(graft.functions.Kmv.sketch(xxhash64(col("v")), 32).as("s"))
+      .head().getSeq[Long](0).toSeq
+    assert(viaSql == viaCol && viaSql.length == 32)
+  }
+
   test("overlapMatrix: exact regime equals brute pairwise sets; estimator within band") {
     val sp = spark
     import sp.implicits._
