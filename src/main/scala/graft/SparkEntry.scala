@@ -1486,6 +1486,21 @@ object Queries {
       .orderBy("ga", "gb")
   }
 
+  /** Exact phrase-occurrence search against a POSITIONAL inverted index:
+    * every doc containing "slow hash batch" consecutively, with
+    * overlapping occurrences counted — the exact-quote decontamination
+    * complement to q120/q130's ranked retrieval. Oracle counts 3-gram
+    * start positions with plain list arithmetic. */
+  def q135PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = indexPath(dir, "textpos")
+    operators.TextIndex.writePositional(
+      docs.where(pmod(col("doc_id"), lit(487)) =!= 0), "doc_id", "text",
+      path, buckets = 32)
+    operators.TextIndex.phraseCount(spark, path, "slow hash batch")
+      .orderBy("doc_id")
+  }
+
   def q123CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     val old = d.where(col("doc_id") % 7 =!= 3).select(col("doc_id"), col("text"))
@@ -1674,6 +1689,7 @@ object Queries {
     "q131_corpus_overlap" -> q131CorpusOverlap _,
     "q132_shuffle_shards" -> q132ShuffleShards _,
     "q134_overlap_matrix" -> q134OverlapMatrix _,
+    "q135_phrase_search" -> q135PhraseSearch _,
     "q124_nfc_normalize" -> q124NfcNormalize _,
     "q125_html_strip" -> q125HtmlStrip _,
     "q126_top_paths" -> q126TopPaths _,
@@ -2105,6 +2121,17 @@ object Queries {
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q120_bm25" -> bm25Oracle(97),
+    "q135_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 487 <> 0)
+        |SELECT doc_id, CAST(len(list_filter(range(1, len(w) - 1),
+        |         i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch'))
+        |       AS INT) AS n_occurrences
+        |FROM toks
+        |WHERE len(list_filter(range(1, len(w) - 1),
+        |        i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch')) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q134_overlap_matrix" ->
       """WITH d AS (
         |  SELECT DISTINCT 's1' AS g, text FROM documents WHERE doc_id % 10 < 6

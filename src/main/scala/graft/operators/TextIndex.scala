@@ -133,6 +133,93 @@ object TextIndex {
     scorePruned(posts, qterms, n, sumdl, k1, b, topK)
   }
 
+  // ------------------------------------------------------- positional
+
+  private val PositionalSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("dl", IntegerType, nullable = true),
+    StructField("term", StringType, nullable = true),
+    StructField("tf", LongType, nullable = true),
+    StructField("positions", ArrayType(IntegerType, containsNull = false),
+      nullable = true),
+    StructField("bucket", LongType, nullable = true)))
+
+  /** Positional index build: same fused zero-shuffle pass, but each
+    * posting row carries the term's 1-based TOKEN positions — the layout
+    * phrase/proximity search needs. ~2-3× the postings bytes of
+    * [[write]]; build it when exact-phrase decontamination (find
+    * benchmark QUOTES, not just high-BM25 docs) is on the menu. */
+  def writePositional(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int): Unit = {
+    require(buckets >= 1, s"TextIndex: need buckets >= 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.core.Par.fanOut(
+      df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val u = org.apache.spark.unsafe.types.UTF8String
+              .fromString(text).toLowerCase.trim()
+            val arr = u.toString.split("\\s+", -1)
+            val pos = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+            var i = 0
+            while (i < arr.length) {
+              if (arr(i).nonEmpty)
+                pos.computeIfAbsent(arr(i), _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += (i + 1)
+              i += 1
+            }
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, String, Long, Seq[Int])]
+            pos.forEach((t, ps) => out += ((id, arr.length, t, ps.size.toLong, ps.toSeq)))
+            out.iterator
+          }
+        }
+      }
+      .toDF("doc_id", "dl", "term", "tf", "positions")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    writeMeta(spark, 0L, None, buckets, path) // stats unused by phrase search
+  }
+
+  /** Exact phrase-occurrence counts against a [[writePositional]] index:
+    * (doc_id, n_occurrences) for every document containing the phrase's
+    * tokens CONSECUTIVELY, counting overlapping occurrences. The scan
+    * prunes to the phrase terms' buckets; the adjacency chain is pure
+    * codegen array arithmetic — match_i = positions(t_i) ∩ (match_{i-1}
+    * shifted by one token) — so an m-term phrase costs m−1 doc-keyed
+    * joins over single-term postings, never a text scan. The exact-quote
+    * complement to [[search]]'s ranked-overlap retrieval. */
+  def phraseCount(
+      spark: SparkSession, path: String, phrase: String): DataFrame = {
+    val terms = org.apache.spark.unsafe.types.UTF8String
+      .fromString(phrase).toLowerCase.trim().toString
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "phraseCount: need a non-empty phrase")
+    val (_, _, buckets) = readMeta(spark, path)
+    import spark.implicits._
+    val qterms = terms.distinct.toDF("term")
+    val posts = spark.read.schema(PositionalSchema).parquet(s"$path/postings")
+      .where(col("bucket").isin(neededBuckets(qterms, buckets): _*))
+    def termPosts(t: String, as: String): DataFrame =
+      posts.where(col("term") === lit(t))
+        .select(col("doc_id"), col("positions").as(as))
+    val first = termPosts(terms.head, "_m")
+    val chained = terms.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(termPosts(t, s"_p$i"), "doc_id")
+          .select(col("doc_id"),
+            array_intersect(
+              transform(col("_m"), x => x + lit(1)), col(s"_p$i")).as("_m"))
+    }
+    chained.select(col("doc_id"), size(col("_m")).as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+  }
+
   /** The query terms' bucket values, via ONE tiny Spark job (so the
     * bucket hash is Spark's own xxhash64 — nothing to drift). */
   private[graft] def neededBuckets(qterms: DataFrame, buckets: Int): Array[Long] =

@@ -82,4 +82,30 @@ class TextIndexSpec extends AnyFunSuite {
     assert(inc == full)
     assert(inc.nonEmpty)
   }
+
+  test("phraseCount: consecutive-token matches incl. overlapping and repeated-term phrases") {
+    val path = tmp("pos")
+    val corpus = Seq(
+      (1L, "the quick brown fox and the quick brown cat"),
+      (2L, "a a a b"),                  // "a a" overlaps: 2 occurrences
+      (3L, "quick brown"),              // exact doc == phrase
+      (4L, "brown quick"),              // reversed: no match
+      (5L, "The QUICK  brown\tfox"),    // case + whitespace folding
+      (6L, null: String)
+    ).toDF("doc_id", "text")
+    TextIndex.writePositional(corpus, "doc_id", "text", path, buckets = 8)
+    def counts(p: String): Map[Long, Int] =
+      TextIndex.phraseCount(spark, path, p)
+        .as[(Long, Int)].collect().toMap
+    assert(counts("quick brown") == Map(1L -> 2, 3L -> 1, 5L -> 1))
+    assert(counts("a a") == Map(2L -> 2))
+    assert(counts("a a a") == Map(2L -> 1))
+    assert(counts("quick brown fox") == Map(1L -> 1, 5L -> 1))
+    assert(counts("brown") == Map(1L -> 2, 3L -> 1, 4L -> 1, 5L -> 1)) // single term = tf
+    assert(counts("missing phrase entirely") == Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.phraseCount(spark, path, "   ")
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
 }
