@@ -45,18 +45,21 @@ object Bench {
     val best = scala.collection.mutable.Map[String, Double]()
     val worst = scala.collection.mutable.Map[String, Double]()
     val shufMb = scala.collection.mutable.Map[String, Double]()
+    val spillMb = scala.collection.mutable.Map[String, Double]()
     val everFailed = scala.collection.mutable.Set[String]()
     // Per-query shuffle-WRITE bytes (runtime evidence for the zero-shuffle
     // fusion claims — a plan audit shows intent, this shows what moved):
     // a listener accumulates stage shuffle writes; the bus is drained
     // before each delta is read so attribution follows the query.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           shuffleBytes.addAndGet(
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
           ()
         }
       })
@@ -64,6 +67,7 @@ object Bench {
       names.foreach { case (name, fn) =>
         org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
         val b0 = shuffleBytes.get()
+        val sp0 = spillBytes.get()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -75,6 +79,8 @@ object Bench {
             org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
             shufMb(name) =
               math.round((shuffleBytes.get() - b0) / 1e6 * 100.0) / 100.0
+            spillMb(name) =
+              math.round((spillBytes.get() - sp0) / 1e6 * 100.0) / 100.0
           }
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
           worst(name) = math.max(worst.getOrElse(name, 0.0), dt)
@@ -94,6 +100,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val shuffleJson = names.collect { case (k, _) if shufMb.contains(k) =>
       "\"" + k + "\":" + shufMb(k)
+    }.mkString("{", ",", "}")
+    // disk spill per query (same listener): nonzero values flag partition
+    // sizing problems long before they become cluster incidents
+    val spillJson = names.collect {
+      case (k, _) if spillMb.getOrElse(k, 0.0) > 0.0 =>
+        "\"" + k + "\":" + spillMb(k)
     }.mkString("{", ",", "}")
     // Approximate-ANN recall@10 vs brute force at this SF (SURVEY §9):
     // timings alone can't show an index trading away its recall, so the
@@ -174,7 +186,7 @@ object Bench {
       def f(x: Double) = math.rint(x / nq * 1000) / 1000.0
       s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"pq_rerank_m4":${f(rPqRerank)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
