@@ -377,6 +377,13 @@ object Graft {
       n: Int = 3, tau: Double = 0.6): DataFrame =
     graft.operators.Dedup.dedupCorpus(df, idCol, textCol, n, tau)
 
+  /** Fixed-iteration PageRank over a directed edge list
+    * ([[operators.Graph.pageRank]]) — the crawl-side centrality quality
+    * signal; one job per iteration, lineage localCheckpoint-truncated. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame =
+    graft.operators.Graph.pageRank(edges, srcCol, dstCol, iters, damping)
+
   /** Quality-aware near-dup dedup: each cluster keeps its highest-`score`
     * member, ties min id ([[operators.Dedup.dedupCorpusBy]]). */
   def dedupCorpusBy(df: DataFrame, idCol: String, textCol: String,

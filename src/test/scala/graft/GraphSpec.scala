@@ -50,6 +50,24 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("12-iteration pageRank matches the model (lineage-truncation regression guard)") {
+    // 12 iterations on a small mixed graph: correctness at depth AND an
+    // implicit perf guard — before contribs were localCheckpoint'ed, the
+    // per-iteration analysis walked an ever-deeper plan and 10+ iterations
+    // took minutes regardless of data size; with truncation this test is
+    // seconds. If it ever hangs, the lineage fix regressed.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (2L, 6L), (7L, 1L)) // 7 dangles into the cycle
+    val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = model(edges, 12, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"node $v: $r vs ${want(v)}")
+    }
+  }
+
   test("rank mass is conserved at 1 (dangling mass redistributed, not lost)") {
     val got = run(g, 5)
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
