@@ -511,19 +511,49 @@ object Curation {
       sep: String = "\n", minLineLen: Int = 1): DataFrame = {
     require(sep.nonEmpty, "need a non-empty line separator")
     require(!df.columns.contains("_cuts"), "input already has a _cuts column")
+    val spark = df.sparkSession
+    import spark.implicits._
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val lines = graft.core.Par.fanOut(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), posexplode(split(col(textCol), sepRe)).as(Seq("idx", "line")))
-      .where(length(col("line")) >= minLineLen)
-      .withColumn("_k", xxhash64(col("line"))).cache()
-    val dupK = lines.groupBy("_k").agg(count(lit(1)).as("_c"))
+    // Phase 1 is a fused per-partition pass emitting (id, idx, hash) ONLY
+    // — no line string is allocated into a cache or shuffle (the q101
+    // discipline); ids cast to long. Phase 2 re-extracts candidate lines
+    // by index from the candidate DOCS alone, and the string-keyed window
+    // makes exactness unconditional under hash collisions.
+    val keyed = graft.core.Par.fanOut(
+      df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        import org.apache.spark.unsafe.types.UTF8String
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val parts = text.split(java.util.regex.Pattern.quote(sep), -1)
+            parts.iterator.zipWithIndex.collect {
+              case (line, idx) if line.length >= minLineLen =>
+                val u = UTF8String.fromString(line)
+                (id, idx,
+                  XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+            }
+          }
+        }
+      }
+      .toDF("_id", "idx", "_k").cache()
+    val dupK = keyed.groupBy("_k").agg(count(lit(1)).as("_c"))
       .where(col("_c") > 1).select("_k")
+    val candIdx = keyed.join(dupK, "_k")
+      .groupBy(col("_id")).agg(collect_list(col("idx")).as("_cand"))
+    val candLines = df
+      .select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .join(candIdx, Seq("_id"))
+      .select(col("_id"), explode(col("_cand")).as("idx"),
+        element_at(split(col("_t"), sepRe), col("idx") + lit(1)).as("line"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("line").orderBy(col(idCol).asc, col("idx").asc)
-    val losers = lines.join(dupK, "_k")
+      .partitionBy("line").orderBy(col("_id").asc, col("idx").asc)
+    val losers = candLines
       .withColumn("_r", row_number().over(w))
       .where(col("_r") > 1)
-      .groupBy(col(idCol))
+      .groupBy(col("_id").as(idCol))
       .agg(sort_array(collect_list(col("idx"))).as("_cuts"))
     val rebuilt = array_join(
       filter(split(col(textCol), sepRe), (x, i) => !array_contains(col("_cuts"), i)),
