@@ -133,6 +133,30 @@ object TextIndex {
     scorePruned(posts, qterms, n, sumdl, k1, b, topK)
   }
 
+  /** Compact an appended index: each [[append]] lands one file per
+    * touched bucket, so N batches leave N files per bucket directory —
+    * harmless for a while (searches read only pruned buckets), listing-
+    * and open-cost noise at crawl cadence. Rewrites the postings at one
+    * file per bucket via a staging directory + atomic-enough rename
+    * (write staged, swap, drop old); meta is untouched. Run on the same
+    * cadence as [[graft.operators.Layout.compactTo]] for plain tables. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (_, _, buckets) = readMeta(spark, path)
+    val live = s"$path/postings"
+    val staged = s"$path/postings_compact"
+    spark.read.schema(PostingsSchema).parquet(live)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p0 = new org.apache.hadoop.fs.Path(live)
+    val fs = p0.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$path/postings_old")
+    fs.rename(p0, old)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), p0)
+    fs.delete(old, true)
+    ()
+  }
+
   // ------------------------------------------------------- positional
 
   private val PositionalSchema = StructType(Seq(

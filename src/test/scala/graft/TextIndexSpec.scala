@@ -83,6 +83,25 @@ class TextIndexSpec extends AnyFunSuite {
     assert(inc.nonEmpty)
   }
 
+  test("compact collapses per-append files to one per bucket; searches unchanged") {
+    val path = tmp("cmp")
+    val parts = (0 until 4).map(i => corpus.where(col("doc_id") % 4 === i))
+    TextIndex.write(parts.head, "doc_id", "text", path, buckets = 8)
+    parts.tail.foreach(p => TextIndex.append(p, "doc_id", "text", path))
+    def res() = TextIndex.search(spark, path, queries, "doc_id", "text")
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    val before = res()
+    val postings = new java.io.File(s"$path/postings")
+    val filesBefore = parquetFilesUnder(postings).size
+    TextIndex.compact(spark, path)
+    val filesAfter = parquetFilesUnder(postings).size
+    val bucketDirs = postings.listFiles().count(_.getName.startsWith("bucket="))
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    assert(filesAfter == bucketDirs, s"expected one file per bucket dir")
+    assert(res() == before, "compaction changed search results")
+    assert(before.nonEmpty)
+  }
+
   test("phraseCount: consecutive-token matches incl. overlapping and repeated-term phrases") {
     val path = tmp("pos")
     val corpus = Seq(
