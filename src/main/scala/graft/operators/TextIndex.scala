@@ -139,7 +139,7 @@ object TextIndex {
     * and open-cost noise at crawl cadence. Rewrites the postings at one
     * file per bucket via a staging directory + atomic-enough rename
     * (write staged, swap, drop old); meta is untouched. Run on the same
-    * cadence as [[graft.operators.Layout.compactTo]] for plain tables. */
+    * cadence as [[graft.operators.Layout.compact]] for plain tables. */
   def compact(spark: SparkSession, path: String): Unit = {
     val (_, _, buckets) = readMeta(spark, path)
     val live = s"$path/postings"
