@@ -59,6 +59,29 @@ object VectorIndex {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/corpus")
   }
 
+  /** Compact an appended index ([[TextIndex.compact]]'s twin): each
+    * [[appendIvf]]/[[appendLsh]] batch lands one file per touched bucket
+    * (or table×bucket) directory; this rewrites the corpus at one file
+    * per partition directory via stage + swap. Sidecar meta (centroids /
+    * hyperplane params) is untouched, so probes and future appends keep
+    * working unchanged. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val live = s"$path/corpus"
+    val staged = s"$path/corpus_compact"
+    val df = spark.read.parquet(live)
+    val partCols = Seq("table", "bucket").filter(df.columns.contains)
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(staged)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p0 = new org.apache.hadoop.fs.Path(live)
+    val fs = p0.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
+    fs.rename(p0, old)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), p0)
+    fs.delete(old, true)
+    ()
+  }
+
   /** Top-k probe against a written IVF index: centroid ranking happens on
     * the driver (C×dim doubles), then ONLY the `nprobe` nearest bucket
     * directories are scanned (partition-pruned — spec-checked via the scan's

@@ -387,4 +387,29 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(sparse.subsetOf(Set(1L, 2L, 3L)), sparse.toString)
   }
+
+  test("VectorIndex.compact: appended bucket files collapse, probes unchanged") {
+    import graft.operators.{Similarity, VectorIndex}
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft-vcmp").toString + "/idx"
+    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 4, iters = 1)
+    val q = emb.where(col("vec_id") === 1L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    VectorIndex.writeIvf(emb.where(col("vec_id") % 3 === 0), "vec_id", "embedding", centroids, path)
+    VectorIndex.appendIvf(emb.where(col("vec_id") % 3 === 1), "vec_id", "embedding", path)
+    VectorIndex.appendIvf(emb.where(col("vec_id") % 3 === 2), "vec_id", "embedding", path)
+    def probe() = VectorIndex.ivfTopK(spark, path, "vec_id", "embedding", q,
+      nprobe = 2, k = 10, excludeId = Some(1L)).select("vec_id").as[Long].collect().toSeq
+    val before = probe()
+    val corpusDir = new java.io.File(s"$path/corpus")
+    val filesBefore = parquetFilesUnder(corpusDir).size
+    VectorIndex.compact(spark, path)
+    val filesAfter = parquetFilesUnder(corpusDir).size
+    val bucketDirs = corpusDir.listFiles().count(_.getName.startsWith("bucket="))
+    assert(filesAfter < filesBefore && filesAfter == bucketDirs,
+      s"$filesBefore -> $filesAfter over $bucketDirs buckets")
+    assert(probe() == before)
+    assert(before.nonEmpty)
+  }
 }
