@@ -36,6 +36,13 @@ import org.apache.spark.storage.StorageLevel
   * Bucket pruning is unaffected by the extra partition level: Catalyst
   * prunes on any partition column, so a search reads
   * (published batches) × (query-term buckets) directories only.
+  *
+  * History is append-only by design (the [[StreamingCdcIngest]]
+  * bargain): [[graft.operators.TextIndex.compact]] must NOT be pointed
+  * at this layout while the stream runs — merging batch directories
+  * would break the batch-keyed replay convergence. Compact by draining
+  * the stream, rebuilding via the batch [[graft.operators.TextIndex
+  * .write]], and restarting from a fresh checkpoint.
   */
 object StreamingTextIndex {
 
