@@ -151,8 +151,12 @@ object TextIndex {
     val p0 = new org.apache.hadoop.fs.Path(live)
     val fs = p0.getFileSystem(conf)
     val old = new org.apache.hadoop.fs.Path(s"$path/postings_old")
-    fs.rename(p0, old)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), p0)
+    // a crashed prior compact may leave a stale _old dir; clear it, and
+    // CHECK each rename — a silent false here would swap in nothing
+    fs.delete(old, true)
+    require(fs.rename(p0, old), s"compact: could not stage out $live")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), p0),
+      s"compact: could not swap in $staged (live data is at ${old})")
     fs.delete(old, true)
     ()
   }
