@@ -45,7 +45,9 @@ object Sampling {
     * shape: one hash projection + one window keyed BY SHARD — each
     * shard's position numbering is independent, so parallelism is the
     * shard count (hundreds-to-thousands of output files at corpus
-    * scale), never a single global sort. */
+    * scale), never a single global sort. `pos` is a 32-bit row_number:
+    * size shards so each holds < 2^31 rows (at 10^12 rows that is
+    * ≥ ~500 shards — well under the natural shard count anyway). */
   def shuffleShards(
       df: DataFrame, idCol: String, shards: Int, seed: Long = 0L): DataFrame = {
     require(shards >= 1, s"shuffleShards: need shards >= 1, got $shards")
@@ -109,11 +111,14 @@ object Sampling {
     * `WindowGroupLimit`, so each map task keeps at most `perStratum` rows
     * per stratum before the shuffle. */
   def stratifiedSample(
-      df: DataFrame, stratumCol: String, idCol: String, perStratum: Int): DataFrame = {
+      df: DataFrame, stratumCol: String, idCol: String, perStratum: Int,
+      seed: Long = 0L): DataFrame = {
     require(perStratum > 0, "need perStratum > 0")
+    // seed shifts the id before the mix: a different reproducible draw
+    // per seed, and seed = 0 is exactly the unseeded legacy assignment
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(hashBucket(col(idCol), 1000000007).asc, col(idCol).asc)
+      .orderBy(hashBucket(col(idCol) + lit(seed), 1000000007).asc, col(idCol).asc)
     df.withColumn("_ss_rn", row_number().over(w))
       .where(col("_ss_rn") <= perStratum)
       .drop("_ss_rn")
