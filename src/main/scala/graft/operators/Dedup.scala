@@ -511,6 +511,14 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // exhausting maxIter without convergence would return SILENTLY WRONG
+    // labels (nodes > maxIter hops from their component's min id keep a
+    // stale label) — a real shape at corpus scale, where chains of
+    // successive near-identical edits have diameter ~ version count
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIter rounds - the " +
+        "graph has a component of diameter > maxIter; raise maxIter " +
+        "(rounds are O(diameter)) or pre-contract with star contraction")
     labels
   }
 

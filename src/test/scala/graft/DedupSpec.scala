@@ -161,6 +161,21 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
   }
 
+  test("connectedComponents refuses loudly when maxIter < component diameter") {
+    // a 12-hop chain: min-label propagation needs ~11 rounds; at maxIter=3
+    // the old loop returned silently wrong labels for the chain's far end
+    val chain = (1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 3,
+        driverEdgeLimit = 1).collect() // force the distributed path
+    }
+    assert(e.getMessage.contains("not converged"))
+    // with adequate maxIter the same graph labels correctly
+    val ok = Dedup.connectedComponents(chain, "a", "b", maxIter = 20,
+      driverEdgeLimit = 1).as[(Long, Long)].collect().toMap
+    assert(ok == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
   test("connectedComponents: driver union-find and distributed paths agree") {
     // chain, triangle, cross-link, self-loop, reversed-order edges
     val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 20L), (1L, 2L),
