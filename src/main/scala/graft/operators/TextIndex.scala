@@ -248,6 +248,43 @@ object TextIndex {
       .where(col("n_occurrences") > 0)
   }
 
+  /** Ordered proximity search: documents containing `terms` IN ORDER
+    * with each successive term at most `window` tokens after the
+    * previous ([[phraseCount]] is the window = 1 special case — the
+    * adjacency chain generalized to match_i = { p ∈ positions(t_i) :
+    * ∃ m ∈ match_{i−1}, 1 ≤ p − m ≤ window }, all codegen HOFs over the
+    * same bucket-pruned positional postings). `n_matches` counts the
+    * distinct end positions of qualifying chains — near-quote detection
+    * looser than exact phrases, for paraphrase-leak triage. */
+  def proximityCount(
+      spark: SparkSession, path: String, terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.nonEmpty, "proximityCount: need at least one term")
+    require(window >= 1, s"proximityCount: need window >= 1, got $window")
+    val toks = terms.map(t => org.apache.spark.unsafe.types.UTF8String
+      .fromString(t).toLowerCase.trim().toString).filter(_.nonEmpty)
+    require(toks.nonEmpty, "proximityCount: need non-empty terms")
+    val (_, _, buckets) = readMeta(spark, path)
+    import spark.implicits._
+    val qterms = toks.distinct.toDF("term")
+    val posts = spark.read.schema(PositionalSchema).parquet(s"$path/postings")
+      .where(col("bucket").isin(neededBuckets(qterms, buckets): _*))
+    def termPosts(t: String, as: String): DataFrame =
+      posts.where(col("term") === lit(t))
+        .select(col("doc_id"), col("positions").as(as))
+    val first = termPosts(toks.head, "_m")
+    val chained = toks.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(termPosts(t, s"_p$i"), "doc_id")
+          .select(col("doc_id"),
+            filter(col(s"_p$i"), p =>
+              exists(col("_m"), m =>
+                p - m >= lit(1) && p - m <= lit(window))).as("_m"))
+    }
+    chained.select(col("doc_id"), size(col("_m")).as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
   /** The query terms' bucket values, via ONE tiny Spark job (so the
     * bucket hash is Spark's own xxhash64 — nothing to drift). */
   private[graft] def neededBuckets(qterms: DataFrame, buckets: Int): Array[Long] =

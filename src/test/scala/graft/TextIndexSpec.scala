@@ -127,4 +127,26 @@ class TextIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-empty"))
   }
+
+  test("proximityCount: in-order within-window matches; window=1 equals phraseCount") {
+    val path = tmp("prox")
+    val corpus = Seq(
+      (1L, "alpha x beta"),          // gap 2: matches window>=2 only
+      (2L, "alpha beta"),            // adjacent
+      (3L, "beta alpha"),            // wrong order: never
+      (4L, "alpha x y z beta"),      // gap 4
+      (5L, "alpha x beta y beta")    // two qualifying end positions at w>=2
+    ).toDF("doc_id", "text")
+    TextIndex.writePositional(corpus, "doc_id", "text", path, buckets = 8)
+    def prox(w: Int): Map[Long, Int] =
+      TextIndex.proximityCount(spark, path, Seq("alpha", "beta"), w)
+        .as[(Long, Int)].collect().toMap
+    assert(prox(1) == Map(2L -> 1))
+    assert(prox(2) == Map(1L -> 1, 2L -> 1, 5L -> 1))
+    assert(prox(4) == Map(1L -> 1, 2L -> 1, 4L -> 1, 5L -> 2))
+    // window = 1 degenerates to the exact phrase semantics
+    val phrase = TextIndex.phraseCount(spark, path, "alpha beta")
+      .as[(Long, Int)].collect().toMap
+    assert(prox(1) == phrase)
+  }
 }
