@@ -149,4 +149,42 @@ class TextIndexSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(prox(1) == phrase)
   }
+
+  test("phrase/proximity fuzz: random corpora vs a brute token-scan model") {
+    val rnd = new scala.util.Random(23L)
+    val alphabet = Seq("a", "b", "c", "d")
+    def brutePhrase(doc: Seq[String], ph: Seq[String]): Int =
+      if (doc.length < ph.length) 0
+      else (0 to doc.length - ph.length).count(i => doc.slice(i, i + ph.length) == ph)
+    def bruteProx(doc: Seq[String], ts: Seq[String], w: Int): Int = {
+      // distinct qualifying end positions of in-order within-w chains
+      var ends = doc.zipWithIndex.collect { case (t, i) if t == ts.head => i }
+      ts.drop(1).foreach { t =>
+        val prev = ends
+        ends = doc.zipWithIndex.collect {
+          case (x, i) if x == t && prev.exists(m => i - m >= 1 && i - m <= w) => i
+        }
+      }
+      ends.length
+    }
+    for (trial <- 1 to 3) {
+      val docs = (1L to 25L).map(i =>
+        (i, Seq.fill(5 + rnd.nextInt(30))(alphabet(rnd.nextInt(4))).mkString(" ")))
+      val path = tmp(s"fz$trial")
+      TextIndex.writePositional(docs.toDF("doc_id", "text"), "doc_id", "text", path, 8)
+      val toks = docs.map { case (i, t) => i -> t.split(" ").toSeq }.toMap
+      for (_ <- 1 to 5) {
+        val ph = Seq.fill(1 + rnd.nextInt(3))(alphabet(rnd.nextInt(4)))
+        val gotP = TextIndex.phraseCount(spark, path, ph.mkString(" "))
+          .as[(Long, Int)].collect().toMap
+        val wantP = toks.map { case (i, d) => i -> brutePhrase(d, ph) }.filter(_._2 > 0)
+        assert(gotP == wantP, s"phrase $ph trial $trial")
+        val w = 1 + rnd.nextInt(4)
+        val gotX = TextIndex.proximityCount(spark, path, ph, w)
+          .as[(Long, Int)].collect().toMap
+        val wantX = toks.map { case (i, d) => i -> bruteProx(d, ph, w) }.filter(_._2 > 0)
+        assert(gotX == wantX, s"prox $ph w=$w trial $trial")
+      }
+    }
+  }
 }
