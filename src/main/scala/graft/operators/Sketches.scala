@@ -77,9 +77,9 @@ object Sketches {
   }
 
   /** Pairwise overlap stats from two sorted-ascending KMV sketches
-    * (shared by [[corpusOverlap]] and [[overlapMatrix]]): (n_a, n_b,
+    * (shared by [[corpusOverlap]], [[overlapMatrix]], and the streaming novelty twin): (n_a, n_b,
     * n_union, n_intersection, jaccard@6dp, is_exact). */
-  private def pairStats(sa: Array[Long], sb: Array[Long], k: Int)
+  private[graft] def kmvPairStats(sa: Array[Long], sb: Array[Long], k: Int)
       : (Long, Long, Long, Long, Double, Boolean) = {
     def frac(h: Long): Double = // rank of h in (0, 1]: position of the hash
       (h.toDouble - Long.MinValue.toDouble + 1.0) / math.pow(2.0, 64)
@@ -137,7 +137,7 @@ object Sketches {
     val spark = a.sparkSession
     val sa = kmvValues(a, col(textCol), k)
     val sb = kmvValues(b, col(textCol), k)
-    val (nA, nB, nUnion, nInter, jac, exact) = pairStats(sa, sb, k)
+    val (nA, nB, nUnion, nInter, jac, exact) = kmvPairStats(sa, sb, k)
     spark.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row(nA, nB, nUnion, nInter, jac, exact)),
@@ -181,7 +181,7 @@ object Sketches {
     for (i <- rows.indices; j <- i + 1 until rows.length) {
       val (ga, sa) = rows(i)
       val (gb, sb) = rows(j)
-      val (nA, nB, nUnion, nInter, jac, exact) = pairStats(sa, sb, k)
+      val (nA, nB, nUnion, nInter, jac, exact) = kmvPairStats(sa, sb, k)
       out.add(org.apache.spark.sql.Row(ga, gb, nA, nB, nUnion, nInter, jac, exact))
     }
     spark.createDataFrame(out,

@@ -829,4 +829,37 @@ class StreamingSpec extends AnyFunSuite {
       half2.toDF("doc_id", "text"), 1L, path, "doc_id", "text", buckets = 16)
     assert(results() == want)
   }
+
+  test("streaming overlap: per-batch novelty exact under k, replay-safe") {
+    import spark.implicits._
+    import graft.streaming.StreamingOverlap
+    val path = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    // batch 0: 100 fresh docs; batch 1: 50 repeats + 50 fresh; batch 2: all repeats
+    val b0 = (1 to 100).map(i => s"doc $i").toDF("text")
+    val b1 = ((51 to 100) ++ (101 to 150)).map(i => s"doc $i").toDF("text")
+    val b2 = (1 to 40).map(i => s"doc $i").toDF("text")
+    StreamingOverlap.processBatch(b0, 0L, path, "text", k = 4096)
+    StreamingOverlap.processBatch(b1, 1L, path, "text", k = 4096)
+    StreamingOverlap.processBatch(b2, 2L, path, "text", k = 4096)
+    def rows() = StreamingOverlap.novelty(spark, path)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5), r.getBoolean(6))).toSeq
+    val got = rows()
+    assert(got == Seq(
+      (0L, 100L, 0L, 0L, 1.0, true),    // everything new against empty prior
+      (1L, 100L, 100L, 50L, 0.5, true), // half the batch repeats
+      (2L, 40L, 150L, 40L, 0.0, true))) // fully stale batch
+    // at-least-once replay: re-running batch 1 replaces its row, not adds
+    StreamingOverlap.processBatch(b1, 1L, path, "text", k = 4096)
+    assert(rows() == got)
+    // estimator regime flagged honestly once a sketch fills
+    val big = (1 to 9000).map(i => s"x $i").toDF("text")
+    StreamingOverlap.processBatch(big, 3L, path, "text", k = 4096)
+    val last = StreamingOverlap.novelty(spark, path).orderBy("batch_id")
+      .collect().last
+    assert(!last.getBoolean(6), "an over-k sketch must drop the exact certificate")
+    assert(math.abs(last.getLong(1) - 9000L).toDouble / 9000 < 0.1,
+      s"distinct estimate ${last.getLong(1)} too far from 9000")
+  }
 }
