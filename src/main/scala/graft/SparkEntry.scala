@@ -2362,11 +2362,16 @@ object Queries {
         |  FROM docbg d
         |  LEFT JOIN c2 ON d.prev = c2.prev AND d.cur = c2.cur
         |  LEFT JOIN c1 ON d.prev = c1.prev
-        |  CROSS JOIN v)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |       ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy,
-        |       ROUND(EXP(ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  CROSS JOIN v
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n,
+        |         CAST(-SUM(lp) * 1000000 AS BIGINT) AS a
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n AS n_bigrams,
+        |       ((2 * a + n) // (2 * n)) / 1000000.0 AS cross_entropy,
+        |       ROUND(EXP(((2 * a + n) // (2 * n)) / 1000000.0), 4) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q106_nb_classifier" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents

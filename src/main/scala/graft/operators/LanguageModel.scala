@@ -96,7 +96,15 @@ object LanguageModel {
       (lit(2) * coalesce(col("_c2"), lit(0L)) + 1).cast("double") /
         (lit(2) * coalesce(col("_c1"), lit(0L)) + col("_v") + 1)), 6)
       .cast("decimal(20,6)")
-    val ce = round(-(col("_sum_lp").cast("double")) / col("n_bigrams"), 6)
+    // cross-entropy's final 6dp round runs in EXACT int64 arithmetic:
+    // _sum_lp is a 6dp DECIMAL = an exact integer count of micro-units
+    // (A = -sum · 10^6, positive since log-probs are negative), and
+    // HALF_UP(A / n) = (2A + n) div (2n) for positive ints — identical
+    // in any 64-bit engine. Rounding the double quotient instead left a
+    // boundary hazard: Spark (shortest-string HALF_UP) and DuckDB
+    // (multiply-based) disagree when the quotient sits within an ulp of
+    // an x.xxxxxx5 boundary — measured once across 5000 docs at sf0.1.
+    val ce = col("_cem").cast("double") / lit(1000000.0)
     docBg
       .join(c2.select(col("_k2"), col("_c2")), Seq("_k2"), "left")
       .join(c1, Seq("_k1"), "left")
@@ -104,6 +112,8 @@ object LanguageModel {
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_bigrams"),
         sum(lp6).as("_sum_lp"))
+      .withColumn("_a", (-col("_sum_lp") * lit(1000000)).cast("long"))
+      .withColumn("_cem", expr("(2 * _a + n_bigrams) div (2 * n_bigrams)"))
       .select(col(idCol), col("n_bigrams"),
         ce.as("cross_entropy"),
         round(exp(ce), 4).as("ppl"))
