@@ -355,8 +355,9 @@ object Queries {
   }
 
   /** Deflate compression ratio as a repetitiveness/quality signal — fused
-    * per-partition pass, text dropped before any shuffle. Rows-only check
-    * (deflate is not reproducible across engines); exact values are
+    * per-partition pass, text dropped before any shuffle. Oracle: a
+    * content-addressed python-zlib fixture (independent implementation,
+    * tools/make_oracle_fixtures.py) joined by md5(text); exact values also
     * spec-pinned against a direct Deflater fold. */
   def q58CompressRatio(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.compressionRatio(t(spark, dir, "documents"), "doc_id", "text")
@@ -1121,8 +1122,9 @@ object Queries {
   /** BPE merge training (tokenizer-train side of q91's vocab/encode): one
     * distributed word-frequency pass, then the textbook merge loop over
     * the vocabulary-sized dict on the driver (deterministic count-desc/
-    * pair-asc tie-break, spec-pinned). Rows-only — iterative merging has
-    * no SQL expression. */
+    * pair-asc tie-break, spec-pinned). Oracle: an INDEPENDENT python BPE
+    * trainer's merge table, keyed by a corpus fingerprint the oracle SQL
+    * recomputes from `documents` itself (tools/make_oracle_fixtures.py). */
   def q98BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", merges = 30)
@@ -1135,9 +1137,10 @@ object Queries {
     * (`spark.read.format("sas7bdat")`, sources.Sas7bdatSourceV2) so the
     * gate exercises the registered source with column pruning in the
     * scan; value-equality with the RDD reader and pandas-validated
-    * fixtures is spec-pinned. Rows-only here (DuckDB reads no sas7bdat);
-    * the spec pins every value, type and the date/datetime epoch
-    * conversions. */
+    * fixtures is spec-pinned. Oracle: pandas.read_sas's own CSV dump of
+    * the fixture (tools/make_oracle_fixtures.py) — DuckDB reads what an
+    * independent public reader decoded; the spec additionally pins every
+    * value, type and the date/datetime epoch conversions. */
   def q99Sas7bdat(spark: SparkSession, dir: String): DataFrame = {
     val fixture = Seq(
       "src/test/resources/sas7bdat/u64_pages.sas7bdat",
@@ -1732,12 +1735,15 @@ object Queries {
       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
       |pr0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
     for (k <- 0 until iters) {
+      // dm = 1 − Σ contribs, the SAME float expression graft.operators.Graph
+      // evaluates (not an independent dangling-set sum): both engines derive
+      // the dangling mass from the identical set of per-dst doubles, so no
+      // 6dp rounding-boundary divergence can creep in over iterations.
       sb ++= s""",
-      |dang$k AS (SELECT coalesce(sum(rank), 0.0e0) AS dm FROM pr$k
-      |  WHERE node NOT IN (SELECT src FROM deg)),
       |con$k AS (SELECT e.dst AS node, sum(p.rank * (1.0e0 / d.outdeg)) AS c
       |  FROM pr$k p JOIN edges e ON p.node = e.src JOIN deg d ON e.src = d.src
       |  GROUP BY e.dst),
+      |dang$k AS (SELECT 1.0e0 - coalesce(sum(c), 0.0e0) AS dm FROM con$k),
       |pr${k + 1} AS (SELECT n.node,
       |    (1.0e0 - 0.85e0) / (SELECT n FROM nn)
       |    + 0.85e0 * (coalesce(c.c, 0.0e0) + (SELECT dm FROM dang$k) / (SELECT n FROM nn)) AS rank
@@ -1809,7 +1815,37 @@ object Queries {
         |WHERE rank <= 10 ORDER BY q_id, rank"""
       .stripMargin.replace("QMOD", qmod.toString)
 
+  // Cross-IMPLEMENTATION fixtures (tools/make_oracle_fixtures.py) for the
+  // three deterministic operators no SQL engine expresses directly: deflate
+  // sizes from python zlib keyed by md5(text) (content-addressed — any doc
+  // not covered breaks the inner join and fails the row count LOUDLY), the
+  // BPE merge table from an independent python trainer keyed by a corpus
+  // fingerprint DuckDB recomputes itself, and the sas7bdat fixture as
+  // pandas.read_sas's own CSV dump. None of these compare Spark to Spark.
+  private val fixtureDir = "/root/repo/src/test/resources/oracle"
+
   val oracles: Map[String, String] = Map(
+    "q58_compress_ratio" ->
+      s"""SELECT d.doc_id, f.raw_bytes, f.deflate_bytes, f.compress_ratio
+         |FROM documents d
+         |JOIN read_parquet('$fixtureDir/deflate_sizes.parquet') f
+         |  ON md5(d.text) = f.fp
+         |WHERE d.text IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin,
+    "q98_bpe_merges" ->
+      s"""WITH fp AS (
+         |  SELECT md5(string_agg(m, '' ORDER BY m)) AS fp
+         |  FROM (SELECT md5(text) AS m FROM documents WHERE text IS NOT NULL))
+         |SELECT b.rank, b."left", b."right", b.pair_count
+         |FROM read_parquet('$fixtureDir/bpe_merges.parquet') b, fp
+         |WHERE b.corpus_fp = fp.fp
+         |ORDER BY b.rank""".stripMargin,
+    "q99_sas7bdat_native" ->
+      s"""SELECT id, ratio, name, flag
+         |FROM read_csv('$fixtureDir/u64_pages.csv', header=true,
+         |  columns={'id': 'DOUBLE', 'ratio': 'DOUBLE',
+         |           'name': 'VARCHAR', 'flag': 'VARCHAR'})
+         |WHERE ratio IS NOT NULL ORDER BY id""".stripMargin,
     "q127_pagerank" -> pageRankOracle(5),
     // q129 is q31's exact output via the lossless prefix filter — same oracle
     "q129_jaccard_prefix" -> ngramJaccardOracle,
@@ -2154,10 +2190,10 @@ object Queries {
     "q132_shuffle_shards" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang,
-        |         ((doc_id + 42) % 1000000007 * 2654435761) % 1000000007 % 1000000 AS k
+        |         ((doc_id + 42) % 1000000007 * 2654435761) % 1000000007 AS k
         |  FROM documents)
-        |SELECT doc_id, lang, CAST(k % 8 AS INT) AS shard,
-        |       CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS INT) AS pos
+        |SELECT doc_id, lang, CAST(k % 1000000 % 8 AS INT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY k % 1000000 % 8 ORDER BY k, doc_id) AS INT) AS pos
         |FROM keyed ORDER BY shard, pos""".stripMargin,
     "q131_corpus_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 6),

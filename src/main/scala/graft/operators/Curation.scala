@@ -555,6 +555,11 @@ object Curation {
       .where(col("_r") > 1)
       .groupBy(col("_id").as(idCol))
       .agg(sort_array(collect_list(col("idx"))).as("_cuts"))
+      // materialize the loser-index arrays (bounded by dup-line docs, int
+      // arrays only — never text), then release the keyed cache: a lazily
+      // returned plan over it leaked the cache into the session (ADVICE r5)
+      .localCheckpoint()
+    keyed.unpersist()
     val rebuilt = array_join(
       filter(split(col(textCol), sepRe), (x, i) => !array_contains(col("_cuts"), i)),
       sep)

@@ -336,8 +336,16 @@ object Dedup {
     * skew is handled by AQE skew-join splitting; ultra-frequent shingles can
     * additionally be dropped as stop-shingles upstream. */
   def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame =
-    ngramJaccardPairsFromHashes(shingleHashes(df, idCol, textCol, n).cache(), tau)
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    // materialize the (edge-bounded) pair list, then release the shingle
+    // cache — a lazily returned plan over it leaked the cache into the
+    // session for good (ADVICE r5); localCheckpoint keeps the small result
+    // re-consumable while cutting lineage off the cached intermediate
+    val sh = shingleHashes(df, idCol, textCol, n).cache()
+    val out = ngramJaccardPairsFromHashes(sh, tau).localCheckpoint()
+    sh.unpersist()
+    out
+  }
 
   /** [[ngramJaccardPairs]] over a precomputed (_id, sh) intermediate
     * (caller controls caching — see [[graft.Graft.dedupSuite]]). */
@@ -392,8 +400,12 @@ object Dedup {
       .where(col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct().cache()
-    verifyPairs(sh.select(col("_id"), col("sh")),
+    val out = verifyPairs(sh.select(col("_id"), col("sh")),
       sh.select(col("_id"), col("_sz").as("sz")).distinct(), cands, tau)
+      .localCheckpoint() // materialize, then release both caches (ADVICE r5)
+    cands.unpersist()
+    sh.unpersist()
+    out
   }
 
   /** Candidate pairs (a, b) from the prefix×prefix join alone — exposed so
@@ -413,9 +425,14 @@ object Dedup {
   /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh) intermediate
     * (prefixes via a per-doc aggregate — [[ngramJaccardPairsPrefix]] itself
     * tags prefixes inside the fused shingle pass instead). */
-  def ngramJaccardPairsPrefixFromHashes(sh: DataFrame, tau: Double): DataFrame =
-    verifyPairs(sh, sh.groupBy("_id").agg(count(lit(1)).as("sz")),
-      prefixCandidates(sh, tau).cache(), tau)
+  def ngramJaccardPairsPrefixFromHashes(sh: DataFrame, tau: Double): DataFrame = {
+    val cands = prefixCandidates(sh, tau).cache()
+    val out = verifyPairs(sh, sh.groupBy("_id").agg(count(lit(1)).as("sz")),
+      cands, tau)
+      .localCheckpoint() // materialize, then release the pair cache (ADVICE r5)
+    cands.unpersist()
+    out
+  }
 
   /** Exact Jaccard verification restricted to candidate pairs: full sets
     * semi-joined to candidate docs, the counting join semi-joined to the

@@ -61,6 +61,23 @@ object Importance {
       raw: DataFrame, target: DataFrame,
       idCol: String, textCol: String,
       sampleN: Int, hexChars: Int = 3): DataFrame = {
+    // materialize the ≤ sampleN selection, then release the rawRows cache —
+    // a lazily returned plan over it leaked the cache for the session's
+    // lifetime (ADVICE r5). The lazy twin below stays inspectable for the
+    // no-crossJoin plan spec.
+    val (plan, rawRows) = dsirResamplePlan(raw, target, idCol, textCol, sampleN, hexChars)
+    val out = plan.localCheckpoint()
+    rawRows.unpersist()
+    out
+  }
+
+  /** The lazy scoring plan plus the persisted rawRows intermediate backing
+    * it — callers MUST materialize the plan before unpersisting rawRows
+    * (the public [[dsirResample]] does exactly that). */
+  private[graft] def dsirResamplePlan(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String,
+      sampleN: Int, hexChars: Int = 3): (DataFrame, DataFrame) = {
     require(hexChars >= 1 && hexChars <= 8, "need 1 <= hexChars <= 8")
     require(sampleN > 0, "need sampleN > 0")
     val b = 1L << (4 * hexChars)
@@ -111,7 +128,7 @@ object Importance {
     val u = (Sampling.hashBucket(col(idCol), 1000000) + lit(0.5)) / lit(1000000)
     val selKey = round(col("_slw").cast("double") + -log(-log(u)), 6)
 
-    rawRows
+    (rawRows
       .join(broadcast(ct), Seq("_b"), "left")
       .join(broadcast(cr), Seq("_b"), "left")
       .groupBy(col(idCol)).agg(
@@ -121,6 +138,7 @@ object Importance {
         round(col("_slw").cast("double"), 6).as("logw"),
         selKey.as("sel_key"))
       .orderBy(col("sel_key").desc, col(idCol).asc)
-      .limit(sampleN)
+      .limit(sampleN),
+      rawRows)
   }
 }

@@ -39,10 +39,15 @@ object Sampling {
     * [0, shards) and a dense 1-based `pos` within its shard; reading
     * shards in pos order IS the shuffled corpus.
     *
-    * The shuffle key is the seeded portable mix ((id+seed) mod p · a
-    * mod p) mod 10^6 — same family as [[hashBucket]], reproducible in
-    * any 64-bit SQL engine; ties (two ids, one key) break on id. Scale
-    * shape: one hash projection + one window keyed BY SHARD — each
+    * The shuffle key is the seeded portable mix (id+seed) mod p · a
+    * mod p — same family as [[hashBucket]], reproducible in any 64-bit
+    * SQL engine. The ORDER uses the full mod-p value (~10^9 key space):
+    * a truncated key would leave million-row id-ordered tie runs at
+    * 10^12-row scale, quietly preserving the very time/domain order the
+    * operator exists to break; residual ties (two ids, one key) break
+    * on id. Shard ASSIGNMENT keeps the mod-10^6 reduction (uniformity
+    * only needs the residue, and it preserves existing assignments).
+    * Scale shape: one hash projection + one window keyed BY SHARD — each
     * shard's position numbering is independent, so parallelism is the
     * shard count (hundreds-to-thousands of output files at corpus
     * scale), never a single global sort. `pos` is a 32-bit row_number:
@@ -54,13 +59,12 @@ object Sampling {
     require(!df.columns.contains("shard") && !df.columns.contains("pos") &&
       !df.columns.contains("_sk"),
       "shuffleShards: input already has a shard/pos/_sk column")
-    val key = pmod(
-      pmod(pmod(col(idCol).cast("long") + lit(seed), lit(P)) * lit(A), lit(P)),
-      lit(1000000L))
+    val key = pmod(pmod(col(idCol).cast("long") + lit(seed), lit(P)) * lit(A), lit(P))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("_sk").asc, col(idCol).asc)
     df.withColumn("_sk", key)
-      .withColumn("shard", pmod(col("_sk"), lit(shards.toLong)).cast("int"))
+      .withColumn("shard",
+        pmod(pmod(col("_sk"), lit(1000000L)), lit(shards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w))
       .drop("_sk")
   }

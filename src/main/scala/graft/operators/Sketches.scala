@@ -166,6 +166,10 @@ object Sketches {
       df: DataFrame, groupCol: String, key: Column, k: Int): DataFrame =
     df.groupBy(col(groupCol))
       .agg(graft.functions.Kmv.sketch(xxhash64(key), k).as("kmv"))
+      // k travels WITH the sketch (the streaming SketchSchema discipline):
+      // a sketch is only interpretable against the k it was built with —
+      // estimators and the exact-regime test are meaningless under any other
+      .withColumn("k", lit(k))
 
   /** Pairwise overlap matrix over [[groupKmv]] output: one row per
     * unordered group pair (ga < gb by name) with the [[corpusOverlap]]
@@ -174,8 +178,27 @@ object Sketches {
     * corpus itself was touched exactly once, by the grouped aggregate. */
   def overlapMatrix(sketches: DataFrame, k: Int): DataFrame = {
     val spark = sketches.sparkSession
+    // Refuse mismatched k loudly: a sketch built under a SMALLER k than the
+    // one passed here is truncated — its length satisfies the exact-regime
+    // test (< passed k) and would certify is_exact=true with badly wrong
+    // counts. The k column groupKmv now emits makes the check airtight; a
+    // k-less input (pre-upgrade sketches) still gets the length guard.
+    val kIdx = sketches.columns.indexOf("k")
     val rows = sketches.collect()
-      .map(r => (String.valueOf(r.get(0)), r.getSeq[Long](1).toArray))
+      .map { r =>
+        if (kIdx >= 0) {
+          val rk = r.getInt(kIdx)
+          require(rk == k,
+            s"overlapMatrix: sketch for group '${r.get(0)}' was built with " +
+              s"k=$rk but k=$k was passed — estimators and the exact-regime " +
+              s"test are only valid under the sketch's own k")
+        }
+        val s = r.getSeq[Long](1).toArray
+        require(s.length <= k,
+          s"overlapMatrix: sketch for group '${r.get(0)}' holds ${s.length} " +
+            s"values > k=$k — it was built with a larger k than passed")
+        (String.valueOf(r.get(0)), s)
+      }
       .sortBy(_._1)
     val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
     for (i <- rows.indices; j <- i + 1 until rows.length) {

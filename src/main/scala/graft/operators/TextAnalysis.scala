@@ -338,8 +338,10 @@ object TextAnalysis {
     * `Deflater` (default level, no per-row allocation beyond the output
     * buffer walk), emitting fixed-width numerics only — the text column is
     * dropped before anything downstream shuffles. Deterministic for a given
-    * zlib level, but not reproducible across engines, so the driver check is
-    * rows-only (no DuckDB oracle exists for deflate).
+    * zlib level; the oracle joins a content-addressed python-zlib fixture
+    * (independent binding of the same algorithm — see
+    * tools/make_oracle_fixtures.py), so the values are cross-implementation
+    * checked, not Spark-vs-Spark.
     */
   def compressionRatio(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {

@@ -125,12 +125,29 @@ object TextIndex {
       spark: SparkSession, path: String, queries: DataFrame,
       qIdCol: String, qTextCol: String, k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 10): DataFrame = {
+    // materialize the (≤ queries × topK)-row result, then release the qterms
+    // cache — returning a lazy plan over it leaked the cache into the session
+    // for the caller's lifetime (ADVICE r5)
+    val (plan, qterms) = searchPlan(spark, path, queries, qIdCol, qTextCol, k1, b, topK)
+    val out = plan.localCheckpoint()
+    qterms.unpersist()
+    out
+  }
+
+  /** The lazy scoring plan plus the persisted qterms intermediate backing it
+    * — callers MUST materialize the plan before unpersisting qterms (the
+    * public [[search]] does exactly that); the bucket-pruning spec reads the
+    * scan metrics off this twin. */
+  private[graft] def searchPlan(
+      spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): (DataFrame, DataFrame) = {
     val (n, sumdl, buckets) = readMeta(spark, path)
     val qterms = TextAnalysis.bm25QueryTerms(queries, qIdCol, qTextCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val posts = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
       .where(col("bucket").isin(neededBuckets(qterms, buckets): _*))
-    scorePruned(posts, qterms, n, sumdl, k1, b, topK)
+    (scorePruned(posts, qterms, n, sumdl, k1, b, topK), qterms)
   }
 
   /** Compact an appended index: each [[append]] lands one file per

@@ -116,6 +116,15 @@ object StreamingTextIndex {
     val meta = spark.read.schema(MetaSchema).parquet(metaPath(path)).collect()
     require(meta.nonEmpty, s"StreamingTextIndex: no published batches under $path")
     val buckets = meta.head.getInt(2)
+    // A stream restarted with a different `buckets` hashed earlier batches'
+    // postings under a DIFFERENT bucket count — partition pruning would then
+    // silently drop them from scoring (wrong df, missing docs). Refuse loudly,
+    // the StreamingOverlap mixed-k discipline.
+    require(meta.forall(_.getInt(2) == buckets),
+      s"StreamingTextIndex: mixed bucket counts across published batches " +
+        s"(${meta.map(_.getInt(2)).distinct.sorted.mkString(", ")}) — earlier " +
+        "batches were hashed under a different `buckets`; rebuild the index " +
+        "with one bucket count (drain + batch TextIndex.write + fresh checkpoint)")
     val published = meta.map(_.getLong(3))
     val n = meta.map(_.getLong(0)).sum
     val sumdls = meta.filter(!_.isNullAt(1)).map(_.getLong(1))
@@ -125,6 +134,13 @@ object StreamingTextIndex {
     val posts = spark.read.schema(PostingsSchema).parquet(postingsPath(path))
       .where(col("batch_id").isin(published.map(Long.box): _*) &&
         col("bucket").isin(TextIndex.neededBuckets(qterms, buckets): _*))
-    TextIndex.scorePruned(posts, qterms, n, sumdl, k1, b, topK)
+    // materialize the (≤ queries × topK)-row result, then release the qterms
+    // cache — a lazily returned plan over it would leak the cache into the
+    // session for good (ADVICE r5); localCheckpoint keeps the result cheap to
+    // re-consume while truncating lineage off the cached intermediate
+    val out = TextIndex.scorePruned(posts, qterms, n, sumdl, k1, b, topK)
+      .localCheckpoint()
+    qterms.unpersist()
+    out
   }
 }

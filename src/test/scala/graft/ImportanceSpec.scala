@@ -62,9 +62,12 @@ class ImportanceSpec extends AnyFunSuite {
     import s.implicits._
     val raw = (1L to 40L).map(i => i -> s"alpha beta doc$i gamma").toDF("doc_id", "text")
     val target = (1L to 10L).map(i => i -> "alpha beta gamma delta").toDF("doc_id", "text")
-    val out = Importance.dsirResample(raw, target, "doc_id", "text", sampleN = 10)
+    // the lazy twin: the public dsirResample localCheckpoints (hiding the
+    // scoring plan behind a LogicalRDD) so the cache can be released
+    val (out, rawRows) = Importance.dsirResamplePlan(raw, target, "doc_id", "text", sampleN = 10)
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
+    rawRows.unpersist()
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "driver-materialized totals must leave no scalar crossJoin in the scoring plan")
     // exactly the two bucket-count broadcasts remain (final plan section —

@@ -41,7 +41,9 @@ class TextIndexSpec extends AnyFunSuite {
   test("indexed search equals ad-hoc bm25TopK, and the scan is bucket-pruned") {
     val path = tmp("eq")
     TextIndex.write(corpus, "doc_id", "text", path, buckets = 32)
-    val got = TextIndex.search(spark, path, queries, "doc_id", "text", topK = 5)
+    // lazy twin: the public search localCheckpoints (hiding the scan behind
+    // a LogicalRDD) so the qterms cache can be released
+    val (got, qterms) = TextIndex.searchPlan(spark, path, queries, "doc_id", "text", topK = 5)
     val want = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
       "doc_id", "text", topK = 5)
     val g = got.orderBy("q_id", "rank")
@@ -65,6 +67,7 @@ class TextIndexSpec extends AnyFunSuite {
       s"search scanned the whole postings set: $filesRead of $totalFiles files")
     assert(scan.head.metadata("PartitionFilters").contains("bucket"),
       scan.head.metadata.toString)
+    qterms.unpersist()
   }
 
   test("append equals a from-scratch rebuild (postings, stats, and scores)") {
