@@ -22,8 +22,12 @@ object PlanLint extends AdaptiveSparkPlanHelper {
   /** Wide tables where reading every column is presumed a pruning miss
     * (narrow tables are read whole by nature). Name → column count, from
     * the generated testdata schemas. */
+  /* documents/events/embeddings are the tables the LLM-pipeline operators
+   * actually read — leaving them out made an unpruned corpus scan invisible
+   * (VERDICT r5 blind spot). customer joins the width bar too. */
   private val WideTables = Map(
-    "lineitem" -> 11, "orders" -> 6, "part" -> 6)
+    "lineitem" -> 11, "orders" -> 6, "part" -> 6,
+    "documents" -> 5, "events" -> 6, "embeddings" -> 3, "customer" -> 5)
 
   /** (table, requiredColumns, width) per full-width wide-table parquet scan. */
   private[graft] def fullWidthScans(p: SparkPlan): Seq[(String, Int, Int)] =
@@ -83,9 +87,15 @@ object PlanLint extends AdaptiveSparkPlanHelper {
         // FULL table. Whole-table ETL verbs legitimately read everything —
         // q03 (obs=N returns whole rows; no keep= projection), q05
         // (col_types casts over the full row), q06/q07 (roundtrip copies),
-        // q62 (constraints across the row).
+        // q62 (constraints across the row). Whole-ROW dedup verbs too:
+        // q84/q115 return the batch's surviving full rows (the batch side
+        // must read every column; the corpus side prunes to text and is
+        // not flagged), q100 outputs (vec_id, label, bucket) so all 3
+        // embeddings columns are genuinely required.
         if (!Set("q03_sas_obs", "q05_col_types", "q06_csv_roundtrip",
-              "q07_parquet_modified", "q62_quality_checks").contains(name))
+              "q07_parquet_modified", "q62_quality_checks",
+              "q84_incremental_dedup", "q115_bloom_dedup",
+              "q100_semdedup").contains(name))
           fullWidthScans(finalPlan(df.queryExecution.executedPlan))
             .foreach { case (table, req, _) =>
               flag(s"unpruned scan: $table reads all $req columns") }
