@@ -160,9 +160,21 @@ object Bench {
             pqRes).as("pq_code"),
           ProductQuantizer.normCol(col("embedding")).as("pq_norm"),
           col("bucket")).cache()
+      // OPQ (Ge et al. 2013): same 4-byte payload, learned rotation. Two
+      // variants — k=16 isolates what the ROTATION buys over pqPlain
+      // (nothing on isotropic embeddings, by design), k=256 fills the four
+      // stored bytes completely (4x8-bit codes vs 4x4-bit) and is the
+      // deployed same-budget configuration.
+      import graft.operators.Opq
+      val opq16 = Opq.train(emb, "vec_id", "embedding", 4, 16)
+      val encO16 = Opq.encode(emb, "vec_id", "embedding", opq16).cache()
+      val opq256 = Opq.train(emb, "vec_id", "embedding", 4, 256)
+      val encO256 = Opq.encode(emb, "vec_id", "embedding", opq256).cache()
       var rPq = 0.0
       var rPqRes = 0.0
       var rPqRerank = 0.0
+      var rOpq16 = 0.0
+      var rOpqRerank = 0.0
       qvecs.foreach { case (qid, q) =>
         val brute = ids(Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, Some(qid)))
         def r(s: Set[Long]) = (s & brute).size.toDouble / brute.size
@@ -172,6 +184,9 @@ object Bench {
         // what the operator actually returns.
         rPqRerank += r(ids(ProductQuantizer.rerankTopK(
           emb, "vec_id", "embedding", encP, pqPlain, q, 10, 100, Some(qid))))
+        rOpq16 += r(ids(Opq.adcTopK(encO16, "vec_id", opq16, q, 10, Some(qid))))
+        rOpqRerank += r(ids(Opq.rerankTopK(
+          emb, "vec_id", "embedding", encO256, opq256, q, 10, 100, Some(qid))))
         val off = org.apache.spark.sql.functions.element_at(
           org.apache.spark.sql.functions.array(
             centroids.map(c => org.apache.spark.sql.functions.lit(
@@ -180,11 +195,11 @@ object Bench {
         rPqRes += r(ids(ProductQuantizer.adcTopK(
           encR, "vec_id", pqRes, q, 10, Some(qid), dotOffset = off)))
       }
-      encP.unpersist(); encR.unpersist()
+      encP.unpersist(); encR.unpersist(); encO16.unpersist(); encO256.unpersist()
       val nq = qvecs.length
       emb.unpersist()
       def f(x: Double) = math.rint(x / nq * 1000) / 1000.0
-      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"pq_rerank_m4":${f(rPqRerank)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
+      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"pq_rerank_m4":${f(rPqRerank)},"pq_adc_opq16":${f(rOpq16)},"pq_rerank_opq":${f(rOpqRerank)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()

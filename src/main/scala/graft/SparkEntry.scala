@@ -683,6 +683,22 @@ object Queries {
       queryVec(spark, dir, 0L), k = 10, shortlist = 100, excludeId = Some(0L))
   }
 
+  /** OPQ ANN (Ge et al., CVPR 2013): q110's PQ with a learned orthogonal
+    * rotation before the subspace split — eigenvalue-allocation init +
+    * Procrustes alternation, trained driver-side on a bounded id-ordered
+    * sample; encode/search stay pure distributed projections. Deployed at
+    * the SAME 4-byte payload with full-byte codebooks (4×8-bit codes):
+    * measured sf0.1 rerank recall 0.76 vs plain PQ's 0.45. Rows-only
+    * oracle (approximate); spec pins orthogonality, determinism, code
+    * assignment, and the anisotropic-fixture recall win. */
+  def q136AnnOpq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = operators.Opq.train(emb, "vec_id", "embedding", m = 4, k = 256)
+    val enc = operators.Opq.encode(emb, "vec_id", "embedding", model)
+    operators.Opq.rerankTopK(emb, "vec_id", "embedding", enc, model,
+      queryVec(spark, dir, 0L), k = 10, shortlist = 100, excludeId = Some(0L))
+  }
+
   /** IVF-PQ materialized index — both scale levers composed (q64's bucket
     * pruning × q110's byte codes): probes read the nprobe bucket dirs'
     * CODE columns (~8 B/row via parquet column pruning), raw vectors load
@@ -1680,6 +1696,7 @@ object Queries {
     "q108_dup_ngrams" -> q108DupNgrams _,
     "q109_url_dedup" -> q109UrlDedup _,
     "q110_pq_ann" -> q110PqAnn _,
+    "q136_ann_opq" -> q136AnnOpq _,
     "q111_cdc_chunks" -> q111CdcChunks _,
     "q112_ann_ivfpq" -> q112AnnIvfPq _,
     "q116_ann_ivfpq_res" -> q116AnnIvfPqRes _,

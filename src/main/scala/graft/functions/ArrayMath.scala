@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
@@ -79,12 +79,75 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** A d×d rotation (row-major flat) plus the tight mat-vec loop the
+  * [[MatVec]] expression executes per row — the [[PqBooks]] pattern: the
+  * matrix rides along as a broadcast-by-reference object, the loop runs in
+  * plain JVM arrays, and whole-stage codegen keeps fusing around it. */
+final class RotMat(val d: Int, val flat: Array[Double]) extends Serializable {
+  require(flat.length == d * d, "flat rotation length must be d*d")
+
+  /** R·v as a fresh double array (strict row-major sequential folds). */
+  def apply(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val out = new Array[Double](d)
+    var r = 0
+    while (r < d) {
+      val base = r * d
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        s += flat(base + i) * x
+        i += 1
+      }
+      out(r) = s
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Rotate a numeric array column by a literal orthogonal matrix — the OPQ
+  * encode/search projection ([[graft.operators.Opq]]). One codegen node
+  * calling into [[RotMat]]; the d×d doubles are a reference object, not an
+  * expression tree (the [[PqBooks]] Janino argument). */
+case class MatVec(child: Expression, mat: RotMat) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_matvec"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    mat(vec.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rotMat", mat, classOf[RotMat].getName)
+    val f = isFloat
+    nullSafeCodeGen(ctx, ev, vec => s"${ev.value} = $ref.apply($vec, $f);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the vector math expressions. */
 object ArrayMath {
 
   /** Sequential-fold double dot product (codegen'd, WholeStageCodegen-safe). */
   def dot(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** R·v for a literal row-major rotation (array<double> out). */
+  def matVec(v: Column, mat: RotMat): Column =
+    ColumnShim.column(MatVec(ColumnShim.expression(v), mat))
 
   /** L2 norm. */
   def norm2(v: Column): Column = sqrt(dot(v, v))

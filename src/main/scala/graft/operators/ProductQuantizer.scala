@@ -183,8 +183,13 @@ object ProductQuantizer {
       val qj = query.slice(j * model.dsub, (j + 1) * model.dsub)
       litVec(model.books(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum))
     }
+    // tinyint codes are SIGNED on the wire: cells >= 128 (k up to 256)
+    // round-trip as negative bytes, so mask back to unsigned before the
+    // 1-based lookup — element_at(arr, -n) would silently read from the END
     val dotApprox = (0 until model.m).map(j =>
-      element_at(luts(j), col("pq_code").getItem(j).cast("int") + 1)).reduce(_ + _) + dotOffset
+      element_at(luts(j),
+        col("pq_code").getItem(j).cast("int").bitwiseAND(lit(255)) + 1))
+      .reduce(_ + _) + dotOffset
     val base = excludeId.map(i => encoded.where(col(idCol) =!= i)).getOrElse(encoded)
     base
       .withColumn("score", round(dotApprox / (col("pq_norm") * lit(qNorm)), 6))

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{Opq, ProductQuantizer, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // Anisotropic clustered fixture — the data shape OPQ exists for: an
+  // 8-dim clustered latent with decaying variance, embedded in 64 dims
+  // through a FIXED dense rotation so every subspace of the naive
+  // dimension split sees correlated mixtures (plain PQ's worst case).
+  private lazy val fixture: (Seq[(Long, Seq[Float])], org.apache.spark.sql.DataFrame) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new java.util.Random(11L)
+    val dim = 64
+    val latentDim = 8
+    // fixed orthonormal 64x64 basis via Gram-Schmidt over seeded Gaussians
+    val basis = {
+      val raw = Array.fill(dim)(Array.fill(dim)(rnd.nextGaussian()))
+      for (i <- 0 until dim) {
+        for (j <- 0 until i) {
+          val d = raw(i).zip(raw(j)).map { case (a, b) => a * b }.sum
+          for (k <- 0 until dim) raw(i)(k) -= d * raw(j)(k)
+        }
+        val n = math.sqrt(raw(i).map(x => x * x).sum)
+        for (k <- 0 until dim) raw(i)(k) /= n
+      }
+      raw
+    }
+    val centers = IndexedSeq.fill(8)(Array.fill(latentDim)(rnd.nextGaussian()))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      // latent: clustered in 8 dims, then fast-decaying noise dims
+      val z = Array.tabulate(dim) { d =>
+        if (d < latentDim) c(d) + 0.2 * rnd.nextGaussian()
+        else 0.5 / (d - latentDim + 2) * rnd.nextGaussian()
+      }
+      // embed: x = Bᵀ z — spreads every latent dim across all subspaces
+      val x = Array.tabulate(dim)(k => basis.indices.map(d => basis(d)(k) * z(d)).sum)
+      (i.toLong, x.map(_.toFloat).toSeq)
+    }
+    (vecs, vecs.toDF("vec_id", "embedding").cache())
+  }
+
+  test("rotation is orthogonal, norm-preserving, and deterministic") {
+    val (_, df) = fixture
+    val model = Opq.train(df, "vec_id", "embedding", m = 4, k = 16)
+    val d = model.d
+    // RᵀR = I
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(r => model.rotFlat(r * d + i) * model.rotFlat(r * d + j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RtR($i,$j)=$dot")
+    }
+    // column mat-vec == driver rotate, and norms survive
+    val s = spark
+    import s.implicits._
+    val rows = df.limit(5).select(
+      org.apache.spark.sql.functions.col("embedding"),
+      model.rotateCol(org.apache.spark.sql.functions.col("embedding")).as("r"))
+      .as[(Seq[Float], Seq[Double])].collect()
+    rows.foreach { case (v, rv) =>
+      val expect = model.rotate(v.map(_.toDouble))
+      rv.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+      val n0 = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val n1 = math.sqrt(rv.map(x => x * x).sum)
+      assert(math.abs(n0 - n1) < 1e-9, s"rotation changed the norm: $n0 -> $n1")
+    }
+    // deterministic under repartitioning (sample is an id-ordered TakeOrdered)
+    val again = Opq.train(df.repartition(7), "vec_id", "embedding", m = 4, k = 16)
+    assert(model.rotFlat.toSeq == again.rotFlat.toSeq)
+    assert(model.pq.books == again.pq.books)
+  }
+
+  test("OPQ lifts raw ADC recall over plain PQ on anisotropic data; rerank >= 0.9") {
+    val s = spark
+    import s.implicits._
+    val (vecs, df) = fixture
+    val plain = ProductQuantizer.train(df, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val encP = ProductQuantizer.encode(df, "vec_id", "embedding", plain).cache()
+    val opq = Opq.train(df, "vec_id", "embedding", m = 4, k = 16)
+    val encO = Opq.encode(df, "vec_id", "embedding", opq).cache()
+    val qIds = Seq(0L, 3L, 10L, 17L, 21L, 30L)
+    var rPlain = 0.0
+    var rOpq = 0.0
+    var rRerank = 0.0
+    qIds.foreach { qid =>
+      val q = vecs(qid.toInt)._2.map(_.toDouble)
+      val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, 10, Some(qid))
+        .select("vec_id").as[Long].collect().toSet
+      def r(ids: Set[Long]) = (ids & brute).size.toDouble / brute.size
+      rPlain += r(ProductQuantizer.adcTopK(encP, "vec_id", plain, q, 10, Some(qid))
+        .select("vec_id").as[Long].collect().toSet)
+      rOpq += r(Opq.adcTopK(encO, "vec_id", opq, q, 10, Some(qid))
+        .select("vec_id").as[Long].collect().toSet)
+      rRerank += r(Opq.rerankTopK(df, "vec_id", "embedding", encO, opq, q,
+          k = 10, shortlist = 60, excludeId = Some(qid))
+        .select("vec_id").as[Long].collect().toSet)
+    }
+    rPlain /= qIds.size; rOpq /= qIds.size; rRerank /= qIds.size
+    info(s"raw ADC recall@10: plain=$rPlain opq=$rOpq; opq rerank=$rRerank")
+    assert(rOpq > rPlain + 0.05,
+      s"OPQ must beat plain PQ's codes on anisotropic data: $rOpq vs $rPlain")
+    assert(rRerank >= 0.9, s"OPQ shortlist+rerank recall too low: $rRerank")
+    encP.unpersist(); encO.unpersist(); ()
+  }
+
+  test("codes are the driver-side assignment of the rotated vectors") {
+    val (vecs, df) = fixture
+    val opq = Opq.train(df, "vec_id", "embedding", m = 4, k = 16)
+    val got = Opq.encode(df, "vec_id", "embedding", opq)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    def cell(j: Int, sv: Seq[Double]): Int =
+      opq.pq.books(j).zipWithIndex.maxBy { case (c, i) =>
+        (c.zip(sv).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2, -i)
+      }._2
+    vecs.take(40).foreach { case (id, v) =>
+      val rv = opq.rotate(v.map(_.toDouble))
+      val expect = (0 until 4).map(j => cell(j, rv.slice(j * 16, (j + 1) * 16)).toByte)
+      assert(got(id) == expect, s"id=$id")
+    }
+  }
+
+  test("full-byte budget: k=256 codes at the same 4-byte payload") {
+    val (_, df) = fixture
+    val opq = Opq.train(df, "vec_id", "embedding", m = 4, k = 256)
+    assert(opq.pq.k == 256)
+    val enc = Opq.encode(df, "vec_id", "embedding", opq)
+    val codes = enc.select("pq_code").collect().map(_.getSeq[Byte](0))
+    assert(codes.forall(_.length == 4), "4 tinyints per row — the same budget as k=16")
+    assert(enc.schema("pq_code").dataType.simpleString == "array<tinyint>")
+  }
+}
