@@ -1182,12 +1182,17 @@ object Queries {
 
   /** Substring-span duplication profile (Lee et al. 2022 re-expressed):
     * per-doc count of 40-char windows (stride 1) whose text occurs at more
-    * than one site corpus-wide. Exact string-keyed variant here (DuckDB
-    * oracle); the hashed scale path and the span REMOVAL verb
-    * (stripDupSpans) are spec-pinned equal/correct. */
+    * than one site corpus-wide. WINNOW-GATED (the SIGMOD'03 guarantee:
+    * every doc owning a duplicated ≥l-char site also shares a winnow
+    * fingerprint, so docs outside the gate are provably clean and the
+    * stride-1 pass enumerates only the gated subset) — output identical
+    * to the ungated pass (same DuckDB oracle; equality + gate-soundness
+    * spec-pinned, window-count cut measured in spec). The hashed scale
+    * path and the span REMOVAL verb (stripDupSpans) are spec-pinned
+    * equal/correct. */
   def q101DupSpans(spark: SparkSession, dir: String): DataFrame =
-    operators.SpanDedup.dupSpanStats(t(spark, dir, "documents"), "doc_id", "text",
-      l = 40, s = 1)
+    operators.SpanDedup.dupSpanStatsWinnowed(t(spark, dir, "documents"), "doc_id", "text",
+      l = 40, k = 32)
       .orderBy("doc_id")
 
   /** Span-granular benchmark decontamination (the q78 gate refined from

@@ -80,8 +80,14 @@ object SpanDedup {
     val wh = windowHashes(df, idCol, textCol, l, s).cache()
     val dupK = wh.groupBy("_k").agg(count(lit(1)).as("_kc"))
       .where(col("_kc") > 1).select("_k")
+    // materialize the candidate position arrays (bounded by hash-dup docs,
+    // int arrays only), then release the window-hash cache — a lazily
+    // returned plan over it would leak the cache into the session (the
+    // ADVICE r5 class)
     val candPos = wh.join(dupK, "_k")
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_ps"))
+      .localCheckpoint()
+    wh.unpersist()
     val candSpans = df
       .select(col(idCol).cast("long").as(idCol), col(textCol))
       .join(candPos, Seq(idCol))
@@ -191,11 +197,16 @@ object SpanDedup {
       .where(col("_kc") > 1).select("_k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("span").orderBy(col(idCol).asc, col("pos").asc)
-    sp.join(dupK, "_k")
+    // materialize the cut arrays (bounded by loser docs, int arrays), then
+    // release the span cache (ADVICE r5 discipline)
+    val out = sp.join(dupK, "_k")
       .withColumn("_r", row_number().over(w))
       .where(col("_r") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
+      .localCheckpoint()
+    sp.unpersist()
+    out
   }
 
   /** Ids of docs that can possibly own a duplicated `l`-window, from a
@@ -210,41 +221,105 @@ object SpanDedup {
     *
     * The winnow pass emits ~1/w as many rows as the stride-1 window pass
     * and shuffles 8-byte fingerprints, so on a mostly-clean corpus the
-    * expensive span pass runs over a small gated subset. */
+    * expensive span pass runs over a small gated subset.
+    *
+    * Choosing `k`: the gate admits any doc sharing a SELECTED k-gram with
+    * another doc — common prose k-grams ("the same", " and the") make a
+    * small k useless on natural text (measured: k=8 gates 500/500 docs at
+    * sf0.01, k=32 gates 49 where 47 are truly dirty). Prefer k big enough
+    * that an exact shared k-gram is itself surprising (k ≈ l−10 leaves
+    * w ≈ 10, a mild density cost) — small k only suits short-l synthetic
+    * alphabets. */
   def winnowGatedIds(df: DataFrame, idCol: String, textCol: String, l: Int, k: Int): DataFrame = {
     val w = l - k + 1
     require(k >= 2 && w >= 1, s"need 2 <= k <= l (got k=$k, l=$l)")
     val fps = TextAnalysis.winnow(df, idCol, textCol, k, w).cache()
     val dupFp = fps.groupBy("fp").agg(count(lit(1)).as("_fc"))
       .where(col("_fc") > 1).select("fp")
-    fps.join(dupFp, "fp").select(col(idCol)).distinct()
+    // materialize the gated id set (≤ one long per doc), release the
+    // fingerprint cache (ADVICE r5 discipline)
+    val out = fps.join(dupFp, "fp").select(col(idCol)).distinct().localCheckpoint()
+    fps.unpersist()
+    out
   }
 
-  /** [[dupSpanStats]] with the winnowing gate: identical output (the gate
-    * never excludes a doc owning a duplicated site — see
-    * [[winnowGatedIds]]), but the stride-1 window pass enumerates only
-    * the gated docs. Stride is fixed at 1: the guarantee speaks about
-    * spans >= l, which only the stride-1 enumeration finds exactly. */
+  /** Candidate (id, pos, span) windows from the winnow fingerprints
+    * DIRECTLY — the gate fused into phase 1, no stride-1 window pass at
+    * all. For a duplicated l-window at position p, the winnow window of
+    * grams [p, p+w−1] (w = l−k+1) lies entirely inside the span at BOTH
+    * sites; rightmost-minimum selection is stateless, so both sites
+    * select the same relative gram → a fingerprint with global count ≥ 2
+    * at position fpPos ∈ [p, p+l−k]. Hence every duplicated window start
+    * lies in [fpPos−(l−k), fpPos] of some shared fingerprint, and only
+    * ~w candidate positions per shared fingerprint need exact text
+    * confirmation — windows outside are PROVABLY clean. Fingerprint hash
+    * collisions only ever ADD candidates.
+    *
+    * Scale shape: ONE fused corpus pass (the winnow roll), a shuffle of
+    * sparse 8-byte fingerprints (~1/w of the stride-1 window-key volume),
+    * and exact confirmation bounded by shared-fingerprint neighborhoods. */
+  private def winnowCandSpans(
+      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int): DataFrame = {
+    val w = l - k + 1
+    require(k >= 2 && w >= 1, s"need 2 <= k <= l - 1 (got k=$k, l=$l)")
+    // the global fingerprint count is a WINDOW aggregate, so the winnow
+    // pass feeds one linear tree — no self-join, no cache to leak, no
+    // checkpoint job (the shuffle volume is the same sparse 8-byte keys)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val candFpPos = TextAnalysis.winnow(df, idCol, textCol, k, w)
+      .withColumn("_fc", count(lit(1)).over(wFp))
+      .where(col("_fc") > 1)
+      .groupBy(col(idCol).cast("long").as(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("_fpos"))
+    df.select(col(idCol).cast("long").as(idCol), col(textCol).as("_t"))
+      .join(candFpPos, Seq(idCol))
+      .select(col(idCol), col("_t"),
+        explode(array_distinct(flatten(transform(col("_fpos"), fpPos => {
+          val lo = greatest(lit(1), fpPos - (l - k))
+          val hi = least(fpPos, length(col("_t")) - (l - 1))
+          when(lo <= hi, sequence(lo, hi)).otherwise(array())
+        })))).as("pos"))
+      .select(col(idCol), col("pos"), expr(s"substring(_t, pos, $l)").as("span"))
+  }
+
+  /** [[dupSpanStats]] via the fused winnow candidate generator: identical
+    * output (see [[winnowCandSpans]] — no duplicated window escapes the
+    * fingerprint neighborhoods, and exact string confirmation kills every
+    * false candidate), but the corpus-sized work is the sparse winnow
+    * pass instead of the stride-1 window enumeration. */
   def dupSpanStatsWinnowed(
       df: DataFrame, idCol: String, textCol: String, l: Int, k: Int = 8): DataFrame = {
-    val gated = df.join(winnowGatedIds(df, idCol, textCol, l, k), Seq(idCol), "left_semi")
+    // ONE span-keyed shuffle: the site count is a window aggregate, so the
+    // candidate subtree evaluates once (an agg+join confirmation would run
+    // the extraction twice and add an exchange)
+    val cand = winnowCandSpans(df, idCol, textCol, l, k)
+    val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("span")
     df.select(col(idCol))
       .join(
-        dupSpanSites(gated, idCol, textCol, l, 1)
+        cand.withColumn("sites", count(lit(1)).over(wSpec))
+          .where(col("sites") > 1)
           .groupBy(idCol).agg(count(lit(1)).as("dup_spans")),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
   }
 
-  /** [[stripDupSpans]] with the winnowing gate: cut lists are computed on
-    * the gated subset only (every duplicated site lives there), then
-    * excised against the FULL corpus — ungated docs pass through verbatim
-    * on the excise join's left side. Spec-proven equal to the ungated
-    * strip. */
+  /** [[stripDupSpans]] via the fused winnow candidate generator: cut
+    * lists rank the confirmed duplicated candidates exactly like
+    * [[stripDupSpans]]'s (min id, min pos) first-site policy, then excise
+    * against the FULL corpus — clean docs pass through verbatim. */
   def stripDupSpansWinnowed(
       df: DataFrame, idCol: String, textCol: String, l: Int, k: Int = 8): DataFrame = {
-    val gated = df.join(winnowGatedIds(df, idCol, textCol, l, k), Seq(idCol), "left_semi")
-    excise(df, idCol, textCol, loserCuts(gated, idCol, textCol, l, 1), l)
+    // sites and first-site rank come out of ONE span-keyed window pass
+    val cand = winnowCandSpans(df, idCol, textCol, l, k)
+    val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("span")
+    val wRank = wSpec.orderBy(col(idCol).asc, col("pos").asc)
+    val cuts = cand
+      .withColumn("sites", count(lit(1)).over(wSpec))
+      .withColumn("_r", row_number().over(wRank))
+      .where(col("sites") > 1 && col("_r") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
+    excise(df, idCol, textCol, cuts, l)
   }
 
   /** Removes from `df` every `l`-char span whose text occurs ANYWHERE in

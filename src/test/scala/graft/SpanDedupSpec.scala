@@ -106,6 +106,36 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(stripG === strip)
   }
 
+  test("winnow gate cuts the enumerated window count on a mostly-clean corpus") {
+    // 60 clean docs + 3 sharing one long span: the gate must shrink the
+    // stride-1 window enumeration to roughly the dirty docs' share while
+    // the output stays byte-identical (the equality specs above). This is
+    // the measured-cut evidence for the q101 winnow gate.
+    val l = 20
+    val shared = "THIS-SPAN-REPEATS-ACROSS-THREE-DOCUMENTS"
+    // clean docs interleave the doc id into EVERY word — no cross-doc
+    // substring can reach l=20 chars
+    val docs = ((1L to 60L).map(i =>
+      i -> (1 to 12).map(j => s"w$i-$j.${i * 37 + j}").mkString(" ")) ++
+      Seq(101L -> s"prefix one $shared suffix one",
+        102L -> s"prefix two! $shared suffix two",
+        103L -> s"$shared alone")).toDF("doc_id", "text")
+    val allWindows = SpanDedup.spans(docs, "doc_id", "text", l, 1).count()
+    val gatedIds = SpanDedup.winnowGatedIds(docs, "doc_id", "text", l, k = 8)
+    val gatedDocs = docs.join(gatedIds, Seq("doc_id"), "left_semi")
+    val gatedWindows = SpanDedup.spans(gatedDocs, "doc_id", "text", l, 1).count()
+    assert(gatedWindows * 5 <= allWindows,
+      s"gate enumerated $gatedWindows of $allWindows windows — expected >= 5x cut")
+    // and the gated stats still equal the ungated exact pass
+    val stats = SpanDedup.dupSpanStats(docs, "doc_id", "text", l, 1)
+      .as[(Long, Long)].collect().toMap
+    val statsG = SpanDedup.dupSpanStatsWinnowed(docs, "doc_id", "text", l, k = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(statsG === stats)
+    assert(stats(101L) > 0 && stats(102L) > 0 && stats(103L) > 0)
+    assert(stats(1L) == 0)
+  }
+
   test("winnow gate is sound on self-overlapping periodic repeats") {
     // "abababab…": the duplicated window at pos p and p+2 OVERLAPS itself;
     // the gate stays sound because the two winnow alignment windows are
