@@ -1233,9 +1233,11 @@ object Queries {
     // a SMALL query batch (mod 487: 2-11 queries across SFs) — the
     // repeated-retrieval shape the index exists for; q120's broad
     // benchmark split touches every bucket and belongs to the ad-hoc path
+    // hotDf=100: stopword-grade terms split over 4 sub-dirs (layout-only —
+    // the oracle is unchanged because search reads every sub of a bucket)
     operators.TextIndex.write(
       docs.where(pmod(col("doc_id"), lit(487)) =!= 0), "doc_id", "text",
-      path, buckets = 32)
+      path, buckets = 32, hotDf = 100, hotSubs = 4)
     operators.TextIndex.search(spark, path,
       docs.where(pmod(col("doc_id"), lit(487)) === 0), "doc_id", "text")
       .orderBy("q_id", "rank")

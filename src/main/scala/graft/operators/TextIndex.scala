@@ -28,10 +28,21 @@ import org.apache.spark.storage.StorageLevel
   * [[append]] grows the index in O(batch): new postings land in their
   * bucket partitions and the meta row is replaced LAST (the commit point —
   * a reader that wins a race sees consistent-if-stale stats, and scoring
-  * weights shift only when the meta lands). Bucket skew from a stopword
-  * term is bounded by that term's true posting count — the same bound the
-  * ad-hoc path's df shuffle carries — and searches prune to it only when
-  * the term is actually queried.
+  * weights shift only when the meta lands).
+  *
+  * ==Hot-bucket splitting==
+  * A stopword term's bucket is bounded by its true posting count, but at
+  * corpus scale that is still ONE directory written by one task and ONE
+  * skew unit at search. The layout carries a second partition level
+  * `sub`: terms whose df in the written batch reaches `hotDf` spread
+  * their postings over `hotSubs` sub-directories by
+  * `pmod(xxhash64(doc_id), hotSubs)`; everything else lands in `sub=0`.
+  * Pure LAYOUT change — searches prune on `bucket` only and read every
+  * `sub` of a pruned bucket, so per-term df stays exact; the write gains
+  * `hotSubs`-way parallelism exactly where the skew is. Each write/append
+  * decides hotness from its own batch (a term hot corpus-wide but cold in
+  * a batch just lands in that batch's `sub=0` — harmless, since `sub` is
+  * never a pruning key).
   */
 object TextIndex {
 
@@ -48,23 +59,24 @@ object TextIndex {
     StructField("dl", IntegerType, nullable = true),
     StructField("term", StringType, nullable = true),
     StructField("tf", LongType, nullable = true),
-    StructField("bucket", LongType, nullable = true)))
+    StructField("bucket", LongType, nullable = true),
+    StructField("sub", IntegerType, nullable = true)))
 
   /** Build the index: one fused tokenize pass over the corpus; postings
-    * written repartitioned BY bucket (one task per bucket directory — no
-    * small-file spray), stats sentinels from the same pass into the meta
-    * sidecar. */
+    * written repartitioned BY (bucket, sub) (one task per directory — no
+    * small-file spray, hot buckets get `hotSubs`-way write parallelism),
+    * stats sentinels from the same pass into the meta sidecar. */
   def write(
       df: DataFrame, idCol: String, textCol: String, path: String,
-      buckets: Int): Unit = {
+      buckets: Int, hotDf: Long = Long.MaxValue, hotSubs: Int = 8): Unit = {
     require(buckets >= 1, s"TextIndex: need buckets >= 1, got $buckets")
     val spark = df.sparkSession
     val fused = TextAnalysis.bm25PostsFused(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val stats = fused.where(col("term").isNull)
       .agg(count(lit(1)), sum(col("_dl"))).head()
-    postings(fused, buckets)
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    postings(fused, buckets, hotDf, hotSubs)
+      .write.mode("overwrite").partitionBy("bucket", "sub").parquet(s"$path/postings")
     writeMeta(spark, stats.getLong(0),
       if (stats.isNullAt(1)) None else Some(stats.getLong(1)), buckets, path)
     fused.unpersist()
@@ -75,15 +87,16 @@ object TextIndex {
     * appended into the same partition directories; the meta row is
     * summed and replaced last. */
   def append(
-      df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      hotDf: Long = Long.MaxValue, hotSubs: Int = 8): Unit = {
     val spark = df.sparkSession
     val (n0, sumdl0, buckets) = readMeta(spark, path)
     val fused = TextAnalysis.bm25PostsFused(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val stats = fused.where(col("term").isNull)
       .agg(count(lit(1)), sum(col("_dl"))).head()
-    postings(fused, buckets)
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    postings(fused, buckets, hotDf, hotSubs)
+      .write.mode("append").partitionBy("bucket", "sub").parquet(s"$path/postings")
     val batchSum = if (stats.isNullAt(1)) None else Some(stats.getLong(1))
     val sumdl = (sumdl0, batchSum) match {
       case (Some(a), Some(b)) => Some(a + b)
@@ -93,12 +106,33 @@ object TextIndex {
     fused.unpersist()
   }
 
-  private def postings(fused: DataFrame, buckets: Int): DataFrame =
-    fused.where(col("term").isNotNull)
+  private def postings(
+      fused: DataFrame, buckets: Int, hotDf: Long, hotSubs: Int): DataFrame = {
+    require(hotDf >= 1, s"TextIndex: need hotDf >= 1, got $hotDf")
+    require(hotSubs >= 1, s"TextIndex: need hotSubs >= 1, got $hotSubs")
+    val base = fused.where(col("term").isNotNull)
       .select(col("_id").as("doc_id"), col("_dl").as("dl"),
         col("term"), col("_tf").as("tf"),
         pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket"))
-      .repartition(col("bucket"))
+    val withSub =
+      if (hotSubs <= 1 || hotDf == Long.MaxValue) base.withColumn("sub", lit(0))
+      else {
+        // hot terms = df >= hotDf in THIS batch: a tiny stopword-scale set
+        // (one map-side-combined aggregate over the persisted fused rows),
+        // broadcast back; only their postings fan out over sub-directories
+        val hot = base.groupBy("term").agg(count(lit(1)).as("_df"))
+          .where(col("_df") >= hotDf)
+          .select(col("term"), lit(true).as("_hot"))
+        base.join(broadcast(hot), Seq("term"), "left")
+          .withColumn("sub",
+            when(col("_hot"),
+              pmod(xxhash64(col("doc_id")), lit(hotSubs.toLong)).cast("int"))
+              .otherwise(lit(0)))
+          .drop("_hot")
+          .select("doc_id", "dl", "term", "tf", "bucket", "sub")
+      }
+    withSub.repartition(col("bucket"), col("sub"))
+  }
 
   private def writeMeta(
       spark: SparkSession, n: Long, sumdl: Option[Long], buckets: Int,
@@ -151,7 +185,7 @@ object TextIndex {
   }
 
   /** Compact an appended index: each [[append]] lands one file per
-    * touched bucket, so N batches leave N files per bucket directory —
+    * touched (bucket, sub) directory, so N batches leave N files per —
     * harmless for a while (searches read only pruned buckets), listing-
     * and open-cost noise at crawl cadence. Rewrites the postings at one
     * file per bucket via a staging directory + atomic-enough rename
@@ -162,8 +196,8 @@ object TextIndex {
     val live = s"$path/postings"
     val staged = s"$path/postings_compact"
     spark.read.schema(PostingsSchema).parquet(live)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+      .repartition(col("bucket"), col("sub"))
+      .write.mode("overwrite").partitionBy("bucket", "sub").parquet(staged)
     val conf = spark.sparkContext.hadoopConfiguration
     val p0 = new org.apache.hadoop.fs.Path(live)
     val fs = p0.getFileSystem(conf)

@@ -105,6 +105,53 @@ class TextIndexSpec extends AnyFunSuite {
     assert(before.nonEmpty)
   }
 
+  test("hot-bucket splitting: hot terms fan out over sub dirs, df stays exact, pruning holds") {
+    val path = tmp("hot")
+    // "common"/"shared"/"words" appear in every third doc (df=26 at 80 docs)
+    TextIndex.write(corpus, "doc_id", "text", path, buckets = 32,
+      hotDf = 20, hotSubs = 4)
+    // hot terms' buckets hold multiple sub dirs; cold buckets only sub=0
+    val postingsDir = new java.io.File(s"$path/postings")
+    val subCounts = postingsDir.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(b => b.getName -> b.listFiles().count(_.getName.startsWith("sub=")))
+    assert(subCounts.exists(_._2 > 1), s"no bucket split: ${subCounts.toSeq}")
+    assert(subCounts.exists(_._2 == 1), s"everything split: ${subCounts.toSeq}")
+
+    // scores identical to the unsplit index AND the ad-hoc pass — df is
+    // computed over every sub of a pruned bucket, so it stays exact
+    val got = TextIndex.search(spark, path, queries, "doc_id", "text", topK = 5)
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    val want = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
+      "doc_id", "text", topK = 5)
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+
+    // bucket pruning still prunes across the two-level layout
+    val (lazyRes, qterms) = TextIndex.searchPlan(spark, path, queries, "doc_id", "text", topK = 5)
+    lazyRes.collect()
+    val scan = allScans(lazyRes.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("postings"))
+    assert(scan.nonEmpty)
+    val totalFiles = parquetFilesUnder(postingsDir).size
+    val filesRead = scan.map(_.metrics("numFiles").value).max
+    assert(filesRead < totalFiles,
+      s"search scanned the whole split postings set: $filesRead of $totalFiles")
+    assert(scan.head.metadata("PartitionFilters").contains("bucket"),
+      scan.head.metadata.toString)
+    qterms.unpersist()
+
+    // appends into the split layout keep score equality with a rebuild
+    val pInc = tmp("hotinc")
+    TextIndex.write(corpus.where(col("doc_id") <= 40), "doc_id", "text", pInc,
+      buckets = 32, hotDf = 10, hotSubs = 4)
+    TextIndex.append(corpus.where(col("doc_id") > 40), "doc_id", "text", pInc,
+      hotDf = 10, hotSubs = 4)
+    val inc = TextIndex.search(spark, pInc, queries, "doc_id", "text", topK = 5)
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(inc == want)
+  }
+
   test("phraseCount: consecutive-token matches incl. overlapping and repeated-term phrases") {
     val path = tmp("pos")
     val corpus = Seq(
