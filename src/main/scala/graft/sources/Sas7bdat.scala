@@ -122,11 +122,39 @@ object Sas7bdat {
 
   // ---------------------------------------------------------------- header
 
-  private def charsetFor(code: Int): Charset = code match {
-    case 29 => StandardCharsets.ISO_8859_1
-    case 62 => Charset.forName("windows-1252")
-    case _ => StandardCharsets.UTF_8 // 20 (and the sane default)
-  }
+  /** Header encoding byte → charset, following the community-documented
+    * code table (the same map pandas.io.sas.sas_constants.encoding_names
+    * publishes; names translated to their canonical JVM charset spellings).
+    * An encoding the JVM cannot provide fails LOUDLY — silently decoding
+    * Cyrillic as UTF-8 corrupts every string downstream. Unknown codes
+    * keep the historical UTF-8 default (code 20, and files with the byte
+    * unset). */
+  private val EncodingNames: Map[Int, String] = Map(
+    20 -> "UTF-8", 29 -> "ISO-8859-1", 30 -> "ISO-8859-2",
+    31 -> "ISO-8859-3", 32 -> "ISO-8859-4", 33 -> "ISO-8859-5",
+    34 -> "ISO-8859-6", 35 -> "ISO-8859-7", 36 -> "ISO-8859-8",
+    37 -> "ISO-8859-9", 39 -> "x-IBM874", 40 -> "ISO-8859-15",
+    41 -> "IBM437", 42 -> "IBM850", 43 -> "IBM852", 44 -> "IBM857",
+    45 -> "IBM00858", 46 -> "IBM862", 47 -> "IBM864", 48 -> "IBM865",
+    49 -> "IBM866", 50 -> "IBM869", 51 -> "x-IBM874", 56 -> "x-IBM737",
+    57 -> "IBM775", 58 -> "IBM860", 59 -> "IBM863",
+    60 -> "windows-1250", 61 -> "windows-1251", 62 -> "windows-1252",
+    63 -> "windows-1253", 64 -> "windows-1254", 65 -> "windows-1255",
+    66 -> "windows-1256", 67 -> "windows-1257", 68 -> "windows-1258",
+    118 -> "x-windows-950", 123 -> "Big5", 125 -> "GB2312",
+    126 -> "GBK", 134 -> "EUC-JP", 136 -> "windows-31j",
+    138 -> "Shift_JIS", 140 -> "EUC-KR", 141 -> "x-windows-949")
+
+  private def charsetFor(code: Int): Charset =
+    EncodingNames.get(code) match {
+      case Some(name) =>
+        require(Charset.isSupported(name),
+          s"sas7bdat encoding code $code maps to charset '$name', which this " +
+            "JVM does not provide — decoding with a substitute would corrupt " +
+            "every string; install a JVM with the charset or re-export as UTF-8")
+        Charset.forName(name)
+      case None => StandardCharsets.UTF_8 // 20-family default and unset bytes
+    }
 
   /** Parse header + metadata pages. Leaves `in` positioned AT the first
     * page (metadata pages are re-read by the row iterator, which skips

@@ -19,7 +19,8 @@ MAGIC = (b"\x00\x00\x00\x00\x00\x00\x00\x00"
          b"\xb3\x14\x11\xcf\xbd\x92\x08\x00"
          b"\x09\xc7\x31\x8c\x18\x1f\x10\x11")
 
-def build(u64, page_kind, rows, cols, page_size=4096, header_size=None, big_endian=False):
+def build(u64, page_kind, rows, cols, page_size=4096, header_size=None, big_endian=False,
+          enc_code=20, enc_name="utf-8"):
     """cols: list of (name, 'd'|'s', width, values). Returns file bytes."""
     ilen = 8 if u64 else 4
     bit_off = 32 if u64 else 16
@@ -123,7 +124,7 @@ def build(u64, page_kind, rows, cols, page_size=4096, header_size=None, big_endi
             if typ == "d":
                 out += struct.pack(bo + "d", np.nan if v is None else float(v))
             else:
-                out += v.encode().ljust(width, b" ")[:width]
+                out += v.encode(enc_name).ljust(width, b" ")[:width]
         return bytes(out)
 
     # ---- pages
@@ -194,7 +195,7 @@ def build(u64, page_kind, rows, cols, page_size=4096, header_size=None, big_endi
     a1 = 4
     hdr[37] = 0x00 if big_endian else 0x01
     hdr[39] = ord("1")  # unix
-    hdr[70] = 20        # utf-8
+    hdr[70] = enc_code  # header encoding byte (20 = utf-8)
     hdr[92:92 + 64] = b"GRAFT_FIXTURE".ljust(64)
     hdr[156:164] = b"DATA    "
     struct.pack_into(bo + "d", hdr, 164 + a1, 2.0e9)  # created
@@ -472,9 +473,11 @@ def build_rle_file(u64, rows, cols, page_size=4096, header_size=None,
     return bytes(hdr) + b"".join(pages)
 
 
-def validate(path, cols, n_rows):
+def validate(path, cols, n_rows, enc="utf-8"):
     from datetime import datetime, timedelta
-    df = pd.read_sas(path, format="sas7bdat", encoding="utf-8")
+    # enc="infer" additionally validates the header encoding BYTE: pandas
+    # reads the code and picks the codec itself
+    df = pd.read_sas(path, format="sas7bdat", encoding=enc)
     assert list(df.columns) == [c[0] for c in cols], (list(df.columns), path)
     assert len(df) == n_rows, (len(df), n_rows, path)
     for c in cols:
@@ -536,6 +539,29 @@ def main(outdir):
     with open(pth, "wb") as f:
         f.write(data)
     validate(pth, rcols, n)
+
+    # Non-latin1 encodings: the header byte names the codec, strings are
+    # stored in it, and pandas VALIDATES with encoding="infer" — so the
+    # code->codec mapping itself is cross-checked, not just the bytes.
+    enc_fixtures = [
+        ("u64_cp1251.sas7bdat", 61, "cp1251",
+         ["Москва", "Привет мир", "данные", "Санкт-Петербург", "тест"]),
+        ("u64_sjis.sas7bdat", 138, "shift_jis",
+         ["東京", "こんにちは", "データ", "大阪市", "テスト"]),
+    ]
+    for fname, code, codec, words in enc_fixtures:
+        n = len(words)
+        cols = [
+            ("id", "d", 8, list(range(1, n + 1))),
+            ("name", "s", 24, words),
+            ("flag", "s", 1, ["Y" if i % 2 == 0 else "N" for i in range(n)]),
+        ]
+        data = build(u64=True, page_kind="mix", rows=n, cols=cols,
+                     page_size=4096, enc_code=code, enc_name=codec)
+        pth = f"{outdir}/{fname}"
+        with open(pth, "wb") as f:
+            f.write(data)
+        validate(pth, cols, n, enc="infer")
 
     for fname, n, kind, kw in fixtures:
         if kind == "dates":
