@@ -920,8 +920,15 @@ object Queries {
     val injected = array_join(
       transform(sequence(lit(0), nl - 1), i => array_join(slice(words, i * 3 + 1, lit(3)), " ")),
       "\n")
-    val docs = t(spark, dir, "documents").select(col("doc_id"), injected.as("text"))
-    Curation.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+    // text is an EXPRESSION here (synthesized lines) — lineDedupExpr
+    // evaluates it once per doc where text is genuinely needed (phase-1
+    // hashes, candidates-only cache fill, non-loser output) instead of
+    // re-running the transform chain in the extraction and the rebuild
+    // (spec-proven by accumulator count)
+    Curation.lineDedupExpr(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", injected, "text")
+      .orderBy("doc_id")
   }
 
   /** Per-source relative quality gate: keep docs at/above the P75 of

@@ -20,9 +20,24 @@ object Par {
 
   /** `df`, repartitioned to the session default parallelism iff it
     * currently has fewer partitions (one narrow round-robin exchange of
-    * exactly the columns the caller selected); unchanged otherwise. */
+    * exactly the columns the caller selected); unchanged otherwise.
+    *
+    * The partition count comes from the NON-adaptive physical plan's RDD
+    * DAG, which is built without materializing anything. The obvious
+    * probe — `df.rdd.getNumPartitions` — goes through
+    * AdaptiveSparkPlanExec under AQE, which MATERIALIZES every query
+    * stage below the probe point to answer: harmless for the usual
+    * scan+project input, but an input carrying an upstream exchange would
+    * silently execute that whole shuffle once just to be counted (and a
+    * LocalRelation input gets constant-folded on the driver per probe).
+    * If the DAG cannot be built outside AQE the input passes through
+    * unchanged — losing a fan-out is harmless next to shrinking an
+    * already-wide input or executing it early. */
   def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val parts =
+      try df.queryExecution.sparkPlan.execute().getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => par }
+    if (parts < par) df.repartition(par) else df
   }
 }

@@ -505,10 +505,36 @@ object Curation {
     * cannot delete an innocent line (the q45/SpanDedup two-phase
     * discipline); per-doc loser-index arrays join back by doc id and the
     * rebuild is one codegen'd filter-with-index + array_join projection.
-    */
+    *
+    * For an EXPRESSION-fed text column use [[lineDedupExpr]]. */
   def lineDedup(
       df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n", minLineLen: Int = 1): DataFrame = {
+      sep: String = "\n", minLineLen: Int = 1): DataFrame =
+    lineDedupCore(df, idCol, col(textCol), textCol, sep, minLineLen,
+      cacheCandidates = false)
+
+  /** [[lineDedup]] for a text column that is an EXPRESSION over `df`
+    * (synthesized lines, a decode, a normalization chain) rather than a
+    * stored column: the expression is evaluated exactly ONCE per doc
+    * where the algorithm genuinely needs text — the phase-1 hash pass
+    * (every doc), a candidates-only cache fill placed ABOVE the candidate
+    * join (so non-candidates never evaluate it there), and the final
+    * projection for non-loser docs; loser docs rebuild from the cache.
+    * Spec-proven by accumulator count. With a STORED column prefer
+    * [[lineDedup]] — re-scanning a table column is cheaper than caching.
+    *
+    * Output: `df`'s columns with `outCol` holding the deduplicated text
+    * (replaced in place if `df` already has that column) plus
+    * `lines_removed`. */
+  def lineDedupExpr(
+      df: DataFrame, idCol: String, textExpr: Column, outCol: String,
+      sep: String = "\n", minLineLen: Int = 1): DataFrame =
+    lineDedupCore(df, idCol, textExpr, outCol, sep, minLineLen,
+      cacheCandidates = true)
+
+  private def lineDedupCore(
+      df: DataFrame, idCol: String, textExpr: Column, outCol: String,
+      sep: String, minLineLen: Int, cacheCandidates: Boolean): DataFrame = {
     require(sep.nonEmpty, "need a non-empty line separator")
     require(!df.columns.contains("_cuts"), "input already has a _cuts column")
     val spark = df.sparkSession
@@ -520,7 +546,7 @@ object Curation {
     // by index from the candidate DOCS alone, and the string-keyed window
     // makes exactness unconditional under hash collisions.
     val keyed = graft.core.Par.fanOut(
-      df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string")))
+      df.select(col(idCol).cast("long").as("_id"), textExpr.cast("string")))
       .as[(Long, String)]
       .mapPartitions { it =>
         import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -539,35 +565,62 @@ object Curation {
         }
       }
       .toDF("_id", "idx", "_k").cache()
+    // expr mode: fill the keyed cache deterministically before its two
+    // readers (dupK, candIdx) can race concurrent stages into computing
+    // the phase-1 pass — and the expression — twice
+    if (cacheCandidates) keyed.count()
     val dupK = keyed.groupBy("_k").agg(count(lit(1)).as("_c"))
       .where(col("_c") > 1).select("_k")
     val candIdx = keyed.join(dupK, "_k")
       .groupBy(col("_id")).agg(collect_list(col("idx")).as("_cand"))
-    val candLines = df
-      .select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
-      .join(candIdx, Seq("_id"))
+    // the text projection sits ABOVE the candidate join, so only candidate
+    // docs evaluate the expression here; with a stored column the placement
+    // is cost-identical
+    val candTexts = df
+      .join(candIdx.withColumnRenamed("_id", "__cid"),
+        col(idCol).cast("long") === col("__cid"))
+      .select(col("__cid").as("_id"), textExpr.cast("string").as("_t"), col("_cand"))
+    // candidates-only: the ONE evaluation an expression-fed text column
+    // gets for extraction AND rebuild. The eager count() fills the cache
+    // deterministically before the two downstream subtrees read it (a
+    // lazy fill could race in concurrent stages and evaluate twice).
+    val candSrc =
+      if (cacheCandidates) {
+        val c = candTexts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      } else candTexts
+    val candLines = candSrc
       .select(col("_id"), explode(col("_cand")).as("idx"),
         element_at(split(col("_t"), sepRe), col("idx") + lit(1)).as("line"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("line").orderBy(col("_id").asc, col("idx").asc)
-    val losers = candLines
+    val losersIdx = candLines
       .withColumn("_r", row_number().over(w))
       .where(col("_r") > 1)
-      .groupBy(col("_id").as(idCol))
+      .groupBy(col("_id"))
       .agg(sort_array(collect_list(col("idx"))).as("_cuts"))
-      // materialize the loser-index arrays (bounded by dup-line docs, int
-      // arrays only — never text), then release the keyed cache: a lazily
-      // returned plan over it leaked the cache into the session (ADVICE r5)
-      .localCheckpoint()
+    // loser rows carry their text OUT of the cache (cached mode) so the
+    // rebuild never re-evaluates the expression; then materialize the
+    // bounded loser set and release every intermediate (ADVICE r5 — a
+    // lazily returned plan over a cache leaks it into the session)
+    val losers =
+      (if (cacheCandidates)
+        losersIdx.join(candSrc.select(col("_id"), col("_t").as("_lt")), Seq("_id"))
+      else losersIdx.withColumn("_lt", lit(null).cast("string")))
+        .withColumnRenamed("_id", idCol)
+        .localCheckpoint()
+    if (cacheCandidates) { candSrc.unpersist(); () }
     keyed.unpersist()
+    val srcText = if (cacheCandidates) col("_lt") else textExpr.cast("string")
     val rebuilt = array_join(
-      filter(split(col(textCol), sepRe), (x, i) => !array_contains(col("_cuts"), i)),
+      filter(split(srcText, sepRe), (x, i) => !array_contains(col("_cuts"), i)),
       sep)
     df.join(losers, Seq(idCol), "left")
-      .withColumn(textCol, when(col("_cuts").isNull, col(textCol)).otherwise(rebuilt))
+      .withColumn(outCol, when(col("_cuts").isNull, textExpr).otherwise(rebuilt))
       .withColumn("lines_removed",
         when(col("_cuts").isNull, lit(0)).otherwise(size(col("_cuts"))))
-      .drop("_cuts")
+      .drop("_cuts", "_lt")
   }
 
   def domainMixSample(

@@ -485,4 +485,52 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out.head.getString(1) == "dup\nmid")
     assert(out.head.getInt(2) == 2)
   }
+
+  test("lineDedupExpr: one expression evaluation per doc where text is needed") {
+    val s = spark
+    import s.implicits._
+    // an expression-fed text column whose evaluations are COUNTED: the
+    // accumulator increments once per UDF call
+    val acc = spark.sparkContext.longAccumulator("textEvals")
+    val counted = org.apache.spark.sql.functions.udf { (t: String) =>
+      acc.add(1L); t
+    }
+    // 6 docs; docs 1/2/5 share "shared line" (candidates), 3/4/6 clean;
+    // docs 2 and 5 lose their copies. FILE-backed on purpose: a
+    // Seq-backed LocalRelation gets constant-folded by the optimizer
+    // (ConvertToLocalRelation evaluates the UDF on the driver once per
+    // query construction), which would confound the executor-side count.
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-ldx").toString
+    docs(
+      1L -> "shared line\nuniq a",
+      2L -> "uniq b\nshared line",
+      3L -> "clean c\nclean cc",
+      4L -> "clean d",
+      5L -> "shared line",
+      6L -> "clean f\nclean ff")
+      .write.mode("overwrite").parquet(tmpDir)
+    val base = spark.read.parquet(tmpDir)
+    val expr = counted(col("text"))
+    // collect WITHOUT orderBy: a global sort's range partitioner runs a
+    // sampling pass over the child, re-evaluating the projection once
+    // more — noise that has nothing to do with lineDedupExpr
+    acc.reset()
+    val outExpr = Curation.lineDedupExpr(base, "doc_id", expr, "text")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    val evalsExpr = acc.value
+    // the naive shape: the expression baked into the input df, every
+    // phase re-evaluating it under the joins
+    acc.reset()
+    val outPlain = Curation.lineDedup(
+      base.select(col("doc_id"), expr.as("text")), "doc_id", "text")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    val evalsPlain = acc.value
+    assert(outExpr == outPlain, "lineDedupExpr must not change the output")
+    // expr path: phase-1 hash pass (6 docs) + candidates-only cache fill
+    // (3) + final projection for non-loser docs (4: docs 1,3,4,6) = 13.
+    // Retried/speculative tasks could only ADD counts.
+    assert(evalsExpr <= 13, s"lineDedupExpr evaluated $evalsExpr times (> 13)")
+    assert(evalsPlain > evalsExpr,
+      s"baked-in=$evalsPlain should exceed lineDedupExpr=$evalsExpr")
+  }
 }
