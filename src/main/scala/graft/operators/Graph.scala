@@ -44,8 +44,34 @@ object Graph {
     */
   def pageRank(
       edgesIn: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+      iters: Int = 5, damping: Double = 0.85): DataFrame =
+    pageRankImpl(edgesIn, srcCol, dstCol, maxIters = iters, damping, tol = 0.0)
+
+  /** Convergence-terminated PageRank: iterate until the L1 delta
+    * Σ|r_{k+1} − r_k| falls to `tol` (or `maxIters` runs out — loudly
+    * never silently: the row count is the same either way, so a
+    * non-converged result would otherwise be indistinguishable).
+    *
+    * Same per-iteration shape as [[pageRank]] plus ONE extra job per
+    * round: the delta needs |r_{k+1} − r_k| summed, which means
+    * materializing the new rank vector (nodes ⋈ checkpointed contribs —
+    * n rows of (long, double)) instead of leaving it lazy. That is the
+    * honest price of a data-dependent stop; users who want the exactly
+    * reproducible fixed-iteration run (and the cross-engine oracle) keep
+    * [[pageRank]].
+    *
+    * Returns (node, rank) persisted, like [[pageRank]]. */
+  def pageRankTol(
+      edgesIn: DataFrame, srcCol: String, dstCol: String,
+      tol: Double, maxIters: Int = 100, damping: Double = 0.85): DataFrame = {
+    require(tol > 0, s"pageRankTol: tol must be > 0, got $tol (use pageRank for fixed iterations)")
+    pageRankImpl(edgesIn, srcCol, dstCol, maxIters, damping, tol)
+  }
+
+  private def pageRankImpl(
+      edgesIn: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int, damping: Double, tol: Double): DataFrame = {
+    require(maxIters >= 1, s"pageRank: iters must be >= 1, got $maxIters")
     require(damping > 0 && damping < 1,
       s"pageRank: damping must be in (0, 1), got $damping")
     val edges = edgesIn
@@ -75,7 +101,9 @@ object Graph {
     // contribs (constant plan depth: nodes ⋈ cached contribs), so no
     // per-iteration rank persist/count is needed.
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
       // localCheckpoint (not persist): TRUE lineage truncation. A cached
       // contribs still carries its full logical plan — each iteration's
       // analysis/cache-lookup then walks a deeper tree, and measured cost
@@ -92,11 +120,31 @@ object Graph {
       val outMass = contribs.agg(coalesce(sum("c"), lit(0.0)))
         .head.getDouble(0)
       val dm = 1.0 - outMass
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + lit(dm / n))).as("rank"))
+      if (tol > 0) {
+        // data-dependent stop: materialize the new vector (checkpoint —
+        // same lineage discipline) and take the L1 delta in one job
+        val mat = next.localCheckpoint()
+        val delta = mat.as("a")
+          .join(ranks.as("b"), col("a.node") === col("b.node"))
+          .agg(coalesce(sum(abs(col("a.rank") - col("b.rank"))), lit(0.0)))
+          .head.getDouble(0)
+        ranks = mat
+        if (delta <= tol) converged = true
+      } else {
+        // fixed-iteration: the vector stays a constant-depth LAZY
+        // projection over the checkpointed contribs
+        ranks = next
+      }
+      it += 1
     }
+    if (tol > 0) require(converged,
+      s"pageRankTol: no convergence to tol=$tol within $maxIters iterations " +
+        "(last vector would be silently non-converged) — raise maxIters or tol, " +
+        "or use pageRank for a fixed-iteration run")
     val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     out

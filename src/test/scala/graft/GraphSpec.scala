@@ -94,6 +94,30 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](run(g, 3, d = 1.0))
   }
 
+  test("pageRankTol converges to the fixed-point and matches a long fixed run") {
+    val tol = 1e-9
+    val got = Graph.pageRankTol(g.toDF("s", "t"), "s", "t", tol = tol, maxIters = 200)
+      .as[(Long, Double)].collect().toMap
+    // a long fixed-iteration run is within tol-scale of the same fixed point
+    val fixed = run(g, 100)
+    val l1 = got.keySet.map(k => math.abs(got(k) - fixed(k))).sum
+    assert(l1 <= 10 * tol, s"L1(tol-run, 100-iter run) = $l1")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass must stay 1")
+    // and it agrees with the driver model run to convergence
+    val m = model(g, 100, 0.85)
+    got.foreach { case (k, v) => assert(math.abs(v - m(k)) < 1e-7, s"node $k") }
+  }
+
+  test("pageRankTol refuses loudly when maxIters runs out before tol") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankTol(g.toDF("s", "t"), "s", "t", tol = 1e-15, maxIters = 2)
+    }
+    assert(e.getMessage.contains("no convergence"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Graph.pageRankTol(g.toDF("s", "t"), "s", "t", tol = 0.0)
+    }
+  }
+
   test("null endpoints are dropped, not ranked") {
     val df = Seq(
       (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
