@@ -1,0 +1,64 @@
+package graft
+
+import graft.core.Tables
+import graft.multimodal.Binary
+import graft.operators.{AsOfJoin, Bucketing, Checks, Classifier, Curation, Dedup, Funnel, GlobalIndex, Graph, Importance, IntervalJoin, LanguageModel, Layout, Merge, MinHashLSH, Packing, Paths, ProductQuantizer, Retention, Sampling, Sessionize, SimHash, Similarity, SkewJoin, Sketches, TextAnalysis, Urls, VectorIndex}
+import graft.sinks.{CsvSink, ParquetSink}
+import graft.sources.{Catalog, SasCsvReader, SasOptions, SasTypes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** §2.6 — multimodal binary payload queries (features, frame sampling,
+  * resize, overlap). */
+private[graft] trait QueriesText extends QueryHelpers {
+
+  // ---------------------------------------------------------------- §2.6
+
+  /** Binary payload column + per-partition feature extraction (multimodal
+    * plumbing; decode stubbed — see multimodal.Binary scaladoc). */
+  def q70BinaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    Binary.extractFeatures(
+      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id")
+      .withColumn("mean_byte", round(col("mean_byte"), 6))
+      .orderBy("doc_id")
+
+  /** Frame sampling over binary payloads: 32-byte windows every 64 bytes,
+    * fingerprinted per frame (1 row in → many out, payload pruned before the
+    * downstream shuffle). Oracle is byte-exact because the corpus is ASCII;
+    * the operator itself is byte-based and encoding-agnostic. */
+  def q71FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Binary.frameSample(
+      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
+      frameBytes = 32, stride = 64)
+      .orderBy("doc_id", "frame_idx")
+
+  /** Video-dedup primitive over the multimodal plumbing: payload pairs
+    * sharing >= 3 sampled-frame fingerprints (the frame-hash-overlap test a
+    * video pipeline runs before expensive perceptual comparison). Reuses
+    * q71's frame sampling; the join is on the 16-byte digest, so candidate
+    * cost tracks true overlap, not payload count². */
+  def q73FrameOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val f = Binary.frameSample(
+      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
+      frameBytes = 32, stride = 64)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    f.as("a").join(f.as("b"), "frame_md5")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
+    * 16-byte signature per payload (decode stubbed; shape/batching real). */
+  def q72Resize(spark: SparkSession, dir: String): DataFrame =
+    Binary.resizeStub(
+      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id", target = 16)
+      .orderBy("doc_id")
+
+}

@@ -25,1587 +25,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Queries.oracles
 }
 
-/** §2 operator inventory implementations. Every query orders its output
-  * deterministically and aliases computed columns identically to its oracle. */
-object Queries {
-
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(spark, dir, name)
-
-  private def tempDir(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag").toString
-
-  // ---------------------------------------------------------------- §2.1
-
-  /** keep= with prefix wildcards + rename= (SasOptions). */
-  def q01SasKeepRename(spark: SparkSession, dir: String): DataFrame =
-    SasOptions.apply(
-      t(spark, dir, "lineitem"),
-      keep = Some("l_orderkey l_linenumber l_ship: l_ret: l_quantity"),
-      rename = Some("l_quantity=qty")
-    ).orderBy("l_orderkey", "l_linenumber")
-
-  /** drop= wildcard + SAS where= clause compiled to a pushed-down predicate. */
-  def q02SasDropWhere(spark: SparkSession, dir: String): DataFrame =
-    SasOptions.apply(
-      t(spark, dir, "lineitem"),
-      drop = Some("l_part: l_supp: l_tax l_linestatus"),
-      where = Some("l_quantity between 30 and 40 and l_returnflag ne 'N' and l_discount gt 0.05")
-    ).orderBy("l_orderkey", "l_linenumber")
-
-  /** obs=N on an ordered view (deterministic limit → TakeOrderedAndProject). */
-  def q03SasObs(spark: SparkSession, dir: String): DataFrame =
-    SasOptions.apply(
-      t(spark, dir, "orders").orderBy("o_orderkey"),
-      obs = Some(100L)
-    ).orderBy("o_orderkey")
-
-  /** fix_missing: special SAS missings (.A etc.) → NULL through a CSV hop. */
-  def q04FixMissing(spark: SparkSession, dir: String): DataFrame = {
-    val cust = t(spark, dir, "customer")
-    // simulate a SAS extract where every 10th customer has special-missing acctbal
-    val sasCsv = cust.select(
-      col("c_custkey"),
-      col("c_name"),
-      when(col("c_custkey") % 10 === 0, lit(".A"))
-        .otherwise(col("c_acctbal").cast(StringType)).as("c_acctbal")
-    )
-    val out = tempDir("q04") + "/csv"
-    CsvSink.write(sasCsv, out)
-    val schema = StructType(Seq(
-      StructField("c_custkey", LongType),
-      StructField("c_name", StringType),
-      StructField("c_acctbal", DoubleType)))
-    SasCsvReader.read(spark, out, schema, fixMissing = true).orderBy("c_custkey")
-  }
-
-  /** col_types override: PG type names → casts (SasTypes vocabulary). */
-  def q05ColTypes(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
-    val colTypes = Map("l_orderkey" -> "integer", "l_linenumber" -> "bigint", "l_shipdate" -> "date")
-    val cast = li.columns.map { c =>
-      colTypes.get(c).map(pg => col(c).cast(SasTypes.sparkType(pg)).as(c)).getOrElse(col(c))
-    }
-    li.select(cast.toIndexedSeq: _*).orderBy("l_orderkey", "l_linenumber")
-  }
-
-  /** gzipped-CSV sink → typed re-read roundtrip. */
-  def q06CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val cust = t(spark, dir, "customer")
-    val out = tempDir("q06") + "/csv"
-    CsvSink.write(cust, out)
-    SasCsvReader.read(spark, out, cust.schema).orderBy("c_custkey")
-  }
-
-  /** parquet sink with last_modified stamp; data round-trips. */
-  def q07ParquetModified(spark: SparkSession, dir: String): DataFrame = {
-    val sup = t(spark, dir, "supplier")
-    val out = tempDir("q07") + "/pq"
-    ParquetSink.write(sup, out, "Last modified: 03/01/2024 10:00:00")
-    require(ParquetSink.getModified(spark, out) == "Last modified: 03/01/2024 10:00:00")
-    spark.read.parquet(out).orderBy("s_suppkey")
-  }
-
-  /** PROC-CONTENTS-style metadata → inferred schema drives an untyped CSV read. */
-  def q08TypeInference(spark: SparkSession, dir: String): DataFrame = {
-    val ord = t(spark, dir, "orders")
-    val out = tempDir("q08") + "/csv"
-    CsvSink.write(ord.select(
-      col("o_orderkey").cast(StringType),
-      col("o_custkey").cast(StringType),
-      col("o_orderstatus"),
-      col("o_totalprice").cast(StringType),
-      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate")
-    ), out)
-    val meta = Seq(
-      SasTypes.ContentsRow("o_orderkey", 1, "", formatl = 8),
-      SasTypes.ContentsRow("o_custkey", 1, "", formatl = 8),
-      SasTypes.ContentsRow("o_orderstatus", 2),
-      SasTypes.ContentsRow("o_totalprice", 1, "", formatl = 12, formatd = 2),
-      SasTypes.ContentsRow("o_orderdate", 1, "DATETIME20."))
-    val schema = SasTypes.inferSchema(meta, colTypes = Map("o_orderkey" -> "bigint", "o_custkey" -> "bigint"))
-    SasCsvReader.read(spark, out, schema).orderBy("o_orderkey")
-  }
-
-  /** get_wrds_tables analog: enumerate the library's tables. */
-  def q09ListTables(spark: SparkSession, dir: String): DataFrame =
-    Catalog.listTables(spark, dir).orderBy("table_name")
-
-  // ---------------------------------------------------------------- §2.2
-
-  /** TPC-H Q1-shaped pricing summary (map-side partial agg → one shuffle). */
-  def q10AggPricing(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_discount"), 6).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
-
-  /** 4-way star join; dims broadcast explicitly (nation always; customer is a
-    * dim at this shape — broadcast locally, shuffle-join at 100 TB where it
-    * no longer fits; AQE re-plans either way). */
-  def q11JoinBroadcast(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .groupBy("n_name")
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_lines"))
-      .orderBy("n_name")
-
-  /** Fact-fact shuffle join + agg; AQE handles runtime partition sizing. */
-  def q12JoinShuffle(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        round(sum("l_quantity"), 2).as("sum_qty"))
-      .orderBy("o_orderpriority")
-
-  /** Global top-N: orderBy+limit → TakeOrderedAndProject (no full sort). */
-  def q13TopN(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .limit(10)
-
-  /** Per-key window rank, keep top 3 (deterministic tiebreak on key). */
-  def q14WindowRank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    t(spark, dir, "customer")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
-      .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
-      .orderBy("c_mktsegment", "rn")
-  }
-
-  /** Distinct projection (hash-agg, map-side partial). */
-  def q15Distinct(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .select("l_returnflag", "l_linestatus").distinct()
-      .orderBy("l_returnflag", "l_linestatus")
-
-  /** Left-anti join: customers with no orders. */
-  def q16AntiSemi(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
-      .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
-
-  /** Union of labeled subqueries. */
-  def q17UnionLabel(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "customer").select(lit("customer").as("kind"), col("c_name").as("name"))
-      .unionByName(
-        t(spark, dir, "supplier").select(lit("supplier").as("kind"), col("s_name").as("name")))
-      .orderBy("kind", "name")
-
-  /** Manual pivot via sum(case when) — single pass, no pivot shuffle. */
-  def q18Pivot(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(lit(0.0))), 2).as("qty_f"),
-        round(sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(lit(0.0))), 2).as("qty_o"))
-      .orderBy("l_returnflag")
-
-  /** ROLLUP grouping sets. */
-  def q19Rollup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .rollup("o_orderstatus", "o_orderpriority")
-      .agg(
-        count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("sum_price"))
-      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
-
-  /** As-of join: each event → the user's most recent signup at-or-before it
-    * (operators.AsOfJoin union+window plan; DuckDB ASOF LEFT JOIN oracle). */
-  def q20AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    val signups = events.where(col("event_type") === "signup")
-      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
-    AsOfJoin.leftAsOf(
-      events.select("event_id", "user_id", "ts", "event_type"),
-      signups,
-      leftKey = "user_id", rightKey = "user_id",
-      leftTime = "ts", rightTime = "ts",
-      valueCols = Seq("signup_ts"))
-      .orderBy("event_id")
-  }
-
-  /** Same as-of join as [[q20AsofJoin]], planned natively: graft's custom
-    * `AsOfJoinPlan` logical node → `AsOfMergeJoinExec` streaming merge
-    * (strategy injected by `GraftExtensions`). One co-partitioned shuffle per
-    * side, O(1) per-partition state, columns pruned through the node by
-    * `PruneAsOfJoinColumns`. */
-  def q49AsofNative(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    val signups = events.where(col("event_type") === "signup")
-      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
-    AsOfJoin.leftAsOfNative(
-      events.select("event_id", "user_id", "ts", "event_type"),
-      signups,
-      leftKey = "user_id", rightKey = "user_id",
-      leftTime = "ts", rightTime = "ts",
-      valueCols = Seq("signup_ts"))
-      .orderBy("event_id")
-  }
-
-  /** Inner as-of join (DuckDB `ASOF JOIN` default semantics): only events
-    * with a prior signup survive. Same custom merge operator as
-    * [[q49AsofNative]] with unmatched left rows dropped in the merge —
-    * no post-join filter, no null-padding ever materialized. */
-  def q48AsofInner(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    val signups = events.where(col("event_type") === "signup")
-      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
-    AsOfJoin.innerAsOfNative(
-      events.select("event_id", "user_id", "ts", "event_type"),
-      signups,
-      leftKey = "user_id", rightKey = "user_id",
-      leftTime = "ts", rightTime = "ts",
-      valueCols = Seq("signup_ts"))
-      .orderBy("event_id")
-  }
-
-  /** As-of enrichment with a broadcast right side: `broadcast(signups)`
-    * selects `AsOfBroadcastJoinExec` — the events fact table is never
-    * shuffled or sorted; each partition resolves matches against the
-    * broadcast index (hash + binary search). The zero-shuffle path a
-    * 100 TB fact × small-reference enrichment should take. */
-  def q53AsofBroadcast(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events")
-    val signups = events.where(col("event_type") === "signup")
-      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
-    AsOfJoin.leftAsOfNative(
-      events.select("event_id", "user_id", "ts", "event_type"),
-      broadcast(signups),
-      leftKey = "user_id", rightKey = "user_id",
-      leftTime = "ts", rightTime = "ts",
-      valueCols = Seq("signup_ts"))
-      .orderBy("event_id")
-  }
-
-  /** Deterministic 80/10/10 train/val/test split by portable integer-hash
-    * arithmetic — partitioning-independent (a row keeps its split across
-    * repartition/scale-up, unlike rand(seed) sampling) and reproducible in
-    * any 64-bit-SQL engine, which is what the DuckDB oracle checks. */
-  def q54SplitSample(spark: SparkSession, dir: String): DataFrame =
-    Sampling.deterministicSplit(
-      t(spark, dir, "documents").select("doc_id"), "doc_id", trainPct = 80, valPct = 10)
-      .orderBy("doc_id")
-
-  /** Latest row per key as a partial-aggregatable argmax: max over a
-    * (ts, event_id, event_type) struct is a lexicographic max, so the
-    * "current version per entity" question is ONE hash aggregate with
-    * map-side combine — no per-key window sort, no skew cliff (a hot key
-    * reduces to one struct per map task before the shuffle). The oracle is
-    * the equivalent window row_number()=1 form. */
-  def q55LatestPerKey(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy("user_id")
-      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
-      .select(col("user_id"), col("m.ts").as("last_ts"),
-        col("m.event_id").as("last_event_id"), col("m.event_type").as("last_event_type"))
-      .orderBy("user_id")
-
-  /** SCD-2-style validity intervals: each per-key event becomes a
-    * [valid_from, valid_to) version row via lead() — the point-in-time
-    * dimension-history shape the reference's research tables feed (one
-    * shuffle on the key; open intervals keep NULL valid_to). */
-  def q56ScdIntervals(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("valid_from").asc, col("event_id").asc)
-    t(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts").as("valid_from"))
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
-      .orderBy("user_id", "valid_from", "event_id")
-  }
-
-  /** Point-in-interval (range) join expressed as the native as-of: each
-    * event finds its containing signup "era" ([valid_from, next signup)).
-    * A literal range join `ON t >= from AND t < to` explodes
-    * O(rows-per-key²) candidates and falls back to broadcast-nested-loop;
-    * for non-overlapping intervals the containing interval IS the
-    * latest-start-at-or-before one, so one as-of merge replaces the range
-    * join outright. The oracle is DuckDB's explicit range-predicate join —
-    * proving the rewrite, not just the operator. */
-  def q57IntervalLookup(spark: SparkSession, dir: String): DataFrame = {
-    val events = t(spark, dir, "events").select("event_id", "user_id", "ts")
-    val w = Window.partitionBy("user_id").orderBy(col("valid_from").asc, col("sid").asc)
-    val eras = t(spark, dir, "events").where(col("event_type") === "signup")
-      .select(col("user_id"), col("ts").as("valid_from"), col("event_id").as("sid"))
-      .withColumn("era", row_number().over(w))
-      .select(col("user_id"), col("valid_from"), col("era"),
-        col("valid_from").as("era_start"))
-    AsOfJoin.leftAsOfNative(
-      events, eras,
-      leftKey = "user_id", rightKey = "user_id",
-      leftTime = "ts", rightTime = "valid_from",
-      valueCols = Seq("era", "era_start"))
-      .orderBy("event_id")
-  }
-
-  /** Deflate compression ratio as a repetitiveness/quality signal — fused
-    * per-partition pass, text dropped before any shuffle. Oracle: a
-    * content-addressed python-zlib fixture (independent implementation,
-    * tools/make_oracle_fixtures.py) joined by md5(text); exact values also
-    * spec-pinned against a direct Deflater fold. */
-  def q58CompressRatio(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.compressionRatio(t(spark, dir, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
-
-  /** Global row numbering without the single-partition window: range
-    * shuffle + per-partition offsets (see `operators.GlobalIndex`). The
-    * DuckDB oracle is the plain global ROW_NUMBER() — bit-identical. */
-  def q59GlobalRownum(spark: SparkSession, dir: String): DataFrame =
-    GlobalIndex.withRowNumbers(
-      t(spark, dir, "events").select("event_id", "user_id", "ts"),
-      order = Seq("ts", "event_id"), rnCol = "rn")
-      .orderBy("rn")
-
-  /** Deterministic stratified sample: exactly 20 events per event_type,
-    * chosen by smallest id-hash — stable under repartitioning (unlike
-    * sampleBy) and pre-pruned map-side by WindowGroupLimit. */
-  def q60StratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    Sampling.stratifiedSample(
-      t(spark, dir, "events").select("event_type", "event_id"),
-      stratumCol = "event_type", idCol = "event_id", perStratum = 20)
-      .orderBy("event_type", "event_id")
-
-  /** Exact NTILE(7) over a total order, computed distributed (GlobalIndex
-    * rank + closed-form bucket arithmetic) — no single-partition window. */
-  def q61Ntile(spark: SparkSession, dir: String): DataFrame =
-    GlobalIndex.withNtile(
-      t(spark, dir, "events").select("event_id", "ts"),
-      order = Seq("ts", "event_id"), k = 7, bucketCol = "bucket")
-      .select("event_id", "bucket")
-      .orderBy("event_id")
-
-  /** Data-quality constraint report over lineitem: not-null + range checks
-    * in ONE aggregate pass, uniqueness as one surplus-copy count — the
-    * table-level guardrail run before shipping a corpus snapshot. */
-  def q62QualityChecks(spark: SparkSession, dir: String): DataFrame =
-    Checks.report(
-      t(spark, dir, "lineitem"),
-      notNull = Seq("l_orderkey", "l_shipdate"),
-      ranges = Seq(("l_quantity", 1.0, 50.0), ("l_discount", 0.0, 0.08)),
-      unique = Seq(Seq("l_orderkey", "l_linenumber")))
-
-  /** Gap sessionization (30-min gap): lag + running sum, one shuffle. */
-  def q21Sessionize(spark: SparkSession, dir: String): DataFrame =
-    Sessionize.summarize(
-      t(spark, dir, "events"),
-      key = "user_id", time = "ts", gapSeconds = 1800, tiebreak = "event_id")
-      .orderBy("user_id", "session_id")
-
-  /** Left-semi join: customers that DO have orders (EXISTS oracle). */
-  def q23ExistsSemi(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
-      .select("c_custkey", "c_name", "c_mktsegment")
-      .orderBy("c_custkey")
-
-  /** Scalar-subquery shape: orders above the global midrange price. The
-    * scalar aggregate is a 1-row broadcast joined under every row — midrange
-    * (min+max)/2 is used instead of avg so the threshold is bit-exact
-    * regardless of partition-order float association. */
-  def q24ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    val orders = t(spark, dir, "orders")
-    val mid = orders.agg(((min("o_totalprice") + max("o_totalprice")) / 2.0).as("_mid"))
-    orders.crossJoin(broadcast(mid))
-      .where(col("o_totalprice") > col("_mid"))
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .orderBy("o_orderkey")
-  }
-
-  /** CUBE grouping sets over two dims. */
-  def q25Cube(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
-
-  /** Tumbling-window time aggregation (built-in window(), 1 hour). */
-  def q22TimeWindow(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
-      .orderBy("window_start")
-
-  /** JSON property extraction from the events props column + aggregate
-    * (training pipelines parse JSON metadata constantly; get_json_object
-    * is codegen'd, no UDF). */
-  def q26JsonExtract(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"))
-      .orderBy("event_type")
-
-  /** Per-customer running revenue: in-order window accumulation (bit-exact
-    * across engines because the fold order is fixed by the total ordering). */
-  def q27RunningSum(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        round(sum("o_totalprice").over(w), 2).as("running_total"))
-      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
-  }
-
-  /** Exact distinct-count aggregate (expand + two-phase agg under the hood). */
-  def q28CountDistinct(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .groupBy("o_orderpriority")
-      .agg(countDistinct(col("o_custkey")).as("n_customers"),
-        count(lit(1)).as("n_orders"))
-      .orderBy("o_orderpriority")
-
-  /** Salted skew join: same aggregate as q12 through operators.SkewJoin —
-    * the oracle is the PLAIN join, proving salt-replication preserves
-    * results exactly. */
-  def q29SaltedJoin(spark: SparkSession, dir: String): DataFrame =
-    SkewJoin.saltedJoin(
-        t(spark, dir, "lineitem"), t(spark, dir, "orders"),
-        "l_orderkey", "o_orderkey", buckets = 8, saltBy = col("l_linenumber"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
-      .orderBy("o_orderpriority")
-
-  /** Exact interpolated percentiles per group (two-phase: sort-based
-    * percentile agg after partial collection per key). */
-  def q46Percentiles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .groupBy("o_orderpriority")
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
-        count(lit(1)).as("n_orders"))
-      .orderBy("o_orderpriority")
-
-  /** Fixed-width histogram over a value column: bin ids + counts are pure
-    * integer/deterministic arithmetic off a broadcast (min, max) scalar. */
-  def q47Histogram(spark: SparkSession, dir: String): DataFrame = {
-    val orders = t(spark, dir, "orders")
-    val mm = orders.agg(min("o_totalprice").as("_mn"), max("o_totalprice").as("_mx"))
-    orders.crossJoin(broadcast(mm))
-      .select(least(
-        floor((col("o_totalprice") - col("_mn")) / ((col("_mx") - col("_mn")) / 10.0)),
-        lit(9L)).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n_orders"))
-      .orderBy("bin")
-  }
-
-  // ---------------------------------------------------------------- §2.3
-
-  /** Exact dedup over a corpus with planted duplicates (documents doubled
-    * with offset ids): min-id survivor per text, one hash-agg shuffle. */
-  def q30DedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select("doc_id", "text")
-    val doubled = docs.unionByName(
-      docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-    Dedup.exact(doubled, "doc_id", "text").orderBy("doc_id")
-  }
-
-  /** Word-3-gram Jaccard near-dup pairs at tau=0.6 (shingle equi-join). */
-  def q31DedupNgram(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
-      .orderBy("a", "b")
-
-  /** q31's exact output through the prefix-filtered candidate path
-    * (Chaudhuri et al. ICDE'06): candidates from a prefix×prefix join over
-    * each doc's (1−τ)-fraction smallest shingle hashes, verification
-    * restricted to candidate docs. Same oracle as q31 — the filter is
-    * provably lossless. */
-  def q129JaccardPrefix(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsPrefix(t(spark, dir, "documents"), "doc_id", "text",
-      n = 3, tau = 0.6)
-      .orderBy("a", "b")
-
-  /** Embedding cosine near-dup pairs at tau=0.45 (exact; oracle-checked). */
-  def q34DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
-      .orderBy("a", "b")
-
-  /** Near-dup clusters: connected components over the q31 pair graph; every
-    * doc labeled with its cluster's min doc_id (DuckDB recursive-CTE oracle). */
-  def q35DedupCluster(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupClusters(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
-      .orderBy("doc_id")
-
-  /** Embedding near-dup pairs via multi-table sign-LSH blocking — the
-    * bucketed scale path to q34's exact quadratic scan (exact precision,
-    * approximate recall). Rows-only oracle; spec checks precision exactly
-    * and recall against the exact pairs. */
-  def q74DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosinePairsLsh(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      tau = 0.9, bitsPerTable = 8, tables = 4, seed = 42L)
-      .orderBy("a", "b")
-
-  /** End-to-end corpus dedup: the q35 clusters APPLIED — every non-canonical
-    * near-duplicate dropped via a broadcast anti-join (losers are
-    * edge-bounded, the corpus never shuffles), survivors keep their columns.
-    * Exact recursive-CTE oracle. */
-  def q66DedupCorpus(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dedupCorpus(t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6)
-      .select(col("doc_id"), col("lang"))
-      .orderBy("doc_id")
-
-  /** Quality-aware corpus dedup: q66's clusters, but each cluster keeps
-    * its LONGEST member (token count, ties min id) — the curation-grade
-    * keeper (drop the truncated mirror, keep the full copy). Exact
-    * recursive-CTE oracle with a per-cluster argmax window. */
-  def q133DedupKeepBest(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dedupCorpusBy(t(spark, dir, "documents"), "doc_id", "text",
-      n = 3, tau = 0.6,
-      score = size(TextAnalysis.tokens(col("text"))))
-      .select(col("doc_id"), col("lang"))
-      .orderBy("doc_id")
-
-  /** MinHash (k=64) + LSH banding (b=16, r=4) candidates, Jaccard-verified
-    * at tau=0.6. Rows-only oracle (LSH is sampling-free but approximate in
-    * recall); spec checks it finds the planted >=0.9 pairs exactly. */
-  def q32DedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    MinHashLSH.nearDupPairs(t(spark, dir, "documents"), "doc_id", "text",
-      n = 3, k = 64, bands = 16, tau = 0.6)
-      .orderBy("a", "b")
-
-  /** 64-bit SimHash, Hamming <= 3 pairs via 4x16 pigeonhole block join.
-    * Rows-only oracle; spec cross-checks against n-gram Jaccard pairs. */
-  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    SimHash.nearDupPairs(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
-      .orderBy("a", "b")
-
-  // ---------------------------------------------------------------- §2.4
-
-  /** Fetch several vectors by id in ONE job (a per-id head() would rescan
-    * the corpus once per vector). */
-  private def vecsByIds(spark: SparkSession, dir: String, ids: Seq[Long]): Map[Long, Seq[Double]] =
-    t(spark, dir, "embeddings").where(col("vec_id").isin(ids: _*))
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
-
-  private def queryVec(spark: SparkSession, dir: String, id: Long): Seq[Double] =
-    vecsByIds(spark, dir, Seq(id)).getOrElse(id,
-      throw new IllegalArgumentException(
-        s"query vector vec_id=$id not found in embeddings (empty or filtered table?)"))
-
-  /** Brute-force cosine top-10 for the vec_id=0 query vector: one codegen'd
-    * O(N) scan + TakeOrdered, no corpus shuffle. */
-  def q50AnnBrute(spark: SparkSession, dir: String): DataFrame =
-    Similarity.bruteTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir, 0L), k = 10, excludeId = Some(0L))
-
-  /** IVF ANN: 8 k-means centroids (deterministic init = first 8 vectors,
-    * 2 Lloyd rounds), nprobe=2. Rows-only oracle (approximate); spec
-    * measures recall vs q50. */
-  def q51AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
-    Similarity.ivfTopK(emb, "vec_id", "embedding",
-      centroids, queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
-  }
-
-  /** LSH ANN (random-hyperplane, 6 tables × 4 sign bits, exact-bucket OR) —
-    * the bucketed alternative scale path to q51's IVF. Rows-only oracle
-    * (approximate); spec measures recall vs q50. */
-  def q63AnnLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      queryVec(spark, dir, 0L), bitsPerTable = 4, tables = 6, seed = 42L,
-      k = 10, excludeId = Some(0L))
-
-  /** Deterministic per-SF path for materialized ANN indexes (q64/q65). */
-  private def indexPath(dir: String, kind: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_index/${new java.io.File(dir).getName}/$kind"
-
-  /** Materialized IVF: assignment runs ONCE and the corpus is written
-    * hive-partitioned by bucket; the probe then reads only the nprobe
-    * nearest bucket directories (partition pruning, spec-checked by file
-    * count) — the repeated-query scale path q51 only simulates. The query
-    * measures build + probe. Rows-only oracle (approximate). */
-  def q64AnnIvfIndex(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
-    val path = indexPath(dir, "ivf")
-    VectorIndex.writeIvf(emb, "vec_id", "embedding", centroids, path)
-    VectorIndex.ivfTopK(spark, path, "vec_id", "embedding",
-      queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
-  }
-
-  /** Int8-quantized materialized IVF: same pruning as q64, the corpus
-    * stored as (tinyint[64], float32 scale) — ~4× smaller on disk and over
-    * the probe's wire; only the pruned candidates dequantize. Rows-only
-    * oracle; the spec pins the deterministic scale/254 reconstruction
-    * bound and measures recall vs the float index. */
-  def q104AnnIvfQ8(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
-    val path = indexPath(dir, "ivfq8")
-    VectorIndex.writeIvfQuantized(emb, "vec_id", "embedding", centroids, path)
-    VectorIndex.ivfTopKQuantized(spark, path, "vec_id",
-      queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
-  }
-
-  /** Materialized multi-table LSH (6 tables × 4 sign bits): the corpus is
-    * written `tables` times under table=/bucket= partitions; a probe reads
-    * exactly 6 bucket directories. Build + probe. Rows-only oracle. */
-  def q65AnnLshIndex(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val path = indexPath(dir, "lsh")
-    VectorIndex.writeLsh(emb, "vec_id", "embedding",
-      bitsPerTable = 4, tables = 6, seed = 42L, path = path)
-    VectorIndex.lshTopK(spark, path, "vec_id", "embedding",
-      queryVec(spark, dir, 0L), k = 10, excludeId = Some(0L))
-  }
-
-  /** Product-quantized ANN (train + encode + ADC shortlist + exact
-    * re-rank): 64 float dims become 4 byte codes + a norm (~32× smaller),
-    * scoring is m table lookups per row, and only the shortlist loads raw
-    * vectors. Rows-only oracle (approximate); spec pins an exact
-    * driver-side ADC model and measures clustered-corpus recall. */
-  def q110PqAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val model = ProductQuantizer.train(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
-    val enc = ProductQuantizer.encode(emb, "vec_id", "embedding", model)
-    ProductQuantizer.rerankTopK(emb, "vec_id", "embedding", enc, model,
-      queryVec(spark, dir, 0L), k = 10, shortlist = 100, excludeId = Some(0L))
-  }
-
-  /** OPQ ANN (Ge et al., CVPR 2013): q110's PQ with a learned orthogonal
-    * rotation before the subspace split — eigenvalue-allocation init +
-    * Procrustes alternation, trained driver-side on a bounded id-ordered
-    * sample; encode/search stay pure distributed projections. Deployed at
-    * the SAME 4-byte payload with full-byte codebooks (4×8-bit codes):
-    * measured sf0.1 rerank recall 0.76 vs plain PQ's 0.45. Rows-only
-    * oracle (approximate); spec pins orthogonality, determinism, code
-    * assignment, and the anisotropic-fixture recall win. */
-  def q136AnnOpq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val model = operators.Opq.train(emb, "vec_id", "embedding", m = 4, k = 256)
-    val enc = operators.Opq.encode(emb, "vec_id", "embedding", model)
-    operators.Opq.rerankTopK(emb, "vec_id", "embedding", enc, model,
-      queryVec(spark, dir, 0L), k = 10, shortlist = 100, excludeId = Some(0L))
-  }
-
-  /** IVF-PQ materialized index — both scale levers composed (q64's bucket
-    * pruning × q110's byte codes): probes read the nprobe bucket dirs'
-    * CODE columns (~8 B/row via parquet column pruning), raw vectors load
-    * only for the broadcast shortlist's exact re-rank. Build + probe;
-    * rows-only oracle (spec pins sidecar round-trip, pruning, narrow
-    * scan, recall). */
-  def q112AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
-    val model = ProductQuantizer.train(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
-    val path = indexPath(dir, "ivfpq")
-    VectorIndex.writeIvfPq(emb, "vec_id", "embedding", centroids, model, path)
-    VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding",
-      queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
-  }
-
-  /** q112's index with RESIDUAL codes (classic FAISS IndexIVFPQ): the PQ
-    * trains on `v − centroid(bucket)`, the ADC pass adds the per-bucket
-    * `q·c_b` constant back — same code budget, codes spent on
-    * within-bucket offsets instead of re-stating the bucket. */
-  def q116AnnIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
-    val model = VectorIndex.trainResidualPq(
-      emb, "vec_id", "embedding", centroids, m = 4, k = 16, iters = 2)
-    val path = indexPath(dir, "ivfpqres")
-    VectorIndex.writeIvfPq(emb, "vec_id", "embedding", centroids, model, path,
-      residual = true)
-    VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding",
-      queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
-  }
-
-  /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
-    * (broadcast queries, precomputed norms, one window shuffle). */
-  def q52KnnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    Similarity.knnJoin(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
-      .orderBy("query_id", "rank")
-  }
-
-  // ---------------------------------------------------------------- §2.5
-
-  /** Whitespace + BPE-ish token counts per document. */
-  def q40TokenCount(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
-        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))
-      .orderBy("doc_id")
-
-  /** Quality scores: char length, punct ratio, stopword ratio, mean word len. */
-  def q41TextQuality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        length(col("text")).as("len_chars"),
-        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"))
-      .orderBy("doc_id")
-
-  /** Marker-word language ID with deterministic argmax. */
-  def q42LangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
-
-  /** Normalization fingerprint (md5 of canonical form). */
-  def q43Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
-
-  /** Winnowing-style rolling-hash fingerprint: min polynomial hash over
-    * 16-byte windows (codegen functions.RollingMinHash; the polynomial form
-    * is reproducible in plain SQL, so the oracle computes the same value). */
-  def q44RollingFp(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.TextHashes.rollingMinHash(col("text"), k = 16).as("rolling_fp"))
-      .orderBy("doc_id")
-
-  /** Robust winnowing fingerprints (MOSS selector): per-window rightmost
-    * minimum of 8-char-gram polynomial hashes, window w=4 — sparse
-    * substring-overlap index with the ≥ w+k−1 detection guarantee. */
-  def q118Winnow(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.winnow(t(spark, dir, "documents"), "doc_id", "text", k = 8, w = 4)
-      .orderBy("doc_id", "pos")
-
-  /** Corpus-wide top-20 3-gram shingles by document frequency — the
-    * two-phase hashed path ([[Dedup.topNgrams]]): the wide shuffle
-    * carries 8-byte hashes, winner strings resolve in a gated second
-    * scan. Oracle is the single-phase string aggregate. */
-  def q45NgramTopk(spark: SparkSession, dir: String): DataFrame =
-    Dedup.topNgrams(t(spark, dir, "documents"), "doc_id", "text", n = 3, k = 20)
-
-  /** First-touch funnel view → click → purchase within 1 h per step: one
-    * filtered aggregate + user-keyed equi-join per step, single-row report
-    * exploded to long form. Exact SQL oracle. */
-  def q68Funnel(spark: SparkSession, dir: String): DataFrame =
-    Funnel.funnelCounts(t(spark, dir, "events"), "user_id", "ts", "event_type",
-      steps = Seq("view", "click", "purchase"), horizonSec = Some(3600L))
-      .orderBy("step_idx")
-
-  /** Budget-bounded shard packing (100k chars per shard, doc_id order):
-    * distributed weighted prefix sum over one materialized range shuffle —
-    * no single-partition window. Exact SQL oracle. */
-  def q75PackShards(spark: SparkSession, dir: String): DataFrame =
-    Packing.packByBudget(
-      t(spark, dir, "documents").select("doc_id", "n_chars"),
-      order = Seq("doc_id"), weightCol = "n_chars", budget = 100000L,
-      cumCol = "cum_chars", shardCol = "shard_id")
-      .orderBy("doc_id")
-
-  /** Weekly retention cohorts: events collapse to distinct (user, week)
-    * first; all later shuffles move user-week rows. Exact SQL oracle. */
-  def q69Retention(spark: SparkSession, dir: String): DataFrame =
-    Retention.weeklyCohorts(t(spark, dir, "events"), "user_id", "ts", "2024-01-01")
-      .orderBy("cohort_week", "week_offset")
-
-  /** TF-IDF top-5 terms per language (global df, natural log, 6dp-rounded
-    * scores ranked portably). Exact SQL oracle. */
-  def q67TfidfTopk(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", "lang", k = 5)
-      .orderBy("lang", "rank")
-
-  // ------------------------------------------------------- §2.8 (curation)
-
-  /** Gopher-style quality rule flags + keep decision: one codegen'd
-    * projection, zero shuffles. Exact SQL oracle (INT flags, 6dp ratios). */
-  def q76QualityFilter(spark: SparkSession, dir: String): DataFrame =
-    Curation.qualityFlags(t(spark, dir, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
-
-  /** Repetition profile (distinct-word + top-word mass): two stacked hash
-    * aggregates; what shuffles is bounded by per-doc vocabulary. */
-  def q77Repetition(spark: SparkSession, dir: String): DataFrame =
-    Curation.repetitionStats(t(spark, dir, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
-
-  /** Benchmark decontamination measurement: distinct word-3-gram containment
-    * of every corpus doc against the doc_id % 97 == 0 "benchmark" slice.
-    * Both sides reduce to distinct grams before the equi-join. */
-  def q78Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    Curation.ngramContamination(
-      docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
-      docs.where(pmod(col("doc_id"), lit(97)) === 0),
-      "doc_id", "text", n = 3)
-      .orderBy("doc_id")
-  }
-
-  /** Weighted domain mixing toward total/2 rows at per-source weight
-    * (srcnum % 3 + 1): pure integer keep predicate, corpus never shuffles. */
-  def q79DomainMix(spark: SparkSession, dir: String): DataFrame =
-    Curation.domainMixSample(
-      t(spark, dir, "documents").select("doc_id", "source"), "doc_id", "source",
-      weight = regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 3 + 1,
-      targetTotal = floor(count(lit(1)) / 2))
-      .orderBy("doc_id")
-
-  /** Fixed-size chunking (64-word chunks, 16-word overlap): pure
-    * projection + explode, blow-up bounded by 1/stride of token count. */
-  def q80Chunking(spark: SparkSession, dir: String): DataFrame =
-    Curation.chunkWords(t(spark, dir, "documents"), "doc_id", "text",
-      chunkSize = 64, overlap = 16)
-      .orderBy("doc_id", "chunk_idx")
-
-  /** Metric anomaly sweep: |value − mean| > 3·sd per event_type; per-group
-    * stats broadcast back, big side never shuffles. */
-  def q81Outliers(spark: SparkSession, dir: String): DataFrame =
-    Checks.zscoreOutliers(
-      t(spark, dir, "events").select("event_id", "event_type", "value"),
-      "event_type", "value", threshold = 3.0)
-      .select("event_id", "event_type", "value")
-      .orderBy("event_id")
-
-  /** Incremental ingest dedup: the doc_id % 10 == 7 slice plays the new
-    * crawl batch; rows whose normalized fingerprint already exists in the
-    * rest of the corpus are dropped. Corpus side reduces to distinct
-    * fingerprints before the anti-join. */
-  def q84IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    Dedup.incrementalDedup(
-      docs.where(pmod(col("doc_id"), lit(10)) === 7),
-      docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
-      "text")
-      .select("doc_id", "text", "lang", "source", "n_chars")
-      .orderBy("doc_id")
-  }
-
-  /** q84's semantics with the steady-state recurring-crawl plan: a
-    * prebuilt corpus bloom gates the batch (`might=false` rows are
-    * definitely new), one shuffle-free corpus confirmation scan kills the
-    * false positives — the result is exact, identical to q84's oracle. */
-  def q115BloomDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
-    val bloom = Dedup.corpusBloom(corpus, "text", expectedItems = 1 << 20)
-    Dedup.bloomIncrementalDedup(
-      docs.where(pmod(col("doc_id"), lit(10)) === 7), corpus, "text", bloom)
-      .select("doc_id", "text", "lang", "source", "n_chars")
-      .orderBy("doc_id")
-  }
-
-  /** C4/RefinedWeb-style corpus-level LINE dedup: docs are re-lined
-    * deterministically (3 words per line — the injection pattern of
-    * q85/q109, since the synthetic corpus is single-line), then every
-    * non-first occurrence of a line corpus-wide is excised and the doc
-    * rebuilt. Corpus never shuffles: 8-byte hashed lines count, only
-    * hash-candidates re-group by text (collision-proof), loser index
-    * lists join back by doc id. ~19% of injected lines are repeats at
-    * sf0.01, so the pass does real work. */
-  def q119LineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val nl = ceil(size(words) / lit(3.0)).cast("int")
-    val injected = array_join(
-      transform(sequence(lit(0), nl - 1), i => array_join(slice(words, i * 3 + 1, lit(3)), " ")),
-      "\n")
-    // text is an EXPRESSION here (synthesized lines) — lineDedupExpr
-    // evaluates it once per doc where text is genuinely needed (phase-1
-    // hashes, candidates-only cache fill, non-loser output) instead of
-    // re-running the transform chain in the extraction and the rebuild
-    // (spec-proven by accumulator count)
-    Curation.lineDedupExpr(
-      t(spark, dir, "documents").select(col("doc_id"), col("text")),
-      "doc_id", injected, "text")
-      .orderBy("doc_id")
-  }
-
-  /** Per-source relative quality gate: keep docs at/above the P75 of
-    * n_chars WITHIN their source (cume_dist = rank/count, ratio-of-ints
-    * exact across engines). One window shuffle partitioned by source. */
-  def q83RelativeFilter(spark: SparkSession, dir: String): DataFrame =
-    Curation.relativeFilter(
-      t(spark, dir, "documents").select("doc_id", "source", "n_chars"),
-      "source", "n_chars", minQuantile = 0.75)
-      .orderBy("doc_id")
-
-  /** Co-located join over bucketed warehouse tables: orders ⋈ customer on
-    * custkey after both are written hash-bucketed (8 buckets) on the key —
-    * the write pays the shuffle once; the join itself plans with no
-    * Exchange (spec-proven). Oracle is the plain join aggregate. */
-  def q82BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    Bucketing.writeBucketed(
-      t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-      "graft_bkt_orders", "o_custkey", buckets = 8)
-    Bucketing.writeBucketed(
-      t(spark, dir, "customer").select("c_custkey", "c_mktsegment"),
-      "graft_bkt_customer", "c_custkey", buckets = 8)
-    val o = Bucketing.readBucketed(spark, "graft_bkt_orders")
-    val c = Bucketing.readBucketed(spark, "graft_bkt_customer")
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("revenue"))
-      .orderBy("c_mktsegment")
-  }
-
-  /** PII redaction over synthetically-injected addresses (the corpus text
-    * itself is clean word-soup, so 2-in-3 docs get a deterministic
-    * email/phone/IP appended in BOTH engines before scrubbing — making the
-    * oracle prove the redaction, not a no-op). Zero shuffles. */
-  def q85PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val d = col("doc_id")
-    def s(c: org.apache.spark.sql.Column) = c.cast("string")
-    val pii = concat(
-      col("text"), lit(" contact user"), s(d),
-      lit("@mail"), s(pmod(d, lit(5))), lit(".com or 555-"),
-      lpad(s(pmod(d, lit(10000))), 4, "0"),
-      lit(" from 10."), s(pmod(d, lit(256))),
-      lit("."), s(pmod(d * 7, lit(256))),
-      lit("."), s(pmod(d * 13, lit(256))))
-    val injected = t(spark, dir, "documents").select(
-      d, when(pmod(d, lit(3)) =!= 2, pii).otherwise(col("text")).as("text"))
-    Curation.redactPii(injected, "doc_id", "text").orderBy("doc_id")
-  }
-
-  /** Corpus-level boilerplate removal: 4-word blocks occurring in >= 5
-    * distinct docs stripped; frequency pass combines map-side, boilerplate
-    * set broadcasts, reassembly is the one corpus-sized shuffle. */
-  def q86Boilerplate(spark: SparkSession, dir: String): DataFrame =
-    Curation.stripBoilerplate(t(spark, dir, "documents"), "doc_id", "text",
-      blockWords = 4, minDocs = 5)
-      .orderBy("doc_id")
-
-  /** Banded interval-overlap join: view intervals × click intervals per
-    * user (duration = value×600 s), candidates from an equi-join on
-    * (user, day-bin), duplicates killed arithmetically (first shared bin) —
-    * never per-key all-pairs, no dedupe shuffle. */
-  def q87IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val ev87 = t(spark, dir, "events")
-    val m87 = graft.functions.TimeCols.epochMicros(ev87, "ts")
-    val e = ev87.select(
-      col("event_id"), col("user_id"), col("event_type"),
-      m87.as("s"),
-      (m87 + round(col("value") * 6e8).cast("long")).as("e"))
-    val v = e.where(col("event_type") === "view").select(
-      col("user_id"), col("event_id").as("view_id"),
-      col("s").as("view_s"), col("e").as("view_e"))
-    val c = e.where(col("event_type") === "click").select(
-      col("user_id"), col("event_id").as("click_id"),
-      col("s").as("click_s"), col("e").as("click_e"))
-    IntervalJoin.overlapJoin(v, c, Seq("user_id"),
-      "view_s", "view_e", "click_s", "click_e", binWidth = 86400000000L)
-      .select(col("user_id"), col("view_id"), col("click_id"),
-        (least(col("view_e"), col("click_e")) -
-          greatest(col("view_s"), col("click_s"))).as("overlap_us"))
-      .orderBy("view_id", "click_id")
-  }
-
-  /** Vocabulary build (top-50 tokens, count-desc/token-asc ids) + document
-    * encoding to id sequences (OOV → 0): one corpus-vocabulary aggregate,
-    * broadcast token→id join, one doc-keyed reassembly shuffle. The id
-    * array is emitted space-joined so the cross-engine compare is a plain
-    * string. */
-  def q91VocabEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val vocab = TextAnalysis.buildVocab(docs, "text", size = 50)
-    TextAnalysis.encodeIds(docs, "doc_id", "text", vocab)
-      .select(col("doc_id"),
-        array_join(transform(col("ids"), _.cast("string")), " ").as("ids_str"),
-        col("n_tokens"), col("n_oov"))
-      .orderBy("doc_id")
-  }
-
-  /** Per-type winsorization of event values into [p01, p99]: exact
-    * percentile pair broadcast back as a pure projection; the big side
-    * never shuffles. Clipped output is either an untouched input or a
-    * bit-matched boundary (rounded 6dp for the compare). */
-  def q92Winsorize(spark: SparkSession, dir: String): DataFrame =
-    Checks.winsorize(
-      t(spark, dir, "events").select("event_id", "event_type", "value"),
-      "event_type", "value", lo = 0.01, hi = 0.99)
-      .select(col("event_id"), col("event_type"),
-        round(col("value_w"), 6).as("value_w"))
-      .orderBy("event_id")
-
-  /** Training-sequence assembly (the capstone of the chunk→pack chain):
-    * q80's chunks packed into 256-word budget sequences by the q75
-    * distributed prefix-sum machinery (no single-partition window), each
-    * sequence assembled in (doc, chunk) order with an <eos> separator.
-    * One doc-order range shuffle + one seq-keyed reassembly. */
-  def q96PackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = Curation.chunkWords(
-      t(spark, dir, "documents"), "doc_id", "text", chunkSize = 64, overlap = 16)
-    Packing.packByBudget(chunks, order = Seq("doc_id", "chunk_idx"),
-      weightCol = "n_words", budget = 256L,
-      cumCol = "cum_words", shardCol = "seq_id")
-      .groupBy("seq_id").agg(
-        count(lit(1)).as("n_chunks"),
-        sum("n_words").as("n_words"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              struct(col("doc_id"), col("chunk_idx"), col("chunk_text")))),
-            s => s.getField("chunk_text")),
-          " <eos> ").as("seq_text"))
-      .orderBy("seq_id")
-  }
-
-  /** Per-type min-max feature scaling into [0,1]: min/max are
-    * order-independent aggregates, so the scaled floats are bit-identical
-    * across engines — no rounding needed, compared raw. */
-  def q95MinmaxScale(spark: SparkSession, dir: String): DataFrame =
-    Checks.scaleMinMax(
-      t(spark, dir, "events").select("event_id", "event_type", "value"),
-      "event_type", "value")
-      .select("event_id", "event_type", "value", "value_scaled")
-      .orderBy("event_id")
-
-  /** MERGE INTO semantics (Merge.upsert): a changeset (every 7th order
-    * repriced at version 2, every 7·13th tombstoned) folds into the
-    * snapshot via ONE struct-max hash aggregate — map-side combining, no
-    * per-key window sort, soft deletes dropped after the argmax. */
-  def q94Upsert(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "orders").select(
-      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-      lit(1L).as("version"), lit(false).as("deleted"))
-    val changes = t(spark, dir, "orders")
-      .where(pmod(col("o_orderkey"), lit(7)) === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        (col("o_totalprice") + 100.0).as("o_totalprice"),
-        lit(2L).as("version"),
-        (pmod(col("o_orderkey"), lit(13)) === 0).as("deleted"))
-    Merge.upsert(base, changes, Seq("o_orderkey"), "version", Some("deleted"))
-      .orderBy("o_orderkey")
-  }
-
-  /** END-TO-END curation: Graft.curateCorpus (scrub → quality gate → exact
-    * dedup → decontamination → chunk) over the %97 corpus/bench split. The
-    * oracle recomposes every stage from its proven per-stage SQL; the Spark
-    * side runs the hashed-gram decontamination (scale default) against the
-    * oracle's string grams — equal modulo 2^-64 collisions (q78-proven). */
-  def q93CurateCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    Graft.curateCorpus(
-      docs.where(pmod(col("doc_id"), lit(97)) =!= 0).select("doc_id", "text"),
-      "doc_id", "text",
-      docs.where(pmod(col("doc_id"), lit(97)) === 0).select("doc_id", "text"),
-      maxContam = 0.2)
-      .orderBy("doc_id", "chunk_idx")
-  }
-
-  /** Z-order-clustered write + 2-d box-filtered read-back: events laid out
-    * by interleaved (user_id, day) bits so parquet min/max stats prune on
-    * BOTH dimensions (spec proves the pruning; this oracle proves the
-    * layout loses nothing and the filter semantics are exact). */
-  def q89Zorder(spark: SparkSession, dir: String): DataFrame = {
-    val out = tempDir("zorder")
-    val ev89 = t(spark, dir, "events")
-    val e = ev89.select(col("event_id"), col("user_id"),
-      (graft.functions.TimeCols.epochMicros(ev89, "ts") / lit(86400000000L))
-        .cast("long").as("day"))
-    Layout.writeZOrdered(e, "user_id", "day", out, files = 8)
-    spark.read.parquet(out)
-      .where(col("user_id").between(10, 20) && col("day").between(19730, 19739))
-      .orderBy("event_id")
-  }
-
-  /** Small-file compaction: documents fragmented into 16 files, compacted
-    * to byte-targeted file count; oracle proves the rewrite is lossless.
-    * File-count arithmetic is spec-pinned in LayoutSpec. */
-  def q90Compact(spark: SparkSession, dir: String): DataFrame = {
-    val frag = tempDir("frag")
-    val comp = tempDir("compact")
-    t(spark, dir, "documents").repartition(16)
-      .write.mode("overwrite").parquet(frag)
-    Layout.compact(spark, frag, comp, targetBytes = 512L * 1024 * 1024)
-    spark.read.parquet(comp).select("doc_id", "source", "n_chars")
-      .orderBy("doc_id")
-  }
-
-  /** Mergeable-sketch profile per source: HLL distinct fingerprints +
-    * approx n_chars quantiles, one map-side-combining pass. Approximate by
-    * nature → rows-only at the gate; tolerance pinned in SketchesSpec. */
-  def q88SketchProfile(spark: SparkSession, dir: String): DataFrame =
-    Sketches.profile(t(spark, dir, "documents"), "source",
-      TextAnalysis.fingerprint(col("text")), col("n_chars"))
-      .orderBy("source")
-
-  /** BPE merge training (tokenizer-train side of q91's vocab/encode): one
-    * distributed word-frequency pass, then the textbook merge loop over
-    * the vocabulary-sized dict on the driver (deterministic count-desc/
-    * pair-asc tie-break, spec-pinned). Oracle: an INDEPENDENT python BPE
-    * trainer's merge table, keyed by a corpus fingerprint the oracle SQL
-    * recomputes from `documents` itself (tools/make_oracle_fixtures.py). */
-  def q98BpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", merges = 30)
-      .toDF("rank", "left", "right", "pair_count")
-      .orderBy("rank")
-  }
-
-  /** Native sas7bdat ingest: the binary SAS dataset boundary read
-    * directly (no export step), through the DataSource V2 face
-    * (`spark.read.format("sas7bdat")`, sources.Sas7bdatSourceV2) so the
-    * gate exercises the registered source with column pruning in the
-    * scan; value-equality with the RDD reader and pandas-validated
-    * fixtures is spec-pinned. Oracle: pandas.read_sas's own CSV dump of
-    * the fixture (tools/make_oracle_fixtures.py) — DuckDB reads what an
-    * independent public reader decoded; the spec additionally pins every
-    * value, type and the date/datetime epoch conversions. */
-  def q99Sas7bdat(spark: SparkSession, dir: String): DataFrame = {
-    val fixture = Seq(
-      "src/test/resources/sas7bdat/u64_pages.sas7bdat",
-      "/root/repo/src/test/resources/sas7bdat/u64_pages.sas7bdat")
-      .map(new java.io.File(_)).find(_.exists())
-      .getOrElse(sys.error("sas7bdat fixture not found")).getAbsolutePath
-    spark.read.format("sas7bdat").load(fixture)
-      .where(col("ratio").isNotNull)
-      .orderBy("id")
-  }
-
-  /** SemDeDup (Abbas et al. 2023): k-means the embedding space, near-dup
-    * only within clusters, keep the min-id exemplar per duplicate group.
-    * Deterministic end-to-end (kMeans init is the first C vectors by id),
-    * but k-means is not SQL-expressible so the oracle is rows-only; the
-    * spec pins survivors against the exact quadratic pass on clustered
-    * vectors and measures the boundary-split recall trade. */
-  def q100SemDedup(spark: SparkSession, dir: String): DataFrame =
-    operators.SemDedup.semDedup(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      c = 8, iters = 3, tau = 0.45)
-      .select(col("vec_id"), col("label"), col("bucket"))
-      .orderBy("vec_id")
-
-  /** Substring-span duplication profile (Lee et al. 2022 re-expressed):
-    * per-doc count of 40-char windows (stride 1) whose text occurs at more
-    * than one site corpus-wide. WINNOW-GATED (the SIGMOD'03 guarantee:
-    * every doc owning a duplicated ≥l-char site also shares a winnow
-    * fingerprint, so docs outside the gate are provably clean and the
-    * stride-1 pass enumerates only the gated subset) — output identical
-    * to the ungated pass (same DuckDB oracle; equality + gate-soundness
-    * spec-pinned, window-count cut measured in spec). The hashed scale
-    * path and the span REMOVAL verb (stripDupSpans) are spec-pinned
-    * equal/correct. */
-  def q101DupSpans(spark: SparkSession, dir: String): DataFrame =
-    operators.SpanDedup.dupSpanStatsWinnowed(t(spark, dir, "documents"), "doc_id", "text",
-      l = 40, k = 32)
-      .orderBy("doc_id")
-
-  /** Span-granular benchmark decontamination (the q78 gate refined from
-    * doc-drop to span-strip): per-corpus-doc count of 40-char windows
-    * whose text occurs anywhere in the benchmark split. The benchmark
-    * window set broadcasts, so the corpus never shuffles; exact DuckDB
-    * oracle. The REMOVAL verb (stripContamSpans) is spec-pinned. */
-  def q102ContamSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    operators.SpanDedup.contamSpanStats(
-      docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
-      docs.where(pmod(col("doc_id"), lit(97)) === 0), "text", l = 40, s = 1)
-      .orderBy("doc_id")
-  }
-
-  /** BM25 decontamination-by-retrieval: every corpus doc scored against
-    * the broadcast benchmark split (doc_id % 97 == 0, q102's convention),
-    * top-10 leak suspects per benchmark query. Per-term scores are 6dp
-    * DECIMAL before the order-free sum (q105 discipline) → exact oracle;
-    * the final per-query top-k is the bounded TopK aggregate, not a
-    * window sort. */
-  def q120Bm25(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    TextAnalysis.bm25TopK(
-      docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
-      docs.where(pmod(col("doc_id"), lit(97)) === 0),
-      "doc_id", "text", "doc_id", "text")
-      .orderBy("q_id", "rank")
-  }
-
-  /** q120's retrieval against a MATERIALIZED inverted index: postings
-    * built once, hive-partitioned by term-hash bucket; the search reads
-    * only the query terms' bucket directories (partition pruning,
-    * spec-checked by file count). Identical scores — same oracle. */
-  def q130TextIndex(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val path = indexPath(dir, "text")
-    // a SMALL query batch (mod 487: 2-11 queries across SFs) — the
-    // repeated-retrieval shape the index exists for; q120's broad
-    // benchmark split touches every bucket and belongs to the ad-hoc path
-    // hotDf=100: stopword-grade terms split over 4 sub-dirs (layout-only —
-    // the oracle is unchanged because search reads every sub of a bucket)
-    operators.TextIndex.write(
-      docs.where(pmod(col("doc_id"), lit(487)) =!= 0), "doc_id", "text",
-      path, buckets = 32, hotDf = 100, hotSubs = 4)
-    operators.TextIndex.search(spark, path,
-      docs.where(pmod(col("doc_id"), lit(487)) === 0), "doc_id", "text")
-      .orderBy("q_id", "rank")
-  }
-
-  /** Leakage-safe split: the q35 near-dup clusters as the split unit, so
-    * near-copies never straddle train/val/test (the held-out set stays
-    * honest). Oracle = q35's recursive-CTE clusters + q54's portable hash
-    * split keyed by cluster id. */
-  def q103LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
-    operators.Sampling.leakageSafeSplit(
-      t(spark, dir, "documents"), "doc_id", "text", n = 3, tau = 0.6,
-      trainPct = 80, valPct = 10)
-      .orderBy("doc_id")
-
-  /** Perceptual near-dup payloads: every 5th doc gets a 1-byte-perturbed
-    * copy planted (id+1e6); aHash + pigeonhole hamming join recovers the
-    * planted pairs that exact digests (q73) cannot (different md5). Rows
-    * only — byte-level aHash has no SQL oracle; banding exactness and
-    * planted-pair recall are spec-pinned. */
-  def q97PhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val perturbed = docs.where(pmod(col("doc_id"), lit(5)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(expr("substring(text, 1, length(text) - 1)"), lit("x")).as("text"))
-    val corpus = docs.select("doc_id", "text").unionByName(perturbed)
-    Binary.perceptualNearDups(
-      spark, Binary.withPayload(corpus, "text"), "doc_id", maxHamming = 3)
-      .orderBy("a", "b")
-  }
-
-  /** CCNet-style LM quality scoring (Wenzek et al., LREC 2020): add-½
-    * bigram LM trained on the trusted slice (English docs, train split),
-    * per-doc cross-entropy/perplexity over the whole corpus. Per-bigram
-    * log-probs are 6dp DECIMALs before summing, so the oracle compare is
-    * engine-exact (order-free integer addition, not float association). */
-  def q105LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    LanguageModel.perplexity(
-      docs.select("doc_id", "text"),
-      docs.where(col("lang") === "en" && pmod(col("doc_id"), lit(10)) < 8),
-      "doc_id", "text")
-      .orderBy("doc_id")
-  }
-
-  /** GPT-3/LLaMA-style quality classifier: add-½ Naive-Bayes log-odds
-    * (the closed-form linear BoW classifier) trained on the train slice
-    * labeled "looks English", scored over the whole corpus. Integer-ratio
-    * probabilities + 6dp DECIMAL weight sums make score AND sign
-    * engine-exact — full DuckDB oracle. */
-  def q106NbClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    Classifier.nbScore(
-      docs.select("doc_id", "text"),
-      docs.where(pmod(col("doc_id"), lit(10)) < 8)
-        .select(col("doc_id"), col("text"), (col("lang") === "en").as("label")),
-      "doc_id", "text", "label")
-      .orderBy("doc_id")
-  }
-
-  /** DSIR importance resampling (Xie et al., NeurIPS 2023): hashed
-    * unigram+bigram bucket models (md5-prefix buckets — engine-portable
-    * hashing), add-½ integer-ratio log importance weights summed as 6dp
-    * DECIMALs, Gumbel top-k selection seeded by the Knuth id hash. The
-    * whole select-toward-target pipeline has an exact DuckDB oracle. */
-  def q107DsirResample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    Importance.dsirResample(
-      docs.select("doc_id", "text"),
-      docs.where(col("lang") === "en" && pmod(col("doc_id"), lit(10)) < 8)
-        .select("doc_id", "text"),
-      "doc_id", "text", sampleN = 100)
-  }
-
-  /** Crawl-level URL dedup: synthetic crawl URLs (deterministic in BOTH
-    * engines — scheme/host case noise, www. prefixes, utm_* tracking
-    * params incl. back-to-back ones, fragments, trailing slashes) are
-    * canonicalized and collapsed to one kept doc per canonical URL.
-    * Exact oracle: every canonicalization step is a portable primitive. */
-  def q109UrlDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = col("doc_id")
-    def s(c: org.apache.spark.sql.Column) = c.cast("string")
-    val url = concat(
-      lit("HTTPS://"),
-      when(pmod(d, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
-      col("source"), lit(".Example.com/p/"), s(pmod(d, lit(50))),
-      when(pmod(d, lit(4)) === 0, lit("/")).otherwise(lit("")),
-      when(pmod(d, lit(5)) === 0, concat(lit("?utm_source=feed&ref="), s(pmod(d, lit(7)))))
-        .when(pmod(d, lit(5)) === 1, concat(lit("?ref="), s(pmod(d, lit(7)))))
-        .when(pmod(d, lit(5)) === 2,
-          concat(lit("?ref="), s(pmod(d, lit(7))), lit("&utm_campaign=x&utm_x=1")))
-        .otherwise(lit("")),
-      when(pmod(d, lit(6)) === 0, lit("#frag")).otherwise(lit("")))
-    val crawl = t(spark, dir, "documents").select(d, url.as("url"))
-    Urls.dedupByUrl(crawl, "doc_id", "url").orderBy("canon_url")
-  }
-
-  /** Exact global top-15 words at sketch shuffle cost: Misra-Gries
-    * candidate pass (a native TypedImperativeAggregate — ≤ k counters per
-    * mapper on the wire) + exact recount of the ≤ k candidates, certified
-    * against the MG slack or failed loudly. Exact output → exact oracle. */
-  def q113HeavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Sketches.exactTopN(
-      t(spark, dir, "documents").select(explode(TextAnalysis.tokens(col("text"))).as("w")),
-      col("w"), n = 15, k = 64)
-
-  /** Exact top-20 users by event count via the LONG-keyed Misra-Gries
-    * (primitive counters — no boxing, no string materialization on the
-    * update path; the shape fingerprint/id streams use). Certified exact
-    * (here by coverage: distinct users ≤ k at every test SF; at scale an
-    * uncertified result fails loudly) → exact oracle. */
-  def q117TopUsers(spark: SparkSession, dir: String): DataFrame =
-    Sketches.exactTopNLong(
-      t(spark, dir, "events"), col("user_id"), n = 20, k = 4096)
-
-  /** Per-source exact top-5 words via grouped Misra-Gries: one groupBy of
-    * mergeable sketches, broadcast candidate pairs, exact recount, window
-    * top-n — certification (coverage or slack) runs inside the plan and
-    * any uncertified group fails loudly. Exact output → exact oracle. */
-  def q114HeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame =
-    Sketches.exactTopNPerGroup(
-      t(spark, dir, "documents")
-        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w")),
-      "source", col("w"), n = 5, k = 64)
-      .orderBy("source", "rank")
-
-  /** Exact top-3 orders by price per priority via the bounded TopK
-    * aggregate (functions.TopK) — k pairs per (mapper, group) on the
-    * wire instead of the window idiom's whole-table shuffle + sort.
-    * Total order (price desc, key asc) ⇒ exact, so an exact oracle. */
-  def q121TopkGroup(spark: SparkSession, dir: String): DataFrame =
-    Sketches.topKPerGroup(
-      t(spark, dir, "orders"), Seq("o_orderpriority"),
-      col("o_totalprice"), col("o_orderkey"), k = 3)
-      .select(col("o_orderpriority"), col("rank"),
-        col("id").as("o_orderkey"), col("score").as("o_totalprice"))
-      .orderBy("o_orderpriority", "rank")
-
-  /** JSONL export manifest: (doc_id, text) rows serialized to compact
-    * JSON (nulls explicit), byte-weighted (+1 newline), packed into
-    * contiguous 64 KiB shards in doc_id order by the distributed prefix
-    * sum — the manifest a training loader schedules from. The oracle
-    * recomputes the BYTES from its own `to_json`, so the serialized
-    * length arithmetic (not just the packing) is cross-engine exact;
-    * the physical one-file-per-shard write is spec-pinned against the
-    * filesystem in JsonlSinkSpec. */
-  def q122JsonlManifest(spark: SparkSession, dir: String): DataFrame =
-    graft.sinks.JsonlSink.manifestOnly(
-      t(spark, dir, "documents").select(col("doc_id"), col("text")),
-      Seq("doc_id"), budgetBytes = 65536L)
-
-  /** Top-15 session paths (first 5 event types per 30-min-gap session,
-    * joined with `->`), ranked by frequency — the discovery twin of
-    * q68's prescribed funnel. Exact SQL oracle (same session rule as
-    * q21, ordered string_agg). */
-  def q126TopPaths(spark: SparkSession, dir: String): DataFrame =
-    Paths.topPaths(t(spark, dir, "events"), "user_id", "ts", "event_type",
-      gapSeconds = 1800L, tiebreak = "event_id", maxSteps = 5, k = 15)
-
-  /** PageRank over the purchase graph: customer → supplier edges from
-    * orders⋈lineitem, plus supplier → customer back-edges on returned
-    * items (l_returnflag = 'R') so the graph is cyclic with genuine
-    * dangling nodes (suppliers nobody returned to). Fixed 5 iterations;
-    * ranks scaled to mean 1 and rounded so both engines' IEEE results
-    * collide at 6 decimals. */
-  def q127PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val joined = t(spark, dir, "orders").join(
-      t(spark, dir, "lineitem"),
-      col("o_orderkey") === col("l_orderkey"))
-    val supplierNode = col("l_suppkey") + lit(1000000L)
-    val fwd = joined.select(col("o_custkey").as("src"), supplierNode.as("dst"))
-    val back = joined.where(col("l_returnflag") === lit("R"))
-      .select(supplierNode.as("src"), col("o_custkey").as("dst"))
-    val pr = Graph.pageRank(fwd.unionAll(back), "src", "dst",
-      iters = 5, damping = 0.85)
-    val n = pr.count().toDouble
-    pr.select(col("node"), round(col("rank") * lit(n), 6).as("rank_n"))
-      .orderBy("node")
-  }
-
-  /** Per-document curation lineage over the same corpus/benchmark split as
-    * [[q93CurateCorpus]]: one row per input doc naming the first stage
-    * that dropped it (quality / duplicate / contaminated) or 'kept'. */
-  def q128CurationAudit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    Graft.curateCorpusAudit(
-      docs.where(pmod(col("doc_id"), lit(97)) =!= 0).select("doc_id", "text"),
-      "doc_id", "text",
-      docs.where(pmod(col("doc_id"), lit(97)) === 0).select("doc_id", "text"),
-      maxContam = 0.2)
-      .orderBy("doc_id")
-  }
-
-  /** HTML-to-text extraction over a deterministically built page wrapper
-    * (script/style/comment/tag strip, entity decode with `&amp;` last,
-    * whitespace collapse) — every pattern RE2-compatible, so the oracle
-    * runs the identical `regexp_replace` chain. */
-  def q125HtmlStrip(spark: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<html><head><style>p{color:red}</style><script>var x=1<2;</script></head><body><h1>Doc "),
-      col("doc_id").cast("string"),
-      lit("</h1><p>"), col("text"),
-      lit("</p><!-- note --> A&amp;B &lt;tag&gt; 1&nbsp;2</body></html>"))
-    Curation.stripHtml(
-      t(spark, dir, "documents").select(col("doc_id"), html.as("html")),
-      "html", "clean_text")
-      .select("doc_id", "clean_text").orderBy("doc_id")
-  }
-
-  /** Unicode NFC normalization (native codegen expression — Spark has no
-    * builtin): canonically-equal text in different normal forms defeats
-    * exact dedup (different bytes → different md5s/shingles), so curation
-    * normalizes before fingerprints. A combining-accent suffix is
-    * injected deterministically in both engines; JVM Normalizer NFC is
-    * byte-compatible with DuckDB's nfc_normalize, so the md5 of the
-    * composed text is oracle-exact. */
-  def q124NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val injected = concat(col("text"), lit(" caf"), lit("e"), lit("\u0301"), lit(" nfd"))
-    t(spark, dir, "documents").select(
-      col("doc_id"),
-      graft.functions.TextNorm.unicodeNormalize(injected).as("norm_text"))
-      .withColumn("fp", md5(col("norm_text").cast("binary")))
-      .orderBy("doc_id")
-  }
-
-  /** Corpus snapshot diff — the release audit (added/removed/modified/
-    * unchanged per doc id, identity = normalized-text fingerprint so
-    * formatting edits don't count). Both snapshots derive
-    * deterministically from `documents` in both engines; text never
-    * shuffles (both sides reduce to (id, fp) before the one full-outer
-    * equi-join). */
-  /** Two-corpus overlap profile via a KMV bottom-k sketch: 60%/60% doc
-    * splits with a designed 20% overlap band; neither corpus ever joins
-    * or shuffles (bounded per-partition sketches only). k exceeds every
-    * tested SF's distinct count, so the output is CERTIFIED exact
-    * (`is_exact` = true) and the oracle is plain distinct-set SQL; the
-    * estimator regime is spec-pinned within its 1/sqrt(k) bound. */
-  /** Deterministic global shuffle + sharding of the corpus (8 shards,
-    * seed 42): reproducible training order, shard-parallel windows, no
-    * global sort. Exact oracle: the portable Knuth mix and the
-    * (key, id) tie-break are plain int64 SQL. */
-  def q132ShuffleShards(spark: SparkSession, dir: String): DataFrame =
-    operators.Sampling.shuffleShards(
-      t(spark, dir, "documents").select("doc_id", "lang"),
-      "doc_id", shards = 8, seed = 42L)
-      .select("doc_id", "lang", "shard", "pos")
-      .orderBy("shard", "pos")
-
-  def q131CorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    operators.Sketches.corpusOverlap(
-      docs.where(pmod(col("doc_id"), lit(10)) < 6),
-      docs.where(pmod(col("doc_id"), lit(10)) >= 4),
-      "text", k = 1 << 13)
-  }
-
-  /** Per-snapshot overlap MATRIX from ONE grouped aggregate: three
-    * overlapping doc snapshots sketched by the native [[functions.KmvAgg]]
-    * bottom-k aggregate (state merges map-side; the corpus is read once),
-    * pairwise stats from the driver-combined sketches. k exceeds every
-    * tested SF's distinct count → certified exact, plain SQL oracle; the
-    * estimator regime shares [[operators.Sketches]]' spec-pinned math. */
-  def q134OverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val m = pmod(col("doc_id"), lit(10))
-    val snaps = docs.where(m < 6).withColumn("snap", lit("s1"))
-      .unionByName(docs.where(m >= 3 && m < 9).withColumn("snap", lit("s2")))
-      .unionByName(docs.where(m >= 6 || m < 2).withColumn("snap", lit("s3")))
-    val k = 1 << 13
-    operators.Sketches.overlapMatrix(
-      operators.Sketches.groupKmv(snaps, "snap", col("text"), k), k)
-      .orderBy("ga", "gb")
-  }
-
-  /** Exact phrase-occurrence search against a POSITIONAL inverted index:
-    * every doc containing "slow hash batch" consecutively, with
-    * overlapping occurrences counted — the exact-quote decontamination
-    * complement to q120/q130's ranked retrieval. Oracle counts 3-gram
-    * start positions with plain list arithmetic. */
-  def q135PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val path = indexPath(dir, "textpos")
-    operators.TextIndex.writePositional(
-      docs.where(pmod(col("doc_id"), lit(487)) =!= 0), "doc_id", "text",
-      path, buckets = 32)
-    operators.TextIndex.phraseCount(spark, path, "slow hash batch")
-      .orderBy("doc_id")
-  }
-
-  def q123CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
-    val old = d.where(col("doc_id") % 7 =!= 3).select(col("doc_id"), col("text"))
-    val neu = d.where(col("doc_id") % 5 =!= 2).select(
-      col("doc_id"),
-      when(col("doc_id") % 11 === 0, concat(col("text"), lit(" version two")))
-        .otherwise(col("text")).as("text"))
-    Curation.corpusDiff(old, neu, "doc_id", "text").orderBy("doc_id")
-  }
-
-  /** Content-defined chunking: boundaries set by a window-hash predicate,
-    * so chunk identity survives insertions (shift-resistant dedup chunks —
-    * the storage-side complement of q80's fixed word chunker). Pure
-    * integer polynomial hash → exact DuckDB oracle for boundaries, lens,
-    * and chunk md5s. */
-  def q111CdcChunks(spark: SparkSession, dir: String): DataFrame =
-    Curation.cdcChunks(t(spark, dir, "documents"), "doc_id", "text", k = 8, divisor = 64)
-      .orderBy("doc_id", "chunk_idx")
-
-  /** Gopher repetition signals the per-word stats miss: fraction of each
-    * document's n-gram occurrences (n = 2, 3, 4) belonging to an n-gram
-    * repeated within the doc. String gram keys here so the DuckDB oracle
-    * reproduces them; `hashGrams = true` is the 100 TB form (spec-proven
-    * equal). Integer ratios at 6dp — exact oracle. */
-  def q108DupNgrams(spark: SparkSession, dir: String): DataFrame =
-    Curation.dupNgramStats(t(spark, dir, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
-
-  // ---------------------------------------------------------------- §2.6
-
-  /** Binary payload column + per-partition feature extraction (multimodal
-    * plumbing; decode stubbed — see multimodal.Binary scaladoc). */
-  def q70BinaryFeatures(spark: SparkSession, dir: String): DataFrame =
-    Binary.extractFeatures(
-      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id")
-      .withColumn("mean_byte", round(col("mean_byte"), 6))
-      .orderBy("doc_id")
-
-  /** Frame sampling over binary payloads: 32-byte windows every 64 bytes,
-    * fingerprinted per frame (1 row in → many out, payload pruned before the
-    * downstream shuffle). Oracle is byte-exact because the corpus is ASCII;
-    * the operator itself is byte-based and encoding-agnostic. */
-  def q71FrameSample(spark: SparkSession, dir: String): DataFrame =
-    Binary.frameSample(
-      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
-      frameBytes = 32, stride = 64)
-      .orderBy("doc_id", "frame_idx")
-
-  /** Video-dedup primitive over the multimodal plumbing: payload pairs
-    * sharing >= 3 sampled-frame fingerprints (the frame-hash-overlap test a
-    * video pipeline runs before expensive perceptual comparison). Reuses
-    * q71's frame sampling; the join is on the 16-byte digest, so candidate
-    * cost tracks true overlap, not payload count². */
-  def q73FrameOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val f = Binary.frameSample(
-      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
-      frameBytes = 32, stride = 64)
-      .select(col("doc_id"), col("frame_md5")).distinct()
-    f.as("a").join(f.as("b"), "frame_md5")
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .where(col("shared_frames") >= 3)
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
-    * 16-byte signature per payload (decode stubbed; shape/batching real). */
-  def q72Resize(spark: SparkSession, dir: String): DataFrame =
-    Binary.resizeStub(
-      spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id", target = 16)
-      .orderBy("doc_id")
+/** §2 operator inventory registry. Implementations live in the section
+  * traits (QueriesSas, QueriesCore, QueriesAnn, QueriesPipeline,
+  * QueriesText — one file per SURVEY §2 family); oracle SQL in
+  * [[QueryOracles]]. Every query orders its output deterministically and
+  * aliases computed columns identically to its oracle. */
+object Queries
+    extends QueryHelpers
+    with QueriesSas
+    with QueriesCore
+    with QueriesAnn
+    with QueriesPipeline
+    with QueriesText
+    with QueryOracles {
 
   // ---------------------------------------------------------------- registry
 
@@ -1742,1503 +174,5 @@ object Queries {
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
     "q73_frame_overlap" -> q73FrameOverlap _
-  )
-
-  /** Unrolled fixed-iteration PageRank twin of [[q127PageRank]]: DuckDB
-    * recursive CTEs forbid aggregates over the recursive reference, so the
-    * five iterations are generated as chained CTEs. All literals carry the
-    * `e0` suffix (DuckDB parses bare decimals as DECIMAL, which would
-    * diverge from Spark's IEEE doubles); the per-iteration ops — 1/outdeg
-    * weight, per-dst sum, (1-d)/n + d*(c + dm/n) — mirror
-    * [[graft.operators.Graph.pageRank]] term for term. */
-  private def pageRankOracle(iters: Int): String = {
-    val sb = new StringBuilder
-    sb ++= """WITH eraw AS (
-      |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |  UNION ALL
-      |  SELECT l_suppkey + 1000000 AS src, o_custkey AS dst
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |  WHERE l_returnflag = 'R'),
-      |edges AS (SELECT DISTINCT src, dst FROM eraw),
-      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-      |pr0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
-    for (k <- 0 until iters) {
-      // dm = 1 − Σ contribs, the SAME float expression graft.operators.Graph
-      // evaluates (not an independent dangling-set sum): both engines derive
-      // the dangling mass from the identical set of per-dst doubles, so no
-      // 6dp rounding-boundary divergence can creep in over iterations.
-      sb ++= s""",
-      |con$k AS (SELECT e.dst AS node, sum(p.rank * (1.0e0 / d.outdeg)) AS c
-      |  FROM pr$k p JOIN edges e ON p.node = e.src JOIN deg d ON e.src = d.src
-      |  GROUP BY e.dst),
-      |dang$k AS (SELECT 1.0e0 - coalesce(sum(c), 0.0e0) AS dm FROM con$k),
-      |pr${k + 1} AS (SELECT n.node,
-      |    (1.0e0 - 0.85e0) / (SELECT n FROM nn)
-      |    + 0.85e0 * (coalesce(c.c, 0.0e0) + (SELECT dm FROM dang$k) / (SELECT n FROM nn)) AS rank
-      |  FROM nodes n LEFT JOIN con$k c ON n.node = c.node)""".stripMargin
-    }
-    sb ++= s"\nSELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_n FROM pr$iters ORDER BY node"
-    sb.toString
-  }
-
-  /** Shared by q31 (shingle equi-join) and q129 (prefix-filtered): both
-    * compute the identical exact pair set, so one oracle pins both. */
-  private val ngramJaccardOracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-      |), sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |           list_transform(range(1, len(w) - 1),
-      |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-      |  FROM toks WHERE len(w) >= 3
-      |), sizes AS (
-      |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-      |), pairs AS (
-      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
-      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM (
-      |  SELECT a, b,
-      |         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
-      |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
-      |             JOIN sizes sb ON pairs.b = sb.doc_id)
-      |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
-
-  /** Shared by q120 (ad-hoc BM25, benchmark split mod 97) and q130
-    * (materialized text index, small query batch mod 487). */
-  private def bm25Oracle(qmod: Int): String =
-    """WITH c AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id % QMOD <> 0
-        |), q AS (
-        |  SELECT doc_id AS q_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id % QMOD = 0
-        |), posts AS (
-        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM c)
-        |  WHERE term <> '' GROUP BY 1, 2, 3
-        |), stats AS (
-        |  SELECT COUNT(*) AS n, SUM(len(w)) AS sumdl FROM c
-        |), qterms AS (
-        |  SELECT DISTINCT q_id, term FROM (SELECT q_id, unnest(w) AS term FROM q)
-        |  WHERE term <> ''
-        |), dfreq AS (
-        |  SELECT term, COUNT(*) AS df FROM posts GROUP BY 1
-        |), scored AS (
-        |  SELECT qt.q_id, p.doc_id,
-        |         SUM(CAST(ROUND(
-        |           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-        |           (p.tf * (1.2 + 1) /
-        |            (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / (CAST(s.sumdl AS DOUBLE) / s.n)))),
-        |           6) AS DECIMAL(20,6))) AS sc
-        |  FROM posts p
-        |  JOIN qterms qt USING (term)
-        |  JOIN dfreq d USING (term)
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2)
-        |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, CAST(sc AS DOUBLE) AS score FROM (
-        |  SELECT q_id, doc_id, sc,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10 ORDER BY q_id, rank"""
-      .stripMargin.replace("QMOD", qmod.toString)
-
-  // Cross-IMPLEMENTATION fixtures (tools/make_oracle_fixtures.py) for the
-  // three deterministic operators no SQL engine expresses directly: deflate
-  // sizes from python zlib keyed by md5(text) (content-addressed — any doc
-  // not covered breaks the inner join and fails the row count LOUDLY), the
-  // BPE merge table from an independent python trainer keyed by a corpus
-  // fingerprint DuckDB recomputes itself, and the sas7bdat fixture as
-  // pandas.read_sas's own CSV dump. None of these compare Spark to Spark.
-  private val fixtureDir = "/root/repo/src/test/resources/oracle"
-
-  val oracles: Map[String, String] = Map(
-    "q58_compress_ratio" ->
-      s"""SELECT d.doc_id, f.raw_bytes, f.deflate_bytes, f.compress_ratio
-         |FROM documents d
-         |JOIN read_parquet('$fixtureDir/deflate_sizes.parquet') f
-         |  ON md5(d.text) = f.fp
-         |WHERE d.text IS NOT NULL
-         |ORDER BY d.doc_id""".stripMargin,
-    "q98_bpe_merges" ->
-      s"""WITH fp AS (
-         |  SELECT md5(string_agg(m, '' ORDER BY m)) AS fp
-         |  FROM (SELECT md5(text) AS m FROM documents WHERE text IS NOT NULL))
-         |SELECT b.rank, b."left", b."right", b.pair_count
-         |FROM read_parquet('$fixtureDir/bpe_merges.parquet') b, fp
-         |WHERE b.corpus_fp = fp.fp
-         |ORDER BY b.rank""".stripMargin,
-    "q99_sas7bdat_native" ->
-      s"""SELECT id, ratio, name, flag
-         |FROM read_csv('$fixtureDir/u64_pages.csv', header=true,
-         |  columns={'id': 'DOUBLE', 'ratio': 'DOUBLE',
-         |           'name': 'VARCHAR', 'flag': 'VARCHAR'})
-         |WHERE ratio IS NOT NULL ORDER BY id""".stripMargin,
-    "q127_pagerank" -> pageRankOracle(5),
-    // q129 is q31's exact output via the lossless prefix filter — same oracle
-    "q129_jaccard_prefix" -> ngramJaccardOracle,
-    "q128_curation_audit" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
-        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-        |red AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-        |      '555-[0-9]{4}', '<PHONE>', 'g') AS text
-        |  FROM corpus),
-        |w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM red),
-        |f AS (
-        |  SELECT doc_id, text, words,
-        |    (n BETWEEN 20 AND 80 AND mwl >= 4.2 AND mwl <= 4.8
-        |     AND stopr >= 0.02 AND distr >= 0.35) AS keep
-        |  FROM (
-        |    SELECT doc_id, text, words, len(words) AS n,
-        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)/len(words) AS mwl,
-        |      CAST(len(list_filter(words, t -> list_contains(['the','a','an','and','of','is','in','to'], t))) AS DOUBLE)/len(words) AS stopr,
-        |      CAST(len(list_distinct(words)) AS DOUBLE)/len(words) AS distr
-        |    FROM w)),
-        |q AS (SELECT doc_id, text, words FROM f WHERE keep),
-        |win AS (SELECT text, min(doc_id) AS dup_of FROM q GROUP BY text),
-        |d AS (SELECT q.doc_id, q.words, win.dup_of FROM q JOIN win ON q.text = win.text),
-        |dw AS (SELECT doc_id, words FROM d WHERE doc_id = dup_of),
-        |gi AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS g
-        |       FROM dw WHERE len(words) >= 3),
-        |gr AS (SELECT doc_id, array_to_string(words[g:g+2], ' ') AS ng FROM gi),
-        |bw AS (SELECT string_split_regex(trim(text), '\s+') AS words FROM bench),
-        |bgi AS (SELECT words, unnest(generate_series(1, len(words)-2)) AS g
-        |        FROM bw WHERE len(words) >= 3),
-        |bgr AS (SELECT DISTINCT array_to_string(words[g:g+2], ' ') AS ng FROM bgi),
-        |contam AS (
-        |  SELECT dg.doc_id, CAST(count(b.ng) AS DOUBLE)/count(*) AS cf
-        |  FROM (SELECT DISTINCT doc_id, ng FROM gr) dg LEFT JOIN bgr b ON dg.ng = b.ng
-        |  GROUP BY 1)
-        |SELECT f.doc_id,
-        |  CASE WHEN NOT f.keep THEN 'quality'
-        |       WHEN f.doc_id <> d.dup_of THEN 'duplicate'
-        |       WHEN coalesce(c.cf, 0) >= 0.2 THEN 'contaminated'
-        |       ELSE 'kept' END AS disposition,
-        |  CASE WHEN f.keep AND f.doc_id <> d.dup_of THEN d.dup_of END AS dup_of,
-        |  CASE WHEN f.keep AND f.doc_id = d.dup_of THEN round(c.cf, 6) END AS contam_frac
-        |FROM f LEFT JOIN d ON f.doc_id = d.doc_id
-        |       LEFT JOIN contam c ON f.doc_id = c.doc_id
-        |ORDER BY f.doc_id""".stripMargin,
-    "q01_sas_keep_rename" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag, l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q02_sas_drop_where" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag, l_shipdate
-        |FROM lineitem
-        |WHERE l_quantity BETWEEN 30 AND 40 AND l_returnflag <> 'N' AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q03_sas_obs" ->
-      "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100",
-    "q04_fix_missing" ->
-      """SELECT c_custkey, c_name,
-        |       CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-    "q05_col_types" ->
-      """SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey,
-        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |       CAST(l_shipdate AS DATE) AS l_shipdate,
-        |       l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q06_csv_roundtrip" ->
-      "SELECT * FROM customer ORDER BY c_custkey",
-    "q07_parquet_modified" ->
-      "SELECT * FROM supplier ORDER BY s_suppkey",
-    "q08_type_inference" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "q09_list_tables" ->
-      """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),
-        |('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)
-        |ORDER BY table_name""".stripMargin,
-    "q10_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       ROUND(AVG(l_quantity), 6) AS avg_qty,
-        |       ROUND(AVG(l_discount), 6) AS avg_disc,
-        |       COUNT(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q11_join_broadcast" ->
-      """SELECT n_name,
-        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        |       COUNT(*) AS n_lines
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "q12_join_shuffle" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q13_topn" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-    "q14_window_rank" ->
-      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
-        |  SELECT c_mktsegment, c_custkey, c_acctbal,
-        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-        |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
-        |  FROM customer) WHERE rn <= 3
-        |ORDER BY c_mktsegment, rn""".stripMargin,
-    "q15_distinct" ->
-      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q16_anti_semi" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "q17_union_label" ->
-      """SELECT 'customer' AS kind, c_name AS name FROM customer
-        |UNION ALL
-        |SELECT 'supplier' AS kind, s_name AS name FROM supplier
-        |ORDER BY kind, name""".stripMargin,
-    "q18_pivot" ->
-      """SELECT l_returnflag,
-        |       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_f,
-        |       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_o
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q19_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        |       ROUND(SUM(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
-    "q20_asof_join" ->
-      """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
-        |FROM events e
-        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
-        |  ON e.user_id = s.user_id AND e.ts >= s.ts
-        |ORDER BY e.event_id""".stripMargin,
-    "q53_asof_broadcast" ->
-      """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
-        |FROM events e
-        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
-        |  ON e.user_id = s.user_id AND e.ts >= s.ts
-        |ORDER BY e.event_id""".stripMargin,
-    "q60_stratified_sample" ->
-      """SELECT event_type, event_id FROM (
-        |  SELECT event_type, event_id,
-        |         ROW_NUMBER() OVER (PARTITION BY event_type
-        |           ORDER BY (((event_id % 1000000007) * 2654435761) % 1000000007) ASC,
-        |                    event_id ASC) AS rn
-        |  FROM events)
-        |WHERE rn <= 20 ORDER BY event_type, event_id""".stripMargin,
-    "q62_quality_checks" ->
-      """SELECT chk, violations FROM (
-        |  SELECT 'notnull:l_orderkey' AS chk,
-        |         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'notnull:l_shipdate',
-        |         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'range:l_quantity',
-        |         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'range:l_discount',
-        |         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'unique:l_orderkey,l_linenumber',
-        |         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
-        |  FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
-        |  WHERE n > 1)
-        |ORDER BY chk""".stripMargin,
-    "q61_ntile" ->
-      """SELECT event_id,
-        |       NTILE(7) OVER (ORDER BY ts ASC, event_id ASC) AS bucket
-        |FROM events ORDER BY event_id""".stripMargin,
-    "q59_global_rownum" ->
-      """SELECT event_id, user_id, ts,
-        |       ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) AS rn
-        |FROM events ORDER BY rn""".stripMargin,
-    "q57_interval_lookup" ->
-      """WITH eras AS (
-        |  SELECT user_id, ts AS valid_from,
-        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS era,
-        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
-        |  FROM events WHERE event_type = 'signup')
-        |SELECT e.event_id, e.user_id, e.ts, i.era, i.valid_from AS era_start
-        |FROM (SELECT event_id, user_id, ts FROM events) e
-        |LEFT JOIN eras i
-        |  ON e.user_id = i.user_id AND e.ts >= i.valid_from
-        |     AND (i.valid_to IS NULL OR e.ts < i.valid_to)
-        |ORDER BY e.event_id""".stripMargin,
-    "q55_latest_per_key" ->
-      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
-        |       event_type AS last_event_type
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "q56_scd_intervals" ->
-      """SELECT user_id, event_id, event_type, ts AS valid_from,
-        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
-        |FROM events
-        |ORDER BY user_id, valid_from, event_id""".stripMargin,
-    "q54_split_sample" ->
-      """SELECT doc_id,
-        |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80 THEN 'train'
-        |       WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q48_asof_inner" ->
-      """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
-        |FROM events e
-        |ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
-        |  ON e.user_id = s.user_id AND e.ts >= s.ts
-        |ORDER BY e.event_id""".stripMargin,
-    "q49_asof_native" ->
-      """SELECT e.event_id, e.user_id, e.ts, e.event_type, s.ts AS signup_ts
-        |FROM events e
-        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
-        |  ON e.user_id = s.user_id AND e.ts >= s.ts
-        |ORDER BY e.event_id""".stripMargin,
-    "q21_sessionize" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id,
-        |         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
-        |                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-        |), sessions AS (
-        |  SELECT user_id, ts,
-        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM marked)
-        |SELECT user_id, session_id, COUNT(*) AS n_events,
-        |       MIN(ts) AS session_start, MAX(ts) AS session_end
-        |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
-    "q22_time_window" ->
-      """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
-        |       ROUND(SUM(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q23_exists_semi" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "q24_scalar_subquery" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (SELECT (MIN(o_totalprice) + MAX(o_totalprice)) / 2 FROM orders)
-        |ORDER BY o_orderkey""".stripMargin,
-    "q25_cube" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
-        |       ROUND(SUM(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-    "q26_json_extract" ->
-      """SELECT event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q27_running_sum" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate,
-        |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-        |             ORDER BY o_orderdate ASC, o_orderkey ASC
-        |             ROWS UNBOUNDED PRECEDING), 2) AS running_total
-        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
-    "q28_count_distinct" ->
-      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
-        |       COUNT(*) AS n_orders
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q29_salted_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q46_percentiles" ->
-      """SELECT o_orderpriority,
-        |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
-        |       COUNT(*) AS n_orders
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q47_histogram" ->
-      """WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
-        |SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9) AS bin,
-        |       COUNT(*) AS n_orders
-        |FROM orders, mm GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q30_dedup_exact" ->
-      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM (SELECT doc_id, text FROM documents
-        |      UNION ALL SELECT doc_id + 100000, text FROM documents)
-        |GROUP BY text ORDER BY doc_id""".stripMargin,
-    "q101_dup_spans" ->
-      """WITH sp0 AS (
-        |  SELECT doc_id, unnest(generate_series(1, length(text) - 39, 1)) AS pos, text
-        |  FROM documents WHERE length(text) >= 40
-        |), sp AS (
-        |  SELECT doc_id, substr(text, CAST(pos AS INT), 40) AS span FROM sp0
-        |), dup AS (
-        |  SELECT span FROM sp GROUP BY span HAVING count(*) > 1
-        |), per_doc AS (
-        |  SELECT sp.doc_id, count(*) AS dup_spans FROM sp JOIN dup USING (span)
-        |  GROUP BY sp.doc_id)
-        |SELECT d.doc_id, CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
-        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-    "q120_bm25" -> bm25Oracle(97),
-    "q135_phrase_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id % 487 <> 0)
-        |SELECT doc_id, CAST(len(list_filter(range(1, len(w) - 1),
-        |         i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch'))
-        |       AS INT) AS n_occurrences
-        |FROM toks
-        |WHERE len(list_filter(range(1, len(w) - 1),
-        |        i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch')) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "q134_overlap_matrix" ->
-      """WITH d AS (
-        |  SELECT DISTINCT 's1' AS g, text FROM documents WHERE doc_id % 10 < 6
-        |  UNION SELECT DISTINCT 's2' AS g, text FROM documents WHERE doc_id % 10 BETWEEN 3 AND 8
-        |  UNION SELECT DISTINCT 's3' AS g, text FROM documents WHERE doc_id % 10 >= 6 OR doc_id % 10 < 2
-        |), gs AS (SELECT DISTINCT g FROM d),
-        |p AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
-        |st AS (SELECT ga, gb,
-        |  (SELECT COUNT(*) FROM d WHERE g = ga) AS n_a,
-        |  (SELECT COUNT(*) FROM d WHERE g = gb) AS n_b,
-        |  (SELECT COUNT(*) FROM d x JOIN d y ON x.text = y.text
-        |     AND x.g = ga AND y.g = gb) AS n_intersection
-        |  FROM p)
-        |SELECT ga, gb, n_a, n_b,
-        |       n_a + n_b - n_intersection AS n_union, n_intersection,
-        |       ROUND(CAST(n_intersection AS DOUBLE) /
-        |             (n_a + n_b - n_intersection), 6) AS jaccard,
-        |       TRUE AS is_exact
-        |FROM st ORDER BY ga, gb""".stripMargin,
-    "q132_shuffle_shards" ->
-      """WITH keyed AS (
-        |  SELECT doc_id, lang,
-        |         ((doc_id + 42) % 1000000007 * 2654435761) % 1000000007 AS k
-        |  FROM documents)
-        |SELECT doc_id, lang, CAST(k % 1000000 % 8 AS INT) AS shard,
-        |       CAST(row_number() OVER (PARTITION BY k % 1000000 % 8 ORDER BY k, doc_id) AS INT) AS pos
-        |FROM keyed ORDER BY shard, pos""".stripMargin,
-    "q131_corpus_overlap" ->
-      """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 6),
-        |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 >= 4),
-        |st AS (SELECT
-        |  (SELECT COUNT(*) FROM a) AS n_a,
-        |  (SELECT COUNT(*) FROM b) AS n_b,
-        |  (SELECT COUNT(*) FROM (SELECT text FROM a UNION SELECT text FROM b)) AS n_union,
-        |  (SELECT COUNT(*) FROM (SELECT text FROM a INTERSECT SELECT text FROM b)) AS n_intersection)
-        |SELECT n_a, n_b, n_union, n_intersection,
-        |       ROUND(CAST(n_intersection AS DOUBLE) / n_union, 6) AS jaccard,
-        |       TRUE AS is_exact
-        |FROM st""".stripMargin,
-    // q130 searches a materialized index over the same corpus split with
-    // identical BM25 arithmetic — one oracle pins both
-    "q130_text_index" -> bm25Oracle(487),
-    "q126_top_paths" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
-        |                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-        |), sessions AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM marked
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
-        |                               ORDER BY ts ASC, event_id ASC) AS rn
-        |  FROM sessions
-        |), paths AS (
-        |  SELECT user_id, session_id,
-        |         string_agg(event_type, '->' ORDER BY ts ASC, event_id ASC) AS path
-        |  FROM ranked WHERE rn <= 5 GROUP BY user_id, session_id
-        |)
-        |SELECT path, COUNT(*) AS n_sessions FROM paths
-        |GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 15""".stripMargin,
-    "q125_html_strip" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><head><style>p{color:red}</style><script>var x=1<2;</script></head><body><h1>Doc '
-        |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-        |    || '</p><!-- note --> A&amp;B &lt;tag&gt; 1&nbsp;2</body></html>' AS html
-        |  FROM documents)
-        |SELECT doc_id, trim(
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |  regexp_replace(html,
-        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |    '(?s)<!--.*?-->', ' ', 'g'),
-        |    '<[^>]+>', ' ', 'g'),
-        |    '&lt;', '<', 'g'),
-        |    '&gt;', '>', 'g'),
-        |    '&quot;', '"', 'g'),
-        |    '&#39;', '''', 'g'),
-        |    '&nbsp;', ' ', 'g'),
-        |    '&amp;', '&', 'g'),
-        |    '\s+', ' ', 'g')) AS clean_text
-        |FROM h ORDER BY doc_id""".stripMargin,
-    "q124_nfc_normalize" ->
-      """SELECT doc_id,
-        |       nfc_normalize(text || ' caf' || 'e' || chr(769) || ' nfd') AS norm_text,
-        |       md5(nfc_normalize(text || ' caf' || 'e' || chr(769) || ' nfd')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q123_corpus_diff" ->
-      """WITH fp AS (
-        |  SELECT doc_id, text,
-        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-        |                                 '\s+', ' ', 'g'))) AS f
-        |  FROM documents
-        |), o AS (SELECT doc_id, f AS old_fp FROM fp WHERE doc_id % 7 <> 3),
-        |n AS (
-        |  SELECT doc_id,
-        |         md5(trim(regexp_replace(regexp_replace(
-        |             lower(CASE WHEN doc_id % 11 = 0 THEN text || ' version two' ELSE text END),
-        |             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS new_fp
-        |  FROM fp WHERE doc_id % 5 <> 2
-        |)
-        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-        |       CASE WHEN o.old_fp IS NULL THEN 'added'
-        |            WHEN n.new_fp IS NULL THEN 'removed'
-        |            WHEN o.old_fp <> n.new_fp THEN 'modified'
-        |            ELSE 'unchanged' END AS status,
-        |       o.old_fp, n.new_fp
-        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-        |ORDER BY doc_id""".stripMargin,
-    "q122_jsonl_manifest" ->
-      """WITH j AS (
-        |  SELECT doc_id,
-        |         strlen(CAST(to_json(struct_pack(doc_id := doc_id, text := text))
-        |                AS VARCHAR)) + 1 AS w
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, w,
-        |         CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        |  FROM j
-        |), s AS (
-        |  SELECT doc_id, w, CAST((cum - 1) // 65536 AS BIGINT) AS shard FROM c
-        |)
-        |SELECT shard, COUNT(*) AS n_rows, CAST(SUM(w) AS BIGINT) AS bytes,
-        |       MIN(doc_id) AS first_key, MAX(doc_id) AS last_key
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q121_topk_group" ->
-      """SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_orderpriority
-        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
-        |  FROM orders)
-        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
-    "q119_line_dedup" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), ln AS (
-        |  SELECT doc_id, ws,
-        |         unnest(generate_series(0, CAST(ceil(len(ws) / 3.0) AS INT) - 1)) AS idx
-        |  FROM w
-        |), lines AS (
-        |  SELECT doc_id, idx,
-        |         array_to_string(ws[idx * 3 + 1 : idx * 3 + 3], ' ') AS line
-        |  FROM ln
-        |), ranked AS (
-        |  SELECT doc_id, idx,
-        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS r
-        |  FROM lines WHERE length(line) >= 1
-        |), losers AS (
-        |  SELECT doc_id, idx FROM ranked WHERE r > 1
-        |), kept AS (
-        |  SELECT l.doc_id,
-        |         array_to_string(list(l.line ORDER BY l.idx), chr(10)) AS text
-        |  FROM lines l ANTI JOIN losers lo
-        |    ON l.doc_id = lo.doc_id AND l.idx = lo.idx
-        |  GROUP BY l.doc_id
-        |), nrem AS (
-        |  SELECT doc_id, count(*) AS lines_removed FROM losers GROUP BY doc_id
-        |)
-        |SELECT d.doc_id, COALESCE(k.text, '') AS text,
-        |       CAST(COALESCE(n.lines_removed, 0) AS INT) AS lines_removed
-        |FROM documents d
-        |LEFT JOIN kept k USING (doc_id)
-        |LEFT JOIN nrem n USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-    "q102_contam_spans" ->
-      """WITH bsp0 AS (
-        |  SELECT unnest(generate_series(1, length(text) - 39, 1)) AS pos, text
-        |  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 40
-        |), bsp AS (
-        |  SELECT DISTINCT substr(text, CAST(pos AS INT), 40) AS span FROM bsp0
-        |), sp0 AS (
-        |  SELECT doc_id, unnest(generate_series(1, length(text) - 39, 1)) AS pos, text
-        |  FROM documents WHERE doc_id % 97 <> 0 AND length(text) >= 40
-        |), sp AS (
-        |  SELECT doc_id, substr(text, CAST(pos AS INT), 40) AS span FROM sp0
-        |), per_doc AS (
-        |  SELECT sp.doc_id, count(*) AS contam_spans FROM sp JOIN bsp USING (span)
-        |  GROUP BY sp.doc_id)
-        |SELECT d.doc_id, CAST(COALESCE(p.contam_spans, 0) AS BIGINT) AS contam_spans
-        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
-        |WHERE d.doc_id % 97 <> 0
-        |ORDER BY d.doc_id""".stripMargin,
-    "q31_dedup_ngram" -> ngramJaccardOracle,
-    "q34_dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
-        |           FROM embeddings),
-        |p AS (
-        |  SELECT x.vec_id AS a, y.vec_id AS b,
-        |         list_reduce(list_prepend(0.0, list_transform(range(1, len(x.ve) + 1),
-        |             i -> x.ve[i] * y.ve[i])), (p, q) -> p + q) /
-        |         (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(x.ve) + 1),
-        |             i -> x.ve[i] * x.ve[i])), (p, q) -> p + q)) *
-        |          sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(y.ve) + 1),
-        |             i -> y.ve[i] * y.ve[i])), (p, q) -> p + q))) AS cosine
-        |  FROM v x JOIN v y ON x.vec_id < y.vec_id)
-        |SELECT a, b, ROUND(cosine, 6) AS cosine FROM p
-        |WHERE cosine >= 0.45 ORDER BY a, b""".stripMargin,
-    "q105_lm_perplexity" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), ref AS (
-        |  SELECT w FROM tok WHERE lang = 'en' AND doc_id % 10 < 8
-        |), v AS (
-        |  SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM ref)
-        |), refg AS (
-        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS g FROM ref WHERE len(w) >= 2
-        |), c2 AS (
-        |  SELECT w[g] AS prev, w[g+1] AS cur, COUNT(*) AS c2 FROM refg GROUP BY 1, 2
-        |), c1 AS (
-        |  SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1
-        |), docg AS (
-        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS g
-        |  FROM tok WHERE len(w) >= 2
-        |), docbg AS (
-        |  SELECT doc_id, w[g] AS prev, w[g+1] AS cur FROM docg
-        |), scored AS (
-        |  SELECT d.doc_id,
-        |         CAST(ROUND(ln(CAST(2 * COALESCE(c2.c2, 0) + 1 AS DOUBLE)
-        |                       / (2 * COALESCE(c1.c1, 0) + v.v + 1)), 6)
-        |              AS DECIMAL(20,6)) AS lp
-        |  FROM docbg d
-        |  LEFT JOIN c2 ON d.prev = c2.prev AND d.cur = c2.cur
-        |  LEFT JOIN c1 ON d.prev = c1.prev
-        |  CROSS JOIN v
-        |), agg AS (
-        |  SELECT doc_id, COUNT(*) AS n,
-        |         CAST(-SUM(lp) * 1000000 AS BIGINT) AS a
-        |  FROM scored GROUP BY doc_id
-        |)
-        |SELECT doc_id, n AS n_bigrams,
-        |       ((2 * a + n) // (2 * n)) / 1000000.0 AS cross_entropy,
-        |       ROUND(EXP(((2 * a + n) // (2 * n)) / 1000000.0), 4) AS ppl
-        |FROM agg ORDER BY doc_id""".stripMargin,
-    "q106_nb_classifier" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), tr AS (
-        |  SELECT doc_id, lang = 'en' AS y, unnest(w) AS t FROM tok WHERE doc_id % 10 < 8
-        |), cnt AS (
-        |  SELECT t, COUNT(*) FILTER (WHERE y) AS cp, COUNT(*) FILTER (WHERE NOT y) AS cn
-        |  FROM tr GROUP BY t
-        |), c AS (
-        |  SELECT COUNT(*) FILTER (WHERE y) AS np, COUNT(*) FILTER (WHERE NOT y) AS nn,
-        |         COUNT(DISTINCT t) AS v
-        |  FROM tr
-        |), d AS (
-        |  SELECT COUNT(*) FILTER (WHERE lang = 'en') AS dp,
-        |         COUNT(*) FILTER (WHERE lang <> 'en') AS dn
-        |  FROM documents WHERE doc_id % 10 < 8
-        |), wts AS (
-        |  SELECT t, CAST(ROUND(ln(CAST(2 * cp + 1 AS DOUBLE) / (2 * c.np + c.v + 1))
-        |                 - ln(CAST(2 * cn + 1 AS DOUBLE) / (2 * c.nn + c.v + 1)), 6)
-        |            AS DECIMAL(20,6)) AS w
-        |  FROM cnt CROSS JOIN c
-        |), k AS (
-        |  SELECT CAST(ROUND(ln(CAST(1 AS DOUBLE) / (2 * np + v + 1))
-        |               - ln(CAST(1 AS DOUBLE) / (2 * nn + v + 1)), 6) AS DECIMAL(20,6)) AS w_oov,
-        |         CAST(ROUND(ln(CAST(dp AS DOUBLE) / dn), 6) AS DECIMAL(20,6)) AS prior
-        |  FROM c CROSS JOIN d
-        |), scored AS (
-        |  SELECT doc_id, COALESCE(wts.w, k.w_oov) AS w FROM (
-        |    SELECT doc_id, unnest(w) AS t FROM tok) dt
-        |  LEFT JOIN wts USING (t) CROSS JOIN k
-        |), agg AS (
-        |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS sw FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_tokens,
-        |       ROUND(CAST(sw + k.prior AS DOUBLE), 6) AS score,
-        |       CAST(sw + k.prior > 0 AS INT) AS pred
-        |FROM agg CROSS JOIN k ORDER BY doc_id""".stripMargin,
-    "q107_dsir_resample" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), feat AS (
-        |  SELECT doc_id, lang, unnest(w) AS f FROM tok
-        |  UNION ALL
-        |  SELECT doc_id, lang, array_to_string(w[g:g+1], ' ') AS f FROM (
-        |    SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS g
-        |    FROM tok WHERE len(w) >= 2)
-        |), fb AS (
-        |  SELECT doc_id, lang, substr(md5(f), 1, 3) AS b FROM feat
-        |), ct AS (
-        |  SELECT b, COUNT(*) AS ct FROM fb WHERE lang = 'en' AND doc_id % 10 < 8 GROUP BY b
-        |), nt AS (
-        |  SELECT COUNT(*) AS nt FROM fb WHERE lang = 'en' AND doc_id % 10 < 8
-        |), cr AS (
-        |  SELECT b, COUNT(*) AS cr FROM fb GROUP BY b
-        |), nr AS (
-        |  SELECT COUNT(*) AS nr FROM fb
-        |), scored AS (
-        |  SELECT fb.doc_id,
-        |         CAST(ROUND(ln(CAST(2 * COALESCE(ct.ct, 0) + 1 AS DOUBLE) / (2 * nt.nt + 4096))
-        |               - ln(CAST(2 * COALESCE(cr.cr, 0) + 1 AS DOUBLE) / (2 * nr.nr + 4096)), 6)
-        |              AS DECIMAL(20,6)) AS lw
-        |  FROM fb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN nt CROSS JOIN nr
-        |), agg AS (
-        |  SELECT doc_id, COUNT(*) AS n_features, SUM(lw) AS slw FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_features,
-        |       ROUND(CAST(slw AS DOUBLE), 6) AS logw,
-        |       ROUND(CAST(slw AS DOUBLE)
-        |             - ln(-ln(((((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000 + 0.5)
-        |                      / 1000000)), 6) AS sel_key
-        |FROM agg ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
-    "q114_heavy_hitters_grouped" ->
-      """WITH w AS (
-        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS item FROM documents
-        |), c AS (
-        |  SELECT source, item, COUNT(*) AS n_occurrences FROM w GROUP BY 1, 2
-        |), r AS (
-        |  SELECT source, item, n_occurrences,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
-        |                                 ORDER BY n_occurrences DESC, item) AS INT) AS rank
-        |  FROM c
-        |)
-        |SELECT source, item, n_occurrences, rank FROM r
-        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
-    "q113_heavy_hitters" ->
-      """WITH w AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS item FROM documents
-        |)
-        |SELECT item, COUNT(*) AS n_occurrences FROM w
-        |GROUP BY item ORDER BY n_occurrences DESC, item LIMIT 15""".stripMargin,
-    "q117_top_users" ->
-      """SELECT user_id AS item, COUNT(*) AS n_occurrences FROM events
-        |GROUP BY user_id ORDER BY n_occurrences DESC, item LIMIT 20""".stripMargin,
-    "q111_cdc_chunks" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text, unnest(generate_series(2, length(text) - 7)) AS p
-        |  FROM documents WHERE length(text) >= 9
-        |), cuts AS (
-        |  SELECT doc_id, p FROM (
-        |    SELECT doc_id, p, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(generate_series(0, 7),
-        |                       i -> CAST(ascii(substr(text, CAST(p + i AS INT), 1)) AS BIGINT))),
-        |        (a, b) -> (a * 257 + b) % 1000000007) AS h
-        |    FROM pos)
-        |  WHERE h % 64 = 0
-        |), starts AS (
-        |  SELECT doc_id, CAST(1 AS BIGINT) AS s FROM documents WHERE length(text) >= 1
-        |  UNION ALL SELECT doc_id, p FROM cuts
-        |), chunks AS (
-        |  SELECT doc_id, s,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_idx,
-        |         LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
-        |  FROM starts
-        |)
-        |SELECT c.doc_id, chunk_idx, CAST(c.s AS INT) AS chunk_start,
-        |       CAST(COALESCE(c.nxt, length(d.text) + 1) - c.s AS INT) AS chunk_len,
-        |       md5(substr(d.text, CAST(c.s AS INT), CAST(COALESCE(c.nxt, length(d.text) + 1) - c.s AS INT))) AS chunk_md5
-        |FROM chunks c JOIN documents d USING (doc_id)
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q109_url_dedup" ->
-      """WITH crawl AS (
-        |  SELECT doc_id,
-        |    'HTTPS://' ||
-        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
-        |    source || '.Example.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
-        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
-        |         WHEN doc_id % 5 = 1 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR)
-        |         WHEN doc_id % 5 = 2 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x&utm_x=1'
-        |         ELSE '' END ||
-        |    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
-        |  FROM documents
-        |), nf AS (
-        |  SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM crawl
-        |), hostpq AS (
-        |  SELECT doc_id,
-        |    regexp_replace(
-        |      lower(regexp_extract(nofrag, '(^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
-        |      '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS host,
-        |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS pq
-        |  FROM nf
-        |), parts AS (
-        |  SELECT doc_id, host,
-        |    regexp_replace(split_part(pq, '?', 1), '/+$', '') AS path,
-        |    CASE WHEN contains(pq, '?')
-        |         THEN substr(pq, length(split_part(pq, '?', 1)) + 2) ELSE '' END AS q
-        |  FROM hostpq
-        |), kept AS (
-        |  SELECT doc_id, host, path,
-        |    list_filter(string_split(q, '&'), p -> substr(p, 1, 4) <> 'utm_' AND p <> '') AS ps
-        |  FROM parts
-        |)
-        |SELECT host || path ||
-        |       CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url,
-        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-        |FROM kept GROUP BY 1 ORDER BY canon_url""".stripMargin,
-    "q108_dup_ngrams" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), grams AS (
-        |  SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS g
-        |  FROM (
-        |    SELECT doc_id, n, w, unnest(generate_series(1, len(w) - n + 1)) AS i
-        |    FROM toks CROSS JOIN (VALUES (2), (3), (4)) ns(n)
-        |    WHERE len(w) >= n)
-        |), cnt AS (
-        |  SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
-        |), pern AS (
-        |  SELECT doc_id, n, SUM(c) AS total,
-        |         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup
-        |  FROM cnt GROUP BY 1, 2
-        |)
-        |SELECT doc_id,
-        |  ROUND(MAX(CASE WHEN n = 2 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END), 6) AS dup_frac_2,
-        |  ROUND(MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END), 6) AS dup_frac_3,
-        |  ROUND(MAX(CASE WHEN n = 4 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END), 6) AS dup_frac_4
-        |FROM pern GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q103_leakage_safe_split" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |           list_transform(range(1, len(w) - 1),
-        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-        |  FROM toks WHERE len(w) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-        |), cpairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |), jpairs AS (
-        |  SELECT a, b FROM (
-        |    SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
-        |    FROM cpairs JOIN sizes sa ON cpairs.a = sa.doc_id
-        |                JOIN sizes sb ON cpairs.b = sb.doc_id)
-        |  WHERE jaccard >= 0.6
-        |), edges AS (
-        |  SELECT a AS src, b AS dst FROM jpairs UNION ALL SELECT b, a FROM jpairs
-        |), cc(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst WHERE cc.comp < e.src
-        |), clusters AS (
-        |  SELECT d.doc_id, CAST(COALESCE(m.comp, d.doc_id) AS BIGINT) AS cluster_id
-        |  FROM documents d
-        |  LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id)
-        |SELECT doc_id, cluster_id,
-        |  CASE WHEN (((cluster_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80 THEN 'train'
-        |       WHEN (((cluster_id % 1000000007) * 2654435761) % 1000000007) % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM clusters ORDER BY doc_id""".stripMargin,
-    "q35_dedup_cluster" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |           list_transform(range(1, len(w) - 1),
-        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-        |  FROM toks WHERE len(w) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-        |), cpairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |), jpairs AS (
-        |  SELECT a, b FROM (
-        |    SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
-        |    FROM cpairs JOIN sizes sa ON cpairs.a = sa.doc_id
-        |                JOIN sizes sb ON cpairs.b = sb.doc_id)
-        |  WHERE jaccard >= 0.6
-        |), edges AS (
-        |  SELECT a AS src, b AS dst FROM jpairs UNION ALL SELECT b, a FROM jpairs
-        |), cc(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst WHERE cc.comp < e.src
-        |)
-        |SELECT d.doc_id, CAST(COALESCE(m.comp, d.doc_id) AS BIGINT) AS cluster_id
-        |FROM documents d
-        |LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id
-        |ORDER BY doc_id""".stripMargin,
-    "q66_dedup_corpus" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |           list_transform(range(1, len(w) - 1),
-        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-        |  FROM toks WHERE len(w) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-        |), cpairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |), jpairs AS (
-        |  SELECT a, b FROM (
-        |    SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
-        |    FROM cpairs JOIN sizes sa ON cpairs.a = sa.doc_id
-        |                JOIN sizes sb ON cpairs.b = sb.doc_id)
-        |  WHERE jaccard >= 0.6
-        |), edges AS (
-        |  SELECT a AS src, b AS dst FROM jpairs UNION ALL SELECT b, a FROM jpairs
-        |), cc(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst WHERE cc.comp < e.src
-        |)
-        |SELECT d.doc_id, d.lang
-        |FROM documents d
-        |LEFT JOIN (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id) m ON d.doc_id = m.id
-        |WHERE COALESCE(m.comp, d.doc_id) = d.doc_id
-        |ORDER BY doc_id""".stripMargin,
-    "q133_dedup_keep_best" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |           list_transform(range(1, len(w) - 1),
-        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-        |  FROM toks WHERE len(w) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-        |), cpairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |), jpairs AS (
-        |  SELECT a, b FROM (
-        |    SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
-        |    FROM cpairs JOIN sizes sa ON cpairs.a = sa.doc_id
-        |                JOIN sizes sb ON cpairs.b = sb.doc_id)
-        |  WHERE jaccard >= 0.6
-        |), edges AS (
-        |  SELECT a AS src, b AS dst FROM jpairs UNION ALL SELECT b, a FROM jpairs
-        |), cc(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst WHERE cc.comp < e.src
-        |), members AS (
-        |  SELECT id, MIN(comp) AS comp FROM cc GROUP BY id
-        |), scored AS (
-        |  SELECT m.id, m.comp, len(t.w) AS sc FROM members m JOIN toks t ON t.doc_id = m.id
-        |), win AS (
-        |  SELECT id FROM (
-        |    SELECT id, ROW_NUMBER() OVER (PARTITION BY comp
-        |                                  ORDER BY sc DESC, id ASC) AS rn
-        |    FROM scored) WHERE rn = 1
-        |)
-        |SELECT d.doc_id, d.lang
-        |FROM documents d LEFT JOIN members m ON d.doc_id = m.id
-        |WHERE m.id IS NULL OR d.doc_id IN (SELECT id FROM win)
-        |ORDER BY doc_id""".stripMargin,
-    "q67_tfidf_topk" ->
-      """WITH toks AS (
-        |  SELECT lang, doc_id,
-        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents
-        |), tok AS (SELECT * FROM toks WHERE term <> ''),
-        |tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-        |scored AS (
-        |  SELECT lang, tf.term, ROUND(tf * ln(n.n / dfreq.df), 6) AS tfidf
-        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
-        |SELECT lang, term, tfidf, rank FROM (
-        |  SELECT lang, term, tfidf,
-        |         ROW_NUMBER() OVER (PARTITION BY lang
-        |                            ORDER BY tfidf DESC, term ASC) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
-    "q68_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id AS u, MIN(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY 1
-        |), s2 AS (
-        |  SELECT s1.u, MIN(e.ts) AS t2 FROM s1 JOIN events e
-        |    ON e.user_id = s1.u AND e.event_type = 'click'
-        |   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 3600 SECOND
-        |  GROUP BY 1
-        |), s3 AS (
-        |  SELECT s2.u, MIN(e.ts) AS t3 FROM s2 JOIN events e
-        |    ON e.user_id = s2.u AND e.event_type = 'purchase'
-        |   AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 3600 SECOND
-        |  GROUP BY 1
-        |)
-        |SELECT * FROM (
-        |  SELECT 'view' AS step, 1 AS step_idx, COUNT(*) AS users FROM s1
-        |  UNION ALL SELECT 'click', 2, COUNT(*) FROM s2
-        |  UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3)
-        |ORDER BY step_idx""".stripMargin,
-    "q69_retention" ->
-      """WITH uw AS (
-        |  SELECT DISTINCT user_id AS u,
-        |         (ts::DATE - DATE '2024-01-01') // 7 AS w
-        |  FROM events
-        |), coh AS (SELECT u, MIN(w) AS cohort_week FROM uw GROUP BY 1)
-        |SELECT cohort_week, w - cohort_week AS week_offset, COUNT(*) AS users
-        |FROM uw JOIN coh USING (u)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q75_pack_shards" ->
-      """SELECT doc_id, n_chars, cum_chars,
-        |       CAST((cum_chars - 1) // 100000 AS BIGINT) AS shard_id
-        |FROM (
-        |  SELECT doc_id, n_chars,
-        |         CAST(SUM(n_chars) OVER (ORDER BY doc_id
-        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-    "q52_knn_join" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
-        |           FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
-        |p AS (
-        |  SELECT q.query_id, v.vec_id,
-        |         list_reduce(list_prepend(0.0, list_transform(range(1, len(ve) + 1),
-        |             i -> ve[i] * qv[i])), (acc, s) -> acc + s) /
-        |         (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ve) + 1),
-        |             i -> ve[i] * ve[i])), (acc, s) -> acc + s)) *
-        |          sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
-        |             i -> qv[i] * qv[i])), (acc, s) -> acc + s))) AS cosine
-        |  FROM v, q WHERE v.vec_id <> q.query_id)
-        |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
-        |  SELECT query_id, vec_id, cosine,
-        |         ROW_NUMBER() OVER (PARTITION BY query_id
-        |                            ORDER BY cosine DESC, vec_id ASC) AS rank
-        |  FROM p)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "q44_rolling_fp" ->
-      """SELECT doc_id,
-        |  CASE WHEN length(text) >= 16 THEN
-        |    list_min(list_transform(range(1, length(text) - 16 + 2),
-        |      i -> list_reduce(
-        |             list_transform(range(0, 16),
-        |                            j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
-        |             (a, b) -> (a * 31 + b) % 1000000007)))
-        |  ELSE NULL END AS rolling_fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q118_winnow" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= 8
-        |), g AS (
-        |  SELECT doc_id, p, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(generate_series(0, 7),
-        |                     i -> CAST(ascii(substr(text, CAST(p + i AS INT), 1)) AS BIGINT))),
-        |      (a, b) -> (a * 257 + b) % 1000000007) AS h
-        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len - 7)) AS p FROM d)
-        |), gg AS (
-        |  SELECT doc_id, count(*) AS ng, LEAST(4, count(*)) AS we FROM g GROUP BY doc_id
-        |), win AS (
-        |  SELECT g1.doc_id, g1.p AS i, gg.we, min(g2.h) AS mn
-        |  FROM g g1
-        |  JOIN gg ON gg.doc_id = g1.doc_id
-        |  JOIN g g2 ON g2.doc_id = g1.doc_id AND g2.p >= g1.p AND g2.p < g1.p + gg.we
-        |  WHERE g1.p <= gg.ng - gg.we + 1
-        |  GROUP BY 1, 2, 3
-        |), sel AS (
-        |  SELECT w.doc_id, max(g.p) AS pos, w.mn AS fp
-        |  FROM win w
-        |  JOIN g ON g.doc_id = w.doc_id AND g.p >= w.i AND g.p < w.i + w.we AND g.h = w.mn
-        |  GROUP BY w.doc_id, w.i, w.mn
-        |)
-        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel
-        |ORDER BY doc_id, pos""".stripMargin,
-    "q45_ngram_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |           list_transform(range(1, len(w) - 1),
-        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-        |  FROM toks WHERE len(w) >= 3
-        |)
-        |SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
-        |ORDER BY n_docs DESC, shingle ASC LIMIT 20""".stripMargin,
-    "q40_token_count" ->
-      """SELECT doc_id,
-        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
-        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q41_text_quality" ->
-      """SELECT doc_id, length(text) AS len_chars,
-        |       ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
-        |             / length(text), 6) AS punct_ratio,
-        |       ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                    t -> list_contains(['the','a','an','and','of','is','in','to'], t))) AS DOUBLE)
-        |             / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
-        |       ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |             / len(string_split_regex(trim(text), '\s+')), 6) AS mean_word_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q42_lang_id" ->
-      """WITH s AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), sc AS (
-        |  SELECT doc_id,
-        |    len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
-        |    len(list_filter(w, t -> list_contains(['the','a','is','and','of'], t))) AS s_en,
-        |    len(list_filter(w, t -> list_contains(['el','la','los','las','y'], t))) AS s_es,
-        |    len(list_filter(w, t -> list_contains(['le','les','et','est','une'], t))) AS s_fr,
-        |    len(list_filter(w, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
-        |  FROM s)
-        |SELECT doc_id,
-        |       CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-        |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-        |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-        |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-        |            ELSE 'zh' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin,
-    "q43_fingerprint" ->
-      """SELECT doc_id,
-        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-        |                               '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q50_ann_brute" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
-        |           FROM embeddings),
-        |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0)
-        |SELECT vec_id, ROUND(
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(ve) + 1),
-        |        i -> ve[i] * qv[i])), (p, s) -> p + s) /
-        |    (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(ve) + 1),
-        |        i -> ve[i] * ve[i])), (p, s) -> p + s)) *
-        |     sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
-        |        i -> qv[i] * qv[i])), (p, s) -> p + s))), 6) AS cosine
-        |FROM v, q WHERE vec_id <> 0
-        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
-    "q70_binary_features" ->
-      """SELECT doc_id,
-        |       octet_length(encode(text)) AS n_bytes,
-        |       lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
-        |       md5(text) AS content_md5,
-        |       ROUND(CAST(list_reduce(list_prepend(0, list_transform(
-        |             range(1, length(text) + 1), i -> ord(substr(text, i, 1)))),
-        |           (a, b) -> a + b) AS DOUBLE) / length(text), 6) AS mean_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q71_frame_sample" ->
-      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
-        |       CAST(length(substring(text, CAST(f * 64 + 1 AS BIGINT), 32)) AS BIGINT) AS frame_bytes,
-        |       md5(substring(text, CAST(f * 64 + 1 AS BIGINT), 32)) AS frame_md5
-        |FROM documents,
-        |     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(f)
-        |ORDER BY doc_id, frame_idx""".stripMargin,
-    "q73_frame_overlap" ->
-      """WITH f AS (
-        |  SELECT DISTINCT doc_id,
-        |         md5(substring(text, CAST(fi * 64 + 1 AS BIGINT), 32)) AS m
-        |  FROM documents,
-        |       unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(fi))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(COUNT(*) AS BIGINT) AS shared_frames
-        |FROM f a JOIN f b ON a.m = b.m AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        |ORDER BY 1, 2""".stripMargin,
-    "q72_resize" ->
-      """SELECT doc_id,
-        |  CASE WHEN length(text) >= 16 THEN
-        |    array_to_string(list_transform(range(0, 16),
-        |      i -> printf('%02x', ord(substr(text, CAST(i * length(text) // 16 AS INT) + 1, 1)))), '')
-        |  ELSE NULL END AS sig_hex
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q76_quality_filter" ->
-      """WITH w AS (
-        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM documents
-        |), f AS (
-        |  SELECT doc_id, len(words) AS n_words,
-        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(words) AS mwl,
-        |    CAST(len(list_filter(words, t -> list_contains(['the','a','an','and','of','is','in','to'], t))) AS DOUBLE)
-        |      / len(words) AS stopr,
-        |    CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distr
-        |  FROM w)
-        |SELECT doc_id, n_words,
-        |  ROUND(mwl, 6) AS mean_word_len,
-        |  ROUND(stopr, 6) AS stopword_ratio,
-        |  ROUND(distr, 6) AS distinct_ratio,
-        |  CAST(n_words BETWEEN 20 AND 80 AS INT) AS flag_len,
-        |  CAST(mwl >= 4.2 AND mwl <= 4.8 AS INT) AS flag_word_len,
-        |  CAST(stopr >= 0.02 AS INT) AS flag_stopword,
-        |  CAST(distr >= 0.35 AS INT) AS flag_repetition,
-        |  CAST(n_words BETWEEN 20 AND 80 AND mwl >= 4.2 AND mwl <= 4.8
-        |       AND stopr >= 0.02 AND distr >= 0.35 AS INT) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin,
-    "q77_repetition" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
-        |), c AS (
-        |  SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
-        |  ROUND(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_frac,
-        |  ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q78_contamination" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
-        |), i AS (
-        |  SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS g
-        |  FROM w WHERE len(words) >= 3
-        |), gr AS (
-        |  SELECT doc_id, array_to_string(words[g:g+2], ' ') AS ng FROM i
-        |), bench AS (
-        |  SELECT DISTINCT ng FROM gr WHERE doc_id % 97 = 0
-        |), dg AS (
-        |  SELECT DISTINCT doc_id, ng FROM gr WHERE doc_id % 97 <> 0)
-        |SELECT dg.doc_id, count(*) AS n_ngrams, count(b.ng) AS n_contaminated,
-        |  ROUND(CAST(count(b.ng) AS DOUBLE) / count(*), 6) AS contam_frac
-        |FROM dg LEFT JOIN bench b ON dg.ng = b.ng
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q79_domain_mix" ->
-      """WITH c AS (
-        |  SELECT source, count(*) AS n_s,
-        |         CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 + 1 AS w_s
-        |  FROM documents GROUP BY source
-        |), s AS (SELECT CAST(sum(w_s) AS BIGINT) AS sum_w FROM c),
-        |tt AS (SELECT CAST(floor(count(*) / 2.0) AS BIGINT) AS target FROM documents)
-        |SELECT d.doc_id, d.source
-        |FROM documents d JOIN c USING (source), s, tt
-        |WHERE target * w_s > 0 AND
-        |      ((((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 1000000)
-        |      <= (1000000 * target * w_s - 1) // (n_s * sum_w)
-        |ORDER BY d.doc_id""".stripMargin,
-    "q80_chunking" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
-        |), i AS (
-        |  SELECT doc_id, words,
-        |    unnest(generate_series(0,
-        |      CAST(greatest(ceil((len(words) - 16) / 48.0), 1) AS BIGINT) - 1)) AS g
-        |  FROM w)
-        |SELECT doc_id, CAST(g AS INT) AS chunk_idx,
-        |  array_to_string(words[(g*48+1):(g*48+64)], ' ') AS chunk_text,
-        |  len(words[(g*48+1):(g*48+64)]) AS n_words
-        |FROM i ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q81_outliers" ->
-      """WITH s AS (
-        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
-        |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, value
-        |FROM events JOIN s USING (event_type)
-        |WHERE abs(value - m) > 3 * sd
-        |ORDER BY event_id""".stripMargin,
-    "q82_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |       ROUND(SUM(o_totalprice), 2) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q83_relative_filter" ->
-      """SELECT doc_id, source, n_chars, score_cd FROM (
-        |  SELECT doc_id, source, n_chars,
-        |    ROUND(cume_dist() OVER (PARTITION BY source ORDER BY n_chars ASC), 6)
-        |      AS score_cd
-        |  FROM documents)
-        |WHERE score_cd >= 0.75 ORDER BY doc_id""".stripMargin,
-    "q84_incremental_dedup" ->
-      """WITH fp AS (
-        |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-        |                                    '\s+', ' ', 'g'))) AS f
-        |  FROM documents)
-        |SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
-        |FROM (SELECT * FROM fp WHERE doc_id % 10 = 7) b
-        |ANTI JOIN (SELECT DISTINCT f FROM fp WHERE doc_id % 10 <> 7) c
-        |  ON b.f = c.f
-        |ORDER BY b.doc_id""".stripMargin,
-    "q115_bloom_dedup" ->
-      """WITH fp AS (
-        |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-        |                                    '\s+', ' ', 'g'))) AS f
-        |  FROM documents)
-        |SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
-        |FROM (SELECT * FROM fp WHERE doc_id % 10 = 7) b
-        |ANTI JOIN (SELECT DISTINCT f FROM fp WHERE doc_id % 10 <> 7) c
-        |  ON b.f = c.f
-        |ORDER BY b.doc_id""".stripMargin,
-    "q85_pii_redact" ->
-      """WITH inj AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 <> 2 THEN
-        |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
-        |      CAST(doc_id % 5 AS VARCHAR) || '.com or 555-' ||
-        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
-        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
-        |      CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
-        |      CAST((doc_id * 13) % 256 AS VARCHAR)
-        |    ELSE text END AS text
-        |  FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-        |    '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
-        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS INT) AS n_phones
-        |FROM inj ORDER BY doc_id""".stripMargin,
-    "q86_boilerplate" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
-        |), i AS (
-        |  SELECT doc_id, words,
-        |    unnest(generate_series(0,
-        |      CAST(greatest(ceil(len(words)/4.0), 1) AS BIGINT)-1)) AS g
-        |  FROM w
-        |), b AS (
-        |  SELECT doc_id, g, array_to_string(words[(g*4+1):(g*4+4)], ' ') AS blk FROM i
-        |), bo AS (
-        |  SELECT blk FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 5)
-        |SELECT b.doc_id, count(*) AS n_blocks, count(bo.blk) AS n_dropped,
-        |  coalesce(string_agg(CASE WHEN bo.blk IS NULL THEN b.blk END,
-        |                      ' ' ORDER BY g), '') AS clean_text
-        |FROM b LEFT JOIN bo ON b.blk = bo.blk
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
-    "q87_interval_overlap" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS s,
-        |         epoch_us(ts) + CAST(round(value * 600000000) AS BIGINT) AS e
-        |  FROM events)
-        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
-        |       least(v.e, c.e) - greatest(v.s, c.s) AS overlap_us
-        |FROM (SELECT * FROM e WHERE event_type = 'view') v
-        |JOIN (SELECT * FROM e WHERE event_type = 'click') c
-        |  ON v.user_id = c.user_id AND v.s <= c.e AND c.s <= v.e
-        |ORDER BY view_id, click_id""".stripMargin,
-    "q89_zorder" ->
-      """SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day
-        |FROM events
-        |WHERE user_id BETWEEN 10 AND 20
-        |  AND (epoch_us(ts) // 86400000000) BETWEEN 19730 AND 19739
-        |ORDER BY event_id""".stripMargin,
-    "q90_compact" ->
-      "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id",
-    "q91_vocab_encode" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS token,
-        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
-        |  FROM documents
-        |), cnt AS (
-        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
-        |), vocab AS (
-        |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS id
-        |  FROM (SELECT * FROM cnt ORDER BY cnt DESC, token ASC LIMIT 50)
-        |), enc AS (
-        |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
-        |  FROM tok t LEFT JOIN vocab v USING (token))
-        |SELECT doc_id,
-        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids_str,
-        |  count(*) AS n_tokens,
-        |  count(*) FILTER (id = 0) AS n_oov
-        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q92_winsorize" ->
-      """WITH s AS (
-        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
-        |         quantile_cont(value, 0.99) AS hi
-        |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type,
-        |       ROUND(least(greatest(value, lo), hi), 6) AS value_w
-        |FROM events JOIN s USING (event_type)
-        |ORDER BY event_id""".stripMargin,
-    "q93_curate_corpus" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
-        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-        |red AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-        |      '555-[0-9]{4}', '<PHONE>', 'g') AS text
-        |  FROM corpus),
-        |w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM red),
-        |q AS (
-        |  SELECT doc_id, text, words FROM (
-        |    SELECT doc_id, text, words, len(words) AS n,
-        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)/len(words) AS mwl,
-        |      CAST(len(list_filter(words, t -> list_contains(['the','a','an','and','of','is','in','to'], t))) AS DOUBLE)/len(words) AS stopr,
-        |      CAST(len(list_distinct(words)) AS DOUBLE)/len(words) AS distr
-        |    FROM w)
-        |  WHERE n BETWEEN 20 AND 80 AND mwl >= 4.2 AND mwl <= 4.8
-        |    AND stopr >= 0.02 AND distr >= 0.35),
-        |d AS (
-        |  SELECT doc_id, text, words FROM q
-        |  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
-        |gi AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS g
-        |       FROM d WHERE len(words) >= 3),
-        |gr AS (SELECT doc_id, array_to_string(words[g:g+2], ' ') AS ng FROM gi),
-        |bw AS (SELECT string_split_regex(trim(text), '\s+') AS words FROM bench),
-        |bgi AS (SELECT words, unnest(generate_series(1, len(words)-2)) AS g
-        |        FROM bw WHERE len(words) >= 3),
-        |bgr AS (SELECT DISTINCT array_to_string(words[g:g+2], ' ') AS ng FROM bgi),
-        |contam AS (
-        |  SELECT dg.doc_id, CAST(count(b.ng) AS DOUBLE)/count(*) AS cf
-        |  FROM (SELECT DISTINCT doc_id, ng FROM gr) dg LEFT JOIN bgr b ON dg.ng = b.ng
-        |  GROUP BY 1),
-        |clean AS (
-        |  SELECT d.doc_id, d.words FROM d LEFT JOIN contam USING (doc_id)
-        |  WHERE coalesce(cf, 0) < 0.2),
-        |ci AS (SELECT doc_id, words,
-        |  unnest(generate_series(0,
-        |    CAST(greatest(ceil((len(words)-16)/48.0), 1) AS BIGINT)-1)) AS g
-        |  FROM clean)
-        |SELECT doc_id, CAST(g AS INT) AS chunk_idx,
-        |  array_to_string(words[(g*48+1):(g*48+64)], ' ') AS chunk_text,
-        |  len(words[(g*48+1):(g*48+64)]) AS n_words
-        |FROM ci ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q94_upsert" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
-        |       ELSE o_totalprice END AS o_totalprice,
-        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version
-        |FROM orders
-        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 13 = 0)
-        |ORDER BY o_orderkey""".stripMargin,
-    "q95_minmax_scale" ->
-      """WITH s AS (
-        |  SELECT event_type, min(value) AS mn, max(value) AS mx
-        |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, value,
-        |  CASE WHEN mx > mn THEN (value - mn) / (mx - mn) ELSE 0.0 END AS value_scaled
-        |FROM events JOIN s USING (event_type)
-        |ORDER BY event_id""".stripMargin,
-    "q96_pack_sequences" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
-        |), i AS (
-        |  SELECT doc_id, words,
-        |    unnest(generate_series(0,
-        |      CAST(greatest(ceil((len(words) - 16) / 48.0), 1) AS BIGINT) - 1)) AS g
-        |  FROM w
-        |), ch AS (
-        |  SELECT doc_id, CAST(g AS INT) AS chunk_idx,
-        |    array_to_string(words[(g*48+1):(g*48+64)], ' ') AS chunk_text,
-        |    len(words[(g*48+1):(g*48+64)]) AS n_words
-        |  FROM i
-        |), p AS (
-        |  SELECT doc_id, chunk_idx, chunk_text, n_words,
-        |    SUM(n_words) OVER (ORDER BY doc_id, chunk_idx
-        |        ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM ch)
-        |SELECT CAST((cum - 1) // 256 AS BIGINT) AS seq_id,
-        |  count(*) AS n_chunks, CAST(sum(n_words) AS BIGINT) AS n_words,
-        |  string_agg(chunk_text, ' <eos> ' ORDER BY doc_id, chunk_idx) AS seq_text
-        |FROM p GROUP BY 1 ORDER BY seq_id""".stripMargin
   )
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.DataFrame
   * the bucket key).
   *
   * Reference behavior: wrds2pg materializes plain tables and indexes
-  * downstream in PostgreSQL (wrds2pg/wrds2pg.py:553 wrds_update); bucketing
+  * downstream in PostgreSQL (wrds2pg/api.py:37 wrds_update); bucketing
   * is the Spark-native equivalent of "build the index at load time".
   */
 object Bucketing {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * stage of LLM data pipelines (GPT-3 / LLaMA filter crawled pages by a
   * linear classifier trained to recognize a trusted corpus; CCNet ships
   * the same idea as fastText). The reference has no classifier surface
-  * (wrds2pg/wrds2pg.py:553 copies tables whole); this is part of the
+  * (wrds2pg/api.py:37 wrds_update copies tables whole); this is part of the
   * training-data-pipeline extension.
   *
   * The trainer is multinomial Naive Bayes with add-½ smoothing — the

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * measurement, fixed-size chunking, and weighted domain mixing.
   *
   * Reference behavior: wrds2pg has no curation surface (it copies tables
-  * whole, wrds2pg/wrds2pg.py:553 wrds_update); these are part of the
+  * whole, wrds2pg/api.py:37 wrds_update); these are part of the
   * training-data-pipeline extension surface, shaped for 100 TB corpora:
   *
   *  - `qualityFlags` and `chunkWords` are pure codegen'd projections — zero

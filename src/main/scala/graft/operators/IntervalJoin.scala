@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * `binWidth` tunes the emit-factor vs candidate-density trade: pick it
   * near the typical interval length so most intervals emit O(1) rows and
   * bins hold few candidates. Reference has no interval surface
-  * (wrds2pg/wrds2pg.py copies tables whole); this generalizes the
+  * (wrds2pg/api.py:37 wrds_update copies tables whole); this generalizes the
   * point-in-interval lookup (q57, rewritten to as-of) to true
   * interval × interval overlap, which as-of cannot express.
   */

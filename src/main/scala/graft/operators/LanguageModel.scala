@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * filter (Wenzek et al., LREC 2020: a small LM trained on a trusted
   * corpus scores every crawled document; high perplexity ⇒ far from the
   * target distribution ⇒ drop or down-weight). The reference has no LM
-  * surface (it copies tables whole, wrds2pg/wrds2pg.py:553); this is part
+  * surface (it copies tables whole, wrds2pg/api.py:37); this is part
   * of the training-data-pipeline extension, shaped for 100 TB corpora.
   *
   * Model: add-½ ("Jeffreys") smoothed bigram LM over whitespace tokens,

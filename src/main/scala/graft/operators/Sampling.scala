@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * the product stays below 2^63 for any id (no overflow wrap to depend on).
   *
   * Reference behavior: wrds2pg has no sampling surface (it copies tables
-  * whole, wrds2pg/wrds2pg.py:553 wrds_update); this is part of the
+  * whole, wrds2pg/api.py:37 wrds_update); this is part of the
   * training-data-pipeline extension surface.
   */
 object Sampling {

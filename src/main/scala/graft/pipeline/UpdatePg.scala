@@ -4,7 +4,7 @@ import graft.sinks.{CsvSink, JdbcSink, PgCopy}
 import org.apache.spark.sql.DataFrame
 
 /** The reference's headline verb end-to-end: `wrds_update` into PostgreSQL
-  * (wrds2pg/wrds2pg.py:553 wrds_update → wrds_to_pg).
+  * (wrds2pg/api.py:37 wrds_update → wrds_to_pg).
   *
   * Control flow matches the reference exactly: read the stamp stored as the
   * PG table's comment (`obj_description`), skip when it equals the source's

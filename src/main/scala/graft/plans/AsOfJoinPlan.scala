@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * [[AsOfMergeJoinExec]] single-pass streaming merge.
   *
   * Reference behavior: wrds2pg materializes point-in-time research tables by
-  * converting SAS `proc sql` joins (wrds2pg/wrds2pg.py:409 get_wrds_sas);
+  * converting SAS `proc sql` joins (wrds2pg/sas/codegen.py:5 get_wrds_sas);
   * the as-of shape is the canonical downstream query on such tables.
   */
 /** @param isInner   drop left rows with no as-of match (DuckDB `ASOF JOIN`

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.broadcast
   * out of scope here.
   *
   * Reference behavior: wrds2pg refreshes point-in-time research tables in
-  * batch (wrds2pg/wrds2pg.py:553 wrds_update); this operator is the
+  * batch (wrds2pg/api.py:37 wrds_update); this operator is the
   * continuous version of the same enrichment.
   */
 object StreamingAsOf {
