@@ -18,6 +18,28 @@ private[graft] trait QueriesSas extends QueryHelpers {
 
   // ---------------------------------------------------------------- §2.1
 
+  /** Native WARC crawl-archive ingest (ISO 28500 — the Common Crawl
+    * boundary, the training-pipeline entry point the text stack consumes):
+    * plain and per-record-gzip member layouts, length-driven payload
+    * parsing (bodies legally contain the record delimiter), HTTP
+    * head/body split for response/request records, one task per file.
+    * Oracle: an independent spec-driven python re-parser's expected-value
+    * CSV (tools/make_warc_fixtures.py); composition with stripHtml and
+    * refusal paths are spec-pinned. */
+  def q137WarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = Seq(
+      "src/test/resources/warc", "/root/repo/src/test/resources/warc")
+      .map(new java.io.File(_)).find(_.exists())
+      .getOrElse(sys.error("warc fixture dir not found")).getAbsolutePath
+    graft.sources.Warc.read(spark, fixture)
+      .select(col("record_id"), col("warc_type"), col("target_uri"),
+        col("warc_date"), col("content_length"), col("http_status"),
+        col("http_content_type"),
+        md5(col("body")).as("body_md5"),
+        length(col("body")).cast("long").as("body_bytes"))
+      .orderBy("record_id")
+  }
+
   /** keep= with prefix wildcards + rename= (SasOptions). */
   def q01SasKeepRename(spark: SparkSession, dir: String): DataFrame =
     SasOptions.apply(

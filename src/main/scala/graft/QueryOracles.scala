@@ -150,6 +150,16 @@ private[graft] trait QueryOracles extends AnyRef {
          |  columns={'id': 'DOUBLE', 'ratio': 'DOUBLE',
          |           'name': 'VARCHAR', 'flag': 'VARCHAR'})
          |WHERE ratio IS NOT NULL ORDER BY id""".stripMargin,
+    "q137_warc_ingest" ->
+      s"""SELECT record_id, warc_type, target_uri, warc_date, content_length,
+         |       http_status, http_content_type, body_md5, body_bytes
+         |FROM read_csv('$fixtureDir/warc_expected.csv', header=true,
+         |  columns={'record_id': 'VARCHAR', 'warc_type': 'VARCHAR',
+         |           'target_uri': 'VARCHAR', 'warc_date': 'TIMESTAMP',
+         |           'content_length': 'BIGINT', 'http_status': 'INTEGER',
+         |           'http_content_type': 'VARCHAR', 'body_md5': 'VARCHAR',
+         |           'body_bytes': 'BIGINT'})
+         |ORDER BY record_id""".stripMargin,
     "q127_pagerank" -> pageRankOracle(5),
     // q129 is q31's exact output via the lossless prefix filter — same oracle
     "q129_jaccard_prefix" -> ngramJaccardOracle,

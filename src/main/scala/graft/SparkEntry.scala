@@ -164,6 +164,7 @@ object Queries
     "q120_bm25" -> q120Bm25 _,
     "q130_text_index" -> q130TextIndex _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
+    "q137_warc_ingest" -> q137WarcIngest _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
     "q102_contam_spans" -> q102ContamSpans _,

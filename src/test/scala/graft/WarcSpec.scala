@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.Warc
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the WARC reader against generator fixtures that an INDEPENDENT
+  * spec-driven re-parser validated at generation time
+  * (tools/make_warc_fixtures.py) — plain and per-record-gzip layouts. */
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = new java.io.File("src/test/resources/warc").getAbsolutePath
+
+  private def rid(n: Int) = f"<urn:uuid:00000000-0000-0000-0000-${n}%012d>"
+
+  test("reads plain + gzip member files; one task per file; all records decode") {
+    val df = Warc.read(spark, dir)
+    assert(df.rdd.getNumPartitions == 2, "one task per file")
+    val rows = df.orderBy("record_id").collect()
+    assert(rows.length == 7)
+    val byId = rows.map(r => r.getString(1) -> r).toMap
+    // warcinfo: no HTTP split, raw payload
+    val info = byId(rid(1))
+    assert(info.getString(0) == "warcinfo")
+    assert(info.get(6) == null && info.get(7) == null)
+    assert(new String(info.getAs[Array[Byte]](8), "UTF-8").startsWith("software: graft-fixture"))
+    // HTML response: status/content-type split off, UTF-8 body intact
+    val html = byId(rid(2))
+    assert(html.getInt(6) == 200)
+    assert(html.getString(7) == "text/html; charset=utf-8")
+    val body = new String(html.getAs[Array[Byte]](8), "UTF-8")
+    assert(body.contains("Página uno") && body.startsWith("<html>"))
+    assert(html.getString(3) == "http://example.com/one")
+    assert(html.getTimestamp(2).toInstant == java.time.Instant.parse("2026-08-14T10:00:01Z"))
+    // the length-driven guarantee: a body containing \r\n\r\n survives whole
+    assert(new String(byId(rid(3)).getAs[Array[Byte]](8), "UTF-8")
+      == "first\r\n\r\nsecond\r\n\r\nthird")
+    // request records split the HTTP head too (no status line -> null status)
+    val req = byId(rid(4))
+    assert(req.getString(0) == "request" && req.get(6) == null)
+    // 404 and empty-body records
+    assert(byId(rid(5)).getInt(6) == 404)
+    assert(byId(rid(6)).getAs[Array[Byte]](8).length == 0)
+  }
+
+  test("htmlDocs keeps only 200 text/html responses, decoded as strings") {
+    val docs = Warc.htmlDocs(spark, dir).orderBy("record_id").collect()
+    assert(docs.map(_.getString(0)).toSeq == Seq(rid(2), rid(6)))
+    assert(docs.head.getString(3).contains("Hello crawl world &amp; friends"))
+  }
+
+  test("oversized records refuse loudly instead of buffering unbounded") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, dir, maxRecordBytes = 16).collect()
+    }
+    assert(e.getCause != null &&
+      String.valueOf(e.getCause.getMessage).contains("maxRecordBytes"),
+      String.valueOf(e.getCause))
+  }
+
+  test("crawl-to-corpus composition: htmlDocs feeds stripHtml") {
+    val clean = graft.operators.Curation.stripHtml(
+      Warc.htmlDocs(spark, dir), "html", "clean_text")
+      .where(length(col("clean_text")) > 0)
+      .select("record_id", "clean_text").collect()
+    assert(clean.length == 1)
+    assert(clean.head.getString(1) == "Página uno Hello crawl world & friends")
+  }
+}
