@@ -862,4 +862,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(last.getLong(1) - 9000L).toDouble / 9000 < 0.1,
       s"distinct estimate ${last.getLong(1)} too far from 9000")
   }
+
+  test("streaming WARC ingest: segments to deduped clean-text corpus, replay + re-announce safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warcDir = new java.io.File("src/test/resources/warc").getAbsolutePath
+    val a = s"$warcDir/sample_a.warc"
+    val b = s"$warcDir/sample_b.warc.gz"
+    val corpus = java.nio.file.Files.createTempDirectory("graft-warc-ingest").toString
+    def docs() = spark.read.parquet(corpus)
+      .select("record_id", "text").as[(String, String)].collect().toMap
+
+    val input = MemoryStream[String]
+    val q = graft.streaming.StreamingWarcIngest.ingestHtml(input.toDF(), corpus)
+    try {
+      input.addData(a)
+      q.processAllAvailable()
+      val after1 = docs()
+      // sample_a holds ONE non-empty 200 text/html response (record 2)
+      assert(after1.keySet == Set("<urn:uuid:00000000-0000-0000-0000-000000000002>"),
+        s"got ${after1.keySet}")
+      assert(after1.values.head == "Página uno Hello crawl world & friends")
+      // batch 2: segment b (empty-body html response only -> its clean text
+      // is "", a fresh fingerprint) plus segment a RE-ANNOUNCED — the
+      // at-least-once queue case; a's docs must not duplicate
+      input.addData(b, a)
+      q.processAllAvailable()
+      val after2 = docs()
+      assert(after2.keySet == Set(
+        "<urn:uuid:00000000-0000-0000-0000-000000000002>",
+        "<urn:uuid:00000000-0000-0000-0000-000000000006>"), s"got ${after2.keySet}")
+    } finally q.stop()
+
+    // crash-window replay: re-running a committed batch converges (the
+    // StreamingIngest discipline, driven through the WARC twin)
+    val before = docs()
+    graft.streaming.StreamingWarcIngest.processBatch(
+      Seq(a).toDF("value"), 0L, corpus, 64 << 20)
+    assert(docs() == before, "replay must not change the corpus")
+  }
 }
