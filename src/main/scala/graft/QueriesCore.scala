@@ -379,6 +379,32 @@ private[graft] trait QueriesCore extends QueryHelpers {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Mergeable quantile SKETCH (deterministic KLL/MRL compactors with a
+    * self-certified rank bound — functions.QuantileSketchAgg): per-group
+    * distribution profile where q46's exact percentile would shuffle
+    * every value at 100 TB; state is ≤ k·log2(n/k) doubles per partial,
+    * merged map-side. k exceeds every tested SF's row count → the
+    * certificate reads is_exact and the answers are the plain
+    * nearest-rank quantiles (exact-regime SQL oracle, the KMV q131
+    * pattern); the estimator regime is spec-pinned against its own
+    * certificate. */
+  def q138QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    t(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(graft.functions.QuantileSketch.sketch(
+        col("value").cast("double"), k = 1 << 17, probs).as("s"))
+      .select(col("event_type"), col("s.n").as("n"),
+        col("s.max_rank_err").as("max_rank_err"),
+        col("s.is_exact").as("is_exact"),
+        round(col("s.qs").getItem(0), 6).as("q10"),
+        round(col("s.qs").getItem(1), 6).as("q50"),
+        round(col("s.qs").getItem(2), 6).as("q90"),
+        round(col("s.qs").getItem(3), 6).as("q99"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-width histogram over a value column: bin ids + counts are pure
     * integer/deterministic arithmetic off a broadcast (min, max) scalar. */
   def q47Histogram(spark: SparkSession, dir: String): DataFrame = {

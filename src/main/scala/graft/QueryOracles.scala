@@ -440,6 +440,22 @@ private[graft] trait QueryOracles extends AnyRef {
       """SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q138_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(0 AS BIGINT) AS max_rank_err, TRUE AS is_exact,
+        |       round(min(CASE WHEN rn >= ceil(0.1 * n) THEN x END), 6) AS q10,
+        |       round(min(CASE WHEN rn >= ceil(0.5 * n) THEN x END), 6) AS q50,
+        |       round(min(CASE WHEN rn >= ceil(0.9 * n) THEN x END), 6) AS q90,
+        |       round(min(CASE WHEN rn >= ceil(0.99 * n) THEN x END), 6) AS q99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q46_percentiles" ->
       """SELECT o_orderpriority,
         |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -84,6 +84,7 @@ object Queries
     "q28_count_distinct" -> q28CountDistinct _,
     "q29_salted_join" -> q29SaltedJoin _,
     "q46_percentiles" -> q46Percentiles _,
+    "q138_quantile_sketch" -> q138QuantileSketch _,
     "q47_histogram" -> q47Histogram _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_dedup_ngram" -> q31DedupNgram _,

@@ -1,0 +1,244 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Mergeable quantile-sketch buffer: a KLL/MRL-style compactor hierarchy
+  * (Karnin/Lang/Liberman FOCS 2016; Manku/Rajagopalan/Lindsay SIGMOD
+  * 1998 for the deterministic compactor) with DETERMINISTIC alternating
+  * parity instead of coin flips, and a SELF-CERTIFIED rank-error bound:
+  * compacting a sorted weight-2^i buffer to alternate elements shifts any
+  * rank by at most 2^i, so `errBound += 2^i` per compaction is a sound
+  * worst-case certificate carried in the state — the sketch REPORTS how
+  * wrong it can be (the [[Kmv]]/[[MisraGries]] certify-or-refuse house
+  * rule), and `errBound == 0` certifies exact answers.
+  */
+private[functions] final class QSketch(val k: Int) extends Serializable {
+  var n: Long = 0L
+  var errBound: Long = 0L
+  /** level i holds weight-2^i items; buffers stay unsorted until compaction */
+  var levels: Array[Array[Double]] = Array(new Array[Double](k))
+  var sizes: Array[Int] = Array(0)
+  var parity: Array[Boolean] = Array(false)
+
+  private def ensureLevel(i: Int): Unit =
+    if (i >= levels.length) {
+      levels = levels.padTo(i + 1, null).zipWithIndex
+        .map { case (b, j) => if (b == null) new Array[Double](k) else b }
+      sizes = sizes.padTo(i + 1, 0)
+      parity = parity.padTo(i + 1, false)
+    }
+
+  def insert(v: Double): Unit = {
+    levels(0)(sizes(0)) = v
+    sizes(0) += 1
+    n += 1
+    if (sizes(0) >= k) compact(0)
+  }
+
+  /** Sort level `i`, promote alternate elements to level i+1, flip parity,
+    * charge 2^i to the certificate; cascade if i+1 fills. */
+  def compact(i: Int): Unit = {
+    val m = sizes(i)
+    if (m < 2) return
+    java.util.Arrays.sort(levels(i), 0, m)
+    ensureLevel(i + 1)
+    // weight conservation: pairs over [0, even) promote one element each
+    // (double weight); an odd LAST element stays at level i untouched —
+    // promoting it too would inflate total weight by 2^i
+    val even = m - (m % 2)
+    val start = if (parity(i)) 1 else 0
+    parity(i) = !parity(i)
+    var j = start
+    while (j < even) {
+      levels(i + 1)(sizes(i + 1)) = levels(i)(j)
+      sizes(i + 1) += 1
+      j += 2
+    }
+    if (m % 2 == 1) {
+      levels(i)(0) = levels(i)(m - 1)
+      sizes(i) = 1
+    } else sizes(i) = 0
+    errBound += 1L << i
+    if (sizes(i + 1) >= k) compact(i + 1)
+  }
+
+  def mergeIn(o: QSketch): Unit = {
+    require(o.k == k, s"cannot merge quantile sketches with k=${o.k} into k=$k")
+    n += o.n
+    errBound += o.errBound
+    var i = 0
+    while (i < o.levels.length) {
+      ensureLevel(i)
+      var j = 0
+      while (j < o.sizes(i)) {
+        if (sizes(i) >= k) compact(i)
+        levels(i)(sizes(i)) = o.levels(i)(j)
+        sizes(i) += 1
+        j += 1
+      }
+      if (sizes(i) >= k) compact(i)
+      i += 1
+    }
+  }
+
+  /** (value, weight) pairs sorted by value. */
+  def weighted(): (Array[Double], Array[Long]) = {
+    var total = 0
+    var i = 0
+    while (i < sizes.length) { total += sizes(i); i += 1 }
+    val vs = new Array[Double](total)
+    val ws = new Array[Long](total)
+    var o = 0
+    i = 0
+    while (i < sizes.length) {
+      var j = 0
+      while (j < sizes(i)) {
+        vs(o) = levels(i)(j); ws(o) = 1L << i; o += 1; j += 1
+      }
+      i += 1
+    }
+    val idx = (0 until total).toArray.sortBy(vs)
+    (idx.map(vs), idx.map(ws))
+  }
+}
+
+/** Native quantile-sketch aggregate `graft_quantiles(x, k, probs)`:
+  * state is ≤ k·log2(n/k) doubles per partial (merges map-side), the
+  * answer is the lower nearest-rank quantile for each requested
+  * probability, and the output CARRIES the certificate — (n,
+  * max_rank_err, is_exact, qs): every reported quantile's true rank is
+  * within ±max_rank_err of its target, and `is_exact` (no compaction
+  * anywhere) certifies exact nearest-rank answers — which is what makes
+  * the operator oracle-checkable at test scale while the estimator
+  * regime is spec-pinned against its own certificate.
+  *
+  * Deterministic by construction (alternating-parity compaction, no
+  * coin flips): same data in the same partition layout reproduces
+  * bit-identically; across layouts only the certificate's guarantee is
+  * portable (the [[MisraGries]] counter-values caveat).
+  */
+case class QuantileSketchAgg(
+    child: Expression,
+    k: Int,
+    probs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 4 && k % 2 == 0, s"need even k >= 4, got $k")
+  require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+    s"probabilities must lie in (0, 1], got $probs")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double column (cast first), got ${child.dataType.catalogString}")
+    }
+
+  override def prettyName: String = "graft_quantiles"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("max_rank_err", LongType, nullable = false),
+    StructField("is_exact", BooleanType, nullable = false),
+    StructField("qs", ArrayType(DoubleType, containsNull = true), nullable = false)))
+
+  override def createAggregationBuffer(): QSketch = new QSketch(k)
+
+  override def update(buf: QSketch, input: InternalRow): QSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: QSketch, b2: QSketch): QSketch = { b1.mergeIn(b2); b1 }
+
+  override def eval(buf: QSketch): Any = {
+    val (vs, ws) = buf.weighted()
+    val qs = new Array[Any](probs.length)
+    var pi = 0
+    while (pi < probs.length) {
+      if (buf.n == 0L) qs(pi) = null
+      else {
+        // lower nearest-rank: smallest value whose cumulative weight
+        // reaches ceil(p * n)
+        val target = math.ceil(probs(pi) * buf.n).toLong.max(1L)
+        var cum = 0L
+        var i = 0
+        var ans = vs.lastOption.getOrElse(Double.NaN)
+        var found = false
+        while (i < vs.length && !found) {
+          cum += ws(i)
+          if (cum >= target) { ans = vs(i); found = true }
+          i += 1
+        }
+        qs(pi) = ans
+      }
+      pi += 1
+    }
+    InternalRow(buf.n, buf.errBound, buf.errBound == 0L, new GenericArrayData(qs))
+  }
+
+  override def serialize(buf: QSketch): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.k); out.writeLong(buf.n); out.writeLong(buf.errBound)
+    out.writeInt(buf.levels.length)
+    var i = 0
+    while (i < buf.levels.length) {
+      out.writeInt(buf.sizes(i)); out.writeBoolean(buf.parity(i))
+      var j = 0
+      while (j < buf.sizes(i)) { out.writeDouble(buf.levels(i)(j)); j += 1 }
+      i += 1
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): QSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val kk = in.readInt()
+    val buf = new QSketch(kk)
+    buf.n = in.readLong(); buf.errBound = in.readLong()
+    val nl = in.readInt()
+    buf.levels = Array.fill(nl)(new Array[Double](kk))
+    buf.sizes = new Array[Int](nl)
+    buf.parity = new Array[Boolean](nl)
+    var i = 0
+    while (i < nl) {
+      buf.sizes(i) = in.readInt(); buf.parity(i) = in.readBoolean()
+      var j = 0
+      while (j < buf.sizes(i)) { buf.levels(i)(j) = in.readDouble(); j += 1 }
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchAgg =
+    copy(child = newChild)
+}
+
+object QuantileSketch {
+  /** Aggregate column: (n, max_rank_err, is_exact, qs[...]) — the lower
+    * nearest-rank quantile per probability with a sound worst-case rank
+    * certificate. Composes with `groupBy`. */
+  def sketch(x: Column, k: Int, probs: Seq[Double]): Column =
+    ColumnShim.column(
+      QuantileSketchAgg(ColumnShim.expression(x), k, probs).toAggregateExpression())
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.QuantileSketch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantileSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val probs = Seq(0.1, 0.5, 0.9, 1.0)
+
+  /** Driver-side lower nearest-rank quantile. */
+  private def exactQ(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s((math.ceil(p * s.length).toLong.max(1L) - 1).toInt)
+  }
+
+  test("exact regime: k > n certifies is_exact and equals nearest-rank quantiles") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val xs = Seq.fill(500)(rnd.nextDouble() * 100 - 50)
+    val df = xs.toDF("x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.agg(QuantileSketch.sketch(col("x"), k = 1024, probs).as("s"))
+        .select("s.n", "s.max_rank_err", "s.is_exact", "s.qs").head()
+    val r = run(df)
+    assert(r.getLong(0) == 500 && r.getLong(1) == 0L && r.getBoolean(2))
+    val qs = r.getSeq[Double](3)
+    probs.zipWithIndex.foreach { case (p, i) =>
+      assert(qs(i) == exactQ(xs, p), s"p=$p")
+    }
+    // repartitioning only reroutes merges; the exact regime stays exact
+    val r7 = run(df.repartition(7))
+    assert(r7.getBoolean(2) && r7.getSeq[Double](3) == qs)
+  }
+
+  test("estimator regime: the self-certified rank bound holds and is useful") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(100000)(rnd.nextGaussian() * 10)
+    val r = xs.toDF("x").repartition(16)
+      .agg(QuantileSketch.sketch(col("x"), k = 256, probs).as("s"))
+      .select("s.n", "s.max_rank_err", "s.is_exact", "s.qs").head()
+    val n = r.getLong(0)
+    val err = r.getLong(1)
+    assert(n == 100000 && !r.getBoolean(2) && err > 0)
+    assert(err.toDouble / n <= 0.05, s"certificate too weak to be useful: $err/$n")
+    val sorted = xs.sorted
+    val qs = r.getSeq[Double](3)
+    probs.zipWithIndex.foreach { case (p, i) =>
+      // true rank of the reported value must lie within ±err of the target
+      val target = math.ceil(p * n).toLong.max(1L)
+      val lo = sorted.count(_ < qs(i)).toLong + 1 // lowest rank holding the value
+      val hi = sorted.count(_ <= qs(i)).toLong
+      assert(lo - err <= target && target <= hi + err,
+        s"p=$p reported=${qs(i)} true-rank=[$lo,$hi] target=$target err=$err")
+    }
+    // weight conservation: the p=1.0 answer is a real value whose true
+    // rank reaches within the certificate of n — an inflated weight total
+    // would stop early, a deflated one would fall off the end
+    assert(qs.last <= sorted.last)
+    assert(sorted.count(_ <= qs.last).toLong >= n - err,
+      s"p=1.0 answer rank ${sorted.count(_ <= qs.last)} not within $err of n=$n")
+  }
+
+  test("per-group sketches, null handling, empty groups") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(10.0))).toDF("g", "x")
+      .select(col("g"), col("x").cast("double").as("x"))
+    val out = df.groupBy("g")
+      .agg(QuantileSketch.sketch(col("x"), k = 16, Seq(0.5)).as("s"))
+      .select(col("g"), col("s.n"), col("s.qs").getItem(0).as("q50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("a") == ((3L, 2.0))) // null skipped; median of 1,2,3
+    assert(out("b") == ((1L, 10.0)))
+    // all-null group: n = 0, quantile null
+    val empty = Seq(("c", null.asInstanceOf[java.lang.Double])).toDF("g", "x")
+      .groupBy("g").agg(QuantileSketch.sketch(col("x"), k = 16, Seq(0.5)).as("s"))
+      .select(col("s.n"), col("s.qs").getItem(0)).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
+  test("type and parameter validation refuse loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0).toDF("x")
+    intercept[IllegalArgumentException](QuantileSketch.sketch(col("x"), 3, Seq(0.5)))
+    intercept[IllegalArgumentException](QuantileSketch.sketch(col("x"), 16, Seq(0.0)))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("s").toDF("x").agg(QuantileSketch.sketch(col("x"), 16, Seq(0.5))).head()
+    }
+    assert(e.getMessage.contains("double"))
+  }
+}
