@@ -54,6 +54,24 @@ private[graft] trait QueriesText extends QueryHelpers {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** REAL image pipeline (multimodal.Images — JDK ImageIO, no stub):
+    * per-doc procedural 32x24 PNG payloads decode back through the real
+    * codec and reduce to exact integer features — channel sums and the
+    * 64-bit block-luma aHash (split into two unsigned 32-bit halves so
+    * no engine needs a sign-wrapping 1<<63). PNG is lossless, so DuckDB
+    * recomputing the pattern ARITHMETICALLY must match features computed
+    * from decoded pixels — the oracle proves the codec round-trip. */
+  def q139ImageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = graft.multimodal.Images.withPatternPayload(
+      t(spark, dir, "documents"), "doc_id", w = 32, h = 24)
+    graft.multimodal.Images.imageFeatures(imgs, "doc_id", "payload")
+      .select(col("doc_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
     * 16-byte signature per payload (decode stubbed; shape/batching real). */
   def q72Resize(spark: SparkSession, dir: String): DataFrame =

@@ -440,6 +440,39 @@ private[graft] trait QueryOracles extends AnyRef {
       """SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the pattern definition (not code) shared with multimodal.Images:
+    // r=(7x+3y+id)%256, g=(5x+11y+2id)%256, b=(13x+y+3id)%256 over 32x24;
+    // blocks are 4x3 pixels (8x8 grid), luma = 299r+587g+114b, bit j set
+    // iff blockLuma*64 > total — all integer, split hi/lo to avoid 1<<63
+    "q139_image_features" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, tx.range AS x, ty.range AS y,
+        |         (7 * tx.range + 3 * ty.range + d.doc_id) % 256 AS r,
+        |         (5 * tx.range + 11 * ty.range + 2 * d.doc_id) % 256 AS g,
+        |         (13 * tx.range + ty.range + 3 * d.doc_id) % 256 AS b
+        |  FROM documents d CROSS JOIN range(0, 32) tx CROSS JOIN range(0, 24) ty),
+        |blk AS (
+        |  SELECT doc_id, (y // 3) * 8 + (x // 4) AS j,
+        |         sum(299 * r + 587 * g + 114 * b) AS luma
+        |  FROM px GROUP BY doc_id, j),
+        |tot AS (SELECT doc_id, sum(luma) AS total FROM blk GROUP BY doc_id),
+        |sums AS (
+        |  SELECT doc_id, sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+        |  FROM px GROUP BY doc_id),
+        |hashes AS (
+        |  SELECT b.doc_id,
+        |    sum(CASE WHEN b.luma * 64 > t.total AND b.j >= 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(b.j - 32 AS INT)) ELSE 0 END) AS ahash_hi,
+        |    sum(CASE WHEN b.luma * 64 > t.total AND b.j < 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(b.j AS INT)) ELSE 0 END) AS ahash_lo
+        |  FROM blk b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+        |SELECT s.doc_id, 32 AS width, 24 AS height,
+        |       CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+        |       CAST(s.sum_b AS BIGINT) AS sum_b,
+        |       CAST(h.ahash_hi AS BIGINT) AS ahash_hi,
+        |       CAST(h.ahash_lo AS BIGINT) AS ahash_lo
+        |FROM sums s JOIN hashes h USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "q138_quantile_sketch" ->
       """WITH v AS (
         |  SELECT event_type, CAST(value AS DOUBLE) AS x FROM events

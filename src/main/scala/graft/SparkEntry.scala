@@ -175,6 +175,7 @@ object Queries
     "q70_binary_features" -> q70BinaryFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
+    "q139_image_features" -> q139ImageFeatures _,
     "q73_frame_overlap" -> q73FrameOverlap _
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.multimodal.Images
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL image path: JDK ImageIO decode, integer feature math, actual
+  * pixel resizes — driver-model differential everywhere (the pattern is
+  * re-derived arithmetically, never through the codec under test). */
+class ImagesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def px(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((7L * x + 3L * y + id) % 256).toInt,
+    ((5L * x + 11L * y + 2 * id) % 256).toInt,
+    ((13L * x + y + 3 * id) % 256).toInt)
+
+  test("PNG round-trip is lossless: features equal the arithmetic model") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(1L, 2L, 97L)
+    val feats = Images.imageFeatures(
+      Images.withPatternPayload(ids.toDF("doc_id"), "doc_id", 32, 24),
+      "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val blocks = new Array[Long](64)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val (r, g, b) = px(id, x, y)
+        sr += r; sg += g; sb += b
+        blocks((y / 3) * 8 + (x / 4)) += 299L * r + 587L * g + 114L * b
+      }
+      val total = blocks.sum
+      var hash = 0L
+      for (j <- 0 until 64) if (blocks(j) * 64L > total) hash |= (1L << j)
+      val row = feats(id)
+      assert(row.getInt(1) == 32 && row.getInt(2) == 24)
+      assert((row.getLong(3), row.getLong(4), row.getLong(5)) == ((sr, sg, sb)), s"id=$id sums")
+      assert(row.getLong(9) == hash, s"id=$id ahash")
+      assert(row.getDouble(6) == math.rint(sr.toDouble / 768 * 1e6) / 1e6)
+    }
+  }
+
+  test("resize samples exact nearest-neighbor source pixels and re-encodes losslessly") {
+    val s = spark
+    import s.implicits._
+    val resized = Images.resize(
+      Images.withPatternPayload(Seq(5L).toDF("doc_id"), "doc_id", 32, 24),
+      "doc_id", "payload", targetW = 8, targetH = 8)
+    val row = resized.head()
+    assert(row.getInt(2) == 8 && row.getInt(3) == 8)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (r, g, b) = px(5L, x * 32 / 8, y * 24 / 8)
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) == ((r, g, b)),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("non-image payloads and bad geometry refuse loudly") {
+    val s = spark
+    import s.implicits._
+    val junk = Seq((1L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Images.imageFeatures(junk, "doc_id", "payload").collect()
+    }
+    assert(String.valueOf(e.getCause.getMessage).contains("not a decodable image"))
+    val odd = Images.withPatternPayload(Seq(1L).toDF("doc_id"), "doc_id", 30, 24)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Images.imageFeatures(odd, "doc_id", "payload").collect()
+    }
+    assert(String.valueOf(e2.getCause.getMessage).contains("divisible by 8"))
+  }
+
+  test("ahash feeds the existing hamming near-dup machinery on real pixels") {
+    val s = spark
+    import s.implicits._
+    // two ids whose patterns differ only by a tiny id offset share most
+    // blocks; a distant id should differ more. Sanity: hashes exist and
+    // close ids are closer in hamming than far ones ON AVERAGE.
+    val feats = Images.imageFeatures(
+      Images.withPatternPayload((1L to 40L).toDF("doc_id"), "doc_id", 32, 24),
+      "doc_id", "payload")
+      .select("doc_id", "ahash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = (1L to 39L).map(i => ham(feats(i), feats(i + 1))).sum / 39.0
+    val far = (1L to 20L).map(i => ham(feats(i), feats(i + 20))).sum / 20.0
+    assert(near <= far + 8, s"near=$near far=$far") // weak sanity, pattern-dependent
+    assert(feats.values.toSet.size > 1)
+  }
+}
