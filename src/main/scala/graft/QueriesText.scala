@@ -72,6 +72,26 @@ private[graft] trait QueriesText extends QueryHelpers {
       .orderBy("doc_id")
   }
 
+  /** Perceptual near-dup IMAGE pairs on real decoded pixels: patterns
+    * seeded by doc_id % 97 give controlled duplicate clusters; hashes come
+    * off the actual PNG decode, candidates from the shared pigeonhole
+    * banding (never all-pairs — the q97/SimHash machinery), and the
+    * DuckDB oracle recomputes every hash ARITHMETICALLY and brute-forces
+    * all pairs, so both the codec path and the banding's exactness are
+    * oracle-proven (hamming from 32-bit halves: no sign-wrapping 1<<63
+    * anywhere). The first similarity JOIN in the registry with a full
+    * oracle. */
+  def q140ImageNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(97)).as("seed"))
+    val imgs = graft.multimodal.Images.withPatternPayloadSeeded(
+      docs, "doc_id", "seed", w = 32, h = 24)
+    val sig = graft.multimodal.Images.imageFeatures(imgs, "doc_id", "payload")
+      .select(col("doc_id").as("_id"), col("ahash").as("simhash"))
+    operators.SimHash.hammingPairs(sig, maxHamming = 3)
+      .orderBy("a", "b")
+  }
+
   /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
     * 16-byte signature per payload (decode stubbed; shape/batching real). */
   def q72Resize(spark: SparkSession, dir: String): DataFrame =

@@ -473,6 +473,33 @@ private[graft] trait QueryOracles extends AnyRef {
         |       CAST(h.ahash_lo AS BIGINT) AS ahash_lo
         |FROM sums s JOIN hashes h USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+    // q139's arithmetic hash per seed = doc_id % 97, then BRUTE all-pairs
+    // hamming (the oracle can afford N² where the Spark side must band);
+    // hamming from the hi/lo halves so no 64-bit reconstruction overflows
+    "q140_image_near_dups" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, d.doc_id % 97 AS seed, tx.range AS x, ty.range AS y,
+        |         (7 * tx.range + 3 * ty.range + d.doc_id % 97) % 256 AS r,
+        |         (5 * tx.range + 11 * ty.range + 2 * (d.doc_id % 97)) % 256 AS g,
+        |         (13 * tx.range + ty.range + 3 * (d.doc_id % 97)) % 256 AS b
+        |  FROM documents d CROSS JOIN range(0, 32) tx CROSS JOIN range(0, 24) ty),
+        |blk AS (
+        |  SELECT doc_id, (y // 3) * 8 + (x // 4) AS j,
+        |         sum(299 * r + 587 * g + 114 * b) AS luma
+        |  FROM px GROUP BY doc_id, j),
+        |tot AS (SELECT doc_id, sum(luma) AS total FROM blk GROUP BY doc_id),
+        |h AS (
+        |  SELECT b.doc_id,
+        |    CAST(sum(CASE WHEN b.luma * 64 > t.total AND b.j >= 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(b.j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN b.luma * 64 > t.total AND b.j < 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(b.j AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM blk b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INT) AS hamming
+        |FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "q138_quantile_sketch" ->
       """WITH v AS (
         |  SELECT event_type, CAST(value AS DOUBLE) AS x FROM events

@@ -176,6 +176,7 @@ object Queries
     "q71_frame_sample" -> q71FrameSample _,
     "q72_resize" -> q72Resize _,
     "q139_image_features" -> q139ImageFeatures _,
+    "q140_image_near_dups" -> q140ImageNearDups _,
     "q73_frame_overlap" -> q73FrameOverlap _
   )
 }

@@ -74,6 +74,19 @@ object Images {
       .toDF(idCol, "payload")
   }
 
+  /** [[withPatternPayload]] with the pattern SEED decoupled from the row
+    * id — rows sharing a seed get byte-identical images (the controlled
+    * duplicate structure perceptual-dedup tests/queries need). */
+  def withPatternPayloadSeeded(
+      df: DataFrame, idCol: String, seedCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as(idCol), col(seedCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, seed) => (id, patternPayload(seed, w, h)) })
+      .toDF(idCol, "payload")
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
