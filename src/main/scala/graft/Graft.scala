@@ -106,6 +106,36 @@ object Graft {
   def readSas7bdat(spark: SparkSession, path: String): DataFrame =
     sources.Sas7bdat.read(spark, path)
 
+  /** Native WARC crawl-archive read ([[sources.Warc]], ISO 28500) — the
+    * crawl-side ingest boundary: one task per segment file, plain and
+    * per-record-gzip layouts, HTTP head/body split. */
+  def readWarc(spark: SparkSession, path: String,
+      maxRecordBytes: Int = 64 << 20): DataFrame =
+    sources.Warc.read(spark, path, maxRecordBytes)
+
+  /** Crawl → corpus in one verb: 200/text-html WARC responses become
+    * (record_id, target_uri, warc_date, text) clean-text documents
+    * ([[sources.Warc.htmlDocs]] → [[operators.Curation.stripHtml]]).
+    * Feed the result to [[curateCorpus]] / [[dedupCorpus]]. The
+    * streaming twin is [[streaming.StreamingWarcIngest]]. */
+  def ingestCrawlHtml(spark: SparkSession, path: String,
+      maxRecordBytes: Int = 64 << 20): DataFrame =
+    operators.Curation.stripHtml(
+      sources.Warc.htmlDocs(spark, path, maxRecordBytes), "html", "text")
+      .select("record_id", "target_uri", "warc_date", "text")
+
+  /** Tol-terminated PageRank ([[operators.Graph.pageRankTol]]): L1-delta
+    * stop, loud refusal if `maxIters` runs out non-converged. */
+  def pageRankTol(edges: DataFrame, srcCol: String, dstCol: String,
+      tol: Double, maxIters: Int = 100, damping: Double = 0.85): DataFrame =
+    operators.Graph.pageRankTol(edges, srcCol, dstCol, tol, maxIters, damping)
+
+  /** Real-pixel image features over a binary payload column
+    * ([[multimodal.Images.imageFeatures]] — JDK ImageIO decode): exact
+    * integer channel sums/means + the 64-bit block-luma aHash. */
+  def imageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    multimodal.Images.imageFeatures(df, idCol, payloadCol)
+
   /** Split a .sql file's content into statements (`run_file_sql`). */
   def splitSqlFile(sql: String): Seq[String] = PgDdl.splitStatements(sql)
 

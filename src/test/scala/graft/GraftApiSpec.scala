@@ -167,4 +167,23 @@ class GraftApiSpec extends AnyFunSuite {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(kept === survived)
   }
+
+  test("crawl facades: readWarc, ingestCrawlHtml, imageFeatures, pageRankTol delegate") {
+    val s2 = spark
+    import s2.implicits._
+    val warcDir = new java.io.File("src/test/resources/warc").getAbsolutePath
+    assert(Graft.readWarc(spark, warcDir).count() == 7)
+    val docs = Graft.ingestCrawlHtml(spark, warcDir)
+    assert(docs.columns.toSeq == Seq("record_id", "target_uri", "warc_date", "text"))
+    assert(docs.where(org.apache.spark.sql.functions.length(
+      org.apache.spark.sql.functions.col("text")) > 0).count() == 1)
+    val feats = Graft.imageFeatures(
+      graft.multimodal.Images.withPatternPayload(Seq(3L).toDF("doc_id"), "doc_id", 32, 24),
+      "doc_id", "payload")
+    assert(feats.columns.contains("ahash") && feats.count() == 1)
+    val pr = Graft.pageRankTol(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("s", "t"), "s", "t", tol = 1e-8)
+    assert(math.abs(pr.agg(org.apache.spark.sql.functions.sum("rank"))
+      .head.getDouble(0) - 1.0) < 1e-9)
+  }
 }
