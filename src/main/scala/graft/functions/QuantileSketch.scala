@@ -234,6 +234,41 @@ case class QuantileSketchAgg(
     copy(child = newChild)
 }
 
+/** [[QuantileSketchAgg]] evaluating to its SERIALIZED STATE instead of
+  * quantiles — the persist-and-merge-later form ([[graft.streaming
+  * .StreamingQuantiles]] lands one state row per micro-batch and merges
+  * history driver-side; the KMV SketchSchema discipline). */
+case class QuantileSketchStateAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QSketch]
+  with UnaryLike[Expression] {
+
+  private val inner = QuantileSketchAgg(child, k, Seq(0.5))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    inner.checkInputDataTypes()
+  override def prettyName: String = "graft_quantiles_state"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): QSketch = new QSketch(k)
+  override def update(buf: QSketch, input: InternalRow): QSketch = inner.update(buf, input)
+  override def merge(b1: QSketch, b2: QSketch): QSketch = { b1.mergeIn(b2); b1 }
+  override def eval(buf: QSketch): Any = serialize(buf)
+  override def serialize(buf: QSketch): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): QSketch = inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchStateAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchStateAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchStateAgg =
+    copy(child = newChild)
+}
+
 object QuantileSketch {
   /** Aggregate column: (n, max_rank_err, is_exact, qs[...]) — the lower
     * nearest-rank quantile per probability with a sound worst-case rank
@@ -241,4 +276,44 @@ object QuantileSketch {
   def sketch(x: Column, k: Int, probs: Seq[Double]): Column =
     ColumnShim.column(
       QuantileSketchAgg(ColumnShim.expression(x), k, probs).toAggregateExpression())
+
+  /** Aggregate column: the sketch's serialized STATE (binary) — persist it
+    * and merge later with [[merged]]. */
+  def stateSketch(x: Column, k: Int): Column =
+    ColumnShim.column(
+      QuantileSketchStateAgg(ColumnShim.expression(x), k).toAggregateExpression())
+
+  /** Driver-side merge of serialized states (all must share one k). */
+  private[graft] def merged(states: Seq[Array[Byte]]): QSketch = {
+    require(states.nonEmpty, "nothing to merge")
+    val agg = QuantileSketchStateAgg(null, 4)
+    val ss = states.map(agg.deserialize)
+    val ks = ss.map(_.k).distinct
+    require(ks.size == 1,
+      s"mixed sketch k across states (${ks.sorted.mkString(", ")}) — quantile " +
+        "states are only mergeable under one k")
+    val out = ss.head
+    ss.tail.foreach(out.mergeIn)
+    out
+  }
+
+  /** Lower nearest-rank quantiles off a merged driver-side sketch. */
+  private[graft] def quantilesOf(s: QSketch, probs: Seq[Double]): Seq[Option[Double]] = {
+    val (vs, ws) = s.weighted()
+    probs.map { p =>
+      if (s.n == 0L) None
+      else {
+        val target = math.ceil(p * s.n).toLong.max(1L)
+        var cum = 0L
+        var i = 0
+        var ans = Option.empty[Double]
+        while (i < vs.length && ans.isEmpty) {
+          cum += ws(i)
+          if (cum >= target) ans = Some(vs(i))
+          i += 1
+        }
+        ans.orElse(vs.lastOption)
+      }
+    }
+  }
 }

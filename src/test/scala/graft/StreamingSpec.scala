@@ -901,4 +901,48 @@ class StreamingSpec extends AnyFunSuite {
       Seq(a).toDF("value"), 0L, corpus, 64 << 20)
     assert(docs() == before, "replay must not change the corpus")
   }
+
+  test("streaming quantiles: batch states merge to the exact distribution; drift flags a shift") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    val input = MemoryStream[Double]
+    val q = graft.streaming.StreamingQuantiles.monitor(
+      input.toDF().toDF("v"), path, "v", k = 1024)
+    try {
+      // two uniform batches, then a shifted one
+      input.addData((1 to 500).map(_.toDouble): _*)
+      q.processAllAvailable()
+      input.addData((501 to 1000).map(_.toDouble): _*)
+      q.processAllAvailable()
+      val dist = graft.streaming.StreamingQuantiles.distribution(
+        spark, path, Seq(0.5, 0.9)).head()
+      // k > n: certified exact, median of 1..1000 = 500
+      assert(dist.getLong(0) == 1000 && dist.getBoolean(2))
+      assert(dist.getDouble(3) == 500.0 && dist.getDouble(4) == 900.0)
+      // the shifted batch moves the latest-vs-history quantiles up
+      input.addData((5001 to 5500).map(_.toDouble): _*)
+      q.processAllAvailable()
+      val d = graft.streaming.StreamingQuantiles.drift(spark, path, Seq(0.5))
+        .head()
+      assert(d.getDouble(1) == 500.0)           // history median
+      assert(d.getDouble(2) == 5250.0)          // shifted batch median
+      assert(d.getDouble(3) == 4750.0)          // delta flags the shift
+    } finally q.stop()
+
+    // replay convergence: re-running a batch id replaces its own row
+    graft.streaming.StreamingQuantiles.processBatch(
+      (1 to 500).map(_.toDouble).toDF("v"), 0L, path, "v", 1024)
+    val n = graft.streaming.StreamingQuantiles.distribution(spark, path, Seq(0.5))
+      .head().getLong(0)
+    assert(n == 1500, s"replay must not double-count: n=$n")
+
+    // mixed-k refusal, the StreamingTextIndex lesson
+    graft.streaming.StreamingQuantiles.processBatch(
+      Seq(1.0).toDF("v"), 99L, path, "v", 512)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingQuantiles.distribution(spark, path, Seq(0.5))
+    }
+    assert(e.getMessage.contains("mixed k"), e.getMessage)
+  }
 }
