@@ -147,6 +147,12 @@ object Graph {
         "or use pageRank for a fixed-iteration run")
     val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    // the rank vector is materialized; the adjacency and node caches are
+    // dead weight from here (out spills to disk under pressure rather
+    // than recomputing through them) — release before returning (the
+    // ADVICE r5 cache-lifetime discipline)
+    adj.unpersist()
+    nodes.unpersist()
     out
   }
 }

@@ -45,8 +45,15 @@ object MinHashLSH {
     * verification (>= tau) against the shingle sets. */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, tau: Double): DataFrame =
-    nearDupPairsFromHashes(Dedup.shingleHashes(df, idCol, textCol, n).cache(), k, bands, tau)
+      n: Int, k: Int, bands: Int, tau: Double): DataFrame = {
+    // materialize the (edge-bounded) pair list, then release the shingle
+    // cache — a lazily returned plan over it would leak the cache into the
+    // session (the ADVICE r5 class; see Dedup.ngramJaccardPairs)
+    val sh = Dedup.shingleHashes(df, idCol, textCol, n).cache()
+    val out = nearDupPairsFromHashes(sh, k, bands, tau).localCheckpoint()
+    sh.unpersist()
+    out
+  }
 
   /** [[nearDupPairs]] over a precomputed (_id, sh) intermediate (caller
     * controls caching — see [[graft.Graft.dedupSuite]]). */

@@ -148,7 +148,13 @@ object TextAnalysis {
       .join(broadcast(dfreq), Seq("term"))
       .withColumn("_n", lit(nDocs))
       .withColumn("_sumdl", lit(sumdl).cast("long"))
-    bm25Rank(cands, k1, b, topK)
+    // materialize the (≤ queries × topK)-row result, then release the
+    // fused-postings cache — a lazily returned plan over it leaked the
+    // cache into the session for the caller's lifetime (the ADVICE r5
+    // class; the TextIndex.search discipline)
+    val out = bm25Rank(cands, k1, b, topK).localCheckpoint()
+    fused.unpersist()
+    out
   }
 
   /** Tokenized corpus rows (`_id`, `_w`) → the BM25 postings list
