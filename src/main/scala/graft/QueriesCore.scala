@@ -379,6 +379,24 @@ private[graft] trait QueriesCore extends QueryHelpers {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** TFRecord shard export (sinks.TfRecordSink — the delivery format
+    * training jobs mount): the corpus shuffle-shards deterministically
+    * (q132's portable mix), payloads stream into one CRC32C-framed file
+    * per shard, and the MANIFEST is the query surface — per-shard row
+    * counts and exact on-disk bytes (16 framing bytes + payload per
+    * record), which the oracle recomputes from pure SQL arithmetic. The
+    * spec pins the byte-level format against an independent table-driven
+    * CRC32C, disk-size equality, and loud corruption refusal. */
+  def q141TfrecordExport(spark: SparkSession, dir: String): DataFrame = {
+    val sharded = Sampling.shuffleShards(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", shards = 8, seed = 42L)
+      .withColumn("payload", col("text").cast("binary"))
+    graft.sinks.TfRecordSink.writeSharded(
+      sharded, tempDir("tfr"), "payload", "shard", Seq("pos"))
+      .orderBy("shard")
+  }
+
   /** Mergeable quantile SKETCH (deterministic KLL/MRL compactors with a
     * self-certified rank bound — functions.QuantileSketchAgg): per-group
     * distribution profile where q46's exact percentile would shuffle

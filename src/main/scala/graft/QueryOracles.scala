@@ -500,6 +500,17 @@ private[graft] trait QueryOracles extends AnyRef {
         |FROM h x JOIN h y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // q132's portable shard mix + exact TFRecord framing arithmetic:
+    // every record costs 16 framing bytes + its UTF-8 payload
+    "q141_tfrecord_export" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, text,
+        |         ((doc_id + 42) % 1000000007 * 2654435761) % 1000000007 AS k
+        |  FROM documents)
+        |SELECT CAST(k % 1000000 % 8 AS BIGINT) AS shard,
+        |       count(*) AS n_rows,
+        |       CAST(sum(16 + octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes
+        |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin,
     "q138_quantile_sketch" ->
       """WITH v AS (
         |  SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
