@@ -136,6 +136,24 @@ object Graft {
   def imageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     multimodal.Images.imageFeatures(df, idCol, payloadCol)
 
+  /** TFRecord shard export ([[sinks.TfRecordSink]]): one CRC32C-framed
+    * file per shard + manifest — the loader-facing delivery step after
+    * [[shuffleShards]]/packing. */
+  def writeTfRecords(df: DataFrame, path: String, payloadCol: String,
+      shardCol: String, orderCols: Seq[String]): DataFrame =
+    sinks.TfRecordSink.writeSharded(df, path, payloadCol, shardCol, orderCols)
+
+  /** Read TFRecord shards back as (shard, record), both CRCs verified. */
+  def readTfRecords(spark: SparkSession, path: String): DataFrame =
+    sinks.TfRecordSink.read(spark, path)
+
+  /** Per-group certified quantile sketch ([[functions.QuantileSketch]]):
+    * (n, max_rank_err, is_exact, qs) — mergeable state, sound
+    * self-reported rank bound. */
+  def quantileSketch(x: org.apache.spark.sql.Column, k: Int,
+      probs: Seq[Double]): org.apache.spark.sql.Column =
+    functions.QuantileSketch.sketch(x, k, probs)
+
   /** Split a .sql file's content into statements (`run_file_sql`). */
   def splitSqlFile(sql: String): Seq[String] = PgDdl.splitStatements(sql)
 
