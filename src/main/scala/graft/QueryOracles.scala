@@ -506,7 +506,7 @@ private[graft] trait QueryOracles extends AnyRef {
       """WITH keyed AS (
         |  SELECT doc_id, text,
         |         ((doc_id + 42) % 1000000007 * 2654435761) % 1000000007 AS k
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT CAST(k % 1000000 % 8 AS BIGINT) AS shard,
         |       count(*) AS n_rows,
         |       CAST(sum(16 + octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes

@@ -104,7 +104,11 @@ object TfRecordSink {
       }
       it.foreach { ir =>
         val shard = ir.getLong(0)
-        val payload = ir.getBinary(1)
+        // null payloads emit no record (the null-text convention every
+        // text operator here follows); TFRecord has no null notion and
+        // an empty record would silently change training data
+        val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        if (payload != null) {
         if (shard != cur) {
           close()
           cur = shard; nRows = 0L; nBytes = 0L
@@ -118,6 +122,7 @@ object TfRecordSink {
         stream.write(le32(maskedCrc32c(payload)))
         nRows += 1
         nBytes += recordBytes(payload.length.toLong)
+        }
       }
       close()
       out.iterator
