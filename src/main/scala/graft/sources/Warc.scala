@@ -184,9 +184,18 @@ object Warc {
     new Iterator[Row] {
       private var nextRow: Option[Row] = fetch()
       private def fetch(): Option[Row] = {
+        // clean EOF is only ever BETWEEN records (parseRecord returns
+        // None); an EOFException mid-record means a torn file and MUST
+        // fail loudly — swallowing it would silently drop the truncated
+        // record and present a shortened archive as complete
         val parsed =
           try parseRecord(in, maxRecordBytes, f)
-          catch { case _: EOFException => None }
+          catch {
+            case e: EOFException =>
+              in.close()
+              throw new IllegalArgumentException(
+                s"$f: truncated WARC record (unexpected EOF mid-record)", e)
+          }
         if (parsed.isEmpty) in.close()
         parsed
       }
