@@ -500,6 +500,39 @@ private[graft] trait QueryOracles extends AnyRef {
         |FROM h x JOIN h y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // Binary.aHashOf is deterministic integer arithmetic over payload
+    // bytes, and the corpus is pure ASCII (byte == code point), so the
+    // whole stub-hash + banded hamming-pair pipeline is SQL: sample 64
+    // bytes at (i*len)//64, bit i set iff v*64 >= sum, brute all pairs
+    // (hamming over hi/lo halves — no sign-wrapping 1<<63). Docs under 64
+    // bytes are the simhash=0 sentinel on the Spark side and are excluded
+    // here; a >= 64-byte doc cannot hash to 0 (its max byte always sets
+    // a bit).
+    "q97_phash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 1) || 'x'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |s AS (
+        |  SELECT c.doc_id, i.range AS i,
+        |         unicode(substr(c.text,
+        |           CAST((i.range * length(c.text)) // 64 AS INT) + 1, 1)) AS v
+        |  FROM corpus c CROSS JOIN range(0, 64) i
+        |  WHERE length(c.text) >= 64),
+        |t AS (SELECT doc_id, sum(v) AS total FROM s GROUP BY doc_id),
+        |h AS (
+        |  SELECT s.doc_id,
+        |    CAST(sum(CASE WHEN s.v * 64 >= t.total AND s.i >= 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(s.i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN s.v * 64 >= t.total AND s.i < 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(s.i AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM s JOIN t USING (doc_id) GROUP BY s.doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INT) AS hamming
+        |FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // q132's portable shard mix + exact TFRecord framing arithmetic:
     // every record costs 16 framing bytes + its UTF-8 payload
     "q141_tfrecord_export" ->
