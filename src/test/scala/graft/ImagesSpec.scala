@@ -61,6 +61,29 @@ class ImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG decodes through the same path (lossy: features near the pattern, not exact)") {
+    val s = spark
+    import s.implicits._
+    // re-encode the pattern as JPEG driver-side, then run the SAME
+    // feature pass over the lossy payload
+    val png = Images.withPatternPayload(Seq(9L).toDF("doc_id"), "doc_id", 32, 24)
+      .head().getAs[Array[Byte]](1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jout), "JDK JPEG writer unavailable")
+    val feats = Images.imageFeatures(
+      Seq((9L, jout.toByteArray)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .head()
+    assert(feats.getInt(1) == 32 && feats.getInt(2) == 24)
+    // lossy but close: channel means within a few intensity levels
+    val exact = Images.imageFeatures(
+      Seq((9L, png)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+    Seq(6, 7, 8).foreach { c =>
+      assert(math.abs(feats.getDouble(c) - exact.getDouble(c)) < 8.0,
+        s"jpeg mean drifted too far at col $c: ${feats.getDouble(c)} vs ${exact.getDouble(c)}")
+    }
+  }
+
   test("non-image payloads and bad geometry refuse loudly") {
     val s = spark
     import s.implicits._
