@@ -8,14 +8,17 @@ import java.nio.charset.StandardCharsets
   *
   * The reference stores the WRDS "Last modified" string in parquet key-value
   * schema metadata (wrds2pg/files/parquet.py:28-40, 92-95) and uses it to skip
-  * up-to-date tables. Spark's parquet writer doesn't expose file-level
-  * key-value metadata, so graft keeps identical *semantics* with a
-  * `_graft_meta.json` sidecar inside the output directory (SURVEY §5) —
-  * one tiny driver-side file per table, invisible to parquet readers
-  * (underscore-prefixed files are ignored by Spark/Hive/DuckDB scans).
+  * up-to-date tables. Round 6: the stamp now lands in the TRUE file-level
+  * footer KV of every part file ([[ParquetKvStamp]] — the exact surface
+  * `pq.read_schema(file).metadata[b"last_modified"]` reads, so a reference
+  * user's own tooling sees the stamp), plus the `_graft_meta.json` sidecar
+  * kept as the directory-level convenience and the legacy fallback
+  * (underscore-prefixed, invisible to Spark/Hive/DuckDB scans). Reads
+  * prefer the footer and fall back to the sidecar.
   */
 object ParquetSink {
   private val MetaFile = "_graft_meta.json"
+  private[graft] val StampKey = "last_modified"
 
   def write(df: DataFrame, path: String, lastModified: String): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
@@ -34,6 +37,9 @@ object ParquetSink {
   }
 
   def setModified(spark: SparkSession, path: String, lastModified: String): Unit = {
+    // the reference-readable footer stamp on every part file…
+    ParquetKvStamp.addKeyValues(spark, path, Map(StampKey -> lastModified))
+    // …plus the directory-level sidecar (legacy fallback + human-readable)
     val p = new Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -41,8 +47,12 @@ object ParquetSink {
     finally out.close()
   }
 
-  /** Read back the stamp; "" if absent (matches get_modified_pq, parquet.py:28-40). */
+  /** Read back the stamp; "" if absent (matches get_modified_pq,
+    * parquet.py:28-40). Footer KV first (the reference surface), sidecar
+    * as the legacy fallback. */
   def getModified(spark: SparkSession, path: String): String = {
+    val fromFooter = ParquetKvStamp.readKeyValue(spark, path, StampKey)
+    if (fromFooter.nonEmpty) return fromFooter
     val p = new Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return ""

@@ -86,6 +86,30 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("stamp lives in the TRUE footer KV of every part file; data and spark schema survive") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("pqkv") + "/t"
+    val stamp = "Last modified: 05/06/2024 11:22:33"
+    val df = (1 to 100).map(i => (i.toLong, s"row $i")).toDF("a", "b").repartition(3)
+    ParquetSink.write(df, dir, stamp)
+    // every part file's FOOTER carries the key the reference reads
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(parts.length >= 2, "want multiple part files for the per-file claim")
+    parts.foreach { f =>
+      assert(graft.sinks.ParquetKvStamp.readKeyValue(spark, f, "last_modified") == stamp, f)
+    }
+    // the raw row-group copy preserved the data AND Spark's own schema entry
+    val back = spark.read.parquet(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      (1 to 100).map(i => (i.toLong, s"row $i")))
+    // footer read wins even with a lying sidecar (the reference surface rules)
+    ParquetSink.setModified(spark, dir, stamp) // idempotent re-stamp
+    assert(ParquetSink.getModified(spark, dir) == stamp)
+  }
+
   test("writePartitioned: hive layout, partition pruning reaches the scan") {
     val dir = tmp("part") + "/t"
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
