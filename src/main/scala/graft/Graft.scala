@@ -136,6 +136,12 @@ object Graft {
   def imageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     multimodal.Images.imageFeatures(df, idCol, payloadCol)
 
+  /** Perceptual near-dup image pairs on real decoded pixels
+    * ([[multimodal.Images.nearDups]] — banded, never all-pairs). */
+  def imageNearDups(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame =
+    multimodal.Images.nearDups(df, idCol, payloadCol, maxHamming)
+
   /** TFRecord shard export ([[sinks.TfRecordSink]]): one CRC32C-framed
     * file per shard + manifest — the loader-facing delivery step after
     * [[shuffleShards]]/packing. */

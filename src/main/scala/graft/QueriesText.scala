@@ -86,9 +86,7 @@ private[graft] trait QueriesText extends QueryHelpers {
       .select(col("doc_id"), pmod(col("doc_id"), lit(97)).as("seed"))
     val imgs = graft.multimodal.Images.withPatternPayloadSeeded(
       docs, "doc_id", "seed", w = 32, h = 24)
-    val sig = graft.multimodal.Images.imageFeatures(imgs, "doc_id", "payload")
-      .select(col("doc_id").as("_id"), col("ahash").as("simhash"))
-    operators.SimHash.hammingPairs(sig, maxHamming = 3)
+    graft.multimodal.Images.nearDups(imgs, "doc_id", "payload", maxHamming = 3)
       .orderBy("a", "b")
   }
 

@@ -151,6 +151,18 @@ object Images {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Perceptual near-dup image pairs on real decoded pixels: aHash per
+    * payload ([[imageFeatures]]'s fused pass), candidates via the shared
+    * pigeonhole banding ([[graft.operators.SimHash.hammingPairs]] — never
+    * all-pairs), exact bit_count verify. (a, b, hamming), a < b. */
+  def nearDups(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.SimHash.hammingPairs(
+      imageFeatures(df, idCol, payloadCol)
+        .select(col(idCol).as("_id"), col("ahash").as("simhash")),
+      maxHamming)
+
   /** REAL nearest-neighbor resize: decode, sample source pixel
     * (x·w/W, y·h/H) per target pixel, re-encode PNG. One fused pass;
     * payloads in, payloads out, nothing else shuffles. */
