@@ -297,6 +297,36 @@ object QuantileSketch {
     out
   }
 
+  /** Sketch-rank interval of value `v`: (weight strictly below v, weight
+    * at or below v) — true ranks lie within ± the sketch's errBound. */
+  private[graft] def rankBounds(s: QSketch, v: Double): (Long, Long) = {
+    val (vs, ws) = s.weighted()
+    var below = 0L
+    var atOrBelow = 0L
+    var i = 0
+    while (i < vs.length) {
+      if (vs(i) < v) below += ws(i)
+      if (vs(i) <= v) atOrBelow += ws(i)
+      i += 1
+    }
+    (below, atOrBelow)
+  }
+
+  /** Sketch value at (1-based) rank `r`, clamped into [1, n]. */
+  private[graft] def valueAtRank(s: QSketch, r: Long): Option[Double] = {
+    if (s.n == 0L) return None
+    val target = r.max(1L).min(s.n)
+    val (vs, ws) = s.weighted()
+    var cum = 0L
+    var i = 0
+    while (i < vs.length) {
+      cum += ws(i)
+      if (cum >= target) return Some(vs(i))
+      i += 1
+    }
+    vs.lastOption
+  }
+
   /** Lower nearest-rank quantiles off a merged driver-side sketch. */
   private[graft] def quantilesOf(s: QSketch, probs: Seq[Double]): Seq[Option[Double]] = {
     val (vs, ws) = s.weighted()

@@ -93,6 +93,58 @@ object StreamingQuantiles {
           probs.indices.map(i => StructField(s"q$i", DoubleType, nullable = true))))
   }
 
+  /** CERTIFIED drift verdicts — [[drift]]'s deltas upgraded to a sound
+    * test under the sketches' own rank certificates: for each p, take
+    * history's quantile BAND (its values at ranks p·n_H ± err_H — the
+    * widest interval history's true p-quantile can occupy), locate that
+    * band's rank interval inside the LATEST batch's sketch, widen it by
+    * the latest certificate, and flag `shift_certified` only when
+    * p·n_L falls outside the widened interval by more than
+    * `minShiftFrac·n_L`. A certified flag can never be certificate noise
+    * — under the sound bounds, NO pair of true distributions consistent
+    * with both sketches places history's p-quantile at p in the latest
+    * batch. Coarse sketches (large bounds) therefore refuse to cry wolf
+    * rather than alert on noise. `rank_gap_frac` is the signed distance
+    * (in latest-mass fractions) from p·n_L to the widened interval. */
+  def driftAlert(
+      spark: SparkSession, path: String, probs: Seq[Double],
+      minShiftFrac: Double = 0.0): DataFrame = {
+    require(minShiftFrac >= 0, s"minShiftFrac must be >= 0, got $minShiftFrac")
+    val rows = load(spark, path)
+    require(rows.size >= 2,
+      s"StreamingQuantiles: driftAlert needs >= 2 published batches, got ${rows.size}")
+    val latestId = rows.map(_.getLong(3)).max
+    val (latest, history) = rows.partition(_.getLong(3) == latestId)
+    val h = QuantileSketch.merged(history.map(_.getAs[Array[Byte]](2)))
+    val l = QuantileSketch.merged(latest.map(_.getAs[Array[Byte]](2)))
+    val out = probs.map { p =>
+      val target = math.ceil(p * h.n).toLong.max(1L)
+      val hLo = QuantileSketch.valueAtRank(h, target - h.errBound)
+      val hHi = QuantileSketch.valueAtRank(h, target + h.errBound)
+      (hLo, hHi) match {
+        case (Some(lo), Some(hi)) if l.n > 0 =>
+          val (rLo, _) = QuantileSketch.rankBounds(l, lo)
+          val (_, rHi) = QuantileSketch.rankBounds(l, hi)
+          val intervalLo = rLo - l.errBound
+          val intervalHi = rHi + l.errBound
+          val tL = math.ceil(p * l.n).toLong.max(1L)
+          val gap =
+            if (tL < intervalLo) (tL - intervalLo).toDouble / l.n
+            else if (tL > intervalHi) (tL - intervalHi).toDouble / l.n
+            else 0.0
+          Row(p, Double.box(math.abs(gap)), Boolean.box(
+            math.abs(gap) > minShiftFrac && gap != 0.0))
+        case _ => Row(p, null, Boolean.box(false))
+      }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("p", DoubleType, nullable = false),
+        StructField("rank_gap_frac", DoubleType, nullable = true),
+        StructField("shift_certified", BooleanType, nullable = false))))
+  }
+
   /** Distribution drift of the LATEST batch against all earlier history:
     * per-probability (history quantile, latest quantile, delta). The
     * single-batch monitor answer to "did today's crawl shift the

@@ -928,7 +928,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(d.getDouble(1) == 500.0)           // history median
       assert(d.getDouble(2) == 5250.0)          // shifted batch median
       assert(d.getDouble(3) == 4750.0)          // delta flags the shift
+      val alert = graft.streaming.StreamingQuantiles.driftAlert(
+        spark, path, Seq(0.5), minShiftFrac = 0.2).head()
+      assert(alert.getBoolean(2), "the 10x-shifted batch must certify as a shift")
+      assert(alert.getDouble(1) >= 0.5, s"gap frac ${alert.getDouble(1)}")
     } finally q.stop()
+
+    // a same-distribution batch must NOT certify (fresh monitor so the
+    // shifted batch above doesn't contaminate the history baseline)
+    val calmPath = java.nio.file.Files.createTempDirectory("graft-sq-calm").toString
+    graft.streaming.StreamingQuantiles.processBatch(
+      (1 to 1000).map(_.toDouble).toDF("v"), 0L, calmPath, "v", 2048)
+    graft.streaming.StreamingQuantiles.processBatch(
+      (1 to 1000).map(_.toDouble).toDF("v"), 1L, calmPath, "v", 2048)
+    val calm = graft.streaming.StreamingQuantiles.driftAlert(
+      spark, calmPath, Seq(0.5)).head()
+    assert(!calm.getBoolean(2), "same-distribution batch must not alert")
 
     // replay convergence: re-running a batch id replaces its own row
     graft.streaming.StreamingQuantiles.processBatch(
