@@ -163,6 +163,85 @@ object Images {
         .select(col(idCol).as("_id"), col("ahash").as("simhash")),
       maxHamming)
 
+  /** 64-bit DCT perceptual hash (the classic pHash, Zauner 2010): decode,
+    * nearest-neighbor 32×32 luma, 2D DCT-II, keep the top-left 8×8
+    * low-frequency block minus DC, threshold against its MEDIAN. Robust
+    * where [[imageFeatures]]'s aHash is brittle: JPEG recompression,
+    * mild noise and smooth brightness shifts perturb high frequencies
+    * and the DC term — exactly what this hash discards (spec-measured:
+    * a JPEG-recompressed image stays within a few bits of its PNG
+    * original). Float DCT → deterministic per run, no cross-engine
+    * oracle; differential spec vs an independent driver model. One fused
+    * pass, the [[imageFeatures]] discipline. */
+  def pHash64(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          (id, pHashOf(decode(payload, s"pHash64(id=$id)")))
+        }
+      }
+      .toDF(idCol, "phash")
+  }
+
+  private[multimodal] def pHashOf(img: BufferedImage): Long = {
+    val n = 32
+    // nearest-neighbor 32x32 luma (BT.601 integer weights, /1000 to double)
+    val luma = Array.ofDim[Double](n, n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val rgb = img.getRGB(x * img.getWidth / n, y * img.getHeight / n)
+        luma(y)(x) = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000.0
+        x += 1
+      }
+      y += 1
+    }
+    // separable DCT-II rows then columns
+    val c = Array.tabulate(n, n)((k, i) =>
+      math.cos((2 * i + 1) * k * math.Pi / (2 * n)))
+    val tmp = Array.ofDim[Double](n, n)
+    for (yy <- 0 until n; k <- 0 until n) {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += luma(yy)(i) * c(k)(i); i += 1 }
+      tmp(yy)(k) = s
+    }
+    val dct = Array.ofDim[Double](n, n)
+    for (k <- 0 until n; xx <- 0 until n) {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += tmp(i)(xx) * c(k)(i); i += 1 }
+      dct(k)(xx) = s
+    }
+    // top-left 8x8 minus the DC term, median threshold
+    val block = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield dct(u)(v)).toArray
+    val sorted = block.sorted
+    val median = (sorted(30) + sorted(31)) / 2.0 // 63 coeffs: mid-pair
+    var h = 0L
+    var j = 0
+    for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) {
+      if (dct(u)(v) > median) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Perceptual near-dup pairs under the DCT [[pHash64]] — the
+    * recompression-robust twin of [[nearDups]]; same banded machinery. */
+  def nearDupsPhash(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.SimHash.hammingPairs(
+      pHash64(df, idCol, payloadCol)
+        .select(col(idCol).as("_id"), col("phash").as("simhash")),
+      maxHamming)
+
   /** REAL nearest-neighbor resize: decode, sample source pixel
     * (x·w/W, y·h/H) per target pixel, re-encode PNG. One fused pass;
     * payloads in, payloads out, nothing else shuffles. */

@@ -84,6 +84,52 @@ class ImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("pHash matches an independent driver model and survives JPEG recompression") {
+    val s = spark
+    import s.implicits._
+    // independent model: same published algorithm re-derived here from
+    // the pattern ARITHMETIC (never through the operator's code path)
+    def modelPhash(id: Long): Long = {
+      val n = 32
+      val luma = Array.tabulate(n, n) { (y, x) =>
+        val (r, g, b) = px(id, x * 32 / n, y * 24 / n)
+        (299 * r + 587 * g + 114 * b) / 1000.0
+      }
+      val c = Array.tabulate(n, n)((k, i) => math.cos((2 * i + 1) * k * math.Pi / (2 * n)))
+      val t = Array.tabulate(n, n)((y, k) => (0 until n).map(i => luma(y)(i) * c(k)(i)).sum)
+      val d = Array.tabulate(n, n)((k, x) => (0 until n).map(i => t(i)(x) * c(k)(i)).sum)
+      val block = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) yield d(u)(v)).toArray
+      val sorted = block.sorted
+      val median = (sorted(30) + sorted(31)) / 2.0
+      var h = 0L; var j = 0
+      for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) {
+        if (d(u)(v) > median) h |= (1L << j); j += 1
+      }
+      h
+    }
+    val ids = Seq(2L, 7L, 31L)
+    val got = Images.pHash64(
+      Images.withPatternPayload(ids.toDF("doc_id"), "doc_id", 32, 24),
+      "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(got(id) == modelPhash(id), s"id=$id"))
+
+    // robustness: JPEG-recompress one image; pHash stays within a few
+    // bits of the PNG original (the reason pHash exists over aHash)
+    val png = Images.withPatternPayload(Seq(7L).toDF("doc_id"), "doc_id", 32, 24)
+      .head().getAs[Array[Byte]](1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val jHash = Images.pHash64(
+      Seq((7L, jout.toByteArray)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .head().getLong(1)
+    val ham = java.lang.Long.bitCount(got(7L) ^ jHash)
+    assert(ham <= 6, s"pHash drifted $ham bits under JPEG recompression")
+    // and distinct patterns stay far apart
+    assert(java.lang.Long.bitCount(got(2L) ^ got(31L)) > 10)
+  }
+
   test("non-image payloads and bad geometry refuse loudly") {
     val s = spark
     import s.implicits._
