@@ -170,11 +170,24 @@ object Bench {
       val encO16 = Opq.encode(emb, "vec_id", "embedding", opq16).cache()
       val opq256 = Opq.train(emb, "vec_id", "embedding", 4, 256)
       val encO256 = Opq.encode(emb, "vec_id", "embedding", opq256).cache()
+      // Deployed-index recall (q116/q142 partitioned shapes): plain
+      // residual codes vs the OPQ rotation at the SAME 4-byte budget
+      // (k=256 both), probed full (nprobe=C) at shortlist=k so the codes
+      // — not the rerank, not the pruning — set the floor.
+      val resPq256 = VectorIndex.trainResidualPq(emb, "vec_id", "embedding", centroids, 4, 256, 2)
+      val resOpq256 = VectorIndex.trainResidualOpq(emb, "vec_id", "embedding", centroids, 4, 256)
+      val idxDirP = java.nio.file.Files.createTempDirectory("bench-ivfpqres").toString
+      val idxDirO = java.nio.file.Files.createTempDirectory("bench-ivfpqopq").toString
+      VectorIndex.writeIvfPq(emb, "vec_id", "embedding", centroids, resPq256, idxDirP, residual = true)
+      VectorIndex.writeIvfPqOpq(emb, "vec_id", "embedding", centroids, resOpq256, idxDirO, residual = true)
       var rPq = 0.0
       var rPqRes = 0.0
       var rPqRerank = 0.0
       var rOpq16 = 0.0
       var rOpqRerank = 0.0
+      var rIdxRes = 0.0
+      var rIdxOpq = 0.0
+      var rIdxOpqRerank = 0.0
       qvecs.foreach { case (qid, q) =>
         val brute = ids(Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10, Some(qid)))
         def r(s: Set[Long]) = (s & brute).size.toDouble / brute.size
@@ -187,6 +200,12 @@ object Bench {
         rOpq16 += r(ids(Opq.adcTopK(encO16, "vec_id", opq16, q, 10, Some(qid))))
         rOpqRerank += r(ids(Opq.rerankTopK(
           emb, "vec_id", "embedding", encO256, opq256, q, 10, 100, Some(qid))))
+        rIdxRes += r(ids(VectorIndex.ivfTopKPq(
+          spark, idxDirP, "vec_id", "embedding", q, 8, 10, 10, Some(qid))))
+        rIdxOpq += r(ids(VectorIndex.ivfTopKPq(
+          spark, idxDirO, "vec_id", "embedding", q, 8, 10, 10, Some(qid))))
+        rIdxOpqRerank += r(ids(VectorIndex.ivfTopKPq(
+          spark, idxDirO, "vec_id", "embedding", q, 8, 10, 100, Some(qid))))
         val off = org.apache.spark.sql.functions.element_at(
           org.apache.spark.sql.functions.array(
             centroids.map(c => org.apache.spark.sql.functions.lit(
@@ -199,7 +218,7 @@ object Bench {
       val nq = qvecs.length
       emb.unpersist()
       def f(x: Double) = math.rint(x / nq * 1000) / 1000.0
-      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"pq_rerank_m4":${f(rPqRerank)},"pq_adc_opq16":${f(rOpq16)},"pq_rerank_opq":${f(rOpqRerank)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
+      s""","recall":{"ivf_c8_nprobe2":${f(rIvf)},"ivf_c8_np4":${f(rIvf4)},"lsh_4bit_6tab":${f(rLsh(0))},"lsh_np2":${f(rLsh(1))},"lsh_np3":${f(rLsh(2))},"pq_adc_m4":${f(rPq)},"pq_adc_res_m4":${f(rPqRes)},"pq_rerank_m4":${f(rPqRerank)},"pq_adc_opq16":${f(rOpq16)},"pq_rerank_opq":${f(rOpqRerank)},"ivfpq_res_k256":${f(rIdxRes)},"ivfpq_opq_k256":${f(rIdxOpq)},"ivfpq_opq_rerank":${f(rIdxOpqRerank)},"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}"""
     } catch { case e: Throwable => System.err.println(s"[bench] recall failed: $e"); "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson$recallJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()

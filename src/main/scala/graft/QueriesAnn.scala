@@ -144,6 +144,28 @@ private[graft] trait QueriesAnn extends QueryHelpers {
       queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
   }
 
+  /** OPQ composed into the materialized RESIDUAL IVF-PQ index — q116's
+    * deployed 100 TB layout carrying q136's code-quality win: the learned
+    * rotation trains on the bucket residuals, codes quantize
+    * `R·(v − c_b)` at the SAME 4-byte payload (4×8-bit codes), and the
+    * rotation ships in a third sidecar so the probe plan is UNCHANGED —
+    * prune nprobe dirs, ADC the narrow code columns with the
+    * once-rotated query (+ the unrotated `q·c_b` offset, exact because R
+    * is orthogonal), exact-re-rank the broadcast shortlist. Build +
+    * probe; rows-only oracle (spec pins sidecar round-trip, append
+    * composition, plain/rotated equivalence of the probe plan, recall). */
+  def q142AnnIvfPqOpq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centroids = Similarity.kMeans(emb, "vec_id", "embedding", c = 8, iters = 2)
+    val opq = VectorIndex.trainResidualOpq(
+      emb, "vec_id", "embedding", centroids, m = 4, k = 256)
+    val path = indexPath(dir, "ivfpqopq")
+    VectorIndex.writeIvfPqOpq(emb, "vec_id", "embedding", centroids, opq, path,
+      residual = true)
+    VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
+  }
+
   /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
     * (broadcast queries, precomputed norms, one window shuffle). */
   def q52KnnJoin(spark: SparkSession, dir: String): DataFrame = {

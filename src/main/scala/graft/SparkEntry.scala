@@ -148,6 +148,7 @@ object Queries
     "q111_cdc_chunks" -> q111CdcChunks _,
     "q112_ann_ivfpq" -> q112AnnIvfPq _,
     "q116_ann_ivfpq_res" -> q116AnnIvfPqRes _,
+    "q142_ann_ivfpq_opq" -> q142AnnIvfPqOpq _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
     "q117_top_users" -> q117TopUsers _,
     "q114_heavy_hitters_grouped" -> q114HeavyHittersGrouped _,

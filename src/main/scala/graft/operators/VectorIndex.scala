@@ -155,9 +155,40 @@ object VectorIndex {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], model: ProductQuantizer.PqModel,
       path: String, residual: Boolean = false): Unit = {
-    val codeSrc =
+    writeIvfPqEncoded(df, idCol, vecCol, centroids, model, path, residual,
+      rotation = None)
+    // a prior OPQ index at this path would leave a stale rotation sidecar
+    // that readers would wrongly apply to the fresh plain codes
+    deleteOpqMeta(df.sparkSession, path)
+  }
+
+  /** [[writeIvfPq]] with an OPQ rotation composed in (Ge et al. 2013,
+    * [[Opq]]): codes quantize `R·v` (or `R·(v − c_b)` when `residual`) so
+    * the deployed partitioned index gets OPQ's code-quality win at the
+    * SAME byte budget and the SAME probe plan. The rotation rides in a
+    * third sidecar (`<path>/opqmeta`); [[ivfTopKPq]] and [[appendIvfPq]]
+    * discover it from the path alone — rotate the query once at probe,
+    * rotate each batch row once at append. `pq_norm` stays `‖v‖` (R is
+    * orthogonal), and the residual ADC offset `q·c_b` is computed in the
+    * UNROTATED space: `(R·q)·(R·(v−c_b)) = q·v − q·c_b` exactly. */
+  def writeIvfPqOpq(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], opq: Opq.OpqModel,
+      path: String, residual: Boolean = false): Unit = {
+    writeIvfPqEncoded(df, idCol, vecCol, centroids, opq.pq, path, residual,
+      rotation = Some(opq))
+    writeOpqMeta(df.sparkSession, opq, path)
+  }
+
+  private def writeIvfPqEncoded(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], model: ProductQuantizer.PqModel,
+      path: String, residual: Boolean,
+      rotation: Option[Opq.OpqModel]): Unit = {
+    val raw =
       if (residual) ProductQuantizer.residualCol(col(vecCol), col("bucket"), centroids)
       else col(vecCol)
+    val codeSrc = rotation.map(_.rotateCol(raw)).getOrElse(raw)
     Similarity.assignBuckets(df, idCol, vecCol, centroids)
       .select(col(idCol),
         ProductQuantizer.codeCol(codeSrc, model).as("pq_code"),
@@ -167,6 +198,50 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
     writeCentroidMeta(df.sparkSession, centroids, path)
     writePqMeta(df.sparkSession, model, path, residual)
+  }
+
+  /** Incremental append to a written IVF-PQ index — [[appendIvf]]'s twin
+    * for the coded layout: the batch is assigned, (residual-)rotated, and
+    * encoded purely from the path's three sidecars (centroids, codebooks,
+    * optional rotation) — no rebuild, no driver state, O(batch) work —
+    * and appended into the same `bucket=` dirs so probes keep pruning
+    * over old + new rows. */
+  def appendIvfPq(
+      df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val centroids = readIvfCentroids(spark, path)
+    val model = readPqMeta(spark, path)
+    val residual = readPqResidual(spark, path)
+    val raw =
+      if (residual) ProductQuantizer.residualCol(col(vecCol), col("bucket"), centroids)
+      else col(vecCol)
+    val codeSrc = readOpqRotation(spark, path) match {
+      case Some((d, flat)) => graft.functions.ArrayMath.matVec(raw, new graft.functions.RotMat(d, flat))
+      case None => raw
+    }
+    Similarity.assignBuckets(df, idCol, vecCol, centroids)
+      .select(col(idCol),
+        ProductQuantizer.codeCol(codeSrc, model).as("pq_code"),
+        ProductQuantizer.normCol(col(vecCol)).as("pq_norm"),
+        col(vecCol), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/corpus")
+  }
+
+  /** OPQ codebooks for a RESIDUAL rotated index — [[trainResidualPq]]'s
+    * twin: one assignment pass tags buckets, then [[Opq.train]] learns the
+    * rotation + books on `v − centroid(bucket)` (bounded id-ordered
+    * sample; same jobs, same shuffle shape). Pass the result to
+    * [[writeIvfPqOpq]] with `residual = true`. */
+  def trainResidualOpq(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], m: Int, k: Int = 256,
+      lloydIters: Int = 8, opqIters: Int = 4,
+      maxSample: Int = 16384): Opq.OpqModel = {
+    val assigned = Similarity.assignBuckets(df, idCol, vecCol, centroids)
+      .withColumn("_res",
+        ProductQuantizer.residualCol(col(vecCol), col("bucket"), centroids))
+    Opq.train(assigned, idCol, "_res", m, k, lloydIters, opqIters, maxSample)
   }
 
   /** Codebooks for a RESIDUAL IVF-PQ index ([[ProductQuantizer.residualCol]]):
@@ -198,6 +273,12 @@ object VectorIndex {
     val centroids = readIvfCentroids(spark, path)
     val model = readPqMeta(spark, path)
     val residual = readPqResidual(spark, path)
+    // OPQ index: codes live in rotated space, so the ADC query rotates
+    // ONCE here; the exact re-rank below stays in raw space untouched
+    val adcQuery = readOpqRotation(spark, path) match {
+      case Some((d, flat)) => Opq.OpqModel(d, flat, model).rotate(query)
+      case None => query
+    }
     val probe = Similarity.probeBuckets(centroids, query, nprobe)
     val pruned = spark.read.parquet(s"$path/corpus")
       .where(col("bucket").isin(probe: _*))
@@ -211,7 +292,7 @@ object VectorIndex {
       } else lit(0.0)
     val short = ProductQuantizer.adcTopK(
       pruned.select(col(idCol), col("pq_code"), col("pq_norm"), col("bucket")),
-      idCol, model, query, shortlist, excludeId, dotOffset = offset)
+      idCol, model, adcQuery, shortlist, excludeId, dotOffset = offset)
       .select(col(idCol))
     Similarity.bruteTopK(
       pruned.join(broadcast(short), Seq(idCol), "left_semi"),
@@ -232,6 +313,40 @@ object VectorIndex {
       StructField("residual", BooleanType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
       .write.mode("overwrite").parquet(s"$path/pqmeta")
+  }
+
+  private def writeOpqMeta(
+      spark: SparkSession, opq: Opq.OpqModel, path: String): Unit = {
+    val rows = (0 until opq.d).map { r =>
+      Row(r, opq.rotFlat.slice(r * opq.d, (r + 1) * opq.d).toSeq)
+    }
+    val schema = StructType(Seq(
+      StructField("row", IntegerType, nullable = false),
+      StructField("coeffs", ArrayType(DoubleType), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$path/opqmeta")
+  }
+
+  private def deleteOpqMeta(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/opqmeta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** The index's OPQ rotation, if one was written — `(dim, row-major
+    * d×d)`; `None` means plain (unrotated) codes. Probes and appends call
+    * this, so an index's rotation is part of the path like everything
+    * else. */
+  def readOpqRotation(spark: SparkSession, path: String): Option[(Int, Array[Double])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/opqmeta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val rows = spark.read.parquet(s"$path/opqmeta").orderBy("row").collect()
+      val d = rows.length
+      Some((d, rows.flatMap(_.getSeq[Double](1)).toArray))
+    }
   }
 
   /** Whether the index's codes quantize residuals (older sidecars without

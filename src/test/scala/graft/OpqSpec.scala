@@ -131,4 +131,112 @@ class OpqSpec extends AnyFunSuite {
     assert(codes.forall(_.length == 4), "4 tinyints per row — the same budget as k=16")
     assert(enc.schema("pq_code").dataType.simpleString == "array<tinyint>")
   }
+
+  // Fixture for the ROTATED-RESIDUAL claim: the main fixture's anisotropy
+  // lives in the cluster centers, which the coarse centroids absorb — its
+  // residuals are near-isotropic and a rotation buys nothing there
+  // (measured: OPQ-residual 0.22 vs plain-residual 0.28, a wash). Here the
+  // centers separate cleanly (the coarse quantizer's job) and the RESIDUAL
+  // itself is a basis-mixed decaying-variance latent — anisotropy the
+  // centroids cannot absorb, exactly what composing OPQ into the residual
+  // index is for.
+  private lazy val residualFixture: (Seq[(Long, Seq[Float])], org.apache.spark.sql.DataFrame) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new java.util.Random(13L)
+    val dim = 64
+    val basis = {
+      val raw = Array.fill(dim)(Array.fill(dim)(rnd.nextGaussian()))
+      for (i <- 0 until dim) {
+        for (j <- 0 until i) {
+          val d = raw(i).zip(raw(j)).map { case (a, b) => a * b }.sum
+          for (k <- 0 until dim) raw(i)(k) -= d * raw(j)(k)
+        }
+        val n = math.sqrt(raw(i).map(x => x * x).sum)
+        for (k <- 0 until dim) raw(i)(k) /= n
+      }
+      raw
+    }
+    val centers = IndexedSeq.fill(8)(Array.fill(dim)(3.0 * rnd.nextGaussian()))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      val z = Array.tabulate(dim) { d =>
+        if (d < 8) rnd.nextGaussian() else 0.05 * rnd.nextGaussian()
+      }
+      val x = Array.tabulate(dim) { k =>
+        c(k) + basis.indices.map(d => basis(d)(k) * z(d)).sum
+      }
+      (i.toLong, x.map(_.toFloat).toSeq)
+    }
+    (vecs, vecs.toDF("vec_id", "embedding").cache())
+  }
+
+  test("OPQ composes into the materialized IVF-PQ index: sidecar, append, recall") {
+    import graft.operators.VectorIndex
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val (vecs, df) = residualFixture
+    val centroids = Similarity.kMeans(df, "vec_id", "embedding", c = 8, iters = 2)
+    val opq = VectorIndex.trainResidualOpq(df, "vec_id", "embedding", centroids, m = 4, k = 16)
+    val plain = VectorIndex.trainResidualPq(df, "vec_id", "embedding", centroids, m = 4, k = 16, iters = 8)
+
+    val pathO = java.nio.file.Files.createTempDirectory("graft-ivfpqopq").toString
+    val pathP = java.nio.file.Files.createTempDirectory("graft-ivfpqres").toString
+    VectorIndex.writeIvfPqOpq(df, "vec_id", "embedding", centroids, opq, pathO, residual = true)
+    VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, plain, pathP, residual = true)
+
+    // all three sidecars round-trip from the path alone
+    val rot = VectorIndex.readOpqRotation(spark, pathO)
+    assert(rot.isDefined, "OPQ index must carry a rotation sidecar")
+    assert(rot.get._1 == 64 && rot.get._2.toSeq == opq.rotFlat.toSeq,
+      "rotation must round-trip exactly")
+    assert(VectorIndex.readPqMeta(spark, pathO).books == opq.pq.books)
+    assert(VectorIndex.readPqResidual(spark, pathO))
+    assert(VectorIndex.readOpqRotation(spark, pathP).isEmpty,
+      "a plain index must read as unrotated")
+
+    // shortlist == k isolates code quality: the rotated residual codes
+    // must beat unrotated residual codes on the anisotropic fixture, at
+    // the SAME byte budget through the SAME probe plan
+    val qIds = Seq(0L, 3L, 10L, 17L, 21L, 30L)
+    def recallOf(path: String, shortlist: Int): Double = {
+      var r = 0.0
+      qIds.foreach { qid =>
+        val q = vecs(qid.toInt)._2.map(_.toDouble)
+        val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, 10, Some(qid))
+          .select("vec_id").as[Long].collect().toSet
+        val got = VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding", q,
+            nprobe = 8, k = 10, shortlist = shortlist, excludeId = Some(qid))
+          .select("vec_id").as[Long].collect().toSet
+        r += (got & brute).size.toDouble / brute.size
+      }
+      r / qIds.size
+    }
+    val (rp, ro) = (recallOf(pathP, 10), recallOf(pathO, 10))
+    info(s"raw-ADC recall@10 inside the index: plain-residual=$rp opq-residual=$ro")
+    assert(ro > rp + 0.05,
+      s"OPQ-composed index ($ro) must beat plain residual ($rp) on anisotropic data")
+    assert(recallOf(pathO, 60) >= 0.9, "deployed shortlist+rerank recall floor")
+
+    // append composes through the rotation: half-build + append == one-shot
+    // build, byte-equal probe output
+    val pathA = java.nio.file.Files.createTempDirectory("graft-ivfpqopq-app").toString
+    VectorIndex.writeIvfPqOpq(df.where(col("vec_id") < 160), "vec_id", "embedding",
+      centroids, opq, pathA, residual = true)
+    VectorIndex.appendIvfPq(df.where(col("vec_id") >= 160), "vec_id", "embedding", pathA)
+    val q3 = vecs(3)._2.map(_.toDouble)
+    def probeRows(path: String) =
+      VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding", q3,
+          nprobe = 8, k = 10, shortlist = 60, excludeId = Some(3L))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeRows(pathA) == probeRows(pathO),
+      "appended index must probe identically to the one-shot build")
+
+    // stale-sidecar guard: a plain rewrite at the same path removes the
+    // rotation, so probes never rotate against fresh unrotated codes
+    VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, plain, pathO, residual = true)
+    assert(VectorIndex.readOpqRotation(spark, pathO).isEmpty,
+      "plain rewrite must clear the rotation sidecar")
+  }
 }
