@@ -90,6 +90,23 @@ private[graft] trait QueriesText extends QueryHelpers {
       .orderBy("a", "b")
   }
 
+  /** DCT perceptual near-dup pairs (pHash, Zauner 2010) — q140's banded
+    * machinery under the recompression-robust hash: REAL PNG decode,
+    * fixed-point 32×32 DCT-II (integer cosine table ×2¹⁴, integer luma,
+    * `2·coeff > s₃₁+s₃₂` median threshold — every intermediate a Long),
+    * pigeonhole banding, exact bit_count verify. The fixed-point DCT is
+    * what buys the FULL oracle: DuckDB recomputes the hash from the
+    * embedded cosine table + the pattern arithmetic and brute-forces all
+    * pairs; the codec path AND the banding completeness must agree. */
+  def q143PhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(97)).as("seed"))
+    val imgs = graft.multimodal.Images.withPatternPayloadSeeded(
+      docs, "doc_id", "seed", w = 32, h = 24)
+    graft.multimodal.Images.nearDupsPhash(imgs, "doc_id", "payload", maxHamming = 3)
+      .orderBy("a", "b")
+  }
+
   /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
     * 16-byte signature per payload (decode stubbed; shape/batching real). */
   def q72Resize(spark: SparkSession, dir: String): DataFrame =

@@ -500,6 +500,47 @@ private[graft] trait QueryOracles extends AnyRef {
         |FROM h x JOIN h y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // q143: the DCT pHash recomputed ARITHMETICALLY — the fixed-point
+    // basis (cos x2^14, the 8 low-frequency rows) is embedded as literal
+    // VALUES from the SAME table the Spark side uses
+    // (Images.phashCosTable), luma is exact integer BT.601 over the
+    // nearest-neighbor-sampled pattern (32x24 image: sx = x, sy =
+    // (y*24)//32), the median threshold is the pure integer
+    // 2*coeff > s31+s32, and pairs brute-force where Spark must band.
+    // Every intermediate is integer, so the hash crosses engines exactly.
+    "q143_phash_near_dups" -> {
+      val cosRows = (for (k <- 0 until 8; i <- 0 until 32)
+        yield s"($k,$i,${graft.multimodal.Images.phashCosTable(k)(i)})").mkString(",")
+      s"""WITH cos(k, i, c) AS (VALUES $cosRows),
+         |px AS (
+         |  SELECT d.doc_id, xx.range AS x, yy.range AS y,
+         |     299 * ((7 * xx.range + 3 * ((yy.range * 24) // 32) + d.doc_id % 97) % 256)
+         |   + 587 * ((5 * xx.range + 11 * ((yy.range * 24) // 32) + 2 * (d.doc_id % 97)) % 256)
+         |   + 114 * ((13 * xx.range + ((yy.range * 24) // 32) + 3 * (d.doc_id % 97)) % 256) AS luma
+         |  FROM documents d CROSS JOIN range(0, 32) xx CROSS JOIN range(0, 32) yy),
+         |t AS (
+         |  SELECT p.doc_id, p.y, c.k AS v, SUM(p.luma * c.c) AS t
+         |  FROM px p JOIN cos c ON c.i = p.x GROUP BY 1, 2, 3),
+         |dct AS (
+         |  SELECT t.doc_id, c.k AS u, t.v, CAST(SUM(t.t * c.c) AS BIGINT) AS d
+         |  FROM t JOIN cos c ON c.i = t.y GROUP BY 1, 2, 3),
+         |blk AS (SELECT doc_id, u, v, d FROM dct WHERE NOT (u = 0 AND v = 0)),
+         |rn AS (SELECT doc_id, d,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY d) AS rn FROM blk),
+         |med AS (SELECT doc_id, SUM(CASE WHEN rn IN (31, 32) THEN d ELSE 0 END) AS med2
+         |        FROM rn GROUP BY doc_id),
+         |h AS (
+         |  SELECT b.doc_id,
+         |    CAST(SUM(CASE WHEN 2 * b.d > m.med2
+         |         THEN (CAST(1 AS BIGINT) << CAST(b.u * 8 + b.v - 1 AS INT))
+         |         ELSE 0 END) AS BIGINT) AS h
+         |  FROM blk b JOIN med m USING (doc_id) GROUP BY b.doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         |FROM h x JOIN h y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.h, y.h)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
     // Binary.aHashOf is deterministic integer arithmetic over payload
     // bytes, and the corpus is pure ASCII (byte == code point), so the
     // whole stub-hash + banded hamming-pair pipeline is SQL: sample 64

@@ -179,6 +179,7 @@ object Queries
     "q72_resize" -> q72Resize _,
     "q139_image_features" -> q139ImageFeatures _,
     "q140_image_near_dups" -> q140ImageNearDups _,
+    "q143_phash_near_dups" -> q143PhashNearDups _,
     "q73_frame_overlap" -> q73FrameOverlap _
   )
 }

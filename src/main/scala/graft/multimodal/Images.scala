@@ -170,9 +170,16 @@ object Images {
     * mild noise and smooth brightness shifts perturb high frequencies
     * and the DC term — exactly what this hash discards (spec-measured:
     * a JPEG-recompressed image stays within a few bits of its PNG
-    * original). Float DCT → deterministic per run, no cross-engine
-    * oracle; differential spec vs an independent driver model. One fused
-    * pass, the [[imageFeatures]] discipline. */
+    * original). The DCT is FIXED-POINT: cosines quantized to a
+    * [[phashCosTable]] of integers (×2¹⁴), luma kept as the exact
+    * integer `299r+587g+114b`, and the median threshold compared as
+    * `2·coeff > s₃₁+s₃₂` — every intermediate is a 64-bit integer, so
+    * the hash is BIT-PORTABLE across engines (the q143 oracle recomputes
+    * it in DuckDB from the embedded table; float DCTs cannot cross
+    * engines — summation order and libm ulps flip threshold bits). The
+    * ×2¹⁴ quantization perturbs coefficients ~6e-5 relatively — far
+    * below the perceptual signal. One fused pass, the [[imageFeatures]]
+    * discipline. */
   def pHash64(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -186,47 +193,58 @@ object Images {
       .toDF(idCol, "phash")
   }
 
+  /** The fixed-point DCT basis both pHash engines share: only the 8
+    * low-frequency rows are ever read, `cos((2i+1)kπ/64)` quantized to
+    * ×2¹⁴ integers. Public so the SQL oracle embeds the SAME table as
+    * literals (no libm in either engine's hash path). */
+  val phashCosTable: Array[Array[Long]] =
+    Array.tabulate(8, 32)((k, i) =>
+      math.round(math.cos((2 * i + 1) * k * math.Pi / 64) * 16384.0))
+
   private[multimodal] def pHashOf(img: BufferedImage): Long = {
     val n = 32
-    // nearest-neighbor 32x32 luma (BT.601 integer weights, /1000 to double)
-    val luma = Array.ofDim[Double](n, n)
+    // nearest-neighbor 32x32 luma — exact BT.601 integer weights (the
+    // /1000 scale cancels in the median comparison and is dropped)
+    val luma = Array.ofDim[Long](n, n)
     var y = 0
     while (y < n) {
       var x = 0
       while (x < n) {
         val rgb = img.getRGB(x * img.getWidth / n, y * img.getHeight / n)
-        luma(y)(x) = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-          114 * (rgb & 0xFF)) / 1000.0
+        luma(y)(x) = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
         x += 1
       }
       y += 1
     }
-    // separable DCT-II rows then columns
-    val c = Array.tabulate(n, n)((k, i) =>
-      math.cos((2 * i + 1) * k * math.Pi / (2 * n)))
-    val tmp = Array.ofDim[Double](n, n)
-    for (yy <- 0 until n; k <- 0 until n) {
-      var s = 0.0
+    // separable fixed-point DCT-II, rows then columns; only the 8 low
+    // frequencies are computed. Bounds: |tmp| <= 32·255000·2^14 ≈ 1.4e11,
+    // |dct| <= 32·1.4e11·2^14 ≈ 7e16 — well inside a Long.
+    val c = phashCosTable
+    val tmp = Array.ofDim[Long](n, 8)
+    for (yy <- 0 until n; k <- 0 until 8) {
+      var s = 0L
       var i = 0
       while (i < n) { s += luma(yy)(i) * c(k)(i); i += 1 }
       tmp(yy)(k) = s
     }
-    val dct = Array.ofDim[Double](n, n)
-    for (k <- 0 until n; xx <- 0 until n) {
-      var s = 0.0
+    val dct = Array.ofDim[Long](8, 8)
+    for (k <- 0 until 8; xx <- 0 until 8) {
+      var s = 0L
       var i = 0
       while (i < n) { s += tmp(i)(xx) * c(k)(i); i += 1 }
       dct(k)(xx) = s
     }
-    // top-left 8x8 minus the DC term, median threshold
+    // top-left 8x8 minus the DC term; median threshold as the pure
+    // integer comparison 2·coeff > s31+s32 (no halving, no floats)
     val block = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
       yield dct(u)(v)).toArray
     val sorted = block.sorted
-    val median = (sorted(30) + sorted(31)) / 2.0 // 63 coeffs: mid-pair
+    val med2 = sorted(30) + sorted(31) // 63 coeffs: mid-pair sum
     var h = 0L
     var j = 0
     for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) {
-      if (dct(u)(v) > median) h |= (1L << j)
+      if (2L * dct(u)(v) > med2) h |= (1L << j)
       j += 1
     }
     h

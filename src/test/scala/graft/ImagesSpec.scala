@@ -93,17 +93,19 @@ class ImagesSpec extends AnyFunSuite {
       val n = 32
       val luma = Array.tabulate(n, n) { (y, x) =>
         val (r, g, b) = px(id, x * 32 / n, y * 24 / n)
-        (299 * r + 587 * g + 114 * b) / 1000.0
+        299L * r + 587L * g + 114L * b
       }
-      val c = Array.tabulate(n, n)((k, i) => math.cos((2 * i + 1) * k * math.Pi / (2 * n)))
-      val t = Array.tabulate(n, n)((y, k) => (0 until n).map(i => luma(y)(i) * c(k)(i)).sum)
-      val d = Array.tabulate(n, n)((k, x) => (0 until n).map(i => t(i)(x) * c(k)(i)).sum)
+      // the published fixed-point basis: cos quantized to x2^14 integers
+      val c = Array.tabulate(8, n)((k, i) =>
+        math.round(math.cos((2 * i + 1) * k * math.Pi / (2 * n)) * 16384.0))
+      val t = Array.tabulate(n, 8)((y, k) => (0 until n).map(i => luma(y)(i) * c(k)(i)).sum)
+      val d = Array.tabulate(8, 8)((k, x) => (0 until n).map(i => t(i)(x) * c(k)(i)).sum)
       val block = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) yield d(u)(v)).toArray
       val sorted = block.sorted
-      val median = (sorted(30) + sorted(31)) / 2.0
+      val med2 = sorted(30) + sorted(31)
       var h = 0L; var j = 0
       for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) {
-        if (d(u)(v) > median) h |= (1L << j); j += 1
+        if (2L * d(u)(v) > med2) h |= (1L << j); j += 1
       }
       h
     }
