@@ -73,12 +73,10 @@ object TextIndex {
     val spark = df.sparkSession
     val fused = TextAnalysis.bm25PostsFused(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val stats = fused.where(col("term").isNull)
-      .agg(count(lit(1)), sum(col("_dl"))).head()
-    postings(fused, buckets, hotDf, hotSubs)
+    val (nDocs, sumdl, hot) = statsAndHot(fused, hotDf, hotSubs)
+    postings(fused, buckets, hot, hotSubs)
       .write.mode("overwrite").partitionBy("bucket", "sub").parquet(s"$path/postings")
-    writeMeta(spark, stats.getLong(0),
-      if (stats.isNullAt(1)) None else Some(stats.getLong(1)), buckets, path)
+    writeMeta(spark, nDocs, sumdl, buckets, path)
     fused.unpersist()
   }
 
@@ -93,41 +91,68 @@ object TextIndex {
     val (n0, sumdl0, buckets) = readMeta(spark, path)
     val fused = TextAnalysis.bm25PostsFused(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val stats = fused.where(col("term").isNull)
-      .agg(count(lit(1)), sum(col("_dl"))).head()
-    postings(fused, buckets, hotDf, hotSubs)
+    val (nDocs, batchSum, hot) = statsAndHot(fused, hotDf, hotSubs)
+    postings(fused, buckets, hot, hotSubs)
       .write.mode("append").partitionBy("bucket", "sub").parquet(s"$path/postings")
-    val batchSum = if (stats.isNullAt(1)) None else Some(stats.getLong(1))
     val sumdl = (sumdl0, batchSum) match {
       case (Some(a), Some(b)) => Some(a + b)
       case (a, b) => a.orElse(b)
     }
-    writeMeta(spark, n0 + stats.getLong(0), sumdl, buckets, path)
+    writeMeta(spark, n0 + nDocs, sumdl, buckets, path)
     fused.unpersist()
   }
 
-  private def postings(
-      fused: DataFrame, buckets: Int, hotDf: Long, hotSubs: Int): DataFrame = {
+  /** ONE pass over the persisted fused rows serves BOTH the sidecar stats
+    * and hot-term detection (SURVEY §12.b): the vocabulary aggregate
+    * groups the stats sentinels (term IS NULL) alongside per-term batch
+    * dfs, and only the sentinel row plus the stopword-scale hot tail
+    * (≤ batchPostings/hotDf terms by construction) come back to the
+    * driver. The previous shape paid a second full scan of the fused
+    * cache for a separate stats job. With splitting off, the vocabulary
+    * shuffle is skipped entirely and stats stay a shuffle-free filter. */
+  private def statsAndHot(
+      fused: DataFrame, hotDf: Long, hotSubs: Int): (Long, Option[Long], Seq[String]) = {
     require(hotDf >= 1, s"TextIndex: need hotDf >= 1, got $hotDf")
     require(hotSubs >= 1, s"TextIndex: need hotSubs >= 1, got $hotSubs")
+    if (hotSubs <= 1 || hotDf == Long.MaxValue) {
+      val r = fused.where(col("term").isNull)
+        .agg(count(lit(1)), sum(col("_dl"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), Nil)
+    } else {
+      val rows = fused.groupBy("term")
+        .agg(count(lit(1)).as("_cnt"), sum(col("_dl")).as("_sdl"))
+        .where(col("term").isNull || col("_cnt") >= hotDf)
+        .collect()
+      val (sentinel, hotRows) = rows.partition(_.isNullAt(0))
+      val n = sentinel.headOption.map(_.getLong(1)).getOrElse(0L)
+      val sumdl = sentinel.headOption
+        .flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      (n, sumdl, hotRows.map(_.getString(0)).toSeq)
+    }
+  }
+
+  private def postings(
+      fused: DataFrame, buckets: Int, hot: Seq[String], hotSubs: Int): DataFrame = {
     val base = fused.where(col("term").isNotNull)
       .select(col("_id").as("doc_id"), col("_dl").as("dl"),
         col("term"), col("_tf").as("tf"),
         pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket"))
+    val subCol = pmod(xxhash64(col("doc_id")), lit(hotSubs.toLong)).cast("int")
     val withSub =
-      if (hotSubs <= 1 || hotDf == Long.MaxValue) base.withColumn("sub", lit(0))
+      if (hot.isEmpty) base.withColumn("sub", lit(0))
+      else if (hot.size <= 10000)
+        // stopword-scale hot set: a codegen'd InSet probe per posting —
+        // no broadcast exchange, no join, stays in the write's stage
+        base.withColumn("sub",
+          when(col("term").isin(hot: _*), subCol).otherwise(lit(0)))
       else {
-        // hot terms = df >= hotDf in THIS batch: a tiny stopword-scale set
-        // (one map-side-combined aggregate over the persisted fused rows),
-        // broadcast back; only their postings fan out over sub-directories
-        val hot = base.groupBy("term").agg(count(lit(1)).as("_df"))
-          .where(col("_df") >= hotDf)
-          .select(col("term"), lit(true).as("_hot"))
-        base.join(broadcast(hot), Seq("term"), "left")
-          .withColumn("sub",
-            when(col("_hot"),
-              pmod(xxhash64(col("doc_id")), lit(hotSubs.toLong)).cast("int"))
-              .otherwise(lit(0)))
+        // pathological hotDf (huge hot vocabulary): fall back to a
+        // broadcast join rather than an InSet literal of that size
+        val spark = fused.sparkSession
+        import spark.implicits._
+        val hotD = hot.toDF("term").withColumn("_hot", lit(true))
+        base.join(broadcast(hotD), Seq("term"), "left")
+          .withColumn("sub", when(col("_hot"), subCol).otherwise(lit(0)))
           .drop("_hot")
           .select("doc_id", "dl", "term", "tf", "bucket", "sub")
       }
