@@ -107,6 +107,47 @@ private[graft] trait QueriesText extends QueryHelpers {
       .orderBy("a", "b")
   }
 
+  /** REAL multi-frame video-family decode — q71's stride sampling with
+    * the byte-window stub replaced by true animated-GIF frames (JDK
+    * sequence reader, bit-exact 256-gray palette): every even frame of
+    * each payload decodes to exact integer features. Full oracle: the
+    * pattern luma(x,y,f) = (7x+3y+11f+seed)%256 recomputes arithmetically
+    * in DuckDB, so the codec round-trip (not just the arithmetic) is
+    * proven. */
+  def q144GifFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(53)).as("seed"),
+        (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf"))
+    val gifs = graft.multimodal.Images.withAnimatedGifPayload(
+      docs, "doc_id", "seed", "nf", w = 32, h = 24)
+    graft.multimodal.Images.gifFrames(gifs, "doc_id", "payload")
+      .where(pmod(col("frame_idx"), lit(2)) === 0)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Video-dedup on REAL decoded frames — q73's overlap join upgraded
+    * from stub byte windows: payload pairs sharing >= 2 bit-identical
+    * frames, joined on the position-weighted integer frame fingerprint
+    * (cost tracks true overlap, never payload²). Cross-payload duplicate
+    * frames exist by construction (seed/frame arithmetic collides across
+    * docs); the oracle recomputes every frame fingerprint and
+    * brute-forces the pairs. */
+  def q145GifFrameOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(53)).as("seed"),
+        (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf"))
+    val gifs = graft.multimodal.Images.withAnimatedGifPayload(
+      docs, "doc_id", "seed", "nf", w = 32, h = 24)
+    val fr = graft.multimodal.Images.gifFrames(gifs, "doc_id", "payload")
+      .select(col("doc_id"), col("luma_fp")).distinct()
+    fr.as("a").join(fr.as("b"), "luma_fp")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
     * 16-byte signature per payload (decode stubbed; shape/batching real). */
   def q72Resize(spark: SparkSession, dir: String): DataFrame =

@@ -541,6 +541,46 @@ private[graft] trait QueryOracles extends AnyRef {
          |WHERE bit_count(xor(x.h, y.h)) <= 3
          |ORDER BY a, b""".stripMargin
     },
+    // q144/q145: the animated-GIF pattern luma(x,y,f) = (7x+3y+11f+seed)
+    // % 256 recomputed arithmetically; the payloads round-trip bit-exact
+    // through the 256-gray indexed palette, so the decoded features must
+    // equal these pure-SQL sums (codec path proven, q139's discipline on
+    // the time axis). luma_fp = SUM(v * (y*32+x+1)^2) <= ~3.8e10 — BIGINT.
+    "q144_gif_frames" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, d.doc_id % 53 AS seed,
+        |         CAST(3 + d.doc_id % 4 AS INT) AS nf, fr.range AS fi
+        |  FROM documents d CROSS JOIN range(0, 7) fr
+        |  WHERE fr.range < 3 + d.doc_id % 4 AND fr.range % 2 = 0),
+        |px AS (
+        |  SELECT f.doc_id, f.fi, f.nf, xx.range AS x, yy.range AS y,
+        |         (7 * xx.range + 3 * yy.range + 11 * f.fi + f.seed) % 256 AS v
+        |  FROM f CROSS JOIN range(0, 32) xx CROSS JOIN range(0, 24) yy)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, nf AS n_frames,
+        |       32 AS width, 24 AS height,
+        |       CAST(SUM(v) AS BIGINT) AS luma_sum,
+        |       CAST(SUM(v * (y * 32 + x + 1) * (y * 32 + x + 1)) AS BIGINT) AS luma_fp
+        |FROM px GROUP BY doc_id, fi, nf
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q145_gif_frame_overlap" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, d.doc_id % 53 AS seed,
+        |         fr.range AS fi
+        |  FROM documents d CROSS JOIN range(0, 7) fr
+        |  WHERE fr.range < 3 + d.doc_id % 4),
+        |px AS (
+        |  SELECT f.doc_id, f.fi, xx.range AS x, yy.range AS y,
+        |         (7 * xx.range + 3 * yy.range + 11 * f.fi + f.seed) % 256 AS v
+        |  FROM f CROSS JOIN range(0, 32) xx CROSS JOIN range(0, 24) yy),
+        |fp AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(SUM(v * (y * 32 + x + 1) * (y * 32 + x + 1)) AS BIGINT) AS luma_fp
+        |  FROM px GROUP BY doc_id, fi)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS shared_frames
+        |FROM fp a JOIN fp b ON a.luma_fp = b.luma_fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Binary.aHashOf is deterministic integer arithmetic over payload
     // bytes, and the corpus is pure ASCII (byte == code point), so the
     // whole stub-hash + banded hamming-pair pipeline is SQL: sample 64

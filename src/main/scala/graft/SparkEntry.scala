@@ -180,6 +180,8 @@ object Queries
     "q139_image_features" -> q139ImageFeatures _,
     "q140_image_near_dups" -> q140ImageNearDups _,
     "q143_phash_near_dups" -> q143PhashNearDups _,
+    "q144_gif_frames" -> q144GifFrames _,
+    "q145_gif_frame_overlap" -> q145GifFrameOverlap _,
     "q73_frame_overlap" -> q73FrameOverlap _
   )
 }

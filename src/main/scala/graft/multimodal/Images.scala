@@ -260,6 +260,124 @@ object Images {
         .select(col(idCol).as("_id"), col("phash").as("simhash")),
       maxHamming)
 
+  // ------------------------------------------------------ animated GIF
+
+  /** 256-level gray palette — an explicit IndexColorModel so the GIF
+    * encoder stores raw indices + this exact palette (no quantization):
+    * the animated payloads round-trip BIT-EXACTLY (probe-verified), which
+    * is what lets the frame features cross engines. */
+  private lazy val grayIcm: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Deterministic procedural ANIMATED GIF (the [[patternPayload]]
+    * discipline extended to the time axis — the fixture generator and the
+    * SQL oracle share this DEFINITION): frame f's pixel (x, y) has
+    * luma = (7x + 3y + 11f + id) % 256, one GIF image per frame via the
+    * JDK sequence writer. */
+  def animatedGifPayload(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(frames >= 1, s"animatedGifPayload: need frames >= 1, got $frames")
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayIcm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((7L * x + 3L * y + 11L * f + id) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** (idCol, n_frames, payload) per row — animated-GIF ingest stand-in;
+    * the pattern seed and frame count come from columns so controlled
+    * cross-payload frame duplicates exist (the video-dedup structure). */
+  def withAnimatedGifPayload(
+      df: DataFrame, idCol: String, seedCol: String, framesCol: String,
+      w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as(idCol), col(seedCol).cast("long"),
+        col(framesCol).cast("int"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, seed, nf) =>
+        (id, nf, animatedGifPayload(seed, w, h, nf))
+      })
+      .toDF(idCol, "n_frames", "payload")
+  }
+
+  private val gifFrameSchema = StructType(Seq(
+    StructField("_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma_sum", LongType, nullable = false),
+    StructField("luma_fp", LongType, nullable = false)))
+
+  /** REAL multi-frame decode — the upgrade over
+    * [[Binary.frameSample]]'s byte-window stub: every frame of an
+    * animated GIF payload decodes through the JDK sequence reader, one
+    * row per frame with exact INTEGER features: `luma_sum` = Σ luma and
+    * `luma_fp` = Σ luma·(y·w+x+1)² — a position-weighted integer
+    * fingerprint (max ≈ 3.8e10 at 32×24, well inside a Long) that is a
+    * plain SUM in SQL, so frame identity joins cross engines exactly.
+    * One fused mapPartitions pass; pixel buffers never enter a row. */
+  def gifFrames(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val reader = ImageIO.getImageReadersByFormatName("gif").next()
+          try {
+            reader.setInput(ImageIO.createImageInputStream(
+              new ByteArrayInputStream(payload)))
+            val n = reader.getNumImages(true)
+            require(n >= 1, s"gifFrames(id=$id): payload has no GIF frames")
+            (0 until n).map { f =>
+              val img = reader.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var fp = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = (img.getRGB(x, y) >> 16) & 0xFF
+                  val wgt = (y.toLong * w + x + 1)
+                  sum += v
+                  fp += v * wgt * wgt
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, f, n, w, h, sum, fp)
+            }
+          } finally reader.dispose()
+        }
+      }(org.apache.spark.sql.Encoders.row(gifFrameSchema))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** REAL nearest-neighbor resize: decode, sample source pixel
     * (x·w/W, y·h/H) per target pixel, re-encode PNG. One fused pass;
     * payloads in, payloads out, nothing else shuffles. */

@@ -132,6 +132,54 @@ class ImagesSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(got(2L) ^ got(31L)) > 10)
   }
 
+  test("animated GIF round-trips bit-exactly: frame features equal the pattern arithmetic") {
+    val s = spark
+    import s.implicits._
+    // independent model from the pattern DEFINITION (never the operator)
+    def model(seed: Long, f: Int): (Long, Long) = {
+      var sum = 0L; var fp = 0L
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val v = ((7L * x + 3L * y + 11L * f + seed) % 256)
+        val w = (y * 32 + x + 1).toLong
+        sum += v; fp += v * w * w
+      }
+      (sum, fp)
+    }
+    // frame pattern depends only on c = 11f + seed, so seed 100's family
+    // {100, 111, 122} is disjoint from seed 9's {9, 20, 31, 42, 53, 64}
+    val df = Seq((1L, 9L, 4), (2L, 9L, 6), (3L, 100L, 3)).toDF("doc_id", "seed", "nf")
+    val gifs = Images.withAnimatedGifPayload(df, "doc_id", "seed", "nf", 32, 24)
+    val rows = Images.gifFrames(gifs, "doc_id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.size == 4 + 6 + 3, "one row per frame per payload")
+    for ((id, seed, nf) <- Seq((1L, 9L, 4), (2L, 9L, 6), (3L, 100L, 3)); f <- 0 until nf) {
+      val (esum, efp) = model(seed, f)
+      assert(rows((id, f)) == ((nf, 32, 24, esum, efp)),
+        s"id=$id f=$f: ${rows((id, f))} vs ($nf,32,24,$esum,$efp)")
+    }
+    // same-seed payloads share their common frame prefix bit-identically
+    // (the duplicate structure the overlap join keys on)
+    (0 until 4).foreach { f =>
+      assert(rows((1L, f))._5 == rows((2L, f))._5, s"frame $f fp must match across same-seed docs")
+    }
+    // and a different seed shares none
+    val fps3 = (0 until 3).map(f => rows((3L, f))._5).toSet
+    val fps1 = (0 until 4).map(f => rows((1L, f))._5).toSet
+    assert((fps3 & fps1).isEmpty, "different seeds must not collide here")
+  }
+
+  test("gifFrames refuses undecodable payloads loudly") {
+    val s = spark
+    import s.implicits._
+    val junk = Seq((1L, "definitely not a gif".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.multimodal.Images.gifFrames(junk, "doc_id", "payload").collect()
+    }
+    assert(e.getCause != null, "decode failure must surface, not yield zero rows")
+  }
+
   test("non-image payloads and bad geometry refuse loudly") {
     val s = spark
     import s.implicits._
