@@ -391,7 +391,8 @@ object Dedup {
     * τ·|A| is computed with a 1e-9 downward guard before ⌈⌉ so a binary
     * rounding error can only LENGTHEN a prefix (safe), never shorten it. */
   def ngramJaccardPairsPrefix(
-      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
+      broadcastPairLimit: Int = 1 << 20): DataFrame = {
     val sh = shinglePrefixHashes(df, idCol, textCol, n, tau).cache()
     val pfx = sh.where(col("_pfx")).select(col("_id"), col("sh"))
     // cache the candidate pairs: verification consumes them twice (doc
@@ -401,7 +402,8 @@ object Dedup {
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct().cache()
     val out = verifyPairs(sh.select(col("_id"), col("sh")),
-      sh.select(col("_id"), col("_sz").as("sz")).distinct(), cands, tau)
+      sh.select(col("_id"), col("_sz").as("sz")).distinct(), cands, tau,
+      broadcastPairLimit)
       .localCheckpoint() // materialize, then release both caches (ADVICE r5)
     cands.unpersist()
     sh.unpersist()
@@ -425,28 +427,44 @@ object Dedup {
   /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh) intermediate
     * (prefixes via a per-doc aggregate — [[ngramJaccardPairsPrefix]] itself
     * tags prefixes inside the fused shingle pass instead). */
-  def ngramJaccardPairsPrefixFromHashes(sh: DataFrame, tau: Double): DataFrame = {
+  def ngramJaccardPairsPrefixFromHashes(
+      sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame = {
     val cands = prefixCandidates(sh, tau).cache()
     val out = verifyPairs(sh, sh.groupBy("_id").agg(count(lit(1)).as("sz")),
-      cands, tau)
+      cands, tau, broadcastPairLimit)
       .localCheckpoint() // materialize, then release the pair cache (ADVICE r5)
     cands.unpersist()
     out
   }
 
+  /** True iff `df` (cached/checkpointed by the caller, so the probe does
+    * not recompute an expensive plan) holds at most `limit` rows — a
+    * limit-probe, never a full count of an oversized set. The shared
+    * guard for "edge-bounded, so it broadcasts" claims: above the limit
+    * the caller falls back to an unhinted (shuffle) join instead of
+    * force-broadcasting an unbounded frame into the driver. */
+  private def withinLimit(df: DataFrame, limit: Int): Boolean =
+    df.limit(limit + 1).count() <= limit
+
   /** Exact Jaccard verification restricted to candidate pairs: full sets
     * semi-joined to candidate docs, the counting join semi-joined to the
-    * (broadcast, edge-bounded) pair list — no non-candidate pair is ever
-    * counted, and completeness is the prefix filter's theorem. */
+    * pair list — no non-candidate pair is ever counted, and completeness
+    * is the prefix filter's theorem. The pair list is edge-bounded BY
+    * CONTRACT; `broadcastPairLimit` enforces it with a limit-probe — a
+    * pathological corpus whose candidates outgrow the knob degrades to
+    * distributed (shuffle) semi-joins with identical output
+    * (spec-proven) instead of an OOM'd driver broadcast. */
   private def verifyPairs(
       sh: DataFrame, sizes: DataFrame, cands: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, broadcastPairLimit: Int): DataFrame = {
+    val small = withinLimit(cands, broadcastPairLimit)
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val candIds = cands.select(col("a").as("_id"))
       .unionByName(cands.select(col("b").as("_id"))).distinct()
-    val shc = sh.join(broadcast(candIds), Seq("_id"))
+    val shc = sh.join(hint(candIds), Seq("_id"))
     val common = shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh"))
       .where(col("x._id") < col("y._id"))
-      .join(broadcast(cands),
+      .join(hint(cands),
         col("x._id") === col("a") && col("y._id") === col("b"), "left_semi")
       .groupBy(col("x._id").as("a"), col("y._id").as("b"))
       .agg(count(lit(1)).as("common"))
@@ -595,11 +613,17 @@ object Dedup {
     * orders of magnitude smaller than the corpus — so it broadcasts, and the
     * anti-join never shuffles the corpus. */
   def dedupCorpus(
-      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
+      broadcastLoserLimit: Int = 1 << 20): DataFrame = {
+    // localCheckpoint: materialize the loser list once so the
+    // edge-bounded-broadcast guard's limit-probe costs a cached count,
+    // not a recompute of the whole clustering
     val losers = nearDupClusters(df, idCol, textCol, n, tau)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("_loser"))
-    df.join(broadcast(losers), col(idCol).cast("long") === col("_loser"), "left_anti")
+      .localCheckpoint()
+    val hinted = if (withinLimit(losers, broadcastLoserLimit)) broadcast(losers) else losers
+    df.join(hinted, col(idCol).cast("long") === col("_loser"), "left_anti")
   }
 
   /** [[dedupCorpus]] with a QUALITY-AWARE keeper: within each near-dup
@@ -619,19 +643,24 @@ object Dedup {
     * `df`'s columns). */
   def dedupCorpusBy(
       df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
-      score: Column): DataFrame = {
+      score: Column, broadcastLoserLimit: Int = 1 << 20): DataFrame = {
     val pairs = ngramJaccardPairs(df, idCol, textCol, n, tau)
-    val comp = connectedComponents(pairs, "a", "b") // (id, comp), edge-bounded
+    // (id, comp), edge-bounded by contract; localCheckpoint so the
+    // broadcast guard's probe and the three downstream uses share one
+    // materialization (the driver union-find path is already local)
+    val comp = connectedComponents(pairs, "a", "b").localCheckpoint()
+    val small = withinLimit(comp, broadcastLoserLimit)
+    def hint(d: DataFrame): DataFrame = if (small) broadcast(d) else d
     val memberScores = df
       .select(col(idCol).cast("long").as("id"), score.as("_score"))
-      .join(broadcast(comp), Seq("id"))
+      .join(hint(comp), Seq("id"))
     val winners = memberScores.groupBy(col("comp"))
       .agg(max(struct(col("_score"), (-col("id")).as("_nid"),
         col("id").as("_win"))).as("_m"))
       .select(col("_m._win").as("_winner"))
     val losers = comp.select(col("id").as("_loser"))
-      .join(broadcast(winners), col("_loser") === col("_winner"), "left_anti")
-    df.join(broadcast(losers), col(idCol).cast("long") === col("_loser"), "left_anti")
+      .join(hint(winners), col("_loser") === col("_winner"), "left_anti")
+    df.join(hint(losers), col(idCol).cast("long") === col("_loser"), "left_anti")
   }
 
   /** Cosine of two float-vector columns, computed in double with a

@@ -103,6 +103,11 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     var it = 0
     var converged = false
+    // the one checkpoint frame the CURRENT ranks still reads; superseded
+    // checkpoints release eagerly each round (ADVICE r6 — relying on GC +
+    // ContextCleaner let a long run hold every iteration's RDD)
+    var liveCkpt: DataFrame = null
+    try {
     while (it < maxIters && !converged) {
       // localCheckpoint (not persist): TRUE lineage truncation. A cached
       // contribs still carries its full logical plan — each iteration's
@@ -132,11 +137,19 @@ object Graph {
           .join(ranks.as("b"), col("a.node") === col("b.node"))
           .agg(coalesce(sum(abs(col("a.rank") - col("b.rank"))), lit(0.0)))
           .head.getDouble(0)
+        // the delta was the last read of the PREVIOUS vector, and `mat`
+        // was materialized FROM contribs — both checkpoints are dead now
+        if (liveCkpt != null) releaseCheckpoint(liveCkpt)
+        releaseCheckpoint(contribs)
+        liveCkpt = mat
         ranks = mat
         if (delta <= tol) converged = true
       } else {
         // fixed-iteration: the vector stays a constant-depth LAZY
-        // projection over the checkpointed contribs
+        // projection over the checkpointed contribs; the previous round's
+        // checkpoint was consumed building THIS round's contribs
+        if (liveCkpt != null) releaseCheckpoint(liveCkpt)
+        liveCkpt = contribs
         ranks = next
       }
       it += 1
@@ -147,12 +160,24 @@ object Graph {
         "or use pageRank for a fixed-iteration run")
     val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    // the rank vector is materialized; the adjacency and node caches are
-    // dead weight from here (out spills to disk under pressure rather
-    // than recomputing through them) — release before returning (the
-    // ADVICE r5 cache-lifetime discipline)
-    adj.unpersist()
-    nodes.unpersist()
     out
+    } finally {
+      // release on BOTH paths — the non-convergence refusal above used to
+      // throw past these (ADVICE r6), leaking the adjacency/node caches
+      // and the last checkpoint for the session's lifetime
+      adj.unpersist()
+      nodes.unpersist()
+      if (liveCkpt != null) releaseCheckpoint(liveCkpt)
+    }
   }
+
+  /** Release the RDD behind a `localCheckpoint`'d frame —
+    * `Dataset.unpersist` only covers cache-manager entries, so
+    * checkpointed iteration state needs its backing RDD unpersisted
+    * directly. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 }

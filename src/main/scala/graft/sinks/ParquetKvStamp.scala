@@ -42,12 +42,30 @@ object ParquetKvStamp {
     }
     val files = collect(root)
     require(files.nonEmpty, s"no parquet files under $path")
+    // ship the SESSION Hadoop conf into the tasks (ADVICE r6 — a fresh
+    // executor-side Configuration() drops the credential/endpoint settings
+    // the listing above used)
+    val confBc = spark.sparkContext.broadcast(
+      new graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.sparkContext.parallelize(files, files.size)
-      .foreach(f => stampOne(f, kv))
+      .foreach(f => stampOne(f, kv, confBc.value.value))
   }
 
-  private def stampOne(file: String, kv: Map[String, String]): Unit = {
-    val conf = new Configuration()
+  /** Rewrite one file's footer and publish via delete → rename.
+    *
+    * The publish window is NOT atomic (documented, ADVICE r6): between
+    * the delete and the rename a concurrent reader can observe the file
+    * absent, and a crash strands the stamped bytes at
+    * `.<name>.kvstamp.tmp` (dot-prefixed, invisible to readers) with the
+    * original gone. Recovery is mechanical — rename the stranded tmp back
+    * into place — and a RE-RUN of [[addKeyValues]] self-heals: stampOne
+    * rebuilds the tmp from the original when it exists, and the stranded
+    * tmp is replaced (Mode.OVERWRITE) on the next stamp of that file.
+    * An atomic overwrite-rename (FileContext/Options.Rename.OVERWRITE)
+    * was considered and rejected: it bypasses ChecksumFileSystem, so on
+    * file:// it strands stale `.crc` sidecars that poison later reads. */
+  private def stampOne(
+      file: String, kv: Map[String, String], conf: Configuration): Unit = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
     val in = HadoopInputFile.fromPath(p, conf)
@@ -64,9 +82,11 @@ object ParquetKvStamp {
     w.appendFile(in) // raw row-group byte copy, no decode
     w.end((oldKv ++ kv).asJava)
     // publish: rename over the original (same-directory rename, the file
-    // commit protocol's own assumption)
+    // commit protocol's own assumption; see the scaladoc's window note)
     require(fs.delete(p, false), s"could not remove $p for footer rewrite")
-    require(fs.rename(tmp, p), s"could not publish stamped footer for $p (staged at $tmp)")
+    require(fs.rename(tmp, p),
+      s"could not publish stamped footer for $p — the stamped bytes are " +
+        s"staged at $tmp; rename it into place to recover")
   }
 
   /** Footer KV value for `key` from the FIRST parquet file under `path`;

@@ -91,9 +91,14 @@ object TfRecordSink {
       .repartition(col("_shard"))
       .sortWithinPartitions((col("_shard") +: orderCols.map(col)): _*)
       .select(col("_shard"), col("_p"))
+    // ship the SESSION Hadoop conf into the write tasks (ADVICE r6 — a
+    // fresh executor-side Configuration() drops credential/endpoint
+    // settings the driver-side delete above used)
+    val confBc = spark.sparkContext.broadcast(
+      new graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val manifestRows = rows.queryExecution.toRdd.mapPartitions { it =>
       // executor-side FS; one open file per shard, rolled on the boundary
-      val conf2 = new org.apache.hadoop.conf.Configuration()
+      val conf2 = confBc.value.value
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var cur = -1L
       var stream: org.apache.hadoop.fs.FSDataOutputStream = null
@@ -103,6 +108,13 @@ object TfRecordSink {
         stream.close(); out += ((cur, nRows, nBytes)); stream = null
       }
       it.foreach { ir =>
+        // a null (or null-casting) shard value would read as 0 via
+        // getLong and silently land in shard=0 — refuse loudly instead
+        // (ADVICE r6; the repo convention is loud refusal, and a quiet
+        // mis-shard changes training data)
+        require(!ir.isNullAt(0),
+          s"TfRecordSink: null shard value in '$shardCol' — shard ids " +
+            "must be non-null longs (fix the shard column or filter nulls)")
         val shard = ir.getLong(0)
         // null payloads emit no record (the null-text convention every
         // text operator here follows); TFRecord has no null notion and
@@ -152,13 +164,20 @@ object TfRecordSink {
         new Path(d.getPath, "data.tfrecord").toString))
       .sortBy(_._1).toSeq
     require(files.nonEmpty, s"no shard directories under $path/shards")
+    val confBc = spark.sparkContext.broadcast(
+      new graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)) // session conf, not a fresh default (ADVICE r6)
     val rdd = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap { case (shard, file) =>
-        val conf2 = new org.apache.hadoop.conf.Configuration()
+        val conf2 = confBc.value.value
         val p = new Path(file)
         val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(p.getFileSystem(conf2).open(p), 1 << 16))
+        // close with the task if the consumer stops early (limit/take)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
         new Iterator[Row] {
           private var offset = 0L
           private var nextRec: Array[Byte] = fetch()

@@ -171,16 +171,24 @@ object Warc {
     }
   }
 
-  private def open(f: String): InputStream = {
+  private def open(f: String, conf: org.apache.hadoop.conf.Configuration): InputStream = {
     val fp = new Path(f)
-    val fs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = fp.getFileSystem(conf)
     val raw = new BufferedInputStream(fs.open(fp), 1 << 16)
     if (f.toLowerCase.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
   }
 
   private def recordIterator(
-      f: String, maxRecordBytes: Int): Iterator[Row] = {
-    val in = new DataInputStream(open(f))
+      f: String, maxRecordBytes: Int,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Row] = {
+    val in = new DataInputStream(open(f, conf))
+    // a consumer that stops early (limit/take, downstream failure) never
+    // reaches the clean-EOF close below — close with the task instead of
+    // leaking the handle (ADVICE r6)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case _: java.io.IOException => () }
+      })
     new Iterator[Row] {
       private var nextRow: Option[Row] = fetch()
       private def fetch(): Option[Row] = {
@@ -225,9 +233,15 @@ object Warc {
           .sortBy(_.getName).map(_.toString)
       else Seq(p.toString)
     require(files.nonEmpty, s"no .warc/.warc.gz files under $path")
+    // ship the SESSION Hadoop conf into the tasks — a fresh Configuration()
+    // on the executor loses credentials/endpoint settings that the
+    // driver-side listing above used, so object-store paths that list fine
+    // would fail (or bind the wrong FileSystem) at task time (ADVICE r6)
+    val confBc = spark.sparkContext.broadcast(
+      new graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val rdd = spark.sparkContext
       .parallelize(files, files.size)
-      .flatMap(recordIterator(_, maxRecordBytes))
+      .flatMap(recordIterator(_, maxRecordBytes, confBc.value.value))
     spark.createDataFrame(rdd, schema)
   }
 

@@ -99,6 +99,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("edge-bounded broadcast guard: distributed fallback equals the broadcast path") {
+    // broadcastPairLimit/broadcastLoserLimit = 0 force the limit-probe to
+    // refuse every broadcast, degrading to unhinted shuffle joins — the
+    // output must be byte-identical to the (default) broadcast path
+    val base = (1 to 20).map(i => s"g$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base), (2L, base + " tail"), (3L, base),
+      (4L, "own words entirely different document four"),
+      (5L, "y1 y2 y3 y4 y5 y6 y7 y8 y9"), (6L, "y1 y2 y3 y4 y5 y6 y7 y8 y9")
+    ).toDF("doc_id", "text")
+    val bc = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", n = 3, tau = 0.6)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+    val dist = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", n = 3, tau = 0.6,
+        broadcastPairLimit = 0)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+    assert(bc == dist && bc.nonEmpty, s"broadcast $bc vs distributed $dist")
+    val score = size(graft.operators.TextAnalysis.tokens(col("text")))
+    val bcBy = Dedup.dedupCorpusBy(corpus, "doc_id", "text", n = 3, tau = 0.6, score)
+      .select("doc_id").as[Long].collect().toSet
+    val distBy = Dedup.dedupCorpusBy(corpus, "doc_id", "text", n = 3, tau = 0.6, score,
+        broadcastLoserLimit = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bcBy == distBy, s"broadcast $bcBy vs distributed $distBy")
+    val bcCorpus = Dedup.dedupCorpus(corpus, "doc_id", "text", n = 3, tau = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    val distCorpus = Dedup.dedupCorpus(corpus, "doc_id", "text", n = 3, tau = 0.6,
+        broadcastLoserLimit = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bcCorpus == distCorpus, s"broadcast $bcCorpus vs distributed $distCorpus")
+  }
+
   test("dedupCorpusBy keeps the highest-score member per cluster, min id on ties") {
     val base = (1 to 20).map(i => s"w$i").mkString(" ")
     val corpus = Seq(

@@ -65,6 +65,20 @@ class TfRecordSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/manifest").count() == 4)
   }
 
+  test("a null shard value refuses loudly instead of landing in shard 0") {
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-tfr-nullshard").toString
+    val docs = Seq((1L, Some(0L), "a"), (2L, None, "b"))
+      .toDF("doc_id", "shard", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecordSink.writeSharded(docs, path, "payload", "shard", Seq("doc_id"))
+    }
+    assert(String.valueOf(e.getCause.getMessage).contains("null shard value"),
+      s"got: ${e.getCause}")
+  }
+
   test("a flipped byte fails loudly with shard and offset, never truncates silently") {
     val s = spark
     import s.implicits._
