@@ -180,8 +180,11 @@ object Warc {
 
   private def recordIterator(
       f: String, maxRecordBytes: Int,
-      conf: org.apache.hadoop.conf.Configuration): Iterator[Row] = {
-    val in = new DataInputStream(open(f, conf))
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Row] =
+    recordIterator(new DataInputStream(open(f, conf)), f, maxRecordBytes)
+
+  private def recordIterator(
+      in: DataInputStream, label: String, maxRecordBytes: Int): Iterator[Row] = {
     // a consumer that stops early (limit/take, downstream failure) never
     // reaches the clean-EOF close below — close with the task instead of
     // leaking the handle (ADVICE r6)
@@ -197,12 +200,12 @@ object Warc {
         // fail loudly — swallowing it would silently drop the truncated
         // record and present a shortened archive as complete
         val parsed =
-          try parseRecord(in, maxRecordBytes, f)
+          try parseRecord(in, maxRecordBytes, label)
           catch {
             case e: EOFException =>
               in.close()
               throw new IllegalArgumentException(
-                s"$f: truncated WARC record (unexpected EOF mid-record)", e)
+                s"$label: truncated WARC record (unexpected EOF mid-record)", e)
           }
         if (parsed.isEmpty) in.close()
         parsed
@@ -214,6 +217,129 @@ object Warc {
         r
       }
     }
+  }
+
+  // ------------------------------------------------- gzip-member splits
+
+  /** Bounds a raw stream to `limit` bytes — the range fence for
+    * member-aligned splits (the gzip decoder then sees EOF exactly at the
+    * next range's first member and stops cleanly). */
+  private final class LimitedInputStream(in: InputStream, private var limit: Long)
+      extends InputStream {
+    override def read(): Int =
+      if (limit <= 0) -1
+      else { val b = in.read(); if (b >= 0) limit -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (limit <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, limit).toInt)
+      if (n > 0) limit -= n
+      n
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** True iff a verified WARC gzip member starts at `off`: inflate a
+    * probe prefix from the offset and require the decompressed bytes to
+    * open with `WARC/`. Compressed payload bytes can contain the gzip
+    * magic, so candidates must prove themselves — a false candidate dies
+    * here (bad deflate stream or wrong prefix), never in the decode. */
+  private def isMemberStart(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path, off: Long): Boolean = {
+    val raw = fs.open(p)
+    try {
+      raw.seek(off)
+      val gz = new GZIPInputStream(new BufferedInputStream(raw, 1 << 14))
+      val head = new Array[Byte](5)
+      var got = 0
+      while (got < 5) {
+        val r = gz.read(head, got, 5 - got)
+        if (r < 0) return false
+        got += r
+      }
+      new String(head, StandardCharsets.US_ASCII) == "WARC/"
+    } catch {
+      case _: java.io.IOException => false // covers ZipException
+    } finally raw.close()
+  }
+
+  /** First verified member start at-or-after `from` (scanning raw bytes
+    * for the `1f 8b 08` magic, probe-verifying each candidate), or None
+    * before `until`. */
+  private def nextMemberStart(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path, from: Long,
+      until: Long): Option[Long] = {
+    val raw = fs.open(p)
+    try {
+      raw.seek(from)
+      val in = new BufferedInputStream(raw, 1 << 16)
+      var pos = from
+      var w0 = -1; var w1 = -1 // rolling 2-byte window
+      while (pos < until) {
+        val b = in.read()
+        if (b < 0) return None
+        if (w0 == 0x1f && w1 == 0x8b && b == 0x08) {
+          val cand = pos - 2
+          if (isMemberStart(fs, p, cand)) return Some(cand)
+        }
+        w0 = w1; w1 = b; pos += 1
+      }
+      None
+    } finally raw.close()
+  }
+
+  /** Read ONE `.warc.gz` segment with `splits`-way parallelism — the
+    * SURVEY §12.b gap: [[read]] is one task per file, the right shape
+    * when crawls arrive pre-sharded, but a single giant segment
+    * serializes. Per-record gzip members (the Common Crawl layout) make
+    * member starts legal split points; they are DISCOVERED, not indexed:
+    * one tiny job probes the first verified member start at-or-after
+    * each of the `splits−1` ideal byte cuts (O(splits) probes, each
+    * scanning ~one record of raw bytes — never a full-file decode), then
+    * the read job decodes each [cut, nextCut) range through a
+    * byte-limited gzip stream, so every task parses whole members and
+    * the union of ranges is record-identical to the sequential read
+    * (spec-proven, including payloads that embed the gzip magic).
+    * Plain `.warc` files refuse: without member framing there is no
+    * verifiable split point. */
+  def readSplit(
+      spark: SparkSession, file: String, splits: Int,
+      maxRecordBytes: Int = 64 << 20): DataFrame = {
+    require(splits >= 1, s"readSplit: need splits >= 1, got $splits")
+    require(file.toLowerCase.endsWith(".warc.gz"),
+      s"readSplit: only per-record-gzip segments split safely, got $file " +
+        "(plain .warc has no verifiable member boundaries — use read)")
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    val confBc = spark.sparkContext.broadcast(
+      new graft.core.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    require(isMemberStart(fs, p, 0L),
+      s"readSplit: $file does not open with a WARC gzip member at offset 0")
+    val targets = (1 until splits).map(i => len * i / splits)
+      .filter(t => t > 0 && t < len)
+    val cuts: Array[Long] =
+      if (targets.isEmpty) Array.empty
+      else spark.sparkContext.parallelize(targets, targets.size)
+        .flatMap { t =>
+          val c = confBc.value.value
+          val pp = new Path(file)
+          nextMemberStart(pp.getFileSystem(c), pp, t, len)
+        }
+        .collect().distinct.sorted
+    val bounds = (0L +: cuts :+ len).distinct.sorted
+    val ranges = bounds.zip(bounds.tail).filter { case (s, e) => e > s }
+    val rdd = spark.sparkContext
+      .parallelize(ranges.toSeq, ranges.length)
+      .flatMap { case (s, e) =>
+        val c = confBc.value.value
+        val pp = new Path(file)
+        val raw = pp.getFileSystem(c).open(pp)
+        raw.seek(s)
+        val in = new DataInputStream(new GZIPInputStream(
+          new BufferedInputStream(new LimitedInputStream(raw, e - s), 1 << 16), 1 << 16))
+        recordIterator(in, s"$file[$s,$e)", maxRecordBytes)
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Read one `.warc`/`.warc.gz` file or a directory of them — one task

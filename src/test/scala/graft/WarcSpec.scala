@@ -44,6 +44,47 @@ class WarcSpec extends AnyFunSuite {
     assert(byId(rid(6)).getAs[Array[Byte]](8).length == 0)
   }
 
+  test("readSplit: member-aligned ranges are record-identical to the sequential read") {
+    // synthesize a many-member segment with per-record gzip framing; some
+    // payloads deliberately EMBED the gzip magic (1f 8b 08) so candidate
+    // verification, not magic scanning alone, decides the split points
+    val rnd = new java.util.Random(5L)
+    val f = java.nio.file.Files.createTempDirectory("graft-warc-split")
+      .resolve("big.warc.gz").toFile
+    val out = new java.io.FileOutputStream(f)
+    (1 to 120).foreach { i =>
+      val decoy = Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08.toByte)
+      val noise = new Array[Byte](40 + rnd.nextInt(200))
+      rnd.nextBytes(noise)
+      val body = ("payload %04d ".format(i).getBytes("UTF-8") ++ decoy ++ noise)
+      val rec = (s"WARC/1.0\r\n" +
+        s"WARC-Type: resource\r\n" +
+        f"WARC-Record-ID: <urn:uuid:11111111-0000-0000-0000-$i%012d>\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n").getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec)
+      gz.finish() // one member per record, stream stays open
+    }
+    out.close()
+
+    val seq = Warc.read(spark, f.getAbsolutePath)
+      .orderBy("record_id").collect().toSeq
+    assert(seq.length == 120)
+    for (splits <- Seq(1, 4, 7)) {
+      val par = Warc.readSplit(spark, f.getAbsolutePath, splits)
+      if (splits > 1)
+        assert(par.rdd.getNumPartitions > 1, s"splits=$splits must use >1 task")
+      val rows = par.orderBy("record_id").collect().toSeq
+      assert(rows == seq, s"splits=$splits: split read must be record-identical")
+    }
+    // plain .warc has no member framing: refuse rather than guess
+    val e = intercept[IllegalArgumentException] {
+      Warc.readSplit(spark, new java.io.File(dir, "sample_a.warc").getAbsolutePath, 2)
+    }
+    assert(e.getMessage.contains("per-record-gzip"))
+  }
+
   test("htmlDocs keeps only 200 text/html responses, decoded as strings") {
     val docs = Warc.htmlDocs(spark, dir).orderBy("record_id").collect()
     assert(docs.map(_.getString(0)).toSeq == Seq(rid(2), rid(6)))
