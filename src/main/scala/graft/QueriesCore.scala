@@ -423,6 +423,33 @@ private[graft] trait QueriesCore extends QueryHelpers {
       .orderBy("event_type")
   }
 
+  /** Tail-exact quantiles (SURVEY §12.b's REQ item, certify-or-refuse
+    * style): the deterministic KLL core runs in its ESTIMATOR regime
+    * (k=64 — q138's exact-regime escape hatch deliberately closed) while
+    * bounded exact min-t/max-t buffers serve the extreme quantiles with
+    * certified rank error 0 — the regime a pipeline thresholding on
+    * p99.9 latencies/lengths actually needs. Only the tail columns are
+    * emitted (layout-independent by construction: global top-t is
+    * well-defined under any merge order), so the oracle is full SQL
+    * nearest-rank; the estimator middle + its certificate are spec-pinned
+    * instead (QuantileSketchSpec). */
+  def q146TailQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.001, 0.999, 0.9999)
+    t(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(graft.functions.QuantileSketch.tailSketch(
+        col("value").cast("double"), k = 64, t = 4096, probs).as("s"))
+      .select(col("event_type"), col("s.n").as("n"),
+        round(col("s.qs").getItem(0), 6).as("q001"),
+        col("s.q_exact").getItem(0).as("q001_exact"),
+        round(col("s.qs").getItem(1), 6).as("q999"),
+        col("s.q_exact").getItem(1).as("q999_exact"),
+        round(col("s.qs").getItem(2), 6).as("q9999"),
+        col("s.q_exact").getItem(2).as("q9999_exact"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-width histogram over a value column: bin ids + counts are pure
     * integer/deterministic arithmetic off a broadcast (min, max) scalar. */
   def q47Histogram(spark: SparkSession, dir: String): DataFrame = {

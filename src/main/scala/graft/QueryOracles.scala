@@ -641,6 +641,26 @@ private[graft] trait QueryOracles extends AnyRef {
         |       round(min(CASE WHEN rn >= ceil(0.9 * n) THEN x END), 6) AS q90,
         |       round(min(CASE WHEN rn >= ceil(0.99 * n) THEN x END), 6) AS q99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q146: only the tail columns are emitted by the query, and the tails
+    // are EXACT by the t=4096 buffer at every test SF — plain nearest-rank
+    // SQL; the q_exact certificates are TRUE by construction
+    "q146_tail_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       round(min(CASE WHEN rn >= greatest(ceil(0.001 * n), 1) THEN x END), 6) AS q001,
+        |       TRUE AS q001_exact,
+        |       round(min(CASE WHEN rn >= greatest(ceil(0.999 * n), 1) THEN x END), 6) AS q999,
+        |       TRUE AS q999_exact,
+        |       round(min(CASE WHEN rn >= greatest(ceil(0.9999 * n), 1) THEN x END), 6) AS q9999,
+        |       TRUE AS q9999_exact
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q46_percentiles" ->
       """SELECT o_orderpriority,
         |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -85,6 +85,7 @@ object Queries
     "q29_salted_join" -> q29SaltedJoin _,
     "q46_percentiles" -> q46Percentiles _,
     "q138_quantile_sketch" -> q138QuantileSketch _,
+    "q146_tail_quantiles" -> q146TailQuantiles _,
     "q141_tfrecord_export" -> q141TfrecordExport _,
     "q47_histogram" -> q47Histogram _,
     "q30_dedup_exact" -> q30DedupExact _,

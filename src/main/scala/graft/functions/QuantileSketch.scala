@@ -269,7 +269,201 @@ case class QuantileSketchStateAgg(
     copy(child = newChild)
 }
 
+/** [[QSketch]] plus EXACT bounded tails — the tail-quantile answer to
+  * SURVEY §12.b's REQ item, in the house certify-or-refuse style: REQ
+  * (Cormode et al., PODS 2021) buys relative rank error with randomized
+  * exponentially-protected compactors; this keeps the deterministic KLL
+  * core and adds exact min-t/max-t side buffers instead. Any quantile
+  * whose tail mass fits the buffer — `ceil(p·n) ≤ t` from below or
+  * `n − ceil(p·n) < t` from above — answers EXACTLY (certified rank
+  * error 0, strictly tighter than the KLL ±errBound certificate at the
+  * same state scale); everything else falls back to the KLL estimate
+  * and SAYS so per quantile. Deterministic, mergeable (the union of
+  * per-partition top-t sets contains the global top-t), state =
+  * KLL + 2t doubles. The honest trade vs REQ: exactness holds while
+  * (1−p)·n ≤ t — p99.9 exact to n ≈ 1000·t — rather than ε·r error at
+  * every n; the certificate REPORTS which regime each answer is in. */
+private[functions] final class TailQSketch(val k: Int, val t: Int) extends Serializable {
+  val core = new QSketch(k)
+  /** unsorted staging; sorted+truncated to t when they reach 2t */
+  var lo: Array[Double] = new Array[Double](2 * t)
+  var hi: Array[Double] = new Array[Double](2 * t)
+  var loN = 0
+  var hiN = 0
+
+  private def shrink(): Unit = {
+    if (loN > t) {
+      java.util.Arrays.sort(lo, 0, loN)
+      loN = t
+    }
+    if (hiN > t) {
+      java.util.Arrays.sort(hi, 0, hiN)
+      System.arraycopy(hi, hiN - t, hi, 0, t)
+      hiN = t
+    }
+  }
+
+  def insert(v: Double): Unit = {
+    core.insert(v)
+    lo(loN) = v; loN += 1
+    hi(hiN) = v; hiN += 1
+    if (loN >= 2 * t || hiN >= 2 * t) shrink()
+  }
+
+  def mergeIn(o: TailQSketch): Unit = {
+    require(o.k == k && o.t == t,
+      s"cannot merge tail sketches with (k=${o.k}, t=${o.t}) into (k=$k, t=$t)")
+    core.mergeIn(o.core)
+    var i = 0
+    while (i < o.loN) {
+      lo(loN) = o.lo(i); loN += 1
+      if (loN >= 2 * t) shrink()
+      i += 1
+    }
+    i = 0
+    while (i < o.hiN) {
+      hi(hiN) = o.hi(i); hiN += 1
+      if (hiN >= 2 * t) shrink()
+      i += 1
+    }
+  }
+
+  /** The smallest min(t, n) values ascending / largest min(t, n)
+    * descending-from-position-0... both returned ascending. */
+  def loSorted(): Array[Double] = {
+    java.util.Arrays.sort(lo, 0, loN)
+    if (loN > math.min(t.toLong, core.n).toInt) loN = math.min(t.toLong, core.n).toInt
+    java.util.Arrays.copyOfRange(lo, 0, loN)
+  }
+  def hiSorted(): Array[Double] = {
+    java.util.Arrays.sort(hi, 0, hiN)
+    val keep = math.min(math.min(t.toLong, core.n), hiN.toLong).toInt
+    System.arraycopy(hi, hiN - keep, hi, 0, keep)
+    hiN = keep
+    java.util.Arrays.copyOfRange(hi, 0, hiN)
+  }
+}
+
+/** Tail-exact quantile aggregate `graft_tail_quantiles(x, k, t, probs)` —
+  * output (n, max_rank_err, qs, q_exact): `q_exact(i)` certifies that
+  * `qs(i)` is the EXACT lower nearest-rank quantile (its target rank was
+  * served by an exact tail buffer, or the core never compacted);
+  * otherwise the KLL certificate `max_rank_err` applies. */
+case class TailQuantileSketchAgg(
+    child: Expression,
+    k: Int,
+    t: Int,
+    probs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TailQSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 4 && k % 2 == 0, s"need even k >= 4, got $k")
+  require(t >= 1, s"need tail size t >= 1, got $t")
+  require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+    s"probabilities must lie in (0, 1], got $probs")
+
+  private val inner = QuantileSketchAgg(child, k, probs)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    inner.checkInputDataTypes()
+  override def prettyName: String = "graft_tail_quantiles"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("max_rank_err", LongType, nullable = false),
+    StructField("qs", ArrayType(DoubleType, containsNull = true), nullable = false),
+    StructField("q_exact", ArrayType(BooleanType, containsNull = false), nullable = false)))
+
+  override def createAggregationBuffer(): TailQSketch = new TailQSketch(k, t)
+
+  override def update(buf: TailQSketch, input: InternalRow): TailQSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: TailQSketch, b2: TailQSketch): TailQSketch = {
+    b1.mergeIn(b2); b1
+  }
+
+  override def eval(buf: TailQSketch): Any = {
+    val n = buf.core.n
+    val lo = buf.loSorted()
+    val hi = buf.hiSorted()
+    val qs = new Array[Any](probs.length)
+    val exact = new Array[Any](probs.length)
+    var pi = 0
+    while (pi < probs.length) {
+      if (n == 0L) { qs(pi) = null; exact(pi) = false }
+      else {
+        val target = math.ceil(probs(pi) * n).toLong.max(1L)
+        if (target <= lo.length) {
+          qs(pi) = lo((target - 1).toInt); exact(pi) = true
+        } else if (n - target < hi.length) {
+          // hi holds ranks n-hi.length+1 .. n ascending
+          qs(pi) = hi((target - (n - hi.length) - 1).toInt); exact(pi) = true
+        } else {
+          qs(pi) = QuantileSketch.valueAtRank(buf.core, target).map(Double.box).orNull
+          exact(pi) = buf.core.errBound == 0L
+        }
+      }
+      pi += 1
+    }
+    InternalRow(n, buf.core.errBound,
+      new GenericArrayData(qs), new GenericArrayData(exact))
+  }
+
+  override def serialize(buf: TailQSketch): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.k); out.writeInt(buf.t)
+    val coreBytes = inner.serialize(buf.core)
+    out.writeInt(coreBytes.length); out.write(coreBytes)
+    val lo = buf.loSorted()
+    val hi = buf.hiSorted()
+    out.writeInt(lo.length); lo.foreach(out.writeDouble)
+    out.writeInt(hi.length); hi.foreach(out.writeDouble)
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TailQSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val kk = in.readInt(); val tt = in.readInt()
+    val buf = new TailQSketch(kk, tt)
+    val coreBytes = new Array[Byte](in.readInt())
+    in.readFully(coreBytes)
+    val core = inner.deserialize(coreBytes)
+    buf.core.n = core.n; buf.core.errBound = core.errBound
+    buf.core.levels = core.levels; buf.core.sizes = core.sizes
+    buf.core.parity = core.parity
+    buf.loN = in.readInt()
+    var i = 0
+    while (i < buf.loN) { buf.lo(i) = in.readDouble(); i += 1 }
+    buf.hiN = in.readInt()
+    i = 0
+    while (i < buf.hiN) { buf.hi(i) = in.readDouble(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TailQuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TailQuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TailQuantileSketchAgg =
+    copy(child = newChild)
+}
+
 object QuantileSketch {
+
+  /** Aggregate column: tail-exact quantiles — (n, max_rank_err, qs,
+    * q_exact) with per-quantile exactness certificates (see
+    * [[TailQSketch]]). */
+  def tailSketch(x: Column, k: Int, t: Int, probs: Seq[Double]): Column =
+    ColumnShim.column(
+      TailQuantileSketchAgg(ColumnShim.expression(x), k, t, probs).toAggregateExpression())
   /** Aggregate column: (n, max_rank_err, is_exact, qs[...]) — the lower
     * nearest-rank quantile per probability with a sound worst-case rank
     * certificate. Composes with `groupBy`. */

@@ -85,6 +85,63 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1))
   }
 
+  test("tail sketch: extreme quantiles certify EXACT where the KLL baseline cannot") {
+    val s = spark
+    import s.implicits._
+    // 50k values in a deterministic shuffled order: deep estimator regime
+    // for k=32 (many compactions), tails well inside t=512
+    val xs = (0 until 50000).map(i => ((i.toLong * 104729) % 50000).toDouble)
+    val df = xs.toDF("x").repartition(8)
+    val tailProbs = Seq(0.001, 0.5, 0.999, 0.9999)
+    val r = df.agg(QuantileSketch.tailSketch(col("x"), k = 32, t = 512, tailProbs).as("s"))
+      .select("s.n", "s.max_rank_err", "s.qs", "s.q_exact").head()
+    assert(r.getLong(0) == 50000)
+    val kllErr = r.getLong(1)
+    assert(kllErr > 0, "50k values through k=32 must be in the estimator regime")
+    val qs = r.getSeq[Double](2)
+    val ex = r.getSeq[Boolean](3)
+    // p0.001 (rank 50), p0.999 (rank 49950), p0.9999 (rank 49995) live in
+    // the exact tails: certified rank error 0 AND actually exact
+    Seq(0, 2, 3).foreach { i =>
+      assert(ex(i), s"prob ${tailProbs(i)} must certify exact")
+      assert(qs(i) == exactQ(xs, tailProbs(i)),
+        s"prob ${tailProbs(i)}: ${qs(i)} != ${exactQ(xs, tailProbs(i))}")
+    }
+    // the median is out of tail reach: it must SAY estimator (q_exact
+    // false) and carry the KLL certificate, which must hold
+    assert(!ex(1), "p0.5 cannot be tail-exact at t=512, n=50k")
+    val trueRank = xs.sorted.indexWhere(_ >= qs(1)) + 1L
+    assert(math.abs(trueRank - 25000L) <= kllErr,
+      s"median estimate rank $trueRank outside certified ±$kllErr")
+
+    // the KLL baseline at the SAME k cannot certify the tails: its
+    // certificate is ±kllErr > 0, while the tail sketch certifies 0
+    val base = df.agg(QuantileSketch.sketch(col("x"), k = 32, tailProbs).as("s"))
+      .select("s.max_rank_err", "s.is_exact").head()
+    assert(base.getLong(0) > 0 && !base.getBoolean(1),
+      "baseline must be unable to certify exactness here")
+
+    // merge path: same answers regardless of partition layout
+    val r1 = xs.toDF("x").coalesce(1)
+      .agg(QuantileSketch.tailSketch(col("x"), k = 32, t = 512, tailProbs).as("s"))
+      .select("s.qs", "s.q_exact").head()
+    Seq(0, 2, 3).foreach { i =>
+      assert(r1.getSeq[Double](0)(i) == qs(i) && r1.getSeq[Boolean](1)(i),
+        s"tail answers must be layout-independent (prob ${tailProbs(i)})")
+    }
+  }
+
+  test("tail sketch: small corpora are exact everywhere; mixed shapes refuse to merge") {
+    val s = spark
+    import s.implicits._
+    val xs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val r = xs.toDF("x")
+      .agg(QuantileSketch.tailSketch(col("x"), k = 8, t = 4, Seq(0.2, 0.5, 1.0)).as("s"))
+      .select("s.qs", "s.q_exact").head()
+    assert(r.getSeq[Double](0) == Seq(1.0, 5.0, 9.0))
+    assert(r.getSeq[Boolean](1).forall(identity), "n <= 2t: everything tail-exact")
+  }
+
   test("type and parameter validation refuse loudly") {
     val s = spark
     import s.implicits._
