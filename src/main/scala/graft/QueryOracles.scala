@@ -641,9 +641,13 @@ private[graft] trait QueryOracles extends AnyRef {
         |       round(min(CASE WHEN rn >= ceil(0.9 * n) THEN x END), 6) AS q90,
         |       round(min(CASE WHEN rn >= ceil(0.99 * n) THEN x END), 6) AS q99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q146: only the tail columns are emitted by the query, and the tails
-    // are EXACT by the t=4096 buffer at every test SF — plain nearest-rank
-    // SQL; the q_exact certificates are TRUE by construction
+    // q146: only the tail columns are emitted by the query — plain
+    // nearest-rank SQL. The q_exact certificates mirror the sketch's rule
+    // (functions/QuantileSketch.scala eval: target <= lo.length OR
+    // n - target < hi.length, buffers of length min(t, n), t = 4096), so
+    // the oracle stays valid at ANY SF — at per-group n above ~4.1M the
+    // p0.999 rank leaves the tail buffers and BOTH sides flip to false
+    // together (the core never compacts only while n is small).
     "q146_tail_quantiles" ->
       """WITH v AS (
         |  SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
@@ -652,15 +656,24 @@ private[graft] trait QueryOracles extends AnyRef {
         |  SELECT event_type, x,
         |         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
         |         count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM v)
-        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-        |       round(min(CASE WHEN rn >= greatest(ceil(0.001 * n), 1) THEN x END), 6) AS q001,
-        |       TRUE AS q001_exact,
-        |       round(min(CASE WHEN rn >= greatest(ceil(0.999 * n), 1) THEN x END), 6) AS q999,
-        |       TRUE AS q999_exact,
-        |       round(min(CASE WHEN rn >= greatest(ceil(0.9999 * n), 1) THEN x END), 6) AS q9999,
-        |       TRUE AS q9999_exact
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |  FROM v),
+        |q AS (
+        |  SELECT event_type, max(n) AS n,
+        |         min(CASE WHEN rn >= greatest(ceil(0.001 * n), 1) THEN x END) AS q001,
+        |         min(CASE WHEN rn >= greatest(ceil(0.999 * n), 1) THEN x END) AS q999,
+        |         min(CASE WHEN rn >= greatest(ceil(0.9999 * n), 1) THEN x END) AS q9999
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       round(q001, 6) AS q001,
+        |       (greatest(ceil(0.001 * n), 1) <= least(4096, n)
+        |          OR n - greatest(ceil(0.001 * n), 1) < least(4096, n)) AS q001_exact,
+        |       round(q999, 6) AS q999,
+        |       (greatest(ceil(0.999 * n), 1) <= least(4096, n)
+        |          OR n - greatest(ceil(0.999 * n), 1) < least(4096, n)) AS q999_exact,
+        |       round(q9999, 6) AS q9999,
+        |       (greatest(ceil(0.9999 * n), 1) <= least(4096, n)
+        |          OR n - greatest(ceil(0.9999 * n), 1) < least(4096, n)) AS q9999_exact
+        |FROM q ORDER BY event_type""".stripMargin,
     "q46_percentiles" ->
       """SELECT o_orderpriority,
         |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

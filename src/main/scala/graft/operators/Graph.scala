@@ -107,6 +107,7 @@ object Graph {
     // checkpoints release eagerly each round (ADVICE r6 — relying on GC +
     // ContextCleaner let a long run hold every iteration's RDD)
     var liveCkpt: DataFrame = null
+    var done = false
     try {
     while (it < maxIters && !converged) {
       // localCheckpoint (not persist): TRUE lineage truncation. A cached
@@ -160,14 +161,20 @@ object Graph {
         "or use pageRank for a fixed-iteration run")
     val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    done = true
     out
     } finally {
       // release on BOTH paths — the non-convergence refusal above used to
       // throw past these (ADVICE r6), leaking the adjacency/node caches
-      // and the last checkpoint for the session's lifetime
+      // and the last checkpoint for the session's lifetime. The LAST
+      // checkpoint, though, is the lineage the returned frame recomputes
+      // through if any of its cached partitions are evicted or lost, so on
+      // SUCCESS it must outlive the return (ADVICE r7) — it is released by
+      // the ContextCleaner once the caller drops the frame, exactly like
+      // any other unreferenced persisted RDD.
       adj.unpersist()
       nodes.unpersist()
-      if (liveCkpt != null) releaseCheckpoint(liveCkpt)
+      if (liveCkpt != null && !done) releaseCheckpoint(liveCkpt)
     }
   }
 

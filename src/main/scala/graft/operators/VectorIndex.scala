@@ -155,11 +155,14 @@ object VectorIndex {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], model: ProductQuantizer.PqModel,
       path: String, residual: Boolean = false): Unit = {
+    // a prior OPQ index at this path would leave a stale rotation sidecar
+    // that readers would wrongly apply to the fresh plain codes; drop it
+    // BEFORE the corpus overwrite so a crash (or concurrent probe) inside
+    // the write window can never pair the old rotation with new codes —
+    // the failure mode degrades to "no rotation yet", never "wrong one"
+    deleteOpqMeta(df.sparkSession, path)
     writeIvfPqEncoded(df, idCol, vecCol, centroids, model, path, residual,
       rotation = None)
-    // a prior OPQ index at this path would leave a stale rotation sidecar
-    // that readers would wrongly apply to the fresh plain codes
-    deleteOpqMeta(df.sparkSession, path)
   }
 
   /** [[writeIvfPq]] with an OPQ rotation composed in (Ge et al. 2013,
@@ -175,6 +178,11 @@ object VectorIndex {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], opq: Opq.OpqModel,
       path: String, residual: Boolean = false): Unit = {
+    // publish order: stale rotation out first (plain-coded readers in the
+    // window see no rotation, which matches the not-yet-visible new codes
+    // no worse than any non-atomic overwrite), corpus next, new rotation
+    // LAST so it can never describe codes that aren't fully written
+    deleteOpqMeta(df.sparkSession, path)
     writeIvfPqEncoded(df, idCol, vecCol, centroids, opq.pq, path, residual,
       rotation = Some(opq))
     writeOpqMeta(df.sparkSession, opq, path)

@@ -224,7 +224,7 @@ object Warc {
   /** Bounds a raw stream to `limit` bytes — the range fence for
     * member-aligned splits (the gzip decoder then sees EOF exactly at the
     * next range's first member and stops cleanly). */
-  private final class LimitedInputStream(in: InputStream, private var limit: Long)
+  private[graft] final class LimitedInputStream(in: InputStream, private var limit: Long)
       extends InputStream {
     override def read(): Int =
       if (limit <= 0) -1
@@ -235,6 +235,17 @@ object Warc {
       if (n > 0) limit -= n
       n
     }
+    // GZIPInputStream only crosses a member trailer into the next
+    // concatenated member while available() > 0; inheriting
+    // InputStream's constant 0 would report clean EOF mid-range whenever
+    // the wrapping buffer drains exactly at a trailer — silently dropping
+    // the rest of the split. Report >=1 while bytes remain (a blocked
+    // underlying stream costs one blocking read, never a lost record);
+    // exactly 0 only at the true range end, which keeps termination
+    // correct because cuts are member-aligned.
+    override def available(): Int =
+      if (limit <= 0) 0
+      else math.max(1, math.min(in.available().toLong, limit).toInt)
     override def close(): Unit = in.close()
   }
 

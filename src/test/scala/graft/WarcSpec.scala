@@ -85,6 +85,51 @@ class WarcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("per-record-gzip"))
   }
 
+  test("LimitedInputStream.available crosses member trailers when the buffer drains") {
+    // Regression: GZIPInputStream only continues past a member trailer into
+    // the next concatenated member while available() > 0 (or >26 leftover
+    // bytes sit in the inflater). A LimitedInputStream inheriting
+    // InputStream's constant-0 available() reports clean EOF whenever the
+    // wrapping BufferedInputStream drains exactly at a trailer — dropping
+    // every later member in the range. Reproduce that alignment exactly:
+    // an underlying stream that (a) never returns bytes across a member
+    // boundary in one read and (b) reports available() = 0, like a drained
+    // buffer over a seekable file stream.
+    val payloads = (1 to 3).map(i => s"WARC/member $i payload ${"x" * 50}")
+    val memberBytes = payloads.map { s =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val all = memberBytes.reduce(_ ++ _)
+    val boundaries = memberBytes.scanLeft(0)(_ + _.length).tail
+    class ChunkedZeroAvailable extends java.io.InputStream {
+      private var pos = 0
+      override def read(): Int =
+        if (pos >= all.length) -1 else { val b = all(pos) & 0xff; pos += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= all.length) return -1
+        val stop = boundaries.find(_ > pos).getOrElse(all.length)
+        val n = math.min(len, stop - pos)
+        System.arraycopy(all, pos, b, off, n); pos += n; n
+      }
+      override def available(): Int = 0
+    }
+    val limited = new Warc.LimitedInputStream(new ChunkedZeroAvailable, all.length.toLong)
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.BufferedInputStream(limited, 1 << 16), 1 << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var r = in.read(buf)
+    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    assert(out.toString("UTF-8") == payloads.mkString(""),
+      "all concatenated members must decode through the range fence")
+    // and the fence still terminates: at the true range end available() is 0
+    val spent = new Warc.LimitedInputStream(new ChunkedZeroAvailable, 0L)
+    assert(spent.available() == 0 && spent.read() == -1)
+  }
+
   test("htmlDocs keeps only 200 text/html responses, decoded as strings") {
     val docs = Warc.htmlDocs(spark, dir).orderBy("record_id").collect()
     assert(docs.map(_.getString(0)).toSeq == Seq(rid(2), rid(6)))
