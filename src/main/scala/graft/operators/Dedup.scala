@@ -575,33 +575,141 @@ object Dedup {
     * exact-but-quadratic scan.
     *
     * Candidates are pairs sharing a (table, bucket) cell in ANY of the
-    * `tables` sign-hashes: a self-equi-join on the cell key — one shuffle
-    * of (id, vec, cell) rows, never all-pairs. Pairs colliding in several
-    * tables dedupe before the one codegen'd cosine that verifies each
-    * candidate, so PRECISION is exact (every returned pair truly >= tau);
-    * only recall is approximate, rising with `tables` (near-identical
-    * vectors collide in every table w.h.p.). */
+    * `tables` sign-hashes. The shuffle is SKINNY by design: rows entering
+    * the self-equi-join carry only (id, bucket arrays) — never the
+    * vectors — and a pair colliding in several tables is kept exactly
+    * once by ARITHMETIC (the q87/IntervalJoin discipline: only the FIRST
+    * table where both sides collide emits the pair), so there is no
+    * dropDuplicates exchange at all. Vectors are re-attached to the
+    * (edge-bounded, broadcast-guarded) candidate list ONCE, for the one
+    * codegen'd cosine that verifies each candidate — PRECISION is exact
+    * (every returned pair truly >= tau); only recall is approximate,
+    * rising with `tables` (near-identical vectors collide in every table
+    * w.h.p.).
+    *
+    * Hot cells — the TextIndex hot-bucket discipline: a clustered corpus
+    * can funnel far more than its share of rows into one (table, bucket)
+    * cell, and the self-join then goes quadratic in that cell. Cells
+    * whose occupancy exceeds `hotCellLimit` (found by one skinny count —
+    * there are at most N·tables/hotCellLimit of them, an arithmetic
+    * bound, so the flag frame broadcasts) are sub-split by a SECOND
+    * independent `bitsPerTable`-bit sign hash: collision in a hot cell
+    * additionally requires the sub-buckets to match. True near-dups
+    * agree on the sub-bits w.h.p. (identical vectors always), so the
+    * split trades a sliver of hot-cell recall for a 2^bits reduction of
+    * the quadratic term; cool cells are byte-identical to the unsplit
+    * plan. */
   def embeddingCosinePairsLsh(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
-      bitsPerTable: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+      bitsPerTable: Int = 8, tables: Int = 4, seed: Long = 42L,
+      hotCellLimit: Int = 4096, broadcastPairLimit: Int = 1 << 20): DataFrame = {
     import graft.functions.ArrayMath
-    val dim = Similarity.vecDim(df, vecCol, "embeddingCosinePairsLsh")
-    val byTable = Similarity.hyperplanes(bitsPerTable * tables, dim, seed)
-      .grouped(bitsPerTable).toSeq
-    val cells = byTable.zipWithIndex.map { case (planes, t) =>
-      struct(lit(t).as("t"), Similarity.lshBucket(col(vecCol), planes).as("b"))
-    }
-    val bucketed = graft.core.Par.fanOut(df.select(col(idCol), col(vecCol)))
-      .select(col(idCol), col(vecCol), explode(array(cells: _*)).as("_cell"))
-    val x = bucketed.select(col(idCol).as("a"), col(vecCol).as("_va"), col("_cell"))
-    val y = bucketed.select(col(idCol).as("b"), col(vecCol).as("_vb"), col("_cell"))
-    x.join(y, Seq("_cell"))
-      .where(col("a") < col("b"))
-      .select("a", "b", "_va", "_vb")
-      .dropDuplicates("a", "b") // multi-table collisions verify once
+    val cands = lshCandidates(
+      df, idCol, vecCol, bitsPerTable, tables, seed, hotCellLimit)
+      .localCheckpoint()
+    val hintC =
+      if (withinLimit(cands, broadcastPairLimit)) broadcast(cands) else cands
+    val out = hintC
+      .join(df.select(col(idCol).cast("long").as("a"), col(vecCol).as("_va")), Seq("a"))
+      .join(df.select(col(idCol).cast("long").as("b"), col(vecCol).as("_vb")), Seq("b"))
       .withColumn("cosine", ArrayMath.cosine(col("_va"), col("_vb")))
       .where(col("cosine") >= tau)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+    out
+  }
+
+  /** Candidate pairs (a, b) for [[embeddingCosinePairsLsh]] — each pair
+    * exactly once (first-shared-table arithmetic), vectors never
+    * shuffled. Exposed so the spec can measure hot-cell candidate
+    * reduction directly. */
+  private[graft] def lshCandidates(
+      df: DataFrame, idCol: String, vecCol: String,
+      bitsPerTable: Int, tables: Int, seed: Long,
+      hotCellLimit: Int): DataFrame = {
+    val dim = Similarity.vecDim(df, vecCol, "embeddingCosinePairsLsh")
+    val basePlanes = Similarity.hyperplanes(bitsPerTable * tables, dim, seed)
+      .grouped(bitsPerTable).toSeq
+    // independent second hash per table for hot-cell refinement; the
+    // golden-ratio xor keeps it deterministic in `seed` but uncorrelated
+    val subPlanes = Similarity
+      .hyperplanes(bitsPerTable * tables, dim, seed ^ 0x9E3779B97F4A7C15L)
+      .grouped(bitsPerTable).toSeq
+    val baseArr = array(basePlanes.map(p =>
+      Similarity.lshBucket(col(vecCol), p).cast("long")): _*)
+    val subArr = array(subPlanes.map(p =>
+      Similarity.lshBucket(col(vecCol), p).cast("long")): _*)
+    // ONE pass computes every table's buckets; vectors are dropped here
+    // and never enter a shuffle again
+    val slim = graft.core.Par.fanOut(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol).cast("long").as("_id"),
+        baseArr.as("_bb"), subArr.as("_sb"))
+      .cache()
+    val hotFrame = slim
+      .select(posexplode(col("_bb")).as(Seq("_t", "_b")))
+      .groupBy("_t", "_b").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > hotCellLimit)
+      .select(col("_t"), col("_b"))
+    // there are at most N·tables/hotCellLimit hot cells by arithmetic —
+    // one bounded collect both detects hotness and (in the overwhelmingly
+    // common small case) hands the sets to a codegen'd InSet probe with
+    // ZERO extra joins; a pathological corpus past the collect limit
+    // degrades to broadcast-join flagging with identical output
+    val hotCollectLimit = 1 << 14
+    val hotRows = hotFrame.limit(hotCollectLimit + 1).collect()
+    val flagged =
+      if (hotRows.isEmpty)
+        slim.withColumn("_hot",
+          array((0 until tables).map(_ => lit(false)): _*))
+      else if (hotRows.length <= hotCollectLimit) {
+        val byT = hotRows.groupBy(_.getInt(0))
+          .map { case (t, rs) => t -> rs.map(_.getLong(1)) }
+        slim.withColumn("_hot",
+          array((0 until tables).map { t =>
+            byT.get(t) match {
+              case Some(bs) => col("_bb")(t).isin(bs.toSeq: _*)
+              case None => lit(false)
+            }
+          }: _*))
+      } else {
+        val withFlags = (0 until tables).foldLeft(slim) { (acc, t) =>
+          acc.join(
+            broadcast(hotFrame.where(col("_t") === t)
+              .select(col("_b").as(s"_hb$t"), lit(true).as(s"_ishot$t"))),
+            acc("_bb")(t) === col(s"_hb$t"), "left")
+            .drop(s"_hb$t")
+        }
+        withFlags.withColumn("_hot",
+          array((0 until tables).map(t =>
+            coalesce(col(s"_ishot$t"), lit(false))): _*))
+          .drop((0 until tables).map(t => s"_ishot$t"): _*)
+      }
+    // cell key per table: (t, base, sub-if-hot) — cool cells keep the
+    // plain base key, hot cells require the refinement hash to agree too
+    val keyed = flagged.select(col("_id"), col("_bb"), col("_sb"), col("_hot"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col("_bb")(t).as("b"),
+          when(col("_hot")(t), col("_sb")(t)).otherwise(lit(-1L)).as("s"))): _*))
+        .as("_cell"))
+    val x = keyed.select(col("_id").as("a"), col("_bb").as("_ba"),
+      col("_sb").as("_sa"), col("_hot").as("_ha"), col("_cell"))
+    val y = keyed.select(col("_id").as("b"), col("_bb").as("_bc"),
+      col("_sb").as("_sc"), col("_cell"))
+    // first-shared-table: a pair colliding in several tables survives only
+    // in the smallest one — pure arithmetic over the carried bucket arrays,
+    // no distinct/dropDuplicates exchange. Collision at t' means equal base
+    // buckets AND (cell cool OR equal sub buckets); hotness is a property
+    // of the CELL, so when the bases agree both rows carry the same flag.
+    val noEarlier = !exists(
+      filter(sequence(lit(0), lit(tables - 1)), i => i < col("_cell.t")),
+      i => col("_ba")(i) === col("_bc")(i) &&
+        (!col("_ha")(i) || col("_sa")(i) === col("_sc")(i)))
+    val out = x.join(y, Seq("_cell"))
+      .where(col("a") < col("b"))
+      .where(noEarlier)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    slim.unpersist()
+    out
   }
 
   /** The end-to-end pipeline verb: `df` minus every non-canonical

@@ -259,6 +259,96 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == again)
   }
 
+  test("embeddingCosinePairsLsh: first-shared-table pairs identical to the dropDuplicates plan") {
+    import graft.operators.Similarity
+    import graft.functions.ArrayMath
+    // the OLD candidate plan, verbatim semantics: explode every (table,
+    // bucket) cell, self-join, dropDuplicates(a,b) carrying vectors — the
+    // rewrite must return EXACTLY these pairs (hot split disengaged)
+    def reference(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+        tau: Double, bits: Int, tables: Int, seed: Long) = {
+      val dim = df.select(size(col(vecCol))).head().getInt(0)
+      val byTable = Similarity.hyperplanes(bits * tables, dim, seed)
+        .grouped(bits).toSeq
+      val cells = byTable.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("t"), Similarity.lshBucket(col(vecCol), planes).as("b"))
+      }
+      val bucketed = df.select(col(idCol), col(vecCol))
+        .select(col(idCol), col(vecCol), explode(array(cells: _*)).as("_cell"))
+      val x = bucketed.select(col(idCol).as("a"), col(vecCol).as("_va"), col("_cell"))
+      val y = bucketed.select(col(idCol).as("b"), col(vecCol).as("_vb"), col("_cell"))
+      x.join(y, Seq("_cell")).where(col("a") < col("b"))
+        .select("a", "b", "_va", "_vb").dropDuplicates("a", "b")
+        .withColumn("cosine", ArrayMath.cosine(col("_va"), col("_vb")))
+        .where(col("cosine") >= tau)
+        .select(col("a"), col("b"))
+    }
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    for (tau <- Seq(0.5, 0.9)) {
+      val want = reference(emb, "vec_id", "embedding", tau, 8, 4, 42L)
+        .as[(Long, Long)].collect().toSet
+      val got = Dedup.embeddingCosinePairsLsh(emb, "vec_id", "embedding", tau,
+        bitsPerTable = 8, tables = 4, seed = 42L)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"tau=$tau: rewrite must be pair-identical to the reference plan")
+    }
+  }
+
+  test("embeddingCosinePairsLsh: planted hot cell sub-splits, bounded candidates, dups survive") {
+    import graft.operators.Similarity
+    val dim = 16; val bits = 6; val seed = 11L; val m = 400
+    // orthonormal basis of span(base planes) — members share the anchor's
+    // exact dot with every base plane (perturbations live in the null
+    // space), so ALL land in one (table, bucket) cell: a planted hot cell
+    val planes = Similarity.hyperplanes(bits, dim, seed).map(_.toArray)
+    val basis = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def dot(u: Array[Double], v: Array[Double]) =
+      u.zip(v).map { case (a, b) => a * b }.sum
+    planes.foreach { p =>
+      val w = p.clone()
+      basis.foreach { b => val c = dot(w, b); (0 until dim).foreach(i => w(i) -= c * b(i)) }
+      val n = math.sqrt(dot(w, w))
+      if (n > 1e-12) basis += w.map(_ / n)
+    }
+    def nullProject(v: Array[Double]): Array[Double] = {
+      val w = v.clone()
+      basis.foreach { b => val c = dot(w, b); (0 until dim).foreach(i => w(i) -= c * b(i)) }
+      w
+    }
+    val rnd = new java.util.Random(3L)
+    val anchor = Array.fill(dim)(rnd.nextGaussian())
+    val rows = (0 until m).map { i =>
+      val z = nullProject(Array.fill(dim)(rnd.nextGaussian()))
+      val zn = math.sqrt(dot(z, z)).max(1e-12)
+      val v = (0 until dim).map(j => anchor(j) + 3.0 * z(j) / zn).toArray
+      (i.toLong, v.map(_.toFloat))
+    }
+    // plant 10 exact duplicates — identical vectors agree on EVERY hash,
+    // so no amount of sub-splitting may lose them
+    val dups = (0 until 10).map(i => (10000L + i, rows(i * 7)._2))
+    val df = (rows ++ dups).toDF("id", "vec")
+    val candsAll = Dedup.lshCandidates(df, "id", "vec", bits, 1, seed,
+      hotCellLimit = Int.MaxValue).count()
+    val n = m + 10
+    assert(candsAll == n.toLong * (n - 1) / 2,
+      "construction check: every row must share the one base cell")
+    val candsHot = Dedup.lshCandidates(df, "id", "vec", bits, 1, seed,
+      hotCellLimit = 32).count()
+    assert(candsHot < candsAll / 4,
+      s"hot-cell sub-split must cut the quadratic term: $candsHot vs $candsAll")
+    val pairsHot = Dedup.embeddingCosinePairsLsh(df, "id", "vec", tau = 0.99,
+      bitsPerTable = bits, tables = 1, seed = seed, hotCellLimit = 32)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    dups.zipWithIndex.foreach { case ((did, _), i) =>
+      assert(pairsHot.contains((rows(i * 7)._1, did)),
+        s"planted identical pair ${rows(i * 7)._1}<->$did lost by the hot split")
+    }
+    // precision stays exact under the split: every emitted pair >= tau
+    val exact = Dedup.embeddingCosinePairs(df, "id", "vec", tau = 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairsHot.subsetOf(exact))
+  }
+
   test("embedding cosine pairs: exact values, norm precompute matches direct") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
