@@ -224,7 +224,10 @@ object Graft {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DedupSuite(
       sh,
-      Dedup.ngramJaccardPairsFromHashes(sh, tau),
+      // prefix-filtered generator over the SAME shared pass — identical
+      // output to the dense equi-join (spec-proven at every τ), far fewer
+      // candidate pairs on near-dup-dense corpora
+      Dedup.ngramJaccardPairsPrefixFromHashes(sh, tau),
       MinHashLSH.nearDupPairsFromHashes(sh, k, bands, tau),
       Dedup.topNgramsFromHashes(docs, textCol, sh, n, topK))
   }

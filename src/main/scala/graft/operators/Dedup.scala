@@ -330,22 +330,18 @@ object Dedup {
 
   /** Word n-gram Jaccard near-duplicate pairs (similarity >= tau).
     *
-    * Candidates come from an equi-join on hashed shingles — a doc pair is
-    * compared exactly once per shared shingle and aggregated, so the cost is
-    * bounded by shingle collision counts, not N². At 100 TB, frequent-shingle
-    * skew is handled by AQE skew-join splitting; ultra-frequent shingles can
-    * additionally be dropped as stop-shingles upstream. */
+    * Routed through the prefix-filtered candidate generator
+    * ([[ngramJaccardPairsPrefix]]) — provably the same output (the prefix
+    * theorem, plus the q129 spec's per-τ identity check against the dense
+    * equi-join) at a fraction of the candidate volume: the dense
+    * shared-shingle join meets every near-dup pair once per COMMON
+    * shingle, which is exactly where a near-dup corpus is densest. The
+    * dense generator survives as [[ngramJaccardPairsFromHashes]] for
+    * callers with a precomputed shingle pass (and as the spec's reference
+    * implementation). */
   def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
-    // materialize the (edge-bounded) pair list, then release the shingle
-    // cache — a lazily returned plan over it leaked the cache into the
-    // session for good (ADVICE r5); localCheckpoint keeps the small result
-    // re-consumable while cutting lineage off the cached intermediate
-    val sh = shingleHashes(df, idCol, textCol, n).cache()
-    val out = ngramJaccardPairsFromHashes(sh, tau).localCheckpoint()
-    sh.unpersist()
-    out
-  }
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame =
+    ngramJaccardPairsPrefix(df, idCol, textCol, n, tau)
 
   /** [[ngramJaccardPairs]] over a precomputed (_id, sh) intermediate
     * (caller controls caching — see [[graft.Graft.dedupSuite]]). */
