@@ -166,6 +166,32 @@ private[graft] trait QueriesAnn extends QueryHelpers {
       queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
   }
 
+  /** q142's composed OPQ residual index built INCREMENTALLY — the steady
+    * state of a deployed 100 TB index (rebuilds are the exception, O(batch)
+    * appends the rule): write on the even-id half, [[VectorIndex
+    * .appendIvfPq]] the odd half purely from the path's three sidecars
+    * (centroids, codebooks, rotation — no driver state, no rebuild), then
+    * probe over old + new rows with the unchanged pruned plan. Rows-only
+    * oracle (approximate); spec proves append-then-probe equals the
+    * single-shot build over the union. */
+  def q148AnnIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val batch = emb.where(col("vec_id") % 2 =!= 0)
+    val centroids = Similarity.kMeans(base, "vec_id", "embedding", c = 8, iters = 2)
+    // k=16 codebooks (q116's budget): the BASE half must still seed the
+    // books at the smallest gate SF; the append path is byte-identical
+    // machinery at any k
+    val opq = VectorIndex.trainResidualOpq(
+      base, "vec_id", "embedding", centroids, m = 4, k = 16)
+    val path = indexPath(dir, "ivfpqopqapp")
+    VectorIndex.writeIvfPqOpq(base, "vec_id", "embedding", centroids, opq, path,
+      residual = true)
+    VectorIndex.appendIvfPq(batch, "vec_id", "embedding", path)
+    VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100, excludeId = Some(0L))
+  }
+
   /** Batch k-NN join: top-3 corpus neighbors for each of 5 query vectors
     * (broadcast queries, precomputed norms, one window shuffle). */
   def q52KnnJoin(spark: SparkSession, dir: String): DataFrame = {

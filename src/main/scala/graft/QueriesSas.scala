@@ -40,6 +40,28 @@ private[graft] trait QueriesSas extends QueryHelpers {
       .orderBy("record_id")
   }
 
+  /** q137's gzip segment ingested through [[graft.sources.Warc.readSplit]]
+    * — the single-giant-segment parallel path: verified gzip-member split
+    * discovery cuts the file into ranges, each task decodes whole members
+    * through a byte-limited stream, and the union of ranges is
+    * record-identical to the sequential read. Same full oracle as q137
+    * restricted to the segment's records, so the split path is proven
+    * end-to-end by the gate, not just the spec. */
+  def q147WarcSplitIngest(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = Seq(
+      "src/test/resources/warc", "/root/repo/src/test/resources/warc")
+      .map(new java.io.File(_)).find(_.exists())
+      .getOrElse(sys.error("warc fixture dir not found"))
+    val seg = new java.io.File(fixture, "sample_b.warc.gz").getAbsolutePath
+    graft.sources.Warc.readSplit(spark, seg, splits = 3)
+      .select(col("record_id"), col("warc_type"), col("target_uri"),
+        col("warc_date"), col("content_length"), col("http_status"),
+        col("http_content_type"),
+        md5(col("body")).as("body_md5"),
+        length(col("body")).cast("long").as("body_bytes"))
+      .orderBy("record_id")
+  }
+
   /** keep= with prefix wildcards + rename= (SasOptions). */
   def q01SasKeepRename(spark: SparkSession, dir: String): DataFrame =
     SasOptions.apply(

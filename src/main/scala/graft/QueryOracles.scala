@@ -160,6 +160,19 @@ private[graft] trait QueryOracles extends AnyRef {
          |           'http_content_type': 'VARCHAR', 'body_md5': 'VARCHAR',
          |           'body_bytes': 'BIGINT'})
          |ORDER BY record_id""".stripMargin,
+    // q147: the gzip segment (records 5-7) through readSplit — identical
+    // expected values, so the member-split path faces the same full oracle
+    "q147_warc_split_ingest" ->
+      s"""SELECT record_id, warc_type, target_uri, warc_date, content_length,
+         |       http_status, http_content_type, body_md5, body_bytes
+         |FROM read_csv('$fixtureDir/warc_expected.csv', header=true,
+         |  columns={'record_id': 'VARCHAR', 'warc_type': 'VARCHAR',
+         |           'target_uri': 'VARCHAR', 'warc_date': 'TIMESTAMP',
+         |           'content_length': 'BIGINT', 'http_status': 'INTEGER',
+         |           'http_content_type': 'VARCHAR', 'body_md5': 'VARCHAR',
+         |           'body_bytes': 'BIGINT'})
+         |WHERE record_id >= '<urn:uuid:00000000-0000-0000-0000-000000000005>'
+         |ORDER BY record_id""".stripMargin,
     "q127_pagerank" -> pageRankOracle(5),
     // q129 is q31's exact output via the lossless prefix filter — same oracle
     "q129_jaccard_prefix" -> ngramJaccardOracle,

@@ -150,6 +150,7 @@ object Queries
     "q112_ann_ivfpq" -> q112AnnIvfPq _,
     "q116_ann_ivfpq_res" -> q116AnnIvfPqRes _,
     "q142_ann_ivfpq_opq" -> q142AnnIvfPqOpq _,
+    "q148_ann_ivfpq_append" -> q148AnnIvfPqAppend _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
     "q117_top_users" -> q117TopUsers _,
     "q114_heavy_hitters_grouped" -> q114HeavyHittersGrouped _,
@@ -169,6 +170,7 @@ object Queries
     "q130_text_index" -> q130TextIndex _,
     "q99_sas7bdat_native" -> q99Sas7bdat _,
     "q137_warc_ingest" -> q137WarcIngest _,
+    "q147_warc_split_ingest" -> q147WarcSplitIngest _,
     "q100_semdedup" -> q100SemDedup _,
     "q101_dup_spans" -> q101DupSpans _,
     "q102_contam_spans" -> q102ContamSpans _,
