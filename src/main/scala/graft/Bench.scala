@@ -74,6 +74,12 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // open-fd accounting (Linux): a leaking reader/writer shows up as
+        // monotone growth here long before "Too many open files" kills a
+        // 100 TB run — stderr only, never in the JSON contract
+        val fds = try new java.io.File("/proc/self/fd").list().length
+                  catch { case _: Throwable => -1 }
+        if (fds >= 0) System.err.println(f"[bench] $name%-28s ${dt}%8.2fs fds=$fds")
         if (ok) {
           if (dt < best.getOrElse(name, Double.MaxValue)) {
             org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)

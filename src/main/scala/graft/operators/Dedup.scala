@@ -184,59 +184,44 @@ object Dedup {
       .toDF("_id", "sh")
   }
 
-  /** [[shingleHashes]] with the PPJoin prefix flag computed in the SAME
-    * fused pass: prefix membership is intra-document state (the p = sz −
-    * ⌈τ·sz⌉ + 1 smallest of the doc's own distinct hashes), so tagging it
-    * here costs one local sort per doc and ZERO extra shuffles — where a
-    * declarative prefix (sort_array over collect_list) re-shuffles every
-    * (id, hash) row into a per-doc aggregate first. Emits
-    * (_id, sh, _sz, _pfx). */
-  private[graft] def shinglePrefixHashes(
-      df: DataFrame, idCol: String, textCol: String, n: Int,
-      tau: Double): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
-          if (toks.length < n) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[Long]()
-            val sb = new java.lang.StringBuilder()
-            var i = 0
-            while (i <= toks.length - n) {
-              sb.setLength(0)
-              var j = 0
-              while (j < n) {
-                if (j > 0) sb.append(' ')
-                sb.append(toks(i + j))
-                j += 1
-              }
-              val u = UTF8String.fromString(sb.toString)
-              seen.add(XXH64.hashUnsafeBytes(
-                u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
-              i += 1
-            }
-            val hs = new Array[Long](seen.size)
-            val iter = seen.iterator()
-            var m = 0
-            while (iter.hasNext) { hs(m) = iter.next(); m += 1 }
-            val sorted = hs.clone()
-            java.util.Arrays.sort(sorted)
-            val sz = hs.length
-            // 1e-9 downward guard: float error may only LENGTHEN a prefix
-            val plen = sz - math.ceil(tau * sz - 1e-9).toInt + 1
-            val cut = sorted(math.min(plen, sz) - 1) // largest prefix hash
-            hs.iterator.map(h => (id, h, sz, h <= cut))
-          }
-        }
-      }
-      .toDF("_id", "sh", "_sz", "_pfx")
+  /** HOT shingle hashes of a corpus — document frequency above
+    * `hotMinDf`, worst offenders first, capped at `maxHot` (the bound
+    * that keeps the driver collect and the InSet probe small; past the
+    * cap the TOP offenders are still taken, so the filter degrades
+    * gracefully, never silently). One map-side-combined aggregate over
+    * the 8-byte hash rows. */
+  private def hotShingles(
+      sh: DataFrame, hotMinDf: Int, maxHot: Int): Array[Long] =
+    sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > hotMinDf)
+      .orderBy(col("_df").desc, col("sh").asc)
+      .limit(maxHot)
+      .select("sh").collect().map(_.getLong(0))
+
+  /** Per-doc PPJoin prefixes under the FREQUENCY-AWARE global order
+    * (cold-by-hash, then hot-by-hash): the prefix theorem holds for ANY
+    * fixed total order of the shingle universe, and ordering frequent
+    * shingles LAST keeps them out of prefixes — the classic refinement
+    * (Chaudhuri et al. ICDE'06 order by ascending df). Under plain hash
+    * order a corpus whose documents share stock phrases degenerates: the
+    * round-8 sf1 audit measured 57M candidate pairs on 50k docs (near
+    * all-pairs) because common 3-grams land in prefixes as often as rare
+    * ones. With hot shingles (df > hotMinDf, broadcast InSet) pushed to
+    * the back of the order, prefixes hold the rarest shingles and
+    * candidates collapse to near-dups plus rare coincidences. Emits
+    * (_id, sh) prefix rows. */
+  private def freqOrderedPrefix(
+      sh: DataFrame, tau: Double, hot: Array[Long]): DataFrame = {
+    val plen = (col("_sz") - ceil(lit(tau) * col("_sz") - lit(1e-9)) + lit(1))
+      .cast("int")
+    val isHot: Column => Column =
+      if (hot.isEmpty) _ => lit(false) else h => h.isin(hot.toSeq: _*)
+    sh.groupBy("_id")
+      .agg(collect_list(col("sh")).as("_hs"), count(lit(1)).as("_sz"))
+      .withColumn("_ord", concat(
+        sort_array(filter(col("_hs"), h => !isHot(h))),
+        sort_array(filter(col("_hs"), h => isHot(h)))))
+      .select(col("_id"), explode(slice(col("_ord"), lit(1), plen)).as("sh"))
   }
 
   /** xxhash64 (seed 42) of a string — identical to SQL `xxhash64(s)` and
@@ -371,65 +356,89 @@ object Dedup {
     * family builds on it) cuts that to at most one meeting per pair and
     * joins only a (1−τ)-fraction of each document's shingles:
     *
-    * Under ANY fixed global order of the shingle universe (here: hash
-    * numeric order), if J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and by
-    * pigeonhole the smallest common shingle must lie within the first
-    * |A| − ⌈τ·|A|⌉ + 1 shingles of A AND the first |B| − ⌈τ·|B|⌉ + 1 of B
-    * — so joining prefix×prefix loses no qualifying pair. Verification
-    * then counts TRUE intersections only for docs that produced a
-    * candidate: the full shingle sets are semi-joined down to candidate
-    * docs before the counting join, and the counting join itself is
-    * semi-joined to the candidate pair list (broadcast — near-dup
-    * candidates are edge-bounded), so no non-candidate pair is ever
-    * counted. Exact completeness AND exact precision; the corpus-wide
-    * shuffle carries only prefix hashes.
+    * Under ANY fixed global order of the shingle universe, if J(A,B) ≥ τ
+    * then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and by pigeonhole the smallest
+    * common shingle must lie within the first |A| − ⌈τ·|A|⌉ + 1 shingles
+    * of A AND the first |B| − ⌈τ·|B|⌉ + 1 of B — so joining
+    * prefix×prefix loses no qualifying pair. The order is
+    * FREQUENCY-AWARE ([[freqOrderedPrefix]]): hot shingles
+    * (df > hotMinDf, one vocab aggregate + broadcast InSet) sort LAST so
+    * prefixes hold the rarest shingles — without it a corpus of
+    * stock-phrase-sharing documents degenerates toward all-pairs
+    * candidates (57M pairs on 50k docs in the round-8 sf1 audit; ~2k
+    * with the ordering). Verification then counts TRUE intersections
+    * only for docs that produced a candidate: the full shingle sets are
+    * semi-joined down to candidate docs before the counting join, and
+    * the counting join itself is semi-joined to the candidate pair list
+    * (broadcast — near-dup candidates are edge-bounded), so no
+    * non-candidate pair is ever counted. Exact completeness AND exact
+    * precision; the corpus-wide shuffle carries only 8-byte hashes.
     *
     * τ·|A| is computed with a 1e-9 downward guard before ⌈⌉ so a binary
     * rounding error can only LENGTHEN a prefix (safe), never shorten it. */
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
       broadcastPairLimit: Int = 1 << 20): DataFrame = {
-    val sh = shinglePrefixHashes(df, idCol, textCol, n, tau).cache()
-    val pfx = sh.where(col("_pfx")).select(col("_id"), col("sh"))
-    // cache the candidate pairs: verification consumes them twice (doc
-    // semi-join + pair semi-join) and they are edge-bounded
-    val cands = pfx.as("x").join(pfx.as("y"), col("x.sh") === col("y.sh"))
-      .where(col("x._id") < col("y._id"))
-      .select(col("x._id").as("a"), col("y._id").as("b"))
-      .distinct().cache()
-    val out = verifyPairs(sh.select(col("_id"), col("sh")),
-      sh.select(col("_id"), col("_sz").as("sz")).distinct(), cands, tau,
-      broadcastPairLimit)
-      .localCheckpoint() // materialize, then release both caches (ADVICE r5)
-    cands.unpersist()
+    val sh = shingleHashes(df, idCol, textCol, n).cache()
+    val out = ngramJaccardPairsPrefixFromHashes(sh, tau, broadcastPairLimit)
     sh.unpersist()
     out
   }
 
-  /** Candidate pairs (a, b) from the prefix×prefix join alone — exposed so
-    * the spec can measure the candidate reduction vs the full equi-join. */
+  /** Candidate pairs (a, b) from the frequency-ordered prefix×prefix
+    * join alone — exposed so the spec can measure the candidate
+    * reduction vs the full equi-join. */
   private[graft] def prefixCandidates(sh: DataFrame, tau: Double): DataFrame = {
-    val prefix = sh.groupBy("_id")
-      .agg(sort_array(collect_list(col("sh"))).as("_hs"), count(lit(1)).as("sz"))
-      .withColumn("_plen",
-        (col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + lit(1)).cast("int"))
-      .select(col("_id"), explode(slice(col("_hs"), lit(1), col("_plen"))).as("sh"))
+    val prefix = freqOrderedPrefix(sh, tau, hotShingles(sh, 64, 1 << 16))
     prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
       .where(col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
   }
 
-  /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh) intermediate
-    * (prefixes via a per-doc aggregate — [[ngramJaccardPairsPrefix]] itself
-    * tags prefixes inside the fused shingle pass instead). */
+  /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh)
+    * intermediate (caller keeps it cached — the hot-shingle aggregate,
+    * the prefix regroup, and verification all consume it).
+    *
+    * ADAPTIVE: when the candidate list outgrows `broadcastPairLimit`
+    * (limit-probe), the prefix filter has failed to filter — a corpus
+    * whose documents share shingles UNIFORMLY (small vocabularies,
+    * templated text; the round-8 sf1 audit measured 57M candidates on
+    * 50k docs with NO shingle above df 25, where frequency ordering has
+    * nothing to demote) makes candidates ≈ meets, and the prefix path
+    * would then pay the dense counting join PLUS its own distinct and
+    * semi-join shuffles. Past the probe the plan falls back to the
+    * single-shuffle dense aggregate ([[ngramJaccardPairsFromHashes]]) —
+    * identical output by the same theorem, strictly fewer exchanges.
+    * Zipfian corpora (real text) stay on the prefix path with
+    * broadcast-sized candidates. */
   def ngramJaccardPairsPrefixFromHashes(
       sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame = {
-    val cands = prefixCandidates(sh, tau).cache()
-    val out = verifyPairs(sh, sh.groupBy("_id").agg(count(lit(1)).as("sz")),
-      cands, tau, broadcastPairLimit)
-      .localCheckpoint() // materialize, then release the pair cache (ADVICE r5)
-    cands.unpersist()
+    val prefix = freqOrderedPrefix(sh, tau, hotShingles(sh, 64, 1 << 16)).cache()
+    // the decision quantity is the prefix join's MEET MASS Σ C(df_pfx, 2)
+    // — one vocab-sized aggregate over the prefix rows, no pair join, and
+    // an upper bound on distinct candidate pairs (so it also proves the
+    // broadcast safe on the filtered path). Probing the candidate list
+    // itself would execute the very join the fallback exists to avoid.
+    val meetMass = prefix.groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(((col("c") * (col("c") - lit(1L))) / lit(2))
+        .cast("long")), lit(0L)))
+      .head().getLong(0)
+    val out =
+      if (meetMass > broadcastPairLimit.toLong)
+        ngramJaccardPairsFromHashes(sh, tau).localCheckpoint()
+      else {
+        val cands = prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
+          .where(col("x._id") < col("y._id"))
+          .select(col("x._id").as("a"), col("y._id").as("b"))
+          .distinct().cache()
+        val v = verifyPairs(sh, sh.groupBy("_id").agg(count(lit(1)).as("sz")),
+          cands, tau, broadcastPairLimit)
+          .localCheckpoint() // materialize, then release the cache (ADVICE r5)
+        cands.unpersist()
+        v
+      }
+    prefix.unpersist()
     out
   }
 

@@ -142,6 +142,69 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(r.getSeq[Boolean](1).forall(identity), "n <= 2t: everything tail-exact")
   }
 
+  test("tail sketch: t >> group size and 2t-boundary sizes under skewed merge layouts") {
+    val s = spark
+    import s.implicits._
+    // (a) per-group with the PRODUCTION t=4096 while groups hold 1..40
+    // rows — every rank is tail-served, certificates all true, answers
+    // exactly the nearest-rank values, regardless of which group a row
+    // merges through (state is 2t doubles per group — SURVEY §4.c)
+    val probs = Seq(0.001, 0.5, 0.9999)
+    val grouped = (0 until 60).map { i =>
+      val g = if (i == 0) "one" else if (i < 4) "three" else "many"
+      (g, ((i.toLong * 7919) % 97).toDouble)
+    }
+    val gvals = grouped.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2) }
+    val gout = grouped.toDF("g", "x").repartition(16)
+      .groupBy("g")
+      .agg(QuantileSketch.tailSketch(col("x"), k = 64, t = 4096, probs).as("s"))
+      .select(col("g"), col("s.qs"), col("s.q_exact"))
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1), r.getSeq[Boolean](2)))
+    gout.foreach { case (g, qs, ex) =>
+      assert(ex.forall(identity), s"group $g: t >> n must certify exact everywhere")
+      probs.zipWithIndex.foreach { case (p, i) =>
+        assert(qs(i) == exactQ(gvals(g), p), s"group $g prob $p") }
+    }
+    // (b) 2t-boundary sizes: with t = 32, n = 2t is the LAST size where
+    // every rank is tail-served; at n = 2t+1 the exact-middle rank
+    // (target = t+1: not in lo, n-target = t not < t) must flip to the
+    // estimator WITH a sound certificate — and every answer must be
+    // identical across balanced, single, and maximally-skewed layouts
+    // (merge order cannot move a certificate or a value)
+    val t = 32
+    for (n <- Seq(2 * t - 1, 2 * t, 2 * t + 1, 2 * t + 17)) {
+      val xs = (0 until n).map(i => ((i.toLong * 104729) % n).toDouble)
+      val layouts = Seq(
+        xs.toDF("x").coalesce(1),
+        xs.toDF("x").repartition(64),
+        // maximal skew: one partition holds a single row, the other all
+        // the rest — the small side merges INTO a full sketch
+        xs.zipWithIndex.toDF("x", "i")
+          .repartition(2, (col("i") === 0).cast("int")).select("x"))
+      val res = layouts.map(_.agg(
+          QuantileSketch.tailSketch(col("x"), k = 8, t = t, probs).as("s"))
+        .select("s.qs", "s.q_exact", "s.max_rank_err").head())
+      val (qs0, ex0) = (res.head.getSeq[Double](0), res.head.getSeq[Boolean](1))
+      res.tail.foreach { r =>
+        assert(r.getSeq[Double](0) == qs0 && r.getSeq[Boolean](1) == ex0,
+          s"n=$n: answers/certificates must be layout-independent")
+      }
+      assert(ex0(0) && ex0(2), s"n=$n: extreme tails always exact")
+      assert(qs0(0) == exactQ(xs, 0.001) && qs0(2) == exactQ(xs, 0.9999))
+      val midTarget = math.ceil(0.5 * n).toLong.max(1L)
+      val midTailServed = midTarget <= math.min(t, n) || n - midTarget < math.min(t, n)
+      assert(ex0(1) == midTailServed,
+        s"n=$n: p0.5 exactness must flip exactly at the 2t boundary")
+      if (ex0(1)) assert(qs0(1) == exactQ(xs, 0.5), s"n=$n: tail-served median exact")
+      else {
+        val err = res.head.getLong(2)
+        val rank = xs.sorted.indexWhere(_ >= qs0(1)) + 1L
+        assert(math.abs(rank - midTarget) <= err,
+          s"n=$n: estimator median rank $rank outside certified ±$err")
+      }
+    }
+  }
+
   test("type and parameter validation refuse loudly") {
     val s = spark
     import s.implicits._

@@ -7,10 +7,18 @@ foreign keys point at its own copy of the parent, so join fan-outs and
 group cardinalities scale linearly, exactly like a bigger generated set).
 
 `documents` gets a per-copy token perturbation (a copy marker inserted
-every 5 tokens): cross-copy 3-gram Jaccard lands ~0.25, far below the
-board's tau=0.6, so replication does NOT manufacture quadratic near-dup
-clusters — within-copy planted near-dups keep their relationship since
-both sides receive aligned insertions.
+every 2 tokens): no run of 3 original tokens survives, so copies share
+ZERO 3-gram shingles — the corpus scales as 10 independent sf0.1
+corpora (the honest linear-scaling shape; a marker every 5 tokens left
+~40% shared shingles and manufactured 225k cross-copy near-miss
+candidate pairs, poisoning the audit with a data artifact). Within-copy
+planted near-dups keep their relationship since both sides receive
+aligned insertions.
+
+`events.user_id` is NOT offset: a 10x event stream over the SAME user
+population keeps heavy hitters heavy (offsetting user ids diluted every
+user's relative frequency 10x and tripped the Misra-Gries
+certify-or-refuse gate — again an artifact, not a plan property).
 
 `embeddings` are synthesized fresh around the sf0.1 per-label centroids
 (same dim, unit norm, same cluster count/spread shape): replicating
@@ -73,7 +81,7 @@ write("lineitem", copies(
     f"l_returnflag, l_linestatus, l_shipdate FROM {src('lineitem')}"))
 write("events", copies(
     f"SELECT event_id + {{i}} * {OFF['e']} AS event_id, ts, "
-    f"user_id + {{i}} * {OFF['u']} AS user_id, event_type, value, props "
+    f"user_id, event_type, value, props "
     f"FROM {src('events')}"))
 
 # documents: aligned copy-marker insertion every 5 tokens
@@ -85,7 +93,7 @@ for i in range(COPIES):
         toks = (text or "").split()
         out = []
         for j, tk in enumerate(toks):
-            if j and j % 5 == 0:
+            if j and j % 2 == 0:
                 out.append(tag)
             out.append(tk)
         t2 = " ".join(out)
