@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,21 +81,31 @@ object SimHash {
     * [[graft.multimodal.Binary.perceptualNearDups]]'s perceptual aHash:
     * 4 blocks of 16 bits, candidates from an equi-join on (block, value)
     * (any pair within hamming <= 3 agrees on a whole block), exact
-    * `bit_count` verify after. Never a cross join. */
+    * `bit_count` verify after. Never a cross join, and no dedupe
+    * exchange either (round 8): a pair agreeing on several blocks —
+    * EVERY pair of near-identical signatures agrees on all four — is
+    * kept only in the FIRST shared block, decided arithmetically from
+    * the two signatures already in the joined row (the q87/q74
+    * discipline), where the old `.distinct()` shuffled each such
+    * candidate four times with both signatures aboard. */
   def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 blocks of 16 bits guarantee recall only for hamming <= 3")
+    def block(c: Column, j: Int): Column =
+      shiftrightunsigned(c, j * 16).bitwiseAND(0xFFFFL)
     val blocks = array((0 until 4).map { j =>
       shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
     }: _*)
     val blocked = sig.select(col("_id"), col("simhash"), posexplode(blocks).as(Seq("blk", "bv")))
+    val firstShared = !(0 until 3).map { j =>
+      (col("x.blk") > j) &&
+        (block(col("x.simhash"), j) === block(col("y.simhash"), j))
+    }.reduce(_ || _)
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x._id") < col("y._id"))
+      .where(firstShared)
       .select(col("x._id").as("a"), col("y._id").as("b"),
-        col("x.simhash").as("_sa"), col("y.simhash").as("_sb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
   }
 }
