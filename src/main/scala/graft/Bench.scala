@@ -266,8 +266,84 @@ object Bench {
         System.err.println(s"[bench] recall failed: $e"); (false, "")
     }
     val (recallBreached, recallTail) = recallJson
+    // Corpus-regime evidence for the adaptive Jaccard router (SURVEY §13):
+    // the sf synthetic documents share shingles UNIFORMLY (40-word
+    // vocabulary, no hot head), so the board's q31 family always routes
+    // dense and never shows the prefix filter's real-text win. This block
+    // synthesizes a deterministic BOILERPLATE corpus — the regime real
+    // text guarantees (license headers, navigation chrome, stock
+    // phrases): 40k docs each carrying one of 200 hot 10-token templates
+    // inside otherwise-unique text, plus 400 planted near-dup families.
+    // The frequency order demotes the hot template shingles out of every
+    // prefix, so prefix candidates collapse to the planted near-dups,
+    // while the dense equi-join must meet every same-template pair —
+    // quadratic in template popularity. Reports, side by side: the
+    // router's decision on each corpus, the prefix candidate volume vs
+    // the dense meet volume, and both generators' walls. Evidence, not
+    // a gate — output identity across paths is spec-pinned.
+    val regimeTail = if (only.isDefined) "" else try {
+      import graft.operators.Dedup
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import spark.implicits._
+      val rnd = new scala.util.Random(1234L)
+      val boiler = (0 until 200).map(t => (0 until 10).map(j => s"b${t}x$j").mkString(" "))
+      val zbase = (0 until 40000).map { i =>
+        val uniq = (0 until 50).map(j => s"u${i}w$j")
+        val ins = rnd.nextInt(40)
+        (i.toLong, (uniq.take(ins) ++ Seq(boiler(i % 200)) ++ uniq.drop(ins)).mkString(" "))
+      }
+      val fams = (0 until 400).map { i =>
+        val t = zbase(i)._2.split(" ")
+        val a = t.clone()
+        (0 until 1 + i % 2).foreach(_ => a(rnd.nextInt(a.length)) = s"m${i}z${rnd.nextInt(100)}")
+        (100000L + i, a.mkString(" "))
+      }
+      val tau = 0.8
+      val mass = (c: org.apache.spark.sql.Column) =>
+        sum(((c * (c - lit(1L))) / lit(2)).cast("long"))
+      val shZ = Dedup.shingleHashes(
+        (zbase ++ fams).toDF("doc_id", "text"), "doc_id", "text", 3).cache()
+      shZ.count()
+      val (hotZ, t0Z) = Dedup.jaccardDfRouting(shZ, 1 << 20)
+      val meets = shZ.groupBy("sh").agg(count(lit(1)).as("c"))
+        .agg(mass(col("c"))).head().getLong(0)
+      val cand = Dedup.prefixCandidates(shZ, tau).count()
+      // shuffle bytes per path ride the same listener as the board: on a
+      // network-bound cluster the exchange volume — not the local wall,
+      // where 32 in-memory cores hide it — is what the candidate
+      // reduction buys, so both numbers are reported side by side
+      def timedShuffle(f: => Unit): (Double, Double) = {
+        org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+        val b0 = shuffleBytes.get()
+        val t0 = System.nanoTime()
+        f
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+        (dt, (shuffleBytes.get() - b0) / 1e6)
+      }
+      var nPairs = 0L
+      val (tp, shufP) =
+        timedShuffle { nPairs = Dedup.ngramJaccardPairsPrefixFromHashes(shZ, tau).count() }
+      val (td, shufD) =
+        timedShuffle { Dedup.ngramJaccardPairsFromHashes(shZ, tau).count(); () }
+      shZ.unpersist()
+      val shSf = Dedup.shingleHashes(
+        graft.core.Tables.load(spark, sfDir, "documents"), "doc_id", "text", 3).cache()
+      shSf.count()
+      val (hotSf, t0Sf) = Dedup.jaccardDfRouting(shSf, 1 << 20)
+      shSf.unpersist()
+      def s2(x: Double) = math.rint(x * 100) / 100.0
+      s""","jaccard_regime":{"boilerplate":{"hot":${hotZ.length},"tier0_dense":$t0Z,""" +
+        s""""cand":$cand,"meets":$meets,"pairs":$nPairs,""" +
+        s""""adaptive_s":${s2(tp)},"dense_s":${s2(td)},""" +
+        s""""adaptive_shuffle_mb":${s2(shufP)},"dense_shuffle_mb":${s2(shufD)}},""" +
+        s""""sf_docs":{"hot":${hotSf.length},"tier0_dense":$t0Sf}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] jaccard_regime failed: $e"); ""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson$recallTail,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson$recallTail$regimeTail,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // The driver's artifact keeps only a tail of stdout, which truncates
     // the per-query map on a 140+-key board — ALWAYS leave the complete

@@ -396,30 +396,70 @@ object Dedup {
       .distinct()
   }
 
+  /** One vocab-sized df aggregate feeding BOTH routing tiers: the hot
+    * set (df > `hotMinDf`, worst offenders first, capped) and the DENSE
+    * meet mass Σ C(df, 2) — the exact row count of the dense equi-join's
+    * shared-shingle meets. Returns (hot, tier0Dense): tier0Dense is true
+    * when the hot set is EMPTY yet the dense mass already exceeds the
+    * candidate limit — a corpus whose sharing is both pervasive and
+    * UNIFORM (no shingle frequent enough to demote; the round-8 sf1
+    * audit's 40-word-vocab synthetic, max df 25, candidates ≈ meets at
+    * 57M on 50k docs). With nothing for the frequency order to push out
+    * of prefixes, the filter provably has no lever, so the router goes
+    * dense WITHOUT paying the prefix regroup it would only throw away.
+    * Routing is performance-only — every path emits identical pairs
+    * (spec-pinned per τ), and verifyPairs carries its own limit-probe
+    * broadcast guard independent of this decision. */
+  private[graft] def jaccardDfRouting(
+      sh: DataFrame, broadcastPairLimit: Int,
+      hotMinDf: Int = 64, maxHot: Int = 1 << 16): (Array[Long], Boolean) = {
+    // ONE scan, ZERO storage: the dense mass rides the hot-set collect as
+    // an Observation (the TakeOrdered child evaluates every vocab row, so
+    // the metric sees them all). Persisting the vocab aggregate instead
+    // measurably starved the dense join of execution memory — a marker-
+    // heavy sf1 corpus has a ~100M-row shingle vocabulary, and its cache
+    // forced 1.6 GB of aggregate spill per query.
+    val obs = org.apache.spark.sql.Observation()
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .observe(obs, coalesce(sum(((col("_df") * (col("_df") - lit(1L))) / lit(2))
+        .cast("long")), lit(0L)).as("mass"))
+      .where(col("_df") > hotMinDf)
+      .orderBy(col("_df").desc, col("sh").asc).limit(maxHot)
+      .select("sh").collect().map(_.getLong(0))
+    val denseMass = obs.get("mass").asInstanceOf[Long]
+    (hot, hot.isEmpty && denseMass > broadcastPairLimit.toLong)
+  }
+
   /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh)
     * intermediate (caller keeps it cached — the hot-shingle aggregate,
     * the prefix regroup, and verification all consume it).
     *
-    * ADAPTIVE: when the candidate list outgrows `broadcastPairLimit`
-    * (limit-probe), the prefix filter has failed to filter — a corpus
-    * whose documents share shingles UNIFORMLY (small vocabularies,
-    * templated text; the round-8 sf1 audit measured 57M candidates on
-    * 50k docs with NO shingle above df 25, where frequency ordering has
-    * nothing to demote) makes candidates ≈ meets, and the prefix path
-    * would then pay the dense counting join PLUS its own distinct and
-    * semi-join shuffles. Past the probe the plan falls back to the
-    * single-shuffle dense aggregate ([[ngramJaccardPairsFromHashes]]) —
-    * identical output by the same theorem, strictly fewer exchanges.
-    * Zipfian corpora (real text) stay on the prefix path with
-    * broadcast-sized candidates. */
+    * ADAPTIVE, two-tier ([[jaccardDfRouting]] decides tier 0 from the df
+    * aggregate alone): when the candidate list outgrows
+    * `broadcastPairLimit`, the prefix filter has failed to filter — a
+    * corpus whose documents share shingles UNIFORMLY (small
+    * vocabularies, templated text; the round-8 sf1 audit measured 57M
+    * candidates on 50k docs with NO shingle above df 25, where
+    * frequency ordering has nothing to demote) makes candidates ≈
+    * meets, and the prefix path would then pay the dense counting join
+    * PLUS its own distinct and semi-join shuffles. Tier 0 catches the
+    * hot-empty degenerate case before any prefix is built; tier 1
+    * (below) decides the rest exactly on the prefix join's meet mass.
+    * Past either probe the plan falls back to the single-shuffle dense
+    * aggregate ([[ngramJaccardPairsFromHashes]]) — identical output by
+    * the same theorem, strictly fewer exchanges. Zipfian corpora (real
+    * text) stay on the prefix path with broadcast-sized candidates. */
   def ngramJaccardPairsPrefixFromHashes(
       sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame = {
-    val prefix = freqOrderedPrefix(sh, tau, hotShingles(sh, 64, 1 << 16)).cache()
-    // the decision quantity is the prefix join's MEET MASS Σ C(df_pfx, 2)
-    // — one vocab-sized aggregate over the prefix rows, no pair join, and
-    // an upper bound on distinct candidate pairs (so it also proves the
-    // broadcast safe on the filtered path). Probing the candidate list
-    // itself would execute the very join the fallback exists to avoid.
+    val (hot, tier0Dense) = jaccardDfRouting(sh, broadcastPairLimit)
+    if (tier0Dense) return ngramJaccardPairsFromHashes(sh, tau).localCheckpoint()
+    val prefix = freqOrderedPrefix(sh, tau, hot).cache()
+    // the tier-1 decision quantity is the prefix join's MEET MASS
+    // Σ C(df_pfx, 2) — one vocab-sized aggregate over the prefix rows, no
+    // pair join, and an upper bound on distinct candidate pairs (so it
+    // also proves the broadcast safe on the filtered path). Probing the
+    // candidate list itself would execute the very join the fallback
+    // exists to avoid.
     val meetMass = prefix.groupBy("sh").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(((col("c") * (col("c") - lit(1L))) / lit(2))
         .cast("long")), lit(0L)))

@@ -60,34 +60,54 @@ object SpanDedup {
     keyed.join(dup, "_k").drop("_k", "span")
   }
 
-  /** Duplicated sites, exact: every (id, pos) whose span text occurs at >1
-    * site corpus-wide, with that span's total site count.
-    *
-    * Two-phase (the q45 top-ngrams shape): phase 1 counts 8-byte
-    * xxhash64(span) keys — the corpus-sized shuffle never carries the
-    * `l`-char strings; phase 2 re-groups ONLY the hash-candidate sites
-    * (typically a few % of windows) by their actual span text, so a hash
-    * collision between distinct spans is caught and exactness is
+  /** True iff `df` (cheap to recompute — the caller materializes its
+    * parents) holds at most `limit` rows: a limit-probe, never a full
+    * count of an oversized set (the Dedup.withinLimit discipline). */
+  private def withinLimit(df: DataFrame, limit: Int): Boolean =
+    df.limit(limit + 1).count() <= limit
+
+  /** Broadcast `df` iff a limit-probe proves it small; unhinted (shuffle
+    * join, AQE skew-split eligible) otherwise. Caller must have
+    * materialized `df` (cache/localCheckpoint) so the probe is a scan. */
+  private def hintIfSmall(df: DataFrame, limit: Int): DataFrame =
+    if (withinLimit(df, limit)) broadcast(df) else df
+
+  /** Duplicated span spines hold l-char STRINGS — keep the default
+    * broadcast budget an order under the 8-byte-key limits elsewhere.
+    * Public entry points expose it (`spanBroadcastLimit`) so the
+    * distributed fallback is spec-forceable, the Dedup
+    * broadcastPairLimit precedent. */
+  private val defaultSpanBroadcastLimit = 1 << 18
+
+  /** Exact duplicated (id, pos, sites) from a MATERIALIZED candidate-site
+    * frame `(idCol, pos, _k)` — the shared phase 2 of the two-phase
+    * discipline: hash-duplicated keys gate per-doc position arrays, span
+    * TEXT is re-extracted only for gated sites (one narrow id join back
+    * to the corpus), and the exact site count is a groupBy on the string
+    * — MAP-SIDE COMBINABLE, so a corpus-wide boilerplate span collapses
+    * to one partial row per partition instead of piling every site into
+    * a single window-sort task (the hot-key skew that burned the round-8
+    * sf1 audit's repetitive corpus, and that real boilerplate — license
+    * headers, navigation chrome — guarantees at 100 TB). The join back
+    * to sites broadcasts the (distinct dup span, count) spine when a
+    * limit-probe proves it small; repetitive corpora have FEW distinct
+    * hot spans, so that is exactly when it broadcasts. Hash collisions
+    * only ever ADD candidates; the string regroup makes exactness
     * unconditional. */
-  def dupSpanSites(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
-    // Phase 1 is a fused per-partition ROLLING-hash pass ([[windowHashes]]):
-    // no span string is ever allocated, cached, or shuffled — the window
-    // pass that explode+substring ran amplified the corpus ~l-fold in
-    // memory. A weaker-than-xxhash64 polynomial key only ever ADDS
-    // candidates; phase 2 re-extracts candidate span TEXT (per-doc
-    // position arrays joined back to the corpus — one narrow id join) and
-    // re-groups by it, so exactness is unconditional either way.
-    val wh = windowHashes(df, idCol, textCol, l, s).cache()
-    val dupK = wh.groupBy("_k").agg(count(lit(1)).as("_kc"))
+  private def dupSitesFromKeyed(
+      df: DataFrame, idCol: String, textCol: String, candKeyed: DataFrame,
+      l: Int, spanBroadcastLimit: Int): DataFrame = {
+    val cand = candKeyed.cache()
+    val dupK = cand.groupBy("_k").agg(count(lit(1)).as("_kc"))
       .where(col("_kc") > 1).select("_k")
     // materialize the candidate position arrays (bounded by hash-dup docs,
-    // int arrays only), then release the window-hash cache — a lazily
+    // int arrays only), then release the keyed-site cache — a lazily
     // returned plan over it would leak the cache into the session (the
     // ADVICE r5 class)
-    val candPos = wh.join(dupK, "_k")
+    val candPos = cand.join(dupK, Seq("_k"), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_ps"))
       .localCheckpoint()
-    wh.unpersist()
+    cand.unpersist()
     val candSpans = df
       .select(col(idCol).cast("long").as(idCol), col(textCol))
       .join(candPos, Seq(idCol))
@@ -95,8 +115,27 @@ object SpanDedup {
         expr(s"substring(`$textCol`, pos, $l)").as("span"))
     val dup = candSpans.groupBy("span").agg(count(lit(1)).as("sites"))
       .where(col("sites") > 1)
-    candSpans.join(dup, "span").drop("span")
+      .localCheckpoint()
+    candSpans.join(hintIfSmall(dup, spanBroadcastLimit), "span").drop("span")
   }
+
+  /** Duplicated sites, exact: every (id, pos) whose span text occurs at >1
+    * site corpus-wide, with that span's total site count.
+    *
+    * Two-phase (the q45 top-ngrams shape): phase 1 counts 8-byte
+    * xxhash64-class keys — the corpus-sized shuffle never carries the
+    * `l`-char strings — via a fused per-partition ROLLING-hash pass
+    * ([[windowHashes]]): no span string is ever allocated, cached, or
+    * shuffled (the explode+substring window pass amplified the corpus
+    * ~l-fold in memory). A weaker-than-xxhash64 polynomial key only ever
+    * ADDS candidates; phase 2 ([[dupSitesFromKeyed]]) re-extracts
+    * candidate span TEXT and re-groups by it, so exactness is
+    * unconditional either way. */
+  def dupSpanSites(
+      df: DataFrame, idCol: String, textCol: String, l: Int, s: Int,
+      spanBroadcastLimit: Int = defaultSpanBroadcastLimit): DataFrame =
+    dupSitesFromKeyed(df, idCol, textCol, windowHashes(df, idCol, textCol, l, s), l,
+      spanBroadcastLimit)
 
   /** (id, pos, _k) for every stride-`s` `l`-char window, from ONE fused
     * per-partition pass: a base-1000003 polynomial hash ROLLS across each
@@ -177,11 +216,14 @@ object SpanDedup {
     * Interval merge and text reassembly are higher-order array expressions
     * (`aggregate` over the sorted loser positions) — no UDF, no
     * per-doc driver work; the only shuffles are the window-key groupBy
-    * inherited from [[dupSpanSites]], one row_number window keyed by the
-    * (already shrunken) duplicated-window key, and the doc-id join of loser
+    * inherited from [[dupSpanSites]], the combinable min-struct first-site
+    * aggregate over the (already shrunken) duplicated-window subset with
+    * its broadcast-guarded join-back, and the doc-id join of loser
     * position arrays back to the corpus. */
-  def stripDupSpans(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame =
-    excise(df, idCol, textCol, loserCuts(df, idCol, textCol, l, s), l)
+  def stripDupSpans(
+      df: DataFrame, idCol: String, textCol: String, l: Int, s: Int,
+      spanBroadcastLimit: Int = defaultSpanBroadcastLimit): DataFrame =
+    excise(df, idCol, textCol, loserCuts(df, idCol, textCol, l, s, spanBroadcastLimit), l)
 
   /** Per-doc sorted loser positions (all-but-first sites of duplicated
     * windows) — the cut lists [[stripDupSpans]] feeds to [[excise]].
@@ -190,18 +232,27 @@ object SpanDedup {
     * shuffle carries 8-byte keys; the first-site ranking then runs on the
     * ACTUAL span text of the (tiny) hash-candidate subset, so a hash
     * collision can never cut innocent text. */
-  private def loserCuts(df: DataFrame, idCol: String, textCol: String, l: Int, s: Int): DataFrame = {
+  private def loserCuts(
+      df: DataFrame, idCol: String, textCol: String, l: Int, s: Int,
+      spanBroadcastLimit: Int): DataFrame = {
     val sp = spans(df, idCol, textCol, l, s)
       .withColumn("_k", xxhash64(col("span"))).cache()
     val dupK = sp.groupBy("_k").agg(count(lit(1)).as("_kc"))
       .where(col("_kc") > 1).select("_k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("span").orderBy(col(idCol).asc, col("pos").asc)
-    // materialize the cut arrays (bounded by loser docs, int arrays), then
-    // release the span cache (ADVICE r5 discipline)
-    val out = sp.join(dupK, "_k")
-      .withColumn("_r", row_number().over(w))
-      .where(col("_r") > 1)
+    val spDup = sp.join(dupK, "_k")
+    // first site per span is min(struct(id, pos)) + a broadcast-guarded
+    // join-back — the same hot-span-skew-free shape as
+    // [[stripDupSpansWinnowed]] (string-keyed, so a hash collision can
+    // never cut innocent text: a colliding singleton span simply finds no
+    // row in the sites>1 spine). Cut arrays materialize (bounded by loser
+    // docs, int arrays), then the span cache releases (ADVICE r5).
+    val firsts = spDup.groupBy("span")
+      .agg(min(struct(col(idCol), col("pos"))).as("_f"), count(lit(1)).as("sites"))
+      .where(col("sites") > 1).select("span", "_f")
+      .localCheckpoint()
+    val out = spDup.join(hintIfSmall(firsts, spanBroadcastLimit), "span")
+      .where(col(idCol) =!= col("_f").getField(idCol) ||
+        col("pos") =!= col("_f").getField("pos"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
       .localCheckpoint()
@@ -262,15 +313,24 @@ object SpanDedup {
       df: DataFrame, idCol: String, textCol: String, l: Int, k: Int): DataFrame = {
     val w = l - k + 1
     require(k >= 2 && w >= 1, s"need 2 <= k <= l - 1 (got k=$k, l=$l)")
-    // the global fingerprint count is a WINDOW aggregate, so the winnow
-    // pass feeds one linear tree — no self-join, no cache to leak, no
-    // checkpoint job (the shuffle volume is the same sparse 8-byte keys)
-    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val candFpPos = TextAnalysis.winnow(df, idCol, textCol, k, w)
-      .withColumn("_fc", count(lit(1)).over(wFp))
-      .where(col("_fc") > 1)
+    // the global fingerprint count is a map-side-combinable groupBy, NOT a
+    // window aggregate: partitionBy(fp) would pile every site of a hot
+    // fingerprint into one sort task, and repetitive text (tag schemes,
+    // boilerplate) concentrates winnow selections onto a handful of
+    // fingerprint VALUES — the round-8 sf1 audit's q101 skew. The
+    // duplicated-fp spine is 8-byte keys, broadcast when a limit-probe
+    // proves it small (repetitive corpora: few distinct hot fps, so the
+    // winnow rows then never shuffle at all); the fingerprint pass is
+    // cached for its two consumers and released once the gated position
+    // arrays are materialized (ADVICE r5 discipline)
+    val fps = TextAnalysis.winnow(df, idCol, textCol, k, w).cache()
+    val dupFp = fps.groupBy("fp").agg(count(lit(1)).as("_fc"))
+      .where(col("_fc") > 1).select("fp").localCheckpoint()
+    val candFpPos = fps.join(hintIfSmall(dupFp, 1 << 20), Seq("fp"), "left_semi")
       .groupBy(col(idCol).cast("long").as(idCol))
       .agg(sort_array(collect_set(col("pos"))).as("_fpos"))
+      .localCheckpoint()
+    fps.unpersist()
     df.select(col(idCol).cast("long").as(idCol), col(textCol).as("_t"))
       .join(candFpPos, Seq(idCol))
       .select(col(idCol), col("_t"),
@@ -288,16 +348,24 @@ object SpanDedup {
     * false candidate), but the corpus-sized work is the sparse winnow
     * pass instead of the stride-1 window enumeration. */
   def dupSpanStatsWinnowed(
-      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int = 8): DataFrame = {
-    // ONE span-keyed shuffle: the site count is a window aggregate, so the
-    // candidate subtree evaluates once (an agg+join confirmation would run
-    // the extraction twice and add an exchange)
+      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int = 8,
+      spanBroadcastLimit: Int = defaultSpanBroadcastLimit): DataFrame = {
+    // site counts are a map-side-combinable groupBy on the span string —
+    // NOT a window aggregate: partitionBy(span) piles every site of a
+    // corpus-wide boilerplate span into one sort task (the round-8 sf1
+    // audit's q101 hot-key skew). The (distinct dup span, count) spine
+    // broadcasts when a limit-probe proves it small — on repetitive
+    // corpora (few distinct hot spans) the candidate rows then never
+    // shuffle at all. The candidate subtree evaluates twice, but its
+    // expensive parent (the gated per-doc position arrays) is
+    // checkpointed inside [[winnowCandSpans]], so the re-run is one
+    // narrow id join + substring.
     val cand = winnowCandSpans(df, idCol, textCol, l, k)
-    val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("span")
+    val dup = cand.groupBy("span").agg(count(lit(1)).as("sites"))
+      .where(col("sites") > 1).localCheckpoint()
     df.select(col(idCol))
       .join(
-        cand.withColumn("sites", count(lit(1)).over(wSpec))
-          .where(col("sites") > 1)
+        cand.join(hintIfSmall(dup, spanBroadcastLimit), "span")
           .groupBy(idCol).agg(count(lit(1)).as("dup_spans")),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
@@ -308,15 +376,21 @@ object SpanDedup {
     * [[stripDupSpans]]'s (min id, min pos) first-site policy, then excise
     * against the FULL corpus — clean docs pass through verbatim. */
   def stripDupSpansWinnowed(
-      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int = 8): DataFrame = {
-    // sites and first-site rank come out of ONE span-keyed window pass
+      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int = 8,
+      spanBroadcastLimit: Int = defaultSpanBroadcastLimit): DataFrame = {
+    // first site per duplicated span is min(struct(id, pos)) — a
+    // map-side-combinable aggregate replacing the row_number window whose
+    // partitionBy(span) sort task a hot boilerplate span would own
+    // entirely; losers are flagged by a broadcast-guarded join-back
+    // against the (span, first, sites>1) spine
     val cand = winnowCandSpans(df, idCol, textCol, l, k)
-    val wSpec = org.apache.spark.sql.expressions.Window.partitionBy("span")
-    val wRank = wSpec.orderBy(col(idCol).asc, col("pos").asc)
-    val cuts = cand
-      .withColumn("sites", count(lit(1)).over(wSpec))
-      .withColumn("_r", row_number().over(wRank))
-      .where(col("sites") > 1 && col("_r") > 1)
+    val firsts = cand.groupBy("span")
+      .agg(min(struct(col(idCol), col("pos"))).as("_f"), count(lit(1)).as("sites"))
+      .where(col("sites") > 1).select("span", "_f")
+      .localCheckpoint()
+    val cuts = cand.join(hintIfSmall(firsts, spanBroadcastLimit), "span")
+      .where(col(idCol) =!= col("_f").getField(idCol) ||
+        col("pos") =!= col("_f").getField("pos"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
     excise(df, idCol, textCol, cuts, l)

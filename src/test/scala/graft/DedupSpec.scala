@@ -130,6 +130,43 @@ class DedupSpec extends AnyFunSuite {
     assert(bcCorpus == distCorpus, s"broadcast $bcCorpus vs distributed $distCorpus")
   }
 
+  test("tier-0 df routing: hot-empty uniform sharing goes dense before any prefix, Zipfian stays prefix") {
+    // uniform degenerate corpus (the sf1-audit shape): tiny vocabulary,
+    // every shingle df well under hotMinDf, sharing pervasive — dense
+    // mass blows the limit while the hot set stays empty
+    val rnd = new scala.util.Random(7L)
+    val vocab = (0 until 12).map(i => s"u$i")
+    val base = (0 until 60).map { i =>
+      (i.toLong, (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // exact copies keep the identity check non-vacuous at any tau
+    val uniform = (base ++ base.take(5).map { case (id, tx) => (id + 500L, tx) })
+      .toDF("doc_id", "text")
+    val shU = Dedup.shingleHashes(uniform, "doc_id", "text", n = 3).cache()
+    val (hotU, t0U) = Dedup.jaccardDfRouting(shU, broadcastPairLimit = 100)
+    assert(hotU.isEmpty && t0U, s"uniform corpus must tier-0 dense (hot=${hotU.length})")
+    // Zipfian-shaped corpus: one stock phrase in >hotMinDf docs plus
+    // unique filler — the hot head exists, so tier 0 must NOT fire even
+    // at limit 0 (tier 1's exact prefix mass owns the decision there)
+    val zipf = (0 until 80).map { i =>
+      (i.toLong, s"alpha beta gamma delta o${i}a o${i}b o${i}c o${i}d o${i}e o${i}f")
+    }.toDF("doc_id", "text")
+    val shZ = Dedup.shingleHashes(zipf, "doc_id", "text", n = 3).cache()
+    val (hotZ, t0Z) = Dedup.jaccardDfRouting(shZ, broadcastPairLimit = 0)
+    assert(hotZ.nonEmpty && !t0Z, s"hot-headed corpus must not tier-0 (hot=${hotZ.length})")
+    // below the limit nothing fires regardless of shape
+    val (_, t0Small) = Dedup.jaccardDfRouting(shU, broadcastPairLimit = Int.MaxValue)
+    assert(!t0Small, "mass under the limit must not tier-0")
+    // and the routed output still equals the dense reference on the
+    // degenerate corpus (the tier-0 path end-to-end)
+    val exp = Dedup.ngramJaccardPairsFromHashes(shU, 0.5)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+    val got = Dedup.ngramJaccardPairsPrefixFromHashes(shU, 0.5, broadcastPairLimit = 100)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+    assert(got == exp && exp.nonEmpty, s"tier-0 output mismatch (${exp.size} expected pairs)")
+    shU.unpersist(); shZ.unpersist()
+  }
+
   test("dedupCorpusBy keeps the highest-score member per cluster, min id on ties") {
     val base = (1 to 20).map(i => s"w$i").mkString(" ")
     val corpus = Seq(

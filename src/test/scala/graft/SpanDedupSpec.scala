@@ -136,6 +136,38 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(stats(1L) == 0)
   }
 
+  test("hot corpus-wide span: combinable confirmation equals exact, broadcast and shuffle paths agree") {
+    // every doc carries the SAME boilerplate block — the hot-key case where
+    // one span (and one winnow fingerprint) owns sites in every document.
+    // The old window-sort confirmation piled all of them into one task;
+    // the min-struct/groupBy shape must produce identical output, on both
+    // the broadcast spine (default) and the forced-shuffle fallback
+    // (spanBroadcastLimit = 0).
+    val boiler = "ALL-RIGHTS-RESERVED-BOILERPLATE-BLOCK"
+    val docs = (1L to 40L).map(i => (i, s"doc$i start $boiler end u${i}x${i * 31}"))
+      .toDF("doc_id", "text")
+    val l = 20
+    val stats = SpanDedup.dupSpanStats(docs, "doc_id", "text", l, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(stats.values.forall(_ > 0), "every doc owns duplicated boilerplate windows")
+    val statsG = SpanDedup.dupSpanStatsWinnowed(docs, "doc_id", "text", l, k = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(statsG === stats)
+    val statsShuffle = SpanDedup.dupSpanStatsWinnowed(docs, "doc_id", "text", l, k = 8,
+      spanBroadcastLimit = 0).as[(Long, Long)].collect().toMap
+    assert(statsShuffle === stats)
+    val strip = SpanDedup.stripDupSpans(docs, "doc_id", "text", l, 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val stripG = SpanDedup.stripDupSpansWinnowed(docs, "doc_id", "text", l, k = 8)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(stripG === strip)
+    val stripShuffle = SpanDedup.stripDupSpans(docs, "doc_id", "text", l, 1,
+      spanBroadcastLimit = 0).select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(stripShuffle === strip)
+    // doc 1 keeps the first sites; every other doc loses the boilerplate
+    assert(strip(1L).contains(boiler) && !strip(2L).contains(boiler))
+  }
+
   test("winnow gate is sound on self-overlapping periodic repeats") {
     // "abababab…": the duplicated window at pos p and p+2 OVERLAPS itself;
     // the gate stays sound because the two winnow alignment windows are
