@@ -329,10 +329,20 @@ object Dedup {
     ngramJaccardPairsPrefix(df, idCol, textCol, n, tau)
 
   /** [[ngramJaccardPairs]] over a precomputed (_id, sh) intermediate
-    * (caller controls caching — see [[graft.Graft.dedupSuite]]). */
+    * (caller controls caching — see [[graft.Graft.dedupSuite]]).
+    *
+    * Plan-shape note (sf1 audit, round 8b): the ~1.6 GB per-query spill
+    * this family shows under the bench's 32 pinned partitions is the
+    * pair-counting aggregate absorbing the 275M-row meet volume — NOT
+    * the join (a shuffle_hash-hinted variant and a groupBy+pair-explode
+    * rewrite were both measured SLOWER with the same spill; the
+    * sort-merge self-join is the fastest local shape). Spilling there is
+    * the correct degradation: meet volume is the workload, and partition
+    * counts scale with the cluster. */
   def ngramJaccardPairsFromHashes(sh: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
+    val common = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh"))
       .where(col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("a"), col("y._id").as("b"))
       .agg(count(lit(1)).as("common"))
