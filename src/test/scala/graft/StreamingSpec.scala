@@ -960,4 +960,50 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("mixed k"), e.getMessage)
   }
+
+  test("streaming span dedup: within-batch dups, retroactive first site, set-equal to batch hashed sites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingSpanDedup.dupSpanSites(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", l = 6, s = 1)
+    val q = out.writeStream.format("memory").queryName("span_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: doc 3 repeats C="ABCDEFGH" internally (duplicates WITHIN
+      // the batch); doc 1 carries B="0123456789" whose first sites must be
+      // HELD BACK (nothing else shares B yet); doc 4 is clean
+      input.addData(
+        (1L, "abcde0123456789fghij"),
+        (3L, "zzABCDEFGHwwABCDEFGHvv"),
+        (4L, "uniquetextwithnorepeats!"))
+      q.processAllAvailable()
+      val after1 = spark.table("span_stream_out")
+        .as[(Long, Int)].collect().toSet
+      assert(after1.nonEmpty && after1.forall(_._1 == 3L),
+        s"batch 1 must emit only doc 3's internal repeats, got $after1")
+      // batch 2: doc 2 shares B — doc 1's held-back sites surface
+      // retroactively alongside doc 2's, exactly once
+      input.addData((2L, "klmno0123456789pqrst"))
+      q.processAllAvailable()
+      val after2 = spark.table("span_stream_out")
+        .as[(Long, Int)].collect().toSet
+      assert(after2.exists(_._1 == 1L) && after2.exists(_._1 == 2L))
+      // the stream's cumulative output is set-equal to the batch hashed
+      // operator on the union of all batches
+      val all = Seq(
+        (1L, "abcde0123456789fghij"), (3L, "zzABCDEFGHwwABCDEFGHvv"),
+        (4L, "uniquetextwithnorepeats!"), (2L, "klmno0123456789pqrst"))
+        .toDF("doc_id", "text")
+      val batchSites = graft.operators.SpanDedup
+        .dupSpanSitesHashed(all, "doc_id", "text", l = 6, s = 1)
+        .select(col("doc_id").cast("long"), col("pos").cast("int"))
+        .as[(Long, Int)].collect().toSet
+      assert(after2 == batchSites,
+        s"stream $after2 != batch $batchSites")
+      // and no duplicate emissions: every site appears exactly once
+      val rows = spark.table("span_stream_out").count()
+      assert(rows == after2.size.toLong, s"$rows rows for ${after2.size} sites")
+    } finally q.stop()
+  }
 }
