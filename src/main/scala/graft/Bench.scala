@@ -30,6 +30,18 @@ object Bench {
     // alphabetically-first query doesn't absorb one-time JVM init costs
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // HOST CALIBRATION: a fixed corpus-independent microbenchmark (codegen
+    // CPU pass + one real exchange), min of 2 runs, recorded as "calib_s".
+    // This host drifts 15-20% between days with multi-minute steal windows
+    // (SURVEY §13) — cross-artifact comparisons should read query ratios
+    // AGAINST the calib ratio before believing a regression.
+    val calib = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+      spark.range(10000000L).selectExpr("id % 1000000 as k")
+        .groupBy("k").count().selectExpr("sum(count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
     // SPARK_GRAFT_ONLY=q101_dup_spans,q45_ngram_topk runs a subset — for
     // iterating on one operator without paying the full suite.
@@ -343,7 +355,7 @@ object Bench {
         System.err.println(s"[bench] jaccard_regime failed: $e"); ""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson$recallTail$regimeTail,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"failed":$failedJson$recallTail$regimeTail,"calib_s":${math.rint(calib * 100) / 100.0},"sf":"$sfDir","reps":$reps}"""
     println(line)
     // The driver's artifact keeps only a tail of stdout, which truncates
     // the per-query map on a 140+-key board — ALWAYS leave the complete
