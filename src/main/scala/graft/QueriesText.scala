@@ -42,10 +42,13 @@ private[graft] trait QueriesText extends QueryHelpers {
     * q71's frame sampling; the join is on the 16-byte digest, so candidate
     * cost tracks true overlap, not payload count². */
   def q73FrameOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // materialized before the self-join for the same reason as q145: the
+    // frame-sampling lambda can't canonicalize across join sides, so the
+    // sampling pass would otherwise run twice
     val f = Binary.frameSample(
       spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
       frameBytes = 32, stride = 64)
-      .select(col("doc_id"), col("frame_md5")).distinct()
+      .select(col("doc_id"), col("frame_md5")).distinct().localCheckpoint()
     f.as("a").join(f.as("b"), "frame_md5")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -138,8 +141,12 @@ private[graft] trait QueriesText extends QueryHelpers {
         (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf"))
     val gifs = graft.multimodal.Images.withAnimatedGifPayload(
       docs, "doc_id", "seed", "nf", w = 32, h = 24)
+    // materialize the per-frame fingerprints before the self-join: the
+    // decode mapPartitions lambda can't canonicalize across the two join
+    // sides, so without this every GIF decodes TWICE (plan-verified —
+    // two full decode subtrees, zero ReusedExchange). 16 bytes per frame.
     val fr = graft.multimodal.Images.gifFrames(gifs, "doc_id", "payload")
-      .select(col("doc_id"), col("luma_fp")).distinct()
+      .select(col("doc_id"), col("luma_fp")).distinct().localCheckpoint()
     fr.as("a").join(fr.as("b"), "luma_fp")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

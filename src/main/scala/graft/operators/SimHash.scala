@@ -95,7 +95,15 @@ object SimHash {
     val blocks = array((0 until 4).map { j =>
       shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
     }: _*)
-    val blocked = sig.select(col("_id"), col("simhash"), posexplode(blocks).as(Seq("blk", "bv")))
+    // Materialize the signature table BEFORE the self-join: the two join
+    // sides are separate lambda instances to Catalyst (mapPartitions
+    // closures never canonicalize equal), so ReuseExchange cannot fire
+    // and an expensive sig subtree — a full image decode for the
+    // perceptual callers, a corpus hash pass for text — would run TWICE
+    // (plan-verified: q145's executed plan carried two complete decode
+    // subtrees, zero ReusedExchange). Sixteen bytes per row.
+    val s = sig.select(col("_id"), col("simhash")).localCheckpoint()
+    val blocked = s.select(col("_id"), col("simhash"), posexplode(blocks).as(Seq("blk", "bv")))
     val firstShared = !(0 until 3).map { j =>
       (col("x.blk") > j) &&
         (block(col("x.simhash"), j) === block(col("y.simhash"), j))
