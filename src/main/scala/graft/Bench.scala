@@ -138,6 +138,17 @@ object Bench {
       import org.apache.spark.sql.functions.col
       val emb = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
       val total = emb.count()
+      // Scale-aware rerank shortlist (SURVEY §4.c): with fixed code
+      // quality, ADC ranking quality per candidate is corpus-size
+      // invariant, so holding the SHORTLIST/CORPUS ratio fixed holds
+      // shortlist+rerank recall roughly fixed (IVFADC's R parameter,
+      // Jégou et al. 2011 — R grows with N for iso-recall). A constant
+      // R=100 was why the round-8 sf1 board read 0.14/0.43/0.41 on the
+      // rerank paths vs 0.45/0.76/0.82 at sf0.1: a 10x corpus at the same
+      // R starves the exact re-rank, which is an OPERATOR-PARAMETER
+      // artifact, not a code regression. R = max(100, N/20) = 5% of the
+      // corpus, exactly 100 at the sf0.1 calibration point.
+      val shortlist = math.max(100L, total / 20L).toInt
       val qIds = (0 until 10).map(i => (i * 199L) % total)
       val qvecs = emb.where(col("vec_id").isin(qIds: _*))
         .select("vec_id", "embedding").collect()
@@ -216,16 +227,16 @@ object Bench {
         // the raw-ADC floors above isolate CODE quality, this one reports
         // what the operator actually returns.
         rPqRerank += r(ids(ProductQuantizer.rerankTopK(
-          emb, "vec_id", "embedding", encP, pqPlain, q, 10, 100, Some(qid))))
+          emb, "vec_id", "embedding", encP, pqPlain, q, 10, shortlist, Some(qid))))
         rOpq16 += r(ids(Opq.adcTopK(encO16, "vec_id", opq16, q, 10, Some(qid))))
         rOpqRerank += r(ids(Opq.rerankTopK(
-          emb, "vec_id", "embedding", encO256, opq256, q, 10, 100, Some(qid))))
+          emb, "vec_id", "embedding", encO256, opq256, q, 10, shortlist, Some(qid))))
         rIdxRes += r(ids(VectorIndex.ivfTopKPq(
           spark, idxDirP, "vec_id", "embedding", q, 8, 10, 10, Some(qid))))
         rIdxOpq += r(ids(VectorIndex.ivfTopKPq(
           spark, idxDirO, "vec_id", "embedding", q, 8, 10, 10, Some(qid))))
         rIdxOpqRerank += r(ids(VectorIndex.ivfTopKPq(
-          spark, idxDirO, "vec_id", "embedding", q, 8, 10, 100, Some(qid))))
+          spark, idxDirO, "vec_id", "embedding", q, 8, 10, shortlist, Some(qid))))
         val off = org.apache.spark.sql.functions.element_at(
           org.apache.spark.sql.functions.array(
             centroids.map(c => org.apache.spark.sql.functions.lit(
@@ -260,8 +271,14 @@ object Bench {
         "pq_rerank_m4" -> 0.30, "pq_rerank_opq" -> 0.55,
         "ivfpq_opq_rerank" -> 0.60)
       val vmap = vals.toMap
+      // gated at BOTH board SFs (r8 VERDICT #2): the scaled shortlist
+      // makes the deployed-form floors scale-transportable, so a
+      // recall cliff that only appears at 10x data now FAILS the bench
+      // instead of hiding outside the sf0.1-only gate
+      val gatedSf = Seq("sf0.1", "sf1")
+        .exists(s => sfDir.stripSuffix("/").endsWith(s))
       val breached =
-        if (sfDir.contains("sf0.1"))
+        if (gatedSf)
           floors.toSeq.sortBy(_._1).collect {
             case (k, fl) if vmap.getOrElse(k, 1.0) < fl =>
               s""""$k":{"got":${vmap(k)},"floor":$fl}"""
@@ -272,7 +289,7 @@ object Bench {
         else s""","recall_breach":${breached.mkString("{", ",", "}")}"""
       val kv = vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
       (breached.nonEmpty,
-        s""","recall":{$kv,"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}$breachJson""")
+        s""","recall":{$kv,"shortlist":$shortlist,"lsh_cands":{"np1":${cLsh(0) / nq},"np2":${cLsh(1) / nq},"np3":${cLsh(2) / nq},"corpus":$total},"queries":$nq}$breachJson""")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] recall failed: $e"); (false, "")
@@ -293,6 +310,7 @@ object Bench {
     // router's decision on each corpus, the prefix candidate volume vs
     // the dense meet volume, and both generators' walls. Evidence, not
     // a gate — output identity across paths is spec-pinned.
+    var routeBreach = "" // non-empty => router regression, bench exits 1
     val regimeTail = if (only.isDefined) "" else try {
       import graft.operators.Dedup
       import org.apache.spark.sql.functions.{col, count, lit, sum}
@@ -311,12 +329,23 @@ object Bench {
         (100000L + i, a.mkString(" "))
       }
       val tau = 0.8
+      // integral DIV — same exactness fix as jaccardDfRouting (r8 ADVICE)
       val mass = (c: org.apache.spark.sql.Column) =>
-        sum(((c * (c - lit(1L))) / lit(2)).cast("long"))
+        sum(org.apache.spark.sql.functions.expr("(c * (c - 1)) DIV 2"))
       val shZ = Dedup.shingleHashes(
         (zbase ++ fams).toDF("doc_id", "text"), "doc_id", "text", 3).cache()
       shZ.count()
-      val (hotZ, t0Z) = Dedup.jaccardDfRouting(shZ, 1 << 20)
+      // jaccardRoute IS the production decision path (one code path, so
+      // this probe cannot drift from what the board executes) — and the
+      // tier choice is ASSERTED, not just reported: the Zipfian
+      // boilerplate corpus must route prefix (tier 2) and the uniform-
+      // sharing sf documents must take the tier-0 dense exit, or the
+      // bench fails the same way a recall-floor breach does (r8 VERDICT
+      // #4 — previously a silently-dense router rode along as numbers).
+      val (tierZ, pfxZ) = Dedup.jaccardRoute(shZ, tau, 1 << 20)
+      pfxZ.foreach(_.unpersist())
+      if (tierZ != 2)
+        routeBreach += s"boilerplate corpus routed tier $tierZ, expected prefix (2); "
       val meets = shZ.groupBy("sh").agg(count(lit(1)).as("c"))
         .agg(mass(col("c"))).head().getLong(0)
       val cand = Dedup.prefixCandidates(shZ, tau).count()
@@ -342,14 +371,24 @@ object Bench {
       val shSf = Dedup.shingleHashes(
         graft.core.Tables.load(spark, sfDir, "documents"), "doc_id", "text", 3).cache()
       shSf.count()
-      val (hotSf, t0Sf) = Dedup.jaccardDfRouting(shSf, 1 << 20)
+      val (tierSf, pfxSf) = Dedup.jaccardRoute(shSf, tau, 1 << 20)
+      pfxSf.foreach(_.unpersist())
+      // tier-0 on sf-docs is a corpus-SIZE property (the dense meet mass
+      // must overrun the pair limit): assert it only at the board SFs,
+      // where the uniform-sharing synthetic is big enough that anything
+      // but the tier-0 exit means the router burned a prefix regroup it
+      // provably throws away
+      val tierGatedSf = Seq("sf0.1", "sf1")
+        .exists(s => sfDir.stripSuffix("/").endsWith(s))
+      if (tierGatedSf && tierSf != 0)
+        routeBreach += s"sf documents routed tier $tierSf, expected tier-0 dense; "
       shSf.unpersist()
       def s2(x: Double) = math.rint(x * 100) / 100.0
-      s""","jaccard_regime":{"boilerplate":{"hot":${hotZ.length},"tier0_dense":$t0Z,""" +
+      s""","jaccard_regime":{"boilerplate":{"tier":$tierZ,""" +
         s""""cand":$cand,"meets":$meets,"pairs":$nPairs,""" +
         s""""adaptive_s":${s2(tp)},"dense_s":${s2(td)},""" +
         s""""adaptive_shuffle_mb":${s2(shufP)},"dense_shuffle_mb":${s2(shufD)}},""" +
-        s""""sf_docs":{"hot":${hotSf.length},"tier0_dense":$t0Sf}}"""
+        s""""sf_docs":{"tier":$tierSf}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] jaccard_regime failed: $e"); ""
@@ -369,6 +408,10 @@ object Bench {
     spark.stop()
     if (recallBreached) {
       System.err.println("[bench] RECALL FLOOR BREACH — see recall_breach in the JSON line")
+      sys.exit(1)
+    }
+    if (routeBreach.nonEmpty) {
+      System.err.println(s"[bench] JACCARD ROUTER REGRESSION — $routeBreach")
       sys.exit(1)
     }
   }

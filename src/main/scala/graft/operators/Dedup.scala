@@ -397,13 +397,21 @@ object Dedup {
 
   /** Candidate pairs (a, b) from the frequency-ordered prefix×prefix
     * join alone — exposed so the spec can measure the candidate
-    * reduction vs the full equi-join. */
+    * reduction vs the full equi-join. The hot set comes from
+    * [[jaccardDfRouting]] ITSELF (not a re-derivation), so the measured
+    * candidate set provably uses the same frequency order as the routed
+    * production path; the regroup is cached across the self-join sides
+    * and the materialized result released before returning (one regroup
+    * in the executed plan, not two). */
   private[graft] def prefixCandidates(sh: DataFrame, tau: Double): DataFrame = {
-    val prefix = freqOrderedPrefix(sh, tau, hotShingles(sh, 64, 1 << 16))
-    prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
+    val (hot, _) = jaccardDfRouting(sh, broadcastPairLimit = Int.MaxValue)
+    val prefix = freqOrderedPrefix(sh, tau, hot).cache()
+    val out = prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
       .where(col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
-      .distinct()
+      .distinct().localCheckpoint()
+    prefix.unpersist()
+    out
   }
 
   /** One vocab-sized df aggregate feeding BOTH routing tiers: the hot
@@ -430,9 +438,12 @@ object Dedup {
     // heavy sf1 corpus has a ~100M-row shingle vocabulary, and its cache
     // forced 1.6 GB of aggregate spill per query.
     val obs = org.apache.spark.sql.Observation()
+    // DIV (integral) — Divide would cast to double and lose exactness for
+    // df beyond ~9.5e7, right where a 100M-row vocabulary puts routing
+    // decisions near the threshold (r8 ADVICE)
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
-      .observe(obs, coalesce(sum(((col("_df") * (col("_df") - lit(1L))) / lit(2))
-        .cast("long")), lit(0L)).as("mass"))
+      .observe(obs, coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L))
+        .as("mass"))
       .where(col("_df") > hotMinDf)
       .orderBy(col("_df").desc, col("sh").asc).limit(maxHot)
       .select("sh").collect().map(_.getLong(0))
@@ -460,24 +471,11 @@ object Dedup {
     * the same theorem, strictly fewer exchanges. Zipfian corpora (real
     * text) stay on the prefix path with broadcast-sized candidates. */
   def ngramJaccardPairsPrefixFromHashes(
-      sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame = {
-    val (hot, tier0Dense) = jaccardDfRouting(sh, broadcastPairLimit)
-    if (tier0Dense) return ngramJaccardPairsFromHashes(sh, tau).localCheckpoint()
-    val prefix = freqOrderedPrefix(sh, tau, hot).cache()
-    // the tier-1 decision quantity is the prefix join's MEET MASS
-    // Σ C(df_pfx, 2) — one vocab-sized aggregate over the prefix rows, no
-    // pair join, and an upper bound on distinct candidate pairs (so it
-    // also proves the broadcast safe on the filtered path). Probing the
-    // candidate list itself would execute the very join the fallback
-    // exists to avoid.
-    val meetMass = prefix.groupBy("sh").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(((col("c") * (col("c") - lit(1L))) / lit(2))
-        .cast("long")), lit(0L)))
-      .head().getLong(0)
-    val out =
-      if (meetMass > broadcastPairLimit.toLong)
+      sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame =
+    jaccardRoute(sh, tau, broadcastPairLimit) match {
+      case (_, None) =>
         ngramJaccardPairsFromHashes(sh, tau).localCheckpoint()
-      else {
+      case (_, Some(prefix)) =>
         val cands = prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
           .where(col("x._id") < col("y._id"))
           .select(col("x._id").as("a"), col("y._id").as("b"))
@@ -486,10 +484,37 @@ object Dedup {
           cands, tau, broadcastPairLimit)
           .localCheckpoint() // materialize, then release the cache (ADVICE r5)
         cands.unpersist()
+        prefix.unpersist()
         v
-      }
-    prefix.unpersist()
-    out
+    }
+
+  /** The full routing decision and, on the prefix tier, the cached
+    * prefix frame it was made from — ONE code path shared by the board
+    * queries and the Bench regime probe, so the probe can never diverge
+    * from what production executes (the probe ASSERTS tier choice and
+    * exits non-zero on a routing regression — r8 VERDICT #4).
+    * Tiers: 0 = dense before any prefix work (hot set empty AND dense
+    * meet mass already over the limit); 1 = dense after the prefix
+    * meet-mass probe; 2 = prefix. The tier-1 decision quantity is the
+    * prefix join's MEET MASS Σ C(df_pfx, 2) — one vocab-sized aggregate
+    * over the prefix rows, no pair join, and an upper bound on distinct
+    * candidate pairs (so it also proves the broadcast safe on the
+    * filtered path); probing the candidate list itself would execute
+    * the very join the fallback exists to avoid. On tier 2 the returned
+    * prefix frame is CACHED — the caller must unpersist it. */
+  private[graft] def jaccardRoute(
+      sh: DataFrame, tau: Double,
+      broadcastPairLimit: Int): (Int, Option[DataFrame]) = {
+    val (hot, tier0Dense) = jaccardDfRouting(sh, broadcastPairLimit)
+    if (tier0Dense) return (0, None)
+    val prefix = freqOrderedPrefix(sh, tau, hot).cache()
+    val meetMass = prefix.groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("(c * (c - 1)) DIV 2")), lit(0L)))
+      .head().getLong(0)
+    if (meetMass > broadcastPairLimit.toLong) {
+      prefix.unpersist()
+      (1, None)
+    } else (2, Some(prefix))
   }
 
   /** True iff `df` (cached/checkpointed by the caller, so the probe does
@@ -659,9 +684,11 @@ object Dedup {
       bitsPerTable: Int = 8, tables: Int = 4, seed: Long = 42L,
       hotCellLimit: Int = 4096, broadcastPairLimit: Int = 1 << 20): DataFrame = {
     import graft.functions.ArrayMath
+    // lshCandidates returns its pair list ALREADY localCheckpointed — a
+    // second checkpoint here would materialize the candidates twice (r8
+    // ADVICE); the limit-probe below reads the one materialization
     val cands = lshCandidates(
       df, idCol, vecCol, bitsPerTable, tables, seed, hotCellLimit)
-      .localCheckpoint()
     val hintC =
       if (withinLimit(cands, broadcastPairLimit)) broadcast(cands) else cands
     val out = hintC

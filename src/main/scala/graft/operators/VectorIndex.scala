@@ -163,6 +163,9 @@ object VectorIndex {
     deleteOpqMeta(df.sparkSession, path)
     writeIvfPqEncoded(df, idCol, vecCol, centroids, model, path, residual,
       rotation = None)
+    // a completed plain publish is a valid index — clear any pending flag
+    // a crashed earlier OPQ publish may have left behind
+    clearOpqPending(df.sparkSession, path)
   }
 
   /** [[writeIvfPq]] with an OPQ rotation composed in (Ge et al. 2013,
@@ -180,12 +183,18 @@ object VectorIndex {
       path: String, residual: Boolean = false): Unit = {
     // publish order: stale rotation out first (plain-coded readers in the
     // window see no rotation, which matches the not-yet-visible new codes
-    // no worse than any non-atomic overwrite), corpus next, new rotation
-    // LAST so it can never describe codes that aren't fully written
+    // no worse than any non-atomic overwrite), then a PENDING marker, the
+    // corpus, the new rotation, and the marker's removal LAST. The marker
+    // closes the crash window between the corpus write and the rotation
+    // sidecar: without it, rotated codes with no sidecar read as plain
+    // codes and silently degrade recall; with it, readers fail loudly
+    // until the publish is re-run (r8 ADVICE).
     deleteOpqMeta(df.sparkSession, path)
+    markOpqPending(df.sparkSession, path)
     writeIvfPqEncoded(df, idCol, vecCol, centroids, opq.pq, path, residual,
       rotation = Some(opq))
     writeOpqMeta(df.sparkSession, opq, path)
+    clearOpqPending(df.sparkSession, path)
   }
 
   private def writeIvfPqEncoded(
@@ -342,6 +351,24 @@ object VectorIndex {
     ()
   }
 
+  /** `<path>/_opq_pending`: exists exactly while an OPQ publish is between
+    * its corpus write and its rotation sidecar. */
+  private def opqPendingPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_opq_pending")
+
+  private def markOpqPending(spark: SparkSession, path: String): Unit = {
+    val p = opqPendingPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  private def clearOpqPending(spark: SparkSession, path: String): Unit = {
+    val p = opqPendingPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    ()
+  }
+
   /** The index's OPQ rotation, if one was written — `(dim, row-major
     * d×d)`; `None` means plain (unrotated) codes. Probes and appends call
     * this, so an index's rotation is part of the path like everything
@@ -349,6 +376,11 @@ object VectorIndex {
   def readOpqRotation(spark: SparkSession, path: String): Option[(Int, Array[Double])] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/opqmeta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(opqPendingPath(path)),
+      s"$path: partially published OPQ index (a publish crashed between " +
+        "its corpus write and its rotation sidecar) — re-run writeIvfPqOpq " +
+        "before probing or appending; decoding these codes without their " +
+        "rotation would silently degrade recall")
     if (!fs.exists(p)) None
     else {
       val rows = spark.read.parquet(s"$path/opqmeta").orderBy("row").collect()

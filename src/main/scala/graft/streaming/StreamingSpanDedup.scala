@@ -74,41 +74,50 @@ object StreamingSpanDedup {
         col("doc_id"), col("pos").cast("int").as("pos"))
       .as[SpanSiteIn]
       .groupByKey(_.k)
-      .flatMapGroupsWithState[SpanKeyState, SpanSiteOut](OutputMode.Append, timeout) {
-        (_: Long, batch: Iterator[SpanSiteIn], state: GroupState[SpanKeyState]) =>
-          if (state.hasTimedOut) {
-            // idle-TTL expiry: drop the key's memory (horizon semantics)
-            state.remove()
-            Iterator.empty
-          } else {
-            // deterministic fold order inside a batch (sites of one key
-            // can arrive from any partition of the upstream explode)
-            val sites = batch.toSeq.sortBy(e => (e.doc_id, e.pos))
-            val out = state.getOption match {
-              case None if sites.lengthCompare(1) == 0 =>
-                // a key's lone first site: hold it back — emitting now
-                // would mark a (probably) unique window duplicated
-                state.update(SpanKeyState(sites.head.doc_id, sites.head.pos,
-                  emittedFirst = false))
-                Iterator.empty
-              case None =>
-                // key born duplicated inside one batch: all sites out
-                val h = sites.head
-                state.update(SpanKeyState(h.doc_id, h.pos, emittedFirst = true))
-                sites.iterator.map(e => SpanSiteOut(e.doc_id, e.pos))
-              case Some(st) =>
-                // known key: new sites stream through; the held-back
-                // first site surfaces retroactively exactly once
-                val retro =
-                  if (st.emittedFirst) Iterator.empty
-                  else Iterator.single(SpanSiteOut(st.firstId, st.firstPos))
-                if (!st.emittedFirst)
-                  state.update(st.copy(emittedFirst = true))
-                retro ++ sites.iterator.map(e => SpanSiteOut(e.doc_id, e.pos))
-            }
-            idleTtl.foreach(state.setTimeoutDuration)
-            out
-          }
+      .flatMapGroupsWithState[SpanKeyState, SpanSiteOut](OutputMode.Append, timeout)(
+        transition(idleTtl))
+  }
+
+  /** The per-key state transition, extracted so the spec can drive it
+    * directly under an injected clock (`TestGroupState` with explicit
+    * `batchProcessingTimeMs` / `hasTimedOut`) — the TTL-expiry branch is
+    * unreachable from a MemoryStream without hours of wall-clock. */
+  private[graft] def transition(idleTtl: Option[String])(
+      k: Long, batch: Iterator[SpanSiteIn],
+      state: GroupState[SpanKeyState]): Iterator[SpanSiteOut] = {
+    val _ = k
+    if (state.hasTimedOut) {
+      // idle-TTL expiry: drop the key's memory (horizon semantics)
+      state.remove()
+      Iterator.empty
+    } else {
+      // deterministic fold order inside a batch (sites of one key
+      // can arrive from any partition of the upstream explode)
+      val sites = batch.toSeq.sortBy(e => (e.doc_id, e.pos))
+      val out = state.getOption match {
+        case None if sites.lengthCompare(1) == 0 =>
+          // a key's lone first site: hold it back — emitting now
+          // would mark a (probably) unique window duplicated
+          state.update(SpanKeyState(sites.head.doc_id, sites.head.pos,
+            emittedFirst = false))
+          Iterator.empty
+        case None =>
+          // key born duplicated inside one batch: all sites out
+          val h = sites.head
+          state.update(SpanKeyState(h.doc_id, h.pos, emittedFirst = true))
+          sites.iterator.map(e => SpanSiteOut(e.doc_id, e.pos))
+        case Some(st) =>
+          // known key: new sites stream through; the held-back
+          // first site surfaces retroactively exactly once
+          val retro =
+            if (st.emittedFirst) Iterator.empty
+            else Iterator.single(SpanSiteOut(st.firstId, st.firstPos))
+          if (!st.emittedFirst)
+            state.update(st.copy(emittedFirst = true))
+          retro ++ sites.iterator.map(e => SpanSiteOut(e.doc_id, e.pos))
       }
+      idleTtl.foreach(state.setTimeoutDuration)
+      out
+    }
   }
 }

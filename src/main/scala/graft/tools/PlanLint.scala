@@ -1,8 +1,9 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AdaptiveSparkPlanHelper}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** Plan-lint over EVERY registered query: executes each at a small SF and
   * flags scale anti-patterns in the final adaptive plan —
@@ -37,6 +38,35 @@ object PlanLint extends AdaptiveSparkPlanHelper {
           .map(_.getName.replaceAll("\\.parquet$", "")).getOrElse("")
         (table, f.requiredSchema.length, WideTables.getOrElse(table, Int.MaxValue))
     }.filter { case (_, req, width) => req >= width }
+
+  /** Joins whose BOTH sides re-run a closure (MapPartitions) over the
+    * same source files with no exchange reuse between them — the
+    * double-decode class (q33/q143/q145 in round 8): mapPartitions
+    * lambdas never canonicalize equal across self-join sides, so
+    * ReuseExchange can't fire and the decode pass silently executes
+    * TWICE. The fix is always to materialize the slim post-closure frame
+    * (localCheckpoint) before self-joining; a checkpointed child reads
+    * as Scan ExistingRDD — no file scan, no MapPartitions — and passes.
+    * Sides sharing no scan root are genuinely different closures (image
+    * features ⋈ audio features) and are not flagged. */
+  private[graft] def unsharedClosureSelfJoins(p: SparkPlan): Seq[String] = {
+    def mapParts(s: SparkPlan): Boolean =
+      find(s)(_.nodeName.contains("MapPartitions")).isDefined
+    def reused(s: SparkPlan): Boolean =
+      find(s) { case _: ReusedExchangeExec => true; case _ => false }.isDefined
+    def roots(s: SparkPlan): Set[String] =
+      collect(s) { case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+      }.flatten.toSet
+    collectWithSubqueries(p) {
+      case j: BinaryExecNode if j.nodeName.contains("Join") =>
+        val Seq(l, r) = j.children
+        if (mapParts(l) && mapParts(r) && !reused(l) && !reused(r) &&
+            roots(l).intersect(roots(r)).nonEmpty)
+          Some(j.nodeName)
+        else None
+    }.flatten
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -99,6 +129,11 @@ object PlanLint extends AdaptiveSparkPlanHelper {
           fullWidthScans(finalPlan(df.queryExecution.executedPlan))
             .foreach { case (table, req, _) =>
               flag(s"unpruned scan: $table reads all $req columns") }
+        unsharedClosureSelfJoins(finalPlan(df.queryExecution.executedPlan))
+          .foreach(n => flag(
+            s"closure-bearing self-join without exchange reuse ($n): " +
+              "the per-partition pass executes once per side — " +
+              "materialize the slim frame before self-joining"))
         spark.catalog.clearCache()
       } catch {
         case e: Throwable => findings += 1; println(s"[lint] $name: FAILED ${e.getMessage}")

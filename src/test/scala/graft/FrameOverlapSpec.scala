@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.FrameOverlap
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FrameOverlapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Planted degenerate frames: fps 100 and 200 appear in ALL ten docs (the
+  // solid-black-frame class). Cold structure: docs 1/2 share cold fps 1,2;
+  // docs 3/4 share cold fp 3; every other cold fp is unique to its doc.
+  private def planted = {
+    val hotRows = for (d <- 1L to 10L; f <- Seq(100L, 200L)) yield (d, f)
+    val coldShared = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L), (4L, 3L))
+    val coldUnique = (1L to 10L).map(d => (d, 1000L + d))
+    (hotRows ++ coldShared ++ coldUnique).toDF("doc_id", "luma_fp")
+  }
+
+  test("degenerate fps never generate candidates; shared counts stay exact") {
+    // hotFpLimit=4: fps 100/200 (df=10) are degenerate, all others cold.
+    val got = FrameOverlap.pairs(planted, "doc_id", "luma_fp", minShared = 2,
+      hotFpLimit = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2): 2 cold + 2 hot = 4; (3,4): 1 cold + 2 hot = 3. Every other
+    // pair shares ONLY the two degenerate frames -> no candidate, even
+    // though the unguarded count (2) would clear minShared.
+    assert(got === Set((1L, 2L, 4L), (3L, 4L, 3L)))
+  }
+
+  test("unguarded path emits every hot-only pair (the f-squared shape the guard removes)") {
+    val got = FrameOverlap.pairs(planted, "doc_id", "luma_fp", minShared = 2,
+      hotFpLimit = 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.size === 45) // all C(10,2) pairs share the two planted frames
+    assert(got.contains((1L, 2L, 4L)) && got.contains((3L, 4L, 3L)))
+    assert(got.count(p => p._3 == 2L) === 43)
+  }
+
+  test("coldFrames drops exactly the planted degenerate fps from candidate generation") {
+    val cold = FrameOverlap.coldFrames(planted, "luma_fp", hotFpLimit = 4)
+    assert(cold.where(col("luma_fp").isin(100L, 200L)).count() === 0L)
+    assert(cold.count() === planted.count() - 20L)
+  }
+
+  test("guard caps at 64 mask bits; overflow fps stay on the exact path") {
+    // three docs share 70 fps, each fp df=3 > limit 2: 64 get mask bits,
+    // the remaining 6 generate candidates normally -> counts still exact.
+    val rows = for (d <- 1L to 3L; f <- 1L to 70L) yield (d, f)
+    val fr = rows.toDF("doc_id", "luma_fp")
+    val got = FrameOverlap.pairs(fr, "doc_id", "luma_fp", minShared = 2,
+      hotFpLimit = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 70L), (1L, 3L, 70L), (2L, 3L, 70L)))
+  }
+
+  test("hot-credit rescues a pair with one cold frame at minShared=2") {
+    // docs 5/6: one shared cold fp + one degenerate -> 1 + 1 = 2 passes.
+    val fr = Seq(
+      (5L, 7L), (6L, 7L),
+      (5L, 9L), (6L, 9L), (7L, 9L), (8L, 9L), (9L, 9L), (10L, 9L)
+    ).toDF("doc_id", "luma_fp")
+    val got = FrameOverlap.pairs(fr, "doc_id", "luma_fp", minShared = 2,
+      hotFpLimit = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((5L, 6L, 2L)))
+  }
+}

@@ -127,4 +127,23 @@ class GraphSpec extends AnyFunSuite {
     val got = Graph.pageRank(df, "s", "t", 2).as[(Long, Double)].collect().toMap
     assert(got.keySet === Set(1L, 2L))
   }
+
+  test("returned vector survives forced cache eviction: recompute never walks a released checkpoint") {
+    // the loop releases every intermediate checkpoint except the LAST —
+    // the lineage the returned persisted frame recomputes through (ADVICE
+    // r7 fix at Graph.scala). Evicting the returned cache forces exactly
+    // that recomputation: if the live checkpoint had been released with
+    // the others, this collect would die on a missing checkpoint block.
+    val fixedFrame = Graph.pageRank(g.toDF("s", "t"), "s", "t", iters = 5)
+    val before = fixedFrame.as[(Long, Double)].collect().toMap
+    fixedFrame.unpersist(blocking = true) // forced eviction of every cached partition
+    val after = fixedFrame.as[(Long, Double)].collect().toMap
+    assert(after === before, "post-eviction recompute must reproduce the vector")
+
+    val tolFrame = Graph.pageRankTol(g.toDF("s", "t"), "s", "t", tol = 1e-10, maxIters = 200)
+    val beforeT = tolFrame.as[(Long, Double)].collect().toMap
+    tolFrame.unpersist(blocking = true)
+    val afterT = tolFrame.as[(Long, Double)].collect().toMap
+    assert(afterT === beforeT, "tol path: post-eviction recompute must reproduce the vector")
+  }
 }

@@ -239,4 +239,35 @@ class OpqSpec extends AnyFunSuite {
     assert(VectorIndex.readOpqRotation(spark, pathO).isEmpty,
       "plain rewrite must clear the rotation sidecar")
   }
+
+  test("a partially published OPQ index fails loudly, and publishes clear the marker") {
+    import graft.operators.VectorIndex
+    val (_, df) = residualFixture
+    val centroids = Similarity.kMeans(df, "vec_id", "embedding", c = 8, iters = 2)
+    val opq = VectorIndex.trainResidualOpq(df, "vec_id", "embedding", centroids, m = 4, k = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-opq-pending").toString
+    VectorIndex.writeIvfPqOpq(df, "vec_id", "embedding", centroids, opq, path, residual = true)
+    // completed publish leaves no marker, probes fine
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_opq_pending")))
+    assert(VectorIndex.readOpqRotation(spark, path).isDefined)
+    // simulate the crash window: rotated codes on disk, sidecar gone,
+    // marker still standing — the exact state the round-8 ADVICE flagged
+    // as silently mis-decoding
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/opqmeta"), true)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_opq_pending"), true).close()
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.readOpqRotation(spark, path)
+    }
+    assert(err.getMessage.contains("partially published"))
+    // re-running the publish repairs the index end-to-end
+    VectorIndex.writeIvfPqOpq(df, "vec_id", "embedding", centroids, opq, path, residual = true)
+    assert(VectorIndex.readOpqRotation(spark, path).isDefined)
+    // and a completed PLAIN publish over a crashed OPQ one also clears it
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_opq_pending"), true).close()
+    val plain = VectorIndex.trainResidualPq(df, "vec_id", "embedding", centroids, m = 4, k = 16, iters = 2)
+    VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, plain, path, residual = true)
+    assert(VectorIndex.readOpqRotation(spark, path).isEmpty)
+  }
 }

@@ -1006,4 +1006,57 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == after2.size.toLong, s"$rows rows for ${after2.size} sites")
     } finally q.stop()
   }
+
+  test("streaming span dedup idle-TTL: eviction under an injected clock, non-evicted keys unchanged") {
+    import graft.streaming.{SpanKeyState, SpanSiteIn, SpanSiteOut, StreamingSpanDedup}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = Some("10 seconds")
+    val fn = StreamingSpanDedup.transition(ttl) _
+    def freshState(st: Option[SpanKeyState], nowMs: Long, timedOut: Boolean) =
+      TestGroupState.create[SpanKeyState](
+        st.map(Optional.of[SpanKeyState]).getOrElse(Optional.empty[SpanKeyState]()),
+        GroupStateTimeout.ProcessingTimeTimeout, nowMs,
+        Optional.empty[Long](), timedOut)
+
+    // 1) a lone first site is held back and arms the TTL off the injected
+    //    batch clock: timeout fires at now + 10s exactly
+    val s1 = freshState(None, nowMs = 100000L, timedOut = false)
+    val out1 = fn(7L, Iterator(SpanSiteIn(7L, 1L, 4)), s1).toSeq
+    assert(out1.isEmpty && s1.isUpdated)
+    assert(s1.get == SpanKeyState(1L, 4, emittedFirst = false))
+    assert(s1.getTimeoutTimestampMs.get() == 110000L)
+
+    // 2) the quiet key times out: state removed, nothing emitted — the
+    //    previously-untested expiry branch
+    val s2 = freshState(Some(SpanKeyState(1L, 4, emittedFirst = false)),
+      nowMs = 200000L, timedOut = true)
+    val out2 = fn(7L, Iterator.empty, s2).toSeq
+    assert(out2.isEmpty && s2.isRemoved, "TTL expiry must drop the key silently")
+
+    // 3) horizon semantics after eviction: the key is reborn with no
+    //    memory — a later duplicated pair emits ITS OWN sites only, never
+    //    the pre-horizon first site
+    val s3 = freshState(None, nowMs = 300000L, timedOut = false)
+    val out3 = fn(7L, Iterator(SpanSiteIn(7L, 9L, 2), SpanSiteIn(7L, 8L, 6)), s3).toSeq
+    assert(out3 == Seq(SpanSiteOut(8L, 6), SpanSiteOut(9L, 2)),
+      "reborn key emits the new duplicate pair, not the evicted site")
+
+    // 4) set-equality for NON-evicted keys: with the TTL armed but never
+    //    fired, every transition emits exactly what the no-TTL fn emits
+    val noTtl = StreamingSpanDedup.transition(None) _
+    val seqs = Seq(
+      (None, Seq(SpanSiteIn(7L, 1L, 4))),
+      (Some(SpanKeyState(1L, 4, emittedFirst = false)), Seq(SpanSiteIn(7L, 2L, 8))),
+      (Some(SpanKeyState(1L, 4, emittedFirst = true)), Seq(SpanSiteIn(7L, 3L, 1))))
+    seqs.foreach { case (st, batch) =>
+      val a = freshState(st, 400000L, timedOut = false)
+      val b = TestGroupState.create[SpanKeyState](
+        st.map(Optional.of[SpanKeyState]).getOrElse(Optional.empty[SpanKeyState]()),
+        GroupStateTimeout.NoTimeout, 400000L,
+        Optional.empty[Long](), false)
+      assert(fn(7L, batch.iterator, a).toSeq == noTtl(7L, batch.iterator, b).toSeq)
+      assert(a.getOption == b.getOption)
+    }
+  }
 }

@@ -84,7 +84,7 @@ write("events", copies(
     f"user_id, event_type, value, props "
     f"FROM {src('events')}"))
 
-# documents: aligned copy-marker insertion every 5 tokens
+# documents: aligned copy-marker insertion every 2 tokens
 docs = con.sql(f"SELECT doc_id, text, lang, source FROM {src('documents')}").fetchall()
 rows = []
 for i in range(COPIES):
