@@ -44,11 +44,17 @@ object Bench {
     }.min
 
     // SPARK_GRAFT_ONLY=q101_dup_spans,q45_ngram_topk runs a subset — for
-    // iterating on one operator without paying the full suite.
+    // iterating on one operator without paying the full suite. The
+    // special values "recall" and "regime" run ONLY that gated suite
+    // (floors / router assert still enforced) with zero board queries —
+    // so the sf1 recall gate can be exercised without a 20-minute board.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val suiteOnly = only.exists(s => s == Set("recall") || s == Set("regime"))
+    val names =
+      if (suiteOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
     // Only SUCCESSFUL runs feed the per-query minimum: a throwing query's
     // near-zero elapsed time must not masquerade as a speedup. A query with
     // zero successful reps is reported in "failed" (value -1) and excluded
@@ -133,7 +139,7 @@ object Bench {
     // is readable AGAINST its candidate cost, not in isolation.
     // subset runs (SPARK_GRAFT_ONLY) are single-operator iteration — skip
     // the recall suite there; the driver's full run always computes it
-    val recallJson = if (only.isDefined) (false, "") else try {
+    val recallJson = if (only.isDefined && only != Some(Set("recall"))) (false, "") else try {
       import graft.operators.Similarity
       import org.apache.spark.sql.functions.col
       val emb = graft.core.Tables.load(spark, sfDir, "embeddings").cache()
@@ -311,7 +317,7 @@ object Bench {
     // the dense meet volume, and both generators' walls. Evidence, not
     // a gate — output identity across paths is spec-pinned.
     var routeBreach = "" // non-empty => router regression, bench exits 1
-    val regimeTail = if (only.isDefined) "" else try {
+    val regimeTail = if (only.isDefined && only != Some(Set("regime"))) "" else try {
       import graft.operators.Dedup
       import org.apache.spark.sql.functions.{col, count, lit, sum}
       import spark.implicits._

@@ -489,6 +489,52 @@ private[graft] trait QueriesCore extends QueryHelpers {
       n = 3, tau = 0.6)
       .orderBy("a", "b")
 
+  /** Directed word-3-gram CONTAINMENT pairs at tau=0.8 (Broder 1997's
+    * containment next to q31's resemblance — quoted-in-full /
+    * extracted-chunk detection, where Jaccard goes blind as the
+    * container grows). One-sided prefix filter under the frequency-aware
+    * order (a-prefix × full-b), vocab-aggregate routing to the dense
+    * single-shuffle fallback, candidate-restricted exact verify. Full
+    * oracle: DuckDB recomputes every shingle set and brute-forces all
+    * directed pairs. */
+  def q149NgramContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, tau = 0.8)
+      .orderBy("a", "b")
+
+  /** Weighted stratified sample (Efraimidis–Spirakis A-ES, q150): 10
+    * docs per language with inclusion odds ∝ text length, reproducible
+    * across engines via the portable modular mix — the quality-weighted
+    * corpus draw. Oracle recomputes −ln(u)/w and the per-stratum rank in
+    * SQL. */
+  def q150WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.weightedSample(
+      t(spark, dir, "documents").select("doc_id", "lang", "text"),
+      "lang", "doc_id", length(col("text")), k = 10, seed = 7L)
+      .select(col("lang"), col("doc_id"), round(col("es_key"), 6).as("es_key"))
+      .orderBy("lang", "doc_id")
+
+  /** Connected components over an EXPLICIT edge list, forced down the
+    * distributed min-label-propagation path (`driverEdgeLimit = 0`) —
+    * the 100 TB shape where the edge list itself outgrows the driver,
+    * complementing q35 (which rides the driver union-find on its
+    * edge-bounded near-dup graph). The deterministic chain+bridge graph
+    * (chains of 10 consecutive ids, a bridge every 50 merging adjacent
+    * chains) has diameter ~21, so the board run proves real multi-round
+    * convergence, not a one-hop star. Full oracle: DuckDB recursive-CTE
+    * min-label closure over the same edges. */
+  def q151GraphComponents(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"))
+    val chain = d.where(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    val bridge = d.where(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") >= 10)
+      .select(col("doc_id").as("src"), (col("doc_id") - 10).as("dst"))
+    val edges = chain.unionByName(bridge)
+      .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    Dedup.connectedComponents(edges, "src", "dst", maxIter = 50, driverEdgeLimit = 0)
+      .orderBy("id")
+  }
+
   /** Embedding cosine near-dup pairs at tau=0.45 (exact; oracle-checked). */
   def q34DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)

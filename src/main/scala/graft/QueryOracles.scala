@@ -176,6 +176,59 @@ private[graft] trait QueryOracles extends AnyRef {
     "q127_pagerank" -> pageRankOracle(5),
     // q129 is q31's exact output via the lossless prefix filter — same oracle
     "q129_jaccard_prefix" -> ngramJaccardOracle,
+    // directed containment: same shingle machinery as q31's oracle with
+    // the asymmetric divisor |Sa| and both pair directions kept
+    "q149_ngram_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, ROUND(containment, 6) AS containment FROM (
+        |  SELECT a, b, CAST(common AS DOUBLE) / sa.sz AS containment
+        |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id)
+        |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin,
+    // A-ES selection key recomputed arithmetically: the portable modular
+    // mix (Knuth multiplier mod 1e9+7, midpoint-shifted to (0,1)), then
+    // -ln(u)/length(text); literals carry e0 so DuckDB stays DOUBLE
+    "q150_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id,
+        |    -ln(((((doc_id + 7) % 1000000007) * 2654435761) % 1000000007
+        |         + 0.5e0) / 1000000007e0) / length(text) AS es_key
+        |  FROM documents WHERE length(text) > 0),
+        |r AS (
+        |  SELECT lang, doc_id, es_key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY es_key ASC, doc_id ASC) AS rn
+        |  FROM k)
+        |SELECT lang, doc_id, ROUND(es_key, 6) AS es_key FROM r
+        |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+    // recursive min-label closure over the same chain+bridge edges; the
+    // lab < dst prune bounds the walk to labels that can still win
+    "q151_graph_components" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |ch AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM d WHERE doc_id % 10 <> 9),
+        |br AS (SELECT doc_id AS src, doc_id - 10 AS dst FROM d
+        |       WHERE doc_id % 50 = 0 AND doc_id >= 10),
+        |e0 AS (
+        |  SELECT src, dst FROM ch WHERE dst IN (SELECT doc_id FROM d)
+        |  UNION ALL
+        |  SELECT src, dst FROM br WHERE dst IN (SELECT doc_id FROM d)),
+        |ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |cc(id, lab) AS (
+        |  SELECT src, src FROM ed
+        |  UNION
+        |  SELECT e.dst, cc.lab FROM ed e JOIN cc ON cc.id = e.src WHERE cc.lab < e.dst
+        |)
+        |SELECT id, MIN(lab) AS comp FROM cc GROUP BY id ORDER BY id""".stripMargin,
     "q128_curation_audit" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

@@ -91,6 +91,9 @@ object Queries
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_dedup_ngram" -> q31DedupNgram _,
     "q129_jaccard_prefix" -> q129JaccardPrefix _,
+    "q149_ngram_containment" -> q149NgramContainment _,
+    "q150_weighted_sample" -> q150WeightedSample _,
+    "q151_graph_components" -> q151GraphComponents _,
     "q32_dedup_minhash" -> q32DedupMinhash _,
     "q33_dedup_simhash" -> q33DedupSimhash _,
     "q34_dedup_embedding" -> q34DedupEmbedding _,

@@ -517,6 +517,103 @@ object Dedup {
     } else (2, Some(prefix))
   }
 
+  /** Directed word-n-gram CONTAINMENT pairs: C(a→b) = |Sa∩Sb| / |Sa| ≥
+    * `tau` — near-superset detection (Broder 1997's containment next to
+    * q31's resemblance): a quoted-in-full document, a page embedded in a
+    * crawl of its aggregator, a chunk extracted from its source. Jaccard
+    * misses all of these when the container is much larger; containment
+    * is the quantity contamination and provenance checks actually want.
+    *
+    * Same scale skeleton as the Jaccard family, asymmetric where the
+    * math is: the prefix theorem holds one-sided — |Sa∩Sb| ≥ ⌈τ·|Sa|⌉
+    * forces a's first |Sa| − ⌈τ·|Sa|⌉ + 1 shingles (ANY fixed order) to
+    * intersect Sb, with NO constraint on b — so candidates come from
+    * a-prefix × full-b, under the same frequency-aware order (hot
+    * shingles demoted out of prefixes, [[jaccardDfRouting]]'s one vocab
+    * scan). Routing compares the prefix join's meet mass Σ pfx_df·(df−1)
+    * against the dense directed mass Σ df·(df−1) — both from vocab
+    * aggregates, no pair join — and falls back to the single-shuffle
+    * dense aggregate when the filter provably has no lever (identical
+    * output either way; the verification counts true intersections only
+    * for candidate pairs, broadcast-guarded by the same limit-probe
+    * discipline as [[ngramJaccardPairsPrefixFromHashes]]).
+    * Returns (a, b, containment), a ≠ b, containment rounded to 6dp. */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
+      broadcastPairLimit: Int = 1 << 20): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n).cache()
+    val out = ngramContainmentPairsFromHashes(sh, tau, broadcastPairLimit)
+    sh.unpersist()
+    out
+  }
+
+  /** [[ngramContainmentPairs]] over a precomputed (_id, sh) intermediate
+    * (caller keeps it cached). */
+  def ngramContainmentPairsFromHashes(
+      sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame = {
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
+    val (hot, _) = jaccardDfRouting(sh, broadcastPairLimit)
+    val prefix = freqOrderedPrefix(sh, tau, hot).cache()
+    // both decision masses from vocab-sized aggregates — never a pair join
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+    val pm = prefix.groupBy("sh").agg(count(lit(1)).as("_pdf"))
+      .join(dfc, "sh")
+      .agg(coalesce(sum(expr("_pdf * (_df - 1)")), lit(0L)))
+      .head().getLong(0)
+    val out =
+      if (pm > broadcastPairLimit.toLong) denseContainment(sh, sizes, tau)
+      else {
+        val cands = prefix.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
+          .where(col("x._id") =!= col("y._id"))
+          .select(col("x._id").as("a"), col("y._id").as("b"))
+          .distinct().cache()
+        val v = verifyContainment(sh, sizes, cands, tau, broadcastPairLimit)
+          .localCheckpoint()
+        cands.unpersist()
+        v
+      }
+    prefix.unpersist()
+    out
+  }
+
+  /** Single-shuffle dense directed containment (the fallback and the
+    * spec's reference implementation): every shared-shingle meet, grouped
+    * once. */
+  private[graft] def denseContainment(
+      sh: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
+    sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
+      .where(col("x._id") =!= col("y._id"))
+      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("sz", "sa"), "a")
+      .withColumn("containment", col("common").cast("double") / col("sa"))
+      .where(col("containment") >= tau)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+
+  /** Exact containment verification restricted to candidate pairs —
+    * [[verifyPairs]]' discipline, directed: full sets semi-joined to
+    * candidate docs, the counting join semi-joined to the (a, b) list,
+    * divisor |Sa| only. */
+  private[graft] def verifyContainment(
+      sh: DataFrame, sizes: DataFrame, cands: DataFrame,
+      tau: Double, broadcastPairLimit: Int): DataFrame = {
+    val small = withinLimit(cands, broadcastPairLimit)
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val candIds = cands.select(col("a").as("_id"))
+      .unionByName(cands.select(col("b").as("_id"))).distinct()
+    val shc = sh.join(hint(candIds), Seq("_id"))
+    shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh"))
+      .where(col("x._id") =!= col("y._id"))
+      .join(hint(cands),
+        col("x._id") === col("a") && col("y._id") === col("b"), "left_semi")
+      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("sz", "sa"), "a")
+      .withColumn("containment", col("common").cast("double") / col("sa"))
+      .where(col("containment") >= tau)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** True iff `df` (cached/checkpointed by the caller, so the probe does
     * not recompute an expensive plan) holds at most `limit` rows — a
     * limit-probe, never a full count of an oversized set. The shared

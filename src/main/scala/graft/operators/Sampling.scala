@@ -127,4 +127,38 @@ object Sampling {
       .where(col("_ss_rn") <= perStratum)
       .drop("_ss_rn")
   }
+
+  /** Deterministic WEIGHTED stratified sample — Efraimidis–Spirakis
+    * (2006) algorithm A-ES: per stratum, keep the `k` rows with the
+    * smallest −ln(u)/w, where u ∈ (0,1) is this file's portable uniform
+    * ((id+seed) mod p · a mod p, midpoint-shifted) and w > 0 the row's
+    * weight. A-ES proves the draw is a weighted sample without
+    * replacement — inclusion odds track weights — while staying
+    * reproducible across engines, reruns, and repartitionings (the
+    * rand()-based weighted samplers are partition-order-dependent, the
+    * same defect [[stratifiedSample]] exists to fix). Quality-weighted
+    * corpus draws ("sample 10k docs per language ∝ quality score") are
+    * the training-data use.
+    *
+    * Scale shape: one narrow codegen projection + the rank-limit window
+    * — Spark's partial+final `WindowGroupLimit` keeps ≤ k rows per
+    * stratum per map task before the shuffle, so the exchange carries
+    * O(strata · k · tasks), never the corpus. Rows with w ≤ 0 are
+    * excluded (A-ES undefined there). Output: input columns + `es_key`
+    * (the selection key, full precision; round for display). */
+  def weightedSample(
+      df: DataFrame, stratumCol: String, idCol: String, weight: Column,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"weightedSample: need k > 0, got $k")
+    val mix = pmod(pmod(col(idCol).cast("long") + lit(seed), lit(P)) * lit(A), lit(P))
+    val u = (mix.cast("double") + lit(0.5)) / lit(P.toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+    df.where(weight.cast("double") > 0.0)
+      .withColumn("es_key", -log(u) / weight.cast("double"))
+      .withColumn("_es_rn", row_number().over(w))
+      .where(col("_es_rn") <= k)
+      .drop("_es_rn")
+  }
 }

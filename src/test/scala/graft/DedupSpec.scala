@@ -99,6 +99,65 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram containment: directed semantics with the asymmetric divisor") {
+    // doc 2 embeds doc 1's text whole inside extra context: C(1->2) = 1.0
+    // (every shingle of 1 appears in 2) while C(2->1) = 8/12 and the
+    // symmetric Jaccard sits at 8/12 too — containment sees the
+    // quoted-in-full relation Jaccard underranks as the container grows
+    val c = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (2L, "x1 x2 a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 y1 y2"),
+      (3L, "completely unrelated words here only once")).toDF("doc_id", "text")
+    val hi = Dedup.ngramContainmentPairs(c, "doc_id", "text", n = 3, tau = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hi === Set((1L, 2L, 1.0)))
+    val lo = Dedup.ngramContainmentPairs(c, "doc_id", "text", n = 3, tau = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lo === Set((1L, 2L, 1.0), (2L, 1L, 0.666667)))
+  }
+
+  test("containment prefix path equals the dense directed join at every tau") {
+    val rnd = new scala.util.Random(13L)
+    val vocab = (0 until 200).map(i => f"w$i%03d")
+    val base = (0 until 25).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // containment-shaped plants: doc i's text embedded whole in longer
+    // docs, plus mutated copies so thresholds cut inside families
+    val containers = base.take(10).map { case (id, tx) =>
+      val pad = (0 until 10).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id + 5000L, s"$pad $tx ${vocab(rnd.nextInt(vocab.size))}")
+    }
+    val mutated = base.flatMap { case (id, text) =>
+      (1 to 2).map { m =>
+        val w = text.split(" ")
+        (0 until m * 3).foreach(_ => w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size)))
+        (id + 1000L * m, w.mkString(" "))
+      }
+    }
+    val corpus = (base ++ containers ++ mutated).toDF("doc_id", "text")
+    for (tau <- Seq(0.4, 0.6, 0.8, 1.0)) {
+      val sh = Dedup.shingleHashes(corpus, "doc_id", "text", n = 3).cache()
+      val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
+      val exp = Dedup.denseContainment(sh, sizes, tau)
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      val got = Dedup.ngramContainmentPairsFromHashes(sh, tau)
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      assert(got == exp, s"tau=$tau")
+      assert(exp.nonEmpty, s"tau=$tau cut above every planted containment")
+      // the verify stage's no-broadcast degradation (limit-probe refuses
+      // every broadcast -> unhinted shuffle semi-joins), candidates = all
+      // directed pairs so completeness can't mask a verify bug
+      val allPairs = sh.select(col("_id").as("a"))
+        .crossJoin(sh.select(col("_id").as("b")))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint()
+      val nb = Dedup.verifyContainment(sh, sizes, allPairs, tau, broadcastPairLimit = 0)
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      assert(nb == exp, s"no-broadcast tau=$tau")
+      sh.unpersist()
+    }
+  }
+
   test("edge-bounded broadcast guard: distributed fallback equals the broadcast path") {
     // broadcastPairLimit/broadcastLoserLimit = 0 force the limit-probe to
     // refuse every broadcast, degrading to unhinted shuffle joins — the

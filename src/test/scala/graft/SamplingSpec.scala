@@ -292,4 +292,46 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("shard/pos"))
   }
+
+  test("weightedSample: A-ES draw matches the driver model, stable under repartition") {
+    val s = spark
+    import s.implicits._
+    val rows = for (st <- Seq("en", "de", "fr"); i <- 1 to 40)
+      yield (st, (st.hashCode.abs % 1000) * 1000L + i, (i % 5).toDouble)
+    val df = rows.toDF("lang", "id", "w")
+    val got = Sampling.weightedSample(df, "lang", "id", col("w"), k = 5, seed = 7L)
+      .select("lang", "id", "es_key")
+      .as[(String, Long, Double)].collect().toSet
+    // driver model: same portable mix, same A-ES key, top-5 per stratum
+    val P = 1000000007L; val A = 2654435761L
+    def key(id: Long, w: Double) =
+      -math.log((((id + 7L) % P) * A % P + 0.5) / P.toDouble) / w
+    val want = rows.filter(_._3 > 0).groupBy(_._1).flatMap { case (_, rs) =>
+      rs.map { case (st, id, w) => (st, id, key(id, w)) }
+        .sortBy { case (_, id, k2) => (k2, id) }.take(5)
+    }.toSet
+    assert(got.map(t => (t._1, t._2)) === want.map(t => (t._1, t._2)))
+    got.foreach { case (st, id, k2) =>
+      val wk = want.find(w => w._1 == st && w._2 == id).get._3
+      assert(math.abs(k2 - wk) < 1e-12, s"key mismatch for $st/$id")
+    }
+    // zero/negative weights never selected (A-ES undefined there)
+    assert(!got.exists { case (_, id, _) => id % 5 == 0 })
+    // partition-order independence — the defect rand()-samplers have
+    val re = Sampling.weightedSample(df.repartition(7), "lang", "id", col("w"),
+      k = 5, seed = 7L)
+      .select("lang", "id", "es_key").as[(String, Long, Double)].collect().toSet
+    assert(re === got)
+    // a different seed is a different (reproducible) draw
+    val other = Sampling.weightedSample(df, "lang", "id", col("w"), k = 5, seed = 8L)
+      .select("lang", "id").as[(String, Long)].collect().toSet
+    assert(other !== got.map(t => (t._1, t._2)))
+    // heavier rows dominate: with one huge weight per stratum it is
+    // always drawn (u^(1/w) -> 1 as w -> inf)
+    val heavy = (rows ++ Seq(("en", 999999L, 1e12), ("de", 888888L, 1e12),
+      ("fr", 777777L, 1e12))).toDF("lang", "id", "w")
+    val hsel = Sampling.weightedSample(heavy, "lang", "id", col("w"), k = 5, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(Set(999999L, 888888L, 777777L).subsetOf(hsel))
+  }
 }
