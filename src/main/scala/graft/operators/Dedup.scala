@@ -577,16 +577,26 @@ object Dedup {
   }
 
   /** Single-shuffle dense directed containment (the fallback and the
-    * spec's reference implementation): every shared-shingle meet, grouped
-    * once. */
+    * spec's reference implementation). The intersection is symmetric, so
+    * the join meets each pair ONCE (x < y — half the meet rows of the
+    * naive x ≠ y join, the dominant stage on the uniform-sharing corpora
+    * that route here) and both directions materialize from the grouped
+    * row in one projection: a→b divides by |Sa|, b→a by |Sb|, each
+    * filtered on its own threshold. */
   private[graft] def denseContainment(
       sh: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
     sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
-      .where(col("x._id") =!= col("y._id"))
-      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
+      .where(col("x._id") < col("y._id"))
+      .groupBy(col("x._id").as("p"), col("y._id").as("q"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("sz", "sa"), "a")
-      .withColumn("containment", col("common").cast("double") / col("sa"))
+      .join(sizes.withColumnRenamed("_id", "p").withColumnRenamed("sz", "sp"), "p")
+      .join(sizes.withColumnRenamed("_id", "q").withColumnRenamed("sz", "sq"), "q")
+      .select(explode(array(
+        struct(col("p").as("a"), col("q").as("b"),
+          (col("common").cast("double") / col("sp")).as("containment")),
+        struct(col("q").as("a"), col("p").as("b"),
+          (col("common").cast("double") / col("sq")).as("containment")))).as("r"))
+      .select(col("r.a").as("a"), col("r.b").as("b"), col("r.containment"))
       .where(col("containment") >= tau)
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
 
