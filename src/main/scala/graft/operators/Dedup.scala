@@ -630,8 +630,10 @@ object Dedup {
     * guard for "edge-bounded, so it broadcasts" claims: above the limit
     * the caller falls back to an unhinted (shuffle) join instead of
     * force-broadcasting an unbounded frame into the driver. */
-  private def withinLimit(df: DataFrame, limit: Int): Boolean =
-    df.limit(limit + 1).count() <= limit
+  private def withinLimit(df: DataFrame, limit: Int): Boolean = {
+    val l = math.min(limit, Int.MaxValue - 1) // limit+1 must not overflow
+    df.limit(l + 1).count() <= l
+  }
 
   /** Exact Jaccard verification restricted to candidate pairs: full sets
     * semi-joined to candidate docs, the counting join semi-joined to the

@@ -88,4 +88,61 @@ class JaccardPropertySpec extends AnyFunSuite {
       sh.unpersist()
     }
   }
+
+  /** Independent model for DIRECTED containment: true shingle sets,
+    * divisor |Sa| only, both directions kept. */
+  private def modelContainment(
+      docs: Seq[(Long, String)], n: Int, tau: Double): Map[(Long, Long), Double] = {
+    val sets = docs.map { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      id -> (if (toks.length < n) Set.empty[String]
+             else toks.sliding(n).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size
+      c = inter.toDouble / sa.size
+      if inter > 0 && c >= tau - 1e-12
+    } yield (a, b) -> math.rint(c * 1e6) / 1e6).toMap
+  }
+
+  test("containment fuzz: routed == model with exact values, every regime, every tau, both paths") {
+    corpora.foreach { case (regime, docs) =>
+      // add whole-embed plants so the DIRECTED relation is exercised at
+      // high tau even where mutated families fall below it
+      val embeds = docs.take(6).map { case (id, t) =>
+        (id + 9000L, s"pad${id}x pad${id}y $t tail${id}z")
+      }
+      val all = docs ++ embeds
+      val df = all.toDF("doc_id", "text")
+      val sh = Dedup.shingleHashes(df, "doc_id", "text", n = 3).cache()
+      for (tau <- Seq(0.5, 0.8, 1.0)) {
+        val model = modelContainment(all, 3, tau)
+        // limit 0 forces the dense fallback; 2^30 forces the prefix
+        // path (these corpora's meet masses sit far below it); both must
+        // agree with the set model on PAIRS and VALUES
+        for (limit <- Seq(0, 1 << 30)) {
+          val got = Dedup.ngramContainmentPairsFromHashes(sh, tau, limit)
+            .as[(Long, Long, Double)].collect()
+            .map(r => (r._1, r._2) -> r._3).toMap
+          assert(got.keySet == model.keySet,
+            s"$regime tau=$tau limit=$limit: pair sets differ " +
+              s"(extra=${got.keySet -- model.keySet}, missing=${model.keySet -- got.keySet})")
+          got.foreach { case (k, v) =>
+            assert(math.abs(v - model(k)) <= 1e-6, s"$regime tau=$tau $k: $v vs ${model(k)}")
+          }
+        }
+        // the directed plants must appear one-way at tau=1.0: embedded
+        // doc fully contained, container not (its pads are its own)
+        if (tau == 1.0) {
+          val ids = docs.take(6).map(_._1).toSet
+          ids.foreach { id =>
+            assert(model.contains((id, id + 9000L)), s"$regime: embed plant ($id) missing")
+            assert(!model.contains((id + 9000L, id)), s"$regime: reverse direction must fail")
+          }
+        }
+      }
+      sh.unpersist()
+    }
+  }
 }
