@@ -92,6 +92,15 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // localCheckpoint RDD blocks are NOT cache-manager entries, so
+        // clearCache leaves them resident; across a 147-query × 2-rep
+        // board they accumulate into storage pressure that inflated
+        // mid-board queries 3-5× in the round-9 closing run (same-day
+        // subset A/B: q32 5.4 s vs 26.9 s in board context, identical
+        // shuffle bytes). Queries are independent here, so release every
+        // persisted RDD between them.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         // open-fd accounting (Linux): a leaking reader/writer shows up as
         // monotone growth here long before "Too many open files" kills a
         // 100 TB run — stderr only, never in the JSON contract
@@ -379,15 +388,18 @@ object Bench {
       shSf.count()
       val (tierSf, pfxSf) = Dedup.jaccardRoute(shSf, tau, 1 << 20)
       pfxSf.foreach(_.unpersist())
-      // tier-0 on sf-docs is a corpus-SIZE property (the dense meet mass
-      // must overrun the pair limit): assert it only at the board SFs,
-      // where the uniform-sharing synthetic is big enough that anything
-      // but the tier-0 exit means the router burned a prefix regroup it
-      // provably throws away
-      val tierGatedSf = Seq("sf0.1", "sf1")
-        .exists(s => sfDir.stripSuffix("/").endsWith(s))
-      if (tierGatedSf && tierSf != 0)
-        routeBreach += s"sf documents routed tier $tierSf, expected tier-0 dense; "
+      // the sf documents must take a DENSE exit at board SFs — tier 0 at
+      // sf0.1 (no shingle crosses hotMinDf, mass over the limit) and
+      // tier 1 at sf1 (the 10× marker construction pushes 27k shingles
+      // over hotMinDf, so the hot set is nonempty and the prefix
+      // meet-mass probe makes the call — §13 measured both). Tier 2
+      // anywhere here means the router burned a prefix plan it provably
+      // throws away; tier-0-vs-1 is corpus statistics, not a regression.
+      val sfBase = sfDir.stripSuffix("/")
+      if (sfBase.endsWith("sf0.1") && tierSf != 0)
+        routeBreach += s"sf0.1 documents routed tier $tierSf, expected tier-0 dense; "
+      else if (sfBase.endsWith("sf1") && tierSf == 2)
+        routeBreach += s"sf1 documents routed tier 2 (prefix), expected a dense exit; "
       shSf.unpersist()
       def s2(x: Double) = math.rint(x * 100) / 100.0
       s""","jaccard_regime":{"boilerplate":{"tier":$tierZ,""" +
