@@ -30,6 +30,19 @@ import org.apache.spark.sql.types._
   */
 object Images {
 
+  // ImageIO's default DISK cache creates a temp file + fd per
+  // stream — absurd for in-memory byte-array payloads, and a scale
+  // killer twice over: a temp-file create/delete per decoded image, and
+  // (where the stream outlives the call) an fd leak that only GC
+  // finalizers repay. The round-9 closing board caught the latter live:
+  // q144 alone took the JVM from 407 to 19,999 open fds and every
+  // later query died on "Too many open files" — previously masked
+  // because storage pressure forced frequent GCs whose finalizers
+  // closed the leaked FileCacheImageInputStreams. Memory-cache mode
+  // removes the fd and the temp file for every ImageIO call in this
+  // JVM (executors run this on class load).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic procedural test pattern (the fixture generator and the
     * SQL oracle share this DEFINITION, not code): pixel (x, y) of image
     * `id` has r=(7x+3y+id)%256, g=(5x+11y+2id)%256, b=(13x+y+3id)%256. */
@@ -347,9 +360,14 @@ object Images {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           val reader = ImageIO.getImageReadersByFormatName("gif").next()
+          // hold the stream and close it explicitly: reader.dispose()
+          // does NOT close its input, and an unclosed stream was the
+          // round-9 fd leak (harmless under setUseCache(false), but the
+          // contract belongs in the code, not in a global's side effect)
+          val iis = ImageIO.createImageInputStream(
+            new ByteArrayInputStream(payload))
           try {
-            reader.setInput(ImageIO.createImageInputStream(
-              new ByteArrayInputStream(payload)))
+            reader.setInput(iis)
             val n = reader.getNumImages(true)
             require(n >= 1, s"gifFrames(id=$id): payload has no GIF frames")
             (0 until n).map { f =>
@@ -372,7 +390,10 @@ object Images {
               }
               Row(id, f, n, w, h, sum, fp)
             }
-          } finally reader.dispose()
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
         }
       }(org.apache.spark.sql.Encoders.row(gifFrameSchema))
       .withColumnRenamed("_id", idCol)
