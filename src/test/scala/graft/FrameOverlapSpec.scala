@@ -55,6 +55,25 @@ class FrameOverlapSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L, 70L), (1L, 3L, 70L), (2L, 3L, 70L)))
   }
 
+  test("empty hot set executes the PLAIN plan: no mask join, no bit_count, one pair join") {
+    // the "bit-identical when no fp is degenerate" claim, pinned at the
+    // plan level: with every df under the limit the guarded entry point
+    // must build exactly the unguarded equi-join — no membership-mask
+    // machinery in the executed plan at all
+    val out = FrameOverlap.pairs(planted, "doc_id", "luma_fp", minShared = 2,
+      hotFpLimit = 1000)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("bit_count") && !plan.contains("_mask"),
+      "plain path must carry no mask machinery")
+    // and the guarded path (limit 4) does carry it
+    val guarded = FrameOverlap.pairs(planted, "doc_id", "luma_fp", minShared = 2,
+      hotFpLimit = 4)
+    guarded.collect()
+    val gplan = guarded.queryExecution.executedPlan.toString
+    assert(gplan.contains("bit_count"), "guarded path must verify via the mask")
+  }
+
   test("hot-credit rescues a pair with one cold frame at minShared=2") {
     // docs 5/6: one shared cold fp + one degenerate -> 1 + 1 = 2 passes.
     val fr = Seq(
