@@ -344,9 +344,13 @@ object Bench {
         (100000L + i, a.mkString(" "))
       }
       val tau = 0.8
-      // integral DIV — same exactness fix as jaccardDfRouting (r8 ADVICE)
+      // built from the PARAMETER, not expr("c"), which silently resolved
+      // whatever column happened to be aliased "c" (r9 ADVICE). The halve
+      // is shiftright — exact on longs (c*(c−1) is non-negative and even),
+      // where Column./ would detour through double and lose exactness for
+      // df beyond ~9.5e7 (the r8 ADVICE integral-DIV fix, kept intact)
       val mass = (c: org.apache.spark.sql.Column) =>
-        sum(org.apache.spark.sql.functions.expr("(c * (c - 1)) DIV 2"))
+        sum(org.apache.spark.sql.functions.shiftright(c * (c - lit(1L)), 1))
       val shZ = Dedup.shingleHashes(
         (zbase ++ fams).toDF("doc_id", "text"), "doc_id", "text", 3).cache()
       shZ.count()

@@ -561,7 +561,12 @@ object Dedup {
       .agg(coalesce(sum(expr("_pdf * (_df - 1)")), lit(0L)))
       .head().getLong(0)
     val out =
-      if (pm > broadcastPairLimit.toLong) denseContainment(sh, sizes, tau)
+      // localCheckpoint like the Jaccard twin's tier-0/1 path (r9 ADVICE):
+      // the caller unpersists `sh` before any action on the result, so a
+      // lazily-returned dense plan would re-run the whole shingle pass on
+      // every action — the expected regime at board SFs
+      if (pm > broadcastPairLimit.toLong)
+        denseContainment(sh, sizes, tau).localCheckpoint()
       else {
         val cands = prefix.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
           .where(col("x._id") =!= col("y._id"))

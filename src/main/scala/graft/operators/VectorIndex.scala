@@ -156,15 +156,17 @@ object VectorIndex {
       centroids: Seq[Seq[Double]], model: ProductQuantizer.PqModel,
       path: String, residual: Boolean = false): Unit = {
     // a prior OPQ index at this path would leave a stale rotation sidecar
-    // that readers would wrongly apply to the fresh plain codes; drop it
-    // BEFORE the corpus overwrite so a crash (or concurrent probe) inside
-    // the write window can never pair the old rotation with new codes —
-    // the failure mode degrades to "no rotation yet", never "wrong one"
+    // that readers would wrongly apply to the fresh plain codes. Publish
+    // order mirrors [[writeIvfPqOpq]] (r9 ADVICE): pending marker FIRST —
+    // a crash anywhere inside this rewrite (old rotation deleted, corpus
+    // half-overwritten) must refuse loudly, not read torn state — then the
+    // stale rotation out, then the corpus, then the marker's removal. A
+    // completed plain publish is a valid index, so the final clear also
+    // absorbs any flag a crashed earlier OPQ publish left behind.
+    markOpqPending(df.sparkSession, path)
     deleteOpqMeta(df.sparkSession, path)
     writeIvfPqEncoded(df, idCol, vecCol, centroids, model, path, residual,
       rotation = None)
-    // a completed plain publish is a valid index — clear any pending flag
-    // a crashed earlier OPQ publish may have left behind
     clearOpqPending(df.sparkSession, path)
   }
 
@@ -181,16 +183,16 @@ object VectorIndex {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], opq: Opq.OpqModel,
       path: String, residual: Boolean = false): Unit = {
-    // publish order: stale rotation out first (plain-coded readers in the
-    // window see no rotation, which matches the not-yet-visible new codes
-    // no worse than any non-atomic overwrite), then a PENDING marker, the
-    // corpus, the new rotation, and the marker's removal LAST. The marker
-    // closes the crash window between the corpus write and the rotation
-    // sidecar: without it, rotated codes with no sidecar read as plain
-    // codes and silently degrade recall; with it, readers fail loudly
-    // until the publish is re-run (r8 ADVICE).
-    deleteOpqMeta(df.sparkSession, path)
+    // publish order: PENDING marker FIRST, then the stale rotation out,
+    // then the corpus, the new rotation, and the marker's removal LAST.
+    // The marker must precede the sidecar delete (r9 ADVICE): deleting
+    // first left a window where a crash strands a previously-OPQ index's
+    // rotated codes with neither sidecar nor marker — readable as plain,
+    // silently degrading recall. With the marker up before ANY mutation,
+    // every crash inside the publish leaves the path refusing loudly
+    // until [[repairIvfPqOpq]] (or a publish re-run) restores consistency.
     markOpqPending(df.sparkSession, path)
+    deleteOpqMeta(df.sparkSession, path)
     writeIvfPqEncoded(df, idCol, vecCol, centroids, opq.pq, path, residual,
       rotation = Some(opq))
     writeOpqMeta(df.sparkSession, opq, path)
@@ -351,8 +353,10 @@ object VectorIndex {
     ()
   }
 
-  /** `<path>/_opq_pending`: exists exactly while an OPQ publish is between
-    * its corpus write and its rotation sidecar. */
+  /** `<path>/_opq_pending`: exists exactly while a publish window is open
+    * over a path whose codes and rotation sidecar may disagree — from
+    * before the first sidecar/corpus mutation until the matched pair is
+    * fully on disk (both the OPQ and the plain-over-OPQ rewrite paths). */
   private def opqPendingPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_opq_pending")
 
@@ -374,19 +378,78 @@ object VectorIndex {
     * this, so an index's rotation is part of the path like everything
     * else. */
   def readOpqRotation(spark: SparkSession, path: String): Option[(Int, Array[Double])] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/opqmeta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = opqPendingPath(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(opqPendingPath(path)),
       s"$path: partially published OPQ index (a publish crashed between " +
-        "its corpus write and its rotation sidecar) — re-run writeIvfPqOpq " +
-        "before probing or appending; decoding these codes without their " +
-        "rotation would silently degrade recall")
+        "its corpus write and its rotation sidecar) — run repairIvfPqOpq " +
+        "(or re-run writeIvfPqOpq) before probing or appending; decoding " +
+        "these codes without their rotation would silently degrade recall")
+    readOpqRotationUnchecked(spark, path)
+  }
+
+  /** [[readOpqRotation]] WITHOUT the pending-marker refusal — only the
+    * repair path may look at a torn publish's sidecar state. */
+  private def readOpqRotationUnchecked(
+      spark: SparkSession, path: String): Option[(Int, Array[Double])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/opqmeta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val rows = spark.read.parquet(s"$path/opqmeta").orderBy("row").collect()
       val d = rows.length
       Some((d, rows.flatMap(_.getSeq[Double](1)).toArray))
     }
+  }
+
+  /** Recovery verb for a torn publish ([[readOpqRotation]]'s refusal):
+    * re-derives a CONSISTENT index from what survived on disk, with no
+    * driver state and no re-training. The corpus always carries the
+    * full-precision `vec` column (the re-rank reads it), so the codes are
+    * never the only copy — repair re-encodes every row from `vec` against
+    * the sidecars AS THEY STAND (centroids + codebooks + whichever
+    * rotation sidecar the crash left, or none), stages the rewritten
+    * corpus, swaps it in ([[compact]]'s checked stage+swap), and clears
+    * the marker. Every crash window lands somewhere sound: marker-only →
+    * the old index is republished unchanged; rotation deleted but codes
+    * still old-rotated → codes re-derive as PLAIN (recall degrades to
+    * plain-PQ loudly-then-repaired, never silently torn); rotation and
+    * codes both new → the OPQ publish completes. The one thing repair
+    * cannot restore is a rotation whose sidecar never hit disk — that
+    * requires re-running [[writeIvfPqOpq]] with the trained model. */
+  def repairIvfPqOpq(
+      spark: SparkSession, path: String, idCol: String, vecCol: String): Unit = {
+    val fs = opqPendingPath(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(opqPendingPath(path)),
+      s"$path: no pending marker — nothing to repair")
+    val centroids = readIvfCentroids(spark, path)
+    val model = readPqMeta(spark, path)
+    val residual = readPqResidual(spark, path)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val raw =
+      if (residual) ProductQuantizer.residualCol(col(vecCol), col("bucket"), centroids)
+      else col(vecCol)
+    val codeSrc = readOpqRotationUnchecked(spark, path) match {
+      case Some((d, flat)) =>
+        graft.functions.ArrayMath.matVec(raw, new graft.functions.RotMat(d, flat))
+      case None => raw
+    }
+    val staged = s"$path/corpus_repair"
+    corpus.select(col(idCol),
+        ProductQuantizer.codeCol(codeSrc, model).as("pq_code"),
+        ProductQuantizer.normCol(col(vecCol)).as("pq_norm"),
+        col(vecCol), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    val live = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"repair: could not stage out $live")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), live),
+      s"repair: could not swap in $staged (live data is at $old)")
+    fs.delete(old, true)
+    clearOpqPending(spark, path)
   }
 
   /** Whether the index's codes quantize residuals (older sidecars without

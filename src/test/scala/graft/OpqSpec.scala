@@ -270,4 +270,54 @@ class OpqSpec extends AnyFunSuite {
     VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, plain, path, residual = true)
     assert(VectorIndex.readOpqRotation(spark, path).isEmpty)
   }
+
+  test("repairIvfPqOpq: crash → refuse → repair → probe, in every torn state") {
+    import graft.operators.VectorIndex
+    import org.apache.spark.sql.functions.col
+    val (_, df) = residualFixture
+    val centroids = Similarity.kMeans(df, "vec_id", "embedding", c = 8, iters = 2)
+    val opq = VectorIndex.trainResidualOpq(df, "vec_id", "embedding", centroids, m = 4, k = 16)
+    val q = df.where(col("vec_id") === 3L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    def probeRows(path: String) =
+      VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding", q,
+          nprobe = 8, k = 10, shortlist = 60, excludeId = Some(3L))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-opq-repair").toString
+    VectorIndex.writeIvfPqOpq(df, "vec_id", "embedding", centroids, opq, path, residual = true)
+    val healthyProbe = probeRows(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markPending(): Unit =
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/_opq_pending"), true).close()
+
+    // no marker → nothing to repair, refuse rather than churn a live index
+    val errNone = intercept[IllegalArgumentException] {
+      VectorIndex.repairIvfPqOpq(spark, path, "vec_id", "embedding")
+    }
+    assert(errNone.getMessage.contains("nothing to repair"))
+
+    // torn state A — crash right after the marker, everything else intact:
+    // repair republishes the SAME index (probe is byte-identical)
+    markPending()
+    intercept[IllegalArgumentException] { probeRows(path) } // refuses while torn
+    VectorIndex.repairIvfPqOpq(spark, path, "vec_id", "embedding")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_opq_pending")))
+    assert(probeRows(path) == healthyProbe,
+      "repair of a marker-only tear must republish the identical index")
+
+    // torn state B — the r8-ADVICE window: rotation sidecar gone, codes
+    // still rotated, marker standing. Repair re-encodes from raw vectors,
+    // landing a CONSISTENT plain-coded index — byte-identical probes to a
+    // one-shot plain build with the same books
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/opqmeta"), true)
+    markPending()
+    VectorIndex.repairIvfPqOpq(spark, path, "vec_id", "embedding")
+    assert(VectorIndex.readOpqRotation(spark, path).isEmpty,
+      "a tear that lost the rotation must repair to a plain index")
+    val pathPlain = java.nio.file.Files.createTempDirectory("graft-opq-repair-p").toString
+    VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, opq.pq, pathPlain, residual = true)
+    assert(probeRows(path) == probeRows(pathPlain),
+      "repaired plain index must probe identically to a one-shot plain build")
+  }
 }
