@@ -155,6 +155,43 @@ private[graft] trait QueriesText extends QueryHelpers {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** REAL audio pipeline (multimodal.Audio — JDK javax.sound, no stub):
+    * per-doc procedural 16-bit PCM WAV payloads decode back through the
+    * real codec and reduce to exact integer per-window features (Σ|v|,
+    * Σv², position-weighted fingerprint) plus the codec-REPORTED sample
+    * rate. PCM is lossless, so DuckDB recomputing the sawtooth pattern
+    * arithmetically must match features computed from decoded samples —
+    * q139's codec-round-trip proof on the time axis, third modality. */
+  def q152WavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(41)).as("seed"),
+        (lit(2048) + pmod(col("doc_id"), lit(3)) * 256).cast("int").as("ns"))
+    val wavs = graft.multimodal.Audio.withWavPayload(docs, "doc_id", "seed", "ns")
+    graft.multimodal.Audio.wavFeatures(wavs, "doc_id", "payload", windowSamples = 256)
+      .orderBy("doc_id", "window_idx")
+  }
+
+  /** Perceptual near-dup AUDIO pairs on real decoded samples — the q140
+    * discipline for the third modality: 64-bit delta-energy fingerprints
+    * (Haitsma–Kalker sign bits, every intermediate an integer) off the
+    * actual WAV decode, candidates from the shared pigeonhole banding
+    * (never all-pairs — the SimHash.hammingPairs machinery), exact
+    * bit_count verify. Seeds %97 give controlled duplicate clusters
+    * (hamming 0) AND adjacent-phase near-dups (the 1777-step shifts the
+    * sawtooth ~0.9 window per seed, flipping a few delta bits); the
+    * DuckDB oracle recomputes every fingerprint ARITHMETICALLY and
+    * brute-forces all pairs, so the codec path and the banding's
+    * exactness are both oracle-proven. */
+  def q153AudioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(97)).as("seed"),
+        lit(65 * 64).cast("int").as("ns"))
+    val wavs = graft.multimodal.Audio.withWavPayload(docs, "doc_id", "seed", "ns")
+    graft.multimodal.Audio.nearDupAudio(wavs, "doc_id", "payload",
+      windowSamples = 64, maxHamming = 3)
+      .orderBy("a", "b")
+  }
+
   /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
     * 16-byte signature per payload (decode stubbed; shape/batching real). */
   def q72Resize(spark: SparkSession, dir: String): DataFrame =

@@ -647,6 +647,56 @@ private[graft] trait QueryOracles extends AnyRef {
         |FROM fp a JOIN fp b ON a.luma_fp = b.luma_fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q152/q153: the WAV pattern v(i) = ((31i + 1777·seed) % 65536) −
+    // 32768 recomputed arithmetically; 16-bit PCM round-trips bit-exactly
+    // through the JDK WAVE codec, so the decoded per-window sums must
+    // equal these pure-SQL sums (q144's codec proof, third modality).
+    // All intermediates integer: energy ≤ 256·32768² ≈ 2.7e11, fp ≤
+    // 32768·256²·256 ≈ 5.5e11 — BIGINT. sample_rate comes from the
+    // DECODER on the Spark side; 8000 here proves the header round-trip.
+    "q152_wav_features" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, CAST(2048 + (d.doc_id % 3) * 256 AS BIGINT) AS n,
+        |         i.range AS i,
+        |         ((31 * i.range + 1777 * (d.doc_id % 41)) % 65536) - 32768 AS v
+        |  FROM documents d CROSS JOIN range(0, 2560) i
+        |  WHERE i.range < 2048 + (d.doc_id % 3) * 256)
+        |SELECT doc_id,
+        |       CAST(i // 256 AS INT) AS window_idx,
+        |       CAST(n // 256 AS INT) AS n_windows,
+        |       8000 AS sample_rate,
+        |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |       CAST(SUM(v * v) AS BIGINT) AS energy,
+        |       CAST(SUM(v * ((i % 256 + 1) * (i % 256 + 1))) AS BIGINT) AS window_fp
+        |FROM s GROUP BY doc_id, i // 256, n
+        |ORDER BY doc_id, window_idx""".stripMargin,
+    // q153: the 64-bit delta-energy fingerprint recomputed ARITHMETICALLY
+    // (bit w = E(w+1) > E(w) over 65 windows of 64 samples) as hi/lo
+    // 32-bit halves (no sign-wrapping 1<<63), pairs brute-forced where
+    // Spark must band — the q140/q143 discipline on the time axis.
+    "q153_audio_fingerprint_dedup" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, i.range AS i,
+        |         ((31 * i.range + 1777 * (d.doc_id % 97)) % 65536) - 32768 AS v
+        |  FROM documents d CROSS JOIN range(0, 4160) i),
+        |e AS (SELECT doc_id, i // 64 AS w, SUM(v * v) AS e FROM s GROUP BY 1, 2),
+        |b AS (
+        |  SELECT e1.doc_id, e1.w AS bit,
+        |         CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS onbit
+        |  FROM e e1 JOIN e e2 ON e1.doc_id = e2.doc_id AND e2.w = e1.w + 1
+        |  WHERE e1.w < 64),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN onbit = 1 AND bit >= 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN onbit = 1 AND bit < 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INT) AS hamming
+        |FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // Binary.aHashOf is deterministic integer arithmetic over payload
     // bytes, and the corpus is pure ASCII (byte == code point), so the
     // whole stub-hash + banded hamming-pair pipeline is SQL: sample 64

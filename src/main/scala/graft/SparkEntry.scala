@@ -188,6 +188,8 @@ object Queries
     "q143_phash_near_dups" -> q143PhashNearDups _,
     "q144_gif_frames" -> q144GifFrames _,
     "q145_gif_frame_overlap" -> q145GifFrameOverlap _,
-    "q73_frame_overlap" -> q73FrameOverlap _
+    "q73_frame_overlap" -> q73FrameOverlap _,
+    "q152_wav_features" -> q152WavFeatures _,
+    "q153_audio_fingerprint_dedup" -> q153AudioFingerprintDedup _
   )
 }
