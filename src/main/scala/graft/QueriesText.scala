@@ -192,6 +192,36 @@ private[graft] trait QueriesText extends QueryHelpers {
       .orderBy("a", "b")
   }
 
+  /** FrameOverlap's GUARDED path under a full oracle (round 10 — q145's
+    * guard was spec-pinned but never oracle-exercised: no board corpus
+    * has a hot fingerprint at gate SF). This designed degenerate corpus
+    * has 16 fingerprints at df = docs/2 (≫ hotFpLimit = 64 at EVERY SF —
+    * the solid-black-frame class) plus per-group cold fingerprints at
+    * df = 10 (groups of 10 consecutive doc_ids share 4), so the guard is
+    * ACTIVE in the gate: same-parity same-group pairs count 4 cold + 8
+    * hot = 12; same-parity CROSS-group pairs share 8 hot fps ≥ minShared
+    * yet zero cold — the plain join would emit ~docs²/4 of them, the
+    * guard (and the oracle, which implements the documented semantics:
+    * surface on ≥1 cold shared fp, count includes hot via the mask
+    * join-back) emits none. Output is linear in docs; per-fp candidate
+    * cost is bounded by the guard at every SF. */
+  def q154FrameOverlapGuarded(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val hotF = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("h"))
+      .where(pmod(col("doc_id") + col("h"), lit(2)) === 0)
+      .select(col("doc_id"), col("h").cast("long").as("fp"))
+    val coldF = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("k"))
+      .select(col("doc_id"),
+        (lit(1000L) + expr("doc_id DIV 10") * 16 + col("k"))
+          .cast("long").as("fp"))
+    val fr = hotF.unionByName(coldF).localCheckpoint()
+    graft.operators.FrameOverlap.pairs(
+      fr, "doc_id", "fp", minShared = 6, hotFpLimit = 64)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Multimodal "resize": nearest-neighbor byte downsample to a fixed
     * 16-byte signature per payload (decode stubbed; shape/batching real). */
   def q72Resize(spark: SparkSession, dir: String): DataFrame =

@@ -670,6 +670,34 @@ private[graft] trait QueryOracles extends AnyRef {
         |       CAST(SUM(v * ((i % 256 + 1) * (i % 256 + 1))) AS BIGINT) AS window_fp
         |FROM s GROUP BY doc_id, i // 256, n
         |ORDER BY doc_id, window_idx""".stripMargin,
+    // q154: FrameOverlap's GUARD SEMANTICS implemented in SQL — a pair
+    // surfaces only with >= 1 COLD shared fingerprint (df <= hotFpLimit);
+    // its count then includes the hot ones. The 16 hot fps (df = docs/2 >
+    // 64 at every SF) and the per-group cold fps (df = 10) are both pure
+    // arithmetic, so the oracle derives hot/cold by CONSTRUCTION — which
+    // equals the df rule exactly here (every h < 16 fp has df > 64, every
+    // fp >= 1000 has df = 10 <= 64, and 16 <= the 64-bit mask capacity).
+    "q154_frame_overlap_guarded" ->
+      """WITH hot AS (
+        |  SELECT d.doc_id, h.range AS fp FROM documents d CROSS JOIN range(0, 16) h
+        |  WHERE (d.doc_id + h.range) % 2 = 0),
+        |cold AS (
+        |  SELECT d.doc_id, 1000 + (d.doc_id // 10) * 16 + k.range AS fp
+        |  FROM documents d CROSS JOIN range(0, 4) k),
+        |coldp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_cold
+        |  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |hotc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_hot
+        |  FROM hot a JOIN hot b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(c.n_cold + COALESCE(h.n_hot, 0) AS BIGINT) AS shared_frames
+        |FROM coldp c LEFT JOIN hotc h
+        |  ON c.doc_a = h.doc_a AND c.doc_b = h.doc_b
+        |WHERE c.n_cold + COALESCE(h.n_hot, 0) >= 6
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     // q153: the 64-bit delta-energy fingerprint recomputed ARITHMETICALLY
     // (bit w = E(w+1) > E(w) over 65 windows of 64 samples) as hi/lo
     // 32-bit halves (no sign-wrapping 1<<63), pairs brute-forced where

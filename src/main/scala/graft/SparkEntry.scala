@@ -190,6 +190,7 @@ object Queries
     "q145_gif_frame_overlap" -> q145GifFrameOverlap _,
     "q73_frame_overlap" -> q73FrameOverlap _,
     "q152_wav_features" -> q152WavFeatures _,
-    "q153_audio_fingerprint_dedup" -> q153AudioFingerprintDedup _
+    "q153_audio_fingerprint_dedup" -> q153AudioFingerprintDedup _,
+    "q154_frame_overlap_guarded" -> q154FrameOverlapGuarded _
   )
 }

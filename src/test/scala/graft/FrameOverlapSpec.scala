@@ -74,6 +74,19 @@ class FrameOverlapSpec extends AnyFunSuite {
     assert(gplan.contains("bit_count"), "guarded path must verify via the mask")
   }
 
+  test("registered q154 executes the GUARDED plan at gate SF (mask join-back live)") {
+    // the round-9 verdict's gap: the guard was spec-pinned but never
+    // oracle-exercised — no board corpus had a hot fp at gate SF. q154's
+    // designed corpus keeps 16 fps at df = docs/2 > hotFpLimit at EVERY
+    // SF, so the gate row runs the mask machinery, not the plain join.
+    val out = SparkEntry.queries("q154_frame_overlap_guarded")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0, "guarded pairs must surface")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("bit_count"),
+      "q154 must execute the guarded path (mask join-back) at gate SF")
+  }
+
   test("hot-credit rescues a pair with one cold frame at minShared=2") {
     // docs 5/6: one shared cold fp + one degenerate -> 1 + 1 = 2 passes.
     val fr = Seq(
