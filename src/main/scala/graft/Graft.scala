@@ -448,6 +448,18 @@ object Graft {
       n: Int = 3, tau: Double = 0.6): DataFrame =
     graft.operators.Dedup.dedupCorpusBy(df, idCol, textCol, n, tau, score)
 
+  /** Containment-aware corpus dedup — the aggregator / quoted-in-full
+    * verb: drops every document (≥ tau)-CONTAINED in another
+    * ([[operators.Dedup.dedupCorpusContainment]]); containers survive,
+    * mutual containment keeps the min id. Jaccard dedup misses these
+    * when the container is much larger — containment is the quantity
+    * provenance and contamination checks actually want.
+    * [[operators.Dedup.embeddedDocs]] returns the `(id, embedded_in)`
+    * label table the audit trail ships. */
+  def dedupCorpusContainment(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.8): DataFrame =
+    graft.operators.Dedup.dedupCorpusContainment(df, idCol, textCol, n, tau)
+
   def leakageSafeSplit(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.6,

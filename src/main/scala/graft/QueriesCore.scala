@@ -502,6 +502,25 @@ private[graft] trait QueriesCore extends QueryHelpers {
       n = 3, tau = 0.8)
       .orderBy("a", "b")
 
+  /** Containment pairs CONSUMED into a curation disposition (round 10 —
+    * q149's pair list finally feeds a verb): every doc gets one row;
+    * docs whose shingle set is (≥ 0.8) contained in another doc's are
+    * `embedded` and labeled with their minimum qualifying container
+    * (mutual containment keeps the min id — the q66 convention). Oracle
+    * recomposed from q149's proven pair SQL + the audit's LEFT JOIN
+    * assembly. */
+  def q155DedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = Dedup.embeddedDocs(docs, "doc_id", "text", n = 3, tau = 0.8)
+    docs.select(col("doc_id"))
+      .join(emb, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        when(col("embedded_in").isNotNull, lit("embedded"))
+          .otherwise(lit("kept")).as("disposition"),
+        col("embedded_in"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted stratified sample (Efraimidis–Spirakis A-ES, q150): 10
     * docs per language with inclusion odds ∝ text length, reproducible
     * across engines via the portable modular mix — the quality-weighted

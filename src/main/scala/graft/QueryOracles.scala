@@ -196,6 +196,40 @@ private[graft] trait QueryOracles extends AnyRef {
         |  SELECT a, b, CAST(common AS DOUBLE) / sa.sz AS containment
         |  FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id)
         |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin,
+    // q155: q149's proven pair SQL recomposed into the disposition verb —
+    // qualifying pairs (a embedded in b) are containment >= tau minus the
+    // mutual-and-a-smaller case (mutual keeps min id, the q66 convention),
+    // then the audit-style LEFT JOIN assembly labels every doc
+    "q155_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM toks WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        |), meets AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2
+        |), cp AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, CAST(common AS DOUBLE) / sa.sz AS containment
+        |    FROM meets JOIN sizes sa ON meets.a = sa.doc_id)
+        |  WHERE containment >= 0.8
+        |), emb AS (
+        |  SELECT p.a AS doc_id, MIN(p.b) AS embedded_in FROM cp p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cp r WHERE r.a = p.b AND r.b = p.a)
+        |     OR p.a > p.b
+        |  GROUP BY p.a)
+        |SELECT d.doc_id,
+        |       CASE WHEN e.embedded_in IS NOT NULL THEN 'embedded'
+        |            ELSE 'kept' END AS disposition,
+        |       e.embedded_in
+        |FROM documents d LEFT JOIN emb e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // A-ES selection key recomputed arithmetically: the portable modular
     // mix (Knuth multiplier mod 1e9+7, midpoint-shifted to (0,1)), then
     // -ln(u)/length(text); literals carry e0 so DuckDB stays DOUBLE

@@ -191,6 +191,7 @@ object Queries
     "q73_frame_overlap" -> q73FrameOverlap _,
     "q152_wav_features" -> q152WavFeatures _,
     "q153_audio_fingerprint_dedup" -> q153AudioFingerprintDedup _,
-    "q154_frame_overlap_guarded" -> q154FrameOverlapGuarded _
+    "q154_frame_overlap_guarded" -> q154FrameOverlapGuarded _,
+    "q155_dedup_containment" -> q155DedupContainment _
   )
 }

@@ -967,6 +967,45 @@ object Dedup {
     df.join(hint(losers), col(idCol).cast("long") === col("_loser"), "left_anti")
   }
 
+  /** Directed containment CONSUMED into a curation label ([[
+    * ngramContainmentPairs]]'s pair list was previously a dead end — the
+    * aggregator/quoted-in-full user story ends at a verb, not a list):
+    * one row per EMBEDDED document — a doc whose shingle set is (≥ tau)
+    * contained in some other doc's — labeled `embedded_in` = its minimum
+    * qualifying container. MUTUAL containment (near-identical docs, both
+    * directions ≥ tau) keeps the min id and labels the larger — the q66
+    * min-id-survives convention, so exact duplicates behave identically
+    * under both verbs. A container may itself be embedded elsewhere;
+    * lineage follows the chain, exactly as `dup_of` does in
+    * [[graft.Graft.curateCorpusAudit]].
+    *
+    * Scale shape: the pair list is gate-bounded (only ≥-tau pairs exist
+    * at all), the mutual check is a self-join of that bounded list with
+    * itself — the corpus is never touched past the shared shingle pass. */
+  def embeddedDocs(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val pairs = ngramContainmentPairs(df, idCol, textCol, n, tau)
+    val rev = pairs.select(col("a").as("_ra"), col("b").as("_rb"))
+    pairs
+      .join(rev, col("a") === col("_rb") && col("b") === col("_ra"), "left")
+      .where(col("_ra").isNull || col("a") > col("b"))
+      .groupBy(col("a").as("id")).agg(min(col("b")).as("embedded_in"))
+  }
+
+  /** [[dedupCorpus]] for the CONTAINMENT relation: `df` minus every
+    * embedded document ([[embeddedDocs]]) — containers survive with all
+    * their columns. Same 100 TB shape: the embedded list is edge-bounded,
+    * so it broadcasts and the corpus only feels one anti-join. */
+  def dedupCorpusContainment(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
+      broadcastLoserLimit: Int = 1 << 20): DataFrame = {
+    val emb = embeddedDocs(df, idCol, textCol, n, tau)
+      .select(col("id").as("_loser"))
+      .localCheckpoint()
+    val hinted = if (withinLimit(emb, broadcastLoserLimit)) broadcast(emb) else emb
+    df.join(hinted, col(idCol).cast("long") === col("_loser"), "left_anti")
+  }
+
   /** Cosine of two float-vector columns, computed in double with a
     * sequential left fold (bit-identical to the SQL oracle's list_reduce).
     * Codegen'd — see [[graft.functions.DotProduct]]. */

@@ -521,4 +521,31 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxNumItems"), e.getMessage)
   }
+
+  test("embeddedDocs labels contained docs; containers survive; mutual keeps min id") {
+    // 10: the container (aggregator); 11: quoted-in-full inside 10
+    // (one-directional containment — 11 drops, 10 survives);
+    // 20/21: exact duplicates (mutual containment — 21 drops, min id 20
+    // survives, the q66 convention); 30: unrelated singleton.
+    val chunk = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (10L, s"$chunk iota kappa lambda mu nu xi omicron pi rho sigma tau"),
+      (11L, chunk),
+      (20L, "one two three four five six seven eight nine ten"),
+      (21L, "one two three four five six seven eight nine ten"),
+      (30L, "totally different words that stand entirely alone here")
+    ).toDF("doc_id", "text")
+    val emb = Dedup.embeddedDocs(corpus, "doc_id", "text", n = 3, tau = 0.8)
+      .as[(Long, Long)].collect().toSet
+    assert(emb === Set((11L, 10L), (21L, 20L)),
+      "embedded docs must be the contained one-directional doc and the larger mutual id")
+    val kept = Dedup.dedupCorpusContainment(corpus, "doc_id", "text", n = 3, tau = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 20L, 30L), "containers and singletons survive")
+    // Jaccard dedup at the same tau misses the quoted-in-full case (the
+    // container dilutes resemblance below tau) — the reason this verb exists
+    val jacKept = Dedup.dedupCorpus(corpus, "doc_id", "text", n = 3, tau = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(jacKept.contains(11L), "Jaccard at tau=0.8 keeps the embedded doc")
+  }
 }
