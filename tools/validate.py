@@ -72,6 +72,26 @@ for name, sql in sorted(oracle.items()):
         continue
     print(f"PASS {name} ({len(gr)} rows)")
 
+# rows-only keys (no oracle SQL): a zero-row output proves only that the
+# query doesn't throw (the round-9 q74 lesson) — assert non-vacuity
+import os
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if name in oracle or not os.path.isdir(d):
+        continue
+    try:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+    except Exception as e:
+        print(f"FAIL {name} (rows-only): {e}")
+        fail += 1
+        continue
+    if n == 0:
+        print(f"FAIL {name} (rows-only): VACUOUS - 0 rows proves nothing")
+        fail += 1
+    else:
+        print(f"PASS {name} (rows-only, {n} rows)")
+
 print(f"\n{'ALL PASS' if fail == 0 else f'{fail} FAILURES'} "
       f"({len(oracle)} queries with oracles)")
 sys.exit(1 if fail else 0)
