@@ -82,8 +82,13 @@ private[graft] trait QueriesText extends QueryHelpers {
     * anywhere). The first similarity JOIN in the registry with a full
     * oracle. */
   def q140ImageNearDups(spark: SparkSession, dir: String): DataFrame = {
+    // seed = doc_id DIV 5 (round 10; was doc_id % 97): a modulus seed
+    // makes duplicate-cluster SIZE grow linearly with the corpus, so pair
+    // output grows quadratically — a data artifact the sf10 audit trips
+    // over. DIV keeps clusters at exactly 5 docs at every SF (pairs
+    // linear), and the pattern's s2 gradient keeps distinct images ~65k.
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), pmod(col("doc_id"), lit(97)).as("seed"))
+      .select(col("doc_id"), expr("doc_id DIV 5").as("seed"))
     val imgs = graft.multimodal.Images.withPatternPayloadSeeded(
       docs, "doc_id", "seed", w = 32, h = 24)
     graft.multimodal.Images.nearDups(imgs, "doc_id", "payload", maxHamming = 3)
@@ -99,8 +104,9 @@ private[graft] trait QueriesText extends QueryHelpers {
     * embedded cosine table + the pattern arithmetic and brute-forces all
     * pairs; the codec path AND the banding completeness must agree. */
   def q143PhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    // DIV-5 seeds for the same scale reason as q140
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), pmod(col("doc_id"), lit(97)).as("seed"))
+      .select(col("doc_id"), expr("doc_id DIV 5").as("seed"))
     val imgs = graft.multimodal.Images.withPatternPayloadSeeded(
       docs, "doc_id", "seed", w = 32, h = 24)
     graft.multimodal.Images.nearDupsPhash(imgs, "doc_id", "payload", maxHamming = 3)
@@ -133,8 +139,16 @@ private[graft] trait QueriesText extends QueryHelpers {
     * docs); the oracle recomputes every frame fingerprint and
     * brute-forces the pairs. */
   def q145GifFrameOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // seed = doc_id DIV 8 (round 10; was doc_id % 53): the modulus seed
+    // capped the distinct-video universe at 53 — at sf10 every frame
+    // fingerprint is df ≈ corpus/53, the entire universe goes degenerate,
+    // and even the guard can only cap (not shrink) a corpus that IS its
+    // own hot set. DIV keeps clusters at 8 docs at every SF: pairs stay
+    // linear, frame df stays ≤ 8 — cold at any corpus size — and the
+    // guarded machinery is exercised (with a full oracle) by q154's
+    // designed corpus instead of by a data artifact here.
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), pmod(col("doc_id"), lit(53)).as("seed"),
+      .select(col("doc_id"), expr("doc_id DIV 8").as("seed"),
         (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf"))
     val gifs = graft.multimodal.Images.withAnimatedGifPayload(
       docs, "doc_id", "seed", "nf", w = 32, h = 24)
@@ -183,8 +197,11 @@ private[graft] trait QueriesText extends QueryHelpers {
     * brute-forces all pairs, so the codec path and the banding's
     * exactness are both oracle-proven. */
   def q153AudioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    // DIV-5 seeds (same scale reason as q140): exact-dup clusters stay at
+    // 5 docs at every SF; the 16-bit phase universe (65536) keeps distinct
+    // fingerprint profiles scaling with the corpus
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), pmod(col("doc_id"), lit(97)).as("seed"),
+      .select(col("doc_id"), expr("doc_id DIV 5").as("seed"),
         lit(65 * 64).cast("int").as("ns"))
     val wavs = graft.multimodal.Audio.withWavPayload(docs, "doc_id", "seed", "ns")
     graft.multimodal.Audio.nearDupAudio(wavs, "doc_id", "payload",

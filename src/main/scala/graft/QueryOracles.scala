@@ -540,17 +540,22 @@ private[graft] trait QueryOracles extends AnyRef {
       """SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    // the pattern definition (not code) shared with multimodal.Images:
-    // r=(7x+3y+id)%256, g=(5x+11y+2id)%256, b=(13x+y+3id)%256 over 32x24;
-    // blocks are 4x3 pixels (8x8 grid), luma = 299r+587g+114b, bit j set
-    // iff blockLuma*64 > total — all integer, split hi/lo to avoid 1<<63
+    // the pattern definition (not code) shared with multimodal.Images
+    // (round-10 gradient form — s1 = id%256, s2 = (id//256)%256):
+    // r=(7x+3y+s1+s2*x)%256, g=(5x+11y+2*s1+s2*y)%256,
+    // b=(13x+y+3*s1+s2*(x+y))%256 over 32x24; blocks are 4x3 pixels
+    // (8x8 grid), luma = 299r+587g+114b, bit j set iff blockLuma*64 >
+    // total — all integer, split hi/lo to avoid 1<<63
     "q139_image_features" ->
-      """WITH px AS (
+      """WITH sd AS (
+        |  SELECT doc_id, doc_id % 256 AS s1, (doc_id // 256) % 256 AS s2
+        |  FROM documents),
+        |px AS (
         |  SELECT d.doc_id, tx.range AS x, ty.range AS y,
-        |         (7 * tx.range + 3 * ty.range + d.doc_id) % 256 AS r,
-        |         (5 * tx.range + 11 * ty.range + 2 * d.doc_id) % 256 AS g,
-        |         (13 * tx.range + ty.range + 3 * d.doc_id) % 256 AS b
-        |  FROM documents d CROSS JOIN range(0, 32) tx CROSS JOIN range(0, 24) ty),
+        |         (7 * tx.range + 3 * ty.range + d.s1 + d.s2 * tx.range) % 256 AS r,
+        |         (5 * tx.range + 11 * ty.range + 2 * d.s1 + d.s2 * ty.range) % 256 AS g,
+        |         (13 * tx.range + ty.range + 3 * d.s1 + d.s2 * (tx.range + ty.range)) % 256 AS b
+        |  FROM sd d CROSS JOIN range(0, 32) tx CROSS JOIN range(0, 24) ty),
         |blk AS (
         |  SELECT doc_id, (y // 3) * 8 + (x // 4) AS j,
         |         sum(299 * r + 587 * g + 114 * b) AS luma
@@ -573,16 +578,21 @@ private[graft] trait QueryOracles extends AnyRef {
         |       CAST(h.ahash_lo AS BIGINT) AS ahash_lo
         |FROM sums s JOIN hashes h USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
-    // q139's arithmetic hash per seed = doc_id % 97, then BRUTE all-pairs
-    // hamming (the oracle can afford N² where the Spark side must band);
-    // hamming from the hi/lo halves so no 64-bit reconstruction overflows
+    // q139's arithmetic hash per seed = doc_id DIV 5 (constant-size
+    // clusters — round 10), then BRUTE all-pairs hamming (the oracle can
+    // afford N² where the Spark side must band); hamming from the hi/lo
+    // halves so no 64-bit reconstruction overflows
     "q140_image_near_dups" ->
-      """WITH px AS (
-        |  SELECT d.doc_id, d.doc_id % 97 AS seed, tx.range AS x, ty.range AS y,
-        |         (7 * tx.range + 3 * ty.range + d.doc_id % 97) % 256 AS r,
-        |         (5 * tx.range + 11 * ty.range + 2 * (d.doc_id % 97)) % 256 AS g,
-        |         (13 * tx.range + ty.range + 3 * (d.doc_id % 97)) % 256 AS b
-        |  FROM documents d CROSS JOIN range(0, 32) tx CROSS JOIN range(0, 24) ty),
+      """WITH sd AS (
+        |  SELECT doc_id, (doc_id // 5) % 256 AS s1,
+        |         ((doc_id // 5) // 256) % 256 AS s2
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, tx.range AS x, ty.range AS y,
+        |         (7 * tx.range + 3 * ty.range + d.s1 + d.s2 * tx.range) % 256 AS r,
+        |         (5 * tx.range + 11 * ty.range + 2 * d.s1 + d.s2 * ty.range) % 256 AS g,
+        |         (13 * tx.range + ty.range + 3 * d.s1 + d.s2 * (tx.range + ty.range)) % 256 AS b
+        |  FROM sd d CROSS JOIN range(0, 32) tx CROSS JOIN range(0, 24) ty),
         |blk AS (
         |  SELECT doc_id, (y // 3) * 8 + (x // 4) AS j,
         |         sum(299 * r + 587 * g + 114 * b) AS luma
@@ -612,12 +622,16 @@ private[graft] trait QueryOracles extends AnyRef {
       val cosRows = (for (k <- 0 until 8; i <- 0 until 32)
         yield s"($k,$i,${graft.multimodal.Images.phashCosTable(k)(i)})").mkString(",")
       s"""WITH cos(k, i, c) AS (VALUES $cosRows),
+         |sd AS (
+         |  SELECT doc_id, (doc_id // 5) % 256 AS s1,
+         |         ((doc_id // 5) // 256) % 256 AS s2
+         |  FROM documents),
          |px AS (
          |  SELECT d.doc_id, xx.range AS x, yy.range AS y,
-         |     299 * ((7 * xx.range + 3 * ((yy.range * 24) // 32) + d.doc_id % 97) % 256)
-         |   + 587 * ((5 * xx.range + 11 * ((yy.range * 24) // 32) + 2 * (d.doc_id % 97)) % 256)
-         |   + 114 * ((13 * xx.range + ((yy.range * 24) // 32) + 3 * (d.doc_id % 97)) % 256) AS luma
-         |  FROM documents d CROSS JOIN range(0, 32) xx CROSS JOIN range(0, 32) yy),
+         |     299 * ((7 * xx.range + 3 * ((yy.range * 24) // 32) + d.s1 + d.s2 * xx.range) % 256)
+         |   + 587 * ((5 * xx.range + 11 * ((yy.range * 24) // 32) + 2 * d.s1 + d.s2 * ((yy.range * 24) // 32)) % 256)
+         |   + 114 * ((13 * xx.range + ((yy.range * 24) // 32) + 3 * d.s1 + d.s2 * (xx.range + (yy.range * 24) // 32)) % 256) AS luma
+         |  FROM sd d CROSS JOIN range(0, 32) xx CROSS JOIN range(0, 32) yy),
          |t AS (
          |  SELECT p.doc_id, p.y, c.k AS v, SUM(p.luma * c.c) AS t
          |  FROM px p JOIN cos c ON c.i = p.x GROUP BY 1, 2, 3),
@@ -641,8 +655,10 @@ private[graft] trait QueryOracles extends AnyRef {
          |WHERE bit_count(xor(x.h, y.h)) <= 3
          |ORDER BY a, b""".stripMargin
     },
-    // q144/q145: the animated-GIF pattern luma(x,y,f) = (7x+3y+11f+seed)
-    // % 256 recomputed arithmetically; the payloads round-trip bit-exact
+    // q144/q145: the animated-GIF pattern luma(x,y,f) = (7x + 3y + 11f +
+    // s1 + s2*(x+3y)) % 256 recomputed arithmetically (round-10 gradient
+    // form; q144's seed = doc_id % 53 < 256 keeps s2 = 0, so its SQL
+    // stays in the reduced form); the payloads round-trip bit-exact
     // through the 256-gray indexed palette, so the decoded features must
     // equal these pure-SQL sums (codec path proven, q139's discipline on
     // the time axis). luma_fp = SUM(v * (y*32+x+1)^2) <= ~3.8e10 — BIGINT.
@@ -664,13 +680,15 @@ private[graft] trait QueryOracles extends AnyRef {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q145_gif_frame_overlap" ->
       """WITH f AS (
-        |  SELECT d.doc_id, d.doc_id % 53 AS seed,
+        |  SELECT d.doc_id, (d.doc_id // 8) % 256 AS s1,
+        |         ((d.doc_id // 8) // 256) % 256 AS s2,
         |         fr.range AS fi
         |  FROM documents d CROSS JOIN range(0, 7) fr
         |  WHERE fr.range < 3 + d.doc_id % 4),
         |px AS (
         |  SELECT f.doc_id, f.fi, xx.range AS x, yy.range AS y,
-        |         (7 * xx.range + 3 * yy.range + 11 * f.fi + f.seed) % 256 AS v
+        |         (7 * xx.range + 3 * yy.range + 11 * f.fi + f.s1
+        |          + f.s2 * (xx.range + 3 * yy.range)) % 256 AS v
         |  FROM f CROSS JOIN range(0, 32) xx CROSS JOIN range(0, 24) yy),
         |fp AS (
         |  SELECT DISTINCT doc_id,
@@ -739,7 +757,7 @@ private[graft] trait QueryOracles extends AnyRef {
     "q153_audio_fingerprint_dedup" ->
       """WITH s AS (
         |  SELECT d.doc_id, i.range AS i,
-        |         ((31 * i.range + 1777 * (d.doc_id % 97)) % 65536) - 32768 AS v
+        |         ((31 * i.range + 1777 * (d.doc_id // 5)) % 65536) - 32768 AS v
         |  FROM documents d CROSS JOIN range(0, 4160) i),
         |e AS (SELECT doc_id, i // 64 AS w, SUM(v * v) AS e FROM s GROUP BY 1, 2),
         |b AS (

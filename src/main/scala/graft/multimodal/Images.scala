@@ -44,17 +44,27 @@ object Images {
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic procedural test pattern (the fixture generator and the
-    * SQL oracle share this DEFINITION, not code): pixel (x, y) of image
-    * `id` has r=(7x+3y+id)%256, g=(5x+11y+2id)%256, b=(13x+y+3id)%256. */
+    * SQL oracle share this DEFINITION, not code): with s1 = id mod 256 and
+    * s2 = (id div 256) mod 256, pixel (x, y) of image `id` has
+    * r = (7x + 3y + s1 + s2·x) % 256, g = (5x + 11y + 2·s1 + s2·y) % 256,
+    * b = (13x + y + 3·s1 + s2·(x+y)) % 256. The s2 GRADIENT term (round
+    * 10) is what makes the distinct-image universe scale: a plain
+    * `(…+id) % 256` pattern repeats every 256 ids, so any corpus past a
+    * few thousand images manufactures duplicate clusters that grow
+    * linearly with size — the sf10 audit's data-artifact trap. With the
+    * gradient, ~65 k distinct images exist before wraparound; ids below
+    * 256 are bit-identical to the old pattern. */
   def patternPayload(id: Long, w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val s1 = id % 256
+    val s2 = (id / 256) % 256
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((7L * x + 3L * y + id) % 256).toInt
-        val g = ((5L * x + 11L * y + 2 * id) % 256).toInt
-        val b = ((13L * x + y + 3 * id) % 256).toInt
+        val r = ((7L * x + 3L * y + s1 + s2 * x) % 256).toInt
+        val g = ((5L * x + 11L * y + 2 * s1 + s2 * y) % 256).toInt
+        val b = ((13L * x + y + 3 * s1 + s2 * (x + y)) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -286,9 +296,12 @@ object Images {
 
   /** Deterministic procedural ANIMATED GIF (the [[patternPayload]]
     * discipline extended to the time axis — the fixture generator and the
-    * SQL oracle share this DEFINITION): frame f's pixel (x, y) has
-    * luma = (7x + 3y + 11f + id) % 256, one GIF image per frame via the
-    * JDK sequence writer. */
+    * SQL oracle share this DEFINITION): with s1 = id mod 256 and s2 =
+    * (id div 256) mod 256, frame f's pixel (x, y) has
+    * luma = (7x + 3y + 11f + s1 + s2·(x + 3y)) % 256, one GIF image per
+    * frame via the JDK sequence writer. The s2 gradient scales the
+    * distinct-video universe exactly as [[patternPayload]]'s does; ids
+    * below 256 are bit-identical to the old pattern. */
   def animatedGifPayload(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
     require(frames >= 1, s"animatedGifPayload: need frames >= 1, got $frames")
     val out = new ByteArrayOutputStream()
@@ -296,6 +309,8 @@ object Images {
     val ios = ImageIO.createImageOutputStream(out)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
+    val s1 = id % 256
+    val s2 = (id / 256) % 256
     var f = 0
     while (f < frames) {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayIcm)
@@ -304,7 +319,8 @@ object Images {
       while (y < h) {
         var x = 0
         while (x < w) {
-          raster.setSample(x, y, 0, ((7L * x + 3L * y + 11L * f + id) % 256).toInt)
+          raster.setSample(x, y, 0,
+            ((7L * x + 3L * y + 11L * f + s1 + s2 * (x + 3L * y)) % 256).toInt)
           x += 1
         }
         y += 1

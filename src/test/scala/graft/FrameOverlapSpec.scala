@@ -44,15 +44,46 @@ class FrameOverlapSpec extends AnyFunSuite {
     assert(cold.count() === planted.count() - 20L)
   }
 
-  test("guard caps at 64 mask bits; overflow fps stay on the exact path") {
-    // three docs share 70 fps, each fp df=3 > limit 2: 64 get mask bits,
-    // the remaining 6 generate candidates normally -> counts still exact.
+  test("> 64 hot fps take the join-back path; counts exact, semantics uniform") {
+    // Three docs share 70 fps, each fp df=3 > limit 2: ALL 70 are
+    // degenerate (beyond the one-long mask), so no pair has a cold shared
+    // fp and nothing surfaces — the documented semantics now hold
+    // uniformly past 64 hot fps (round 10; previously overflow fps fell
+    // back to exact f² candidate generation and these pairs surfaced).
     val rows = for (d <- 1L to 3L; f <- 1L to 70L) yield (d, f)
     val fr = rows.toDF("doc_id", "luma_fp")
     val got = FrameOverlap.pairs(fr, "doc_id", "luma_fp", minShared = 2,
       hotFpLimit = 2)
       .as[(Long, Long, Long)].collect().toSet
-    assert(got === Set((1L, 2L, 70L), (1L, 3L, 70L), (2L, 3L, 70L)))
+    assert(got.isEmpty, "all-degenerate pairs must not surface")
+    // one planted COLD fp on docs 1/2 rescues that pair with FULL credit
+    // for all 70 degenerate frames — the unbounded join-back counts what
+    // the mask cannot hold
+    val fr2 = (rows ++ Seq((1L, 999L), (2L, 999L))).toDF("doc_id", "luma_fp")
+    val got2 = FrameOverlap.pairs(fr2, "doc_id", "luma_fp", minShared = 2,
+      hotFpLimit = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 === Set((1L, 2L, 71L)),
+      "cold-rescued pair must count every degenerate frame exactly")
+  }
+
+  test("mask path and join-back path emit identical rows at the 64-fp boundary") {
+    // same corpus driven through both implementations: 63 hot fps (mask)
+    // vs 65 hot fps (join-back), with identical cold structure — the two
+    // paths must agree pair-for-pair on the shared cold+planted corpus
+    def corpus(nHot: Int) = (
+      (for (d <- 1L to 6L; f <- 1L to nHot.toLong) yield (d, 10000L + f)) ++
+        Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (3L, 3L), (4L, 3L))
+      ).toDF("doc_id", "luma_fp")
+    def run(nHot: Int) =
+      FrameOverlap.pairs(corpus(nHot), "doc_id", "luma_fp", minShared = 2,
+        hotFpLimit = 4)
+        .as[(Long, Long, Long)].collect().toSet
+    val mask = run(63)   // 63 hot fps -> mask fast path
+    val join = run(65)   // 65 hot fps -> join-back path
+    // same structure, counts differ only by the 2 extra hot fps
+    assert(mask === Set((1L, 2L, 64L), (3L, 4L, 65L)))
+    assert(join === Set((1L, 2L, 66L), (3L, 4L, 67L)))
   }
 
   test("empty hot set executes the PLAIN plan: no mask join, no bit_count, one pair join") {
