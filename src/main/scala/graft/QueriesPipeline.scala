@@ -413,9 +413,17 @@ private[graft] trait QueriesPipeline extends QueryHelpers {
     * window sort. */
   def q120Bm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // query set CAPPED at 500 (round 10 — the sf10 audit's first catch):
+    // %97 alone makes the query COUNT grow with the corpus, so retrieval
+    // work scales queries × postings ∝ N² by benchmark construction
+    // (sf10 ran 5155 query docs against a 495k-doc corpus — wall ×100+).
+    // A fixed query load against a growing corpus is the honest retrieval
+    // shape; ≤ sf1 the cap is not binding, so small-SF oracles are
+    // unchanged. Deterministic: min-doc_id 500.
     TextAnalysis.bm25TopK(
       docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
-      docs.where(pmod(col("doc_id"), lit(97)) === 0),
+      docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .orderBy("doc_id").limit(500),
       "doc_id", "text", "doc_id", "text")
       .orderBy("q_id", "rank")
   }
@@ -435,8 +443,13 @@ private[graft] trait QueriesPipeline extends QueryHelpers {
     operators.TextIndex.write(
       docs.where(pmod(col("doc_id"), lit(487)) =!= 0), "doc_id", "text",
       path, buckets = 32, hotDf = 100, hotSubs = 4)
+    // query batch capped at 12 (round 10): %487 alone grows the batch
+    // with the corpus (sf1 ran 102, sf10 would run 1027 — a "small
+    // repeated-retrieval batch" in name only); the cap keeps the index
+    // probe what it claims to be, and is non-binding at gate SFs
     operators.TextIndex.search(spark, path,
-      docs.where(pmod(col("doc_id"), lit(487)) === 0), "doc_id", "text")
+      docs.where(pmod(col("doc_id"), lit(487)) === 0)
+        .orderBy("doc_id").limit(12), "doc_id", "text")
       .orderBy("q_id", "rank")
   }
 

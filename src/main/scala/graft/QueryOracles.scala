@@ -80,15 +80,20 @@ private[graft] trait QueryOracles extends AnyRef {
       |             JOIN sizes sb ON pairs.b = sb.doc_id)
       |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
 
-  /** Shared by q120 (ad-hoc BM25, benchmark split mod 97) and q130
-    * (materialized text index, small query batch mod 487). */
-  private def bm25Oracle(qmod: Int): String =
+  /** Shared by q120 (ad-hoc BM25, benchmark split mod 97, query load
+    * capped at 500) and q130 (materialized text index, small query batch
+    * mod 487 capped at 12). The caps mirror the Spark side's round-10
+    * fix: an uncapped %-derived query set grows with the corpus and makes
+    * retrieval work quadratic by construction; they do not bind at gate
+    * SFs. */
+  private def bm25Oracle(qmod: Int, qlim: Int): String =
     """WITH c AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
         |  FROM documents WHERE doc_id % QMOD <> 0
         |), q AS (
         |  SELECT doc_id AS q_id, string_split_regex(trim(lower(text)), '\s+') AS w
         |  FROM documents WHERE doc_id % QMOD = 0
+        |  ORDER BY doc_id LIMIT QLIM
         |), posts AS (
         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
         |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM c)
@@ -117,7 +122,7 @@ private[graft] trait QueryOracles extends AnyRef {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank"""
-      .stripMargin.replace("QMOD", qmod.toString)
+      .stripMargin.replace("QMOD", qmod.toString).replace("QLIM", qlim.toString)
 
   // Cross-IMPLEMENTATION fixtures (tools/make_oracle_fixtures.py) for the
   // three deterministic operators no SQL engine expresses directly: deflate
@@ -900,7 +905,7 @@ private[graft] trait QueryOracles extends AnyRef {
         |SELECT d.doc_id, CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
-    "q120_bm25" -> bm25Oracle(97),
+    "q120_bm25" -> bm25Oracle(97, 500),
     "q135_phrase_search" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
@@ -953,7 +958,7 @@ private[graft] trait QueryOracles extends AnyRef {
         |FROM st""".stripMargin,
     // q130 searches a materialized index over the same corpus split with
     // identical BM25 arithmetic — one oracle pins both
-    "q130_text_index" -> bm25Oracle(487),
+    "q130_text_index" -> bm25Oracle(487, 12),
     "q126_top_paths" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -18,6 +18,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffles START wide and AQE coalesces them down to the advisory
+      // size: at board SFs the executed partition count is unchanged
+      // (coalesced), while a 10×-the-tuning-point corpus keeps 8×-finer
+      // partitions instead of spilling — the round-10 sf10 audit measured
+      // 41 GB of sort spill per dense-join query with shuffles pinned at
+      // 32 partitions (~1.5 GB/partition). This is the AQE-era sizing
+      // lever: fixed shuffle.partitions states the coalesce floor, the
+      // initial count scales the ceiling.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

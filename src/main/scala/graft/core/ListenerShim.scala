@@ -52,11 +52,20 @@ object EnvShim {
     System.gc()
     val deadline = System.currentTimeMillis() + waitMs
     var last = localDirBytes(sc)
-    var shrinking = true
-    while (shrinking && System.currentTimeMillis() < deadline) {
+    var stale = 0
+    var gcs = 1
+    // the cleaner deletes in RPC-paced bursts, so one static 100 ms tick
+    // can read "done" mid-burst — require three non-shrinking ticks, and
+    // spend one more gc if the first pass freed nothing (finalizer-
+    // promoted references often need the second collection)
+    while (stale < 3 && System.currentTimeMillis() < deadline) {
       Thread.sleep(100)
       val now = localDirBytes(sc)
-      shrinking = now < last
+      if (now < last) stale = 0
+      else {
+        stale += 1
+        if (stale == 2 && gcs < 2) { System.gc(); gcs += 1; stale = 0 }
+      }
       last = now
     }
     last

@@ -91,7 +91,12 @@ object Images {
   def withPatternPayload(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // repartition BEFORE the codec pass (round 10): a small-file corpus
+    // arrives as one parquet split, which pinned the whole PNG
+    // encode family to a single core — one slim id column shuffles,
+    // payloads are born distributed across every core
     df.select(col(idCol).cast("long").as(idCol))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions(_.map(id => (id, patternPayload(id, w, h))))
       .toDF(idCol, "payload")
@@ -105,6 +110,7 @@ object Images {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as(idCol), col(seedCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism) // q152's lesson
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, seed) => (id, patternPayload(seed, w, h)) })
       .toDF(idCol, "payload")
@@ -344,6 +350,7 @@ object Images {
     import spark.implicits._
     df.select(col(idCol).cast("long").as(idCol), col(seedCol).cast("long"),
         col(framesCol).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism) // q152's lesson
       .as[(Long, Long, Int)]
       .mapPartitions(_.map { case (id, seed, nf) =>
         (id, nf, animatedGifPayload(seed, w, h, nf))

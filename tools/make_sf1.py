@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
-"""Synthesize an sf1 (10x sf0.1) test set under /tmp/sf1 for the scaling
-audit (SURVEY round-8 lead: wall-vs-sf ratios per query).
+"""Synthesize an sfN (COPIES x sf0.1) test set for the scaling audit
+(SURVEY round-8 lead: wall-vs-sf ratios per query). Default COPIES=10
+(sf1 under /tmp/sf1); `tools/make_sf1.py /tmp/sf10 100` builds the sf10
+set for the round-10 decade-up audit.
 
 Relational tables replicate 10x with CONSISTENT key offsets (each copy's
 foreign keys point at its own copy of the parent, so join fan-outs and
@@ -36,7 +38,7 @@ import sys
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 os.makedirs(DST, exist_ok=True)
 
 con = duckdb.connect()
