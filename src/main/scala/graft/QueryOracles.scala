@@ -760,10 +760,14 @@ private[graft] trait QueryOracles extends AnyRef {
     // 32-bit halves (no sign-wrapping 1<<63), pairs brute-forced where
     // Spark must band — the q140/q143 discipline on the time axis.
     "q153_audio_fingerprint_dedup" ->
-      """WITH s AS (
+      """WITH sd AS (
+        |  SELECT doc_id, 31 + 2 * (((doc_id // 5) // 256) % 256) AS slope,
+        |         1777 * ((doc_id // 5) % 256) AS phase
+        |  FROM documents),
+        |s AS (
         |  SELECT d.doc_id, i.range AS i,
-        |         ((31 * i.range + 1777 * (d.doc_id // 5)) % 65536) - 32768 AS v
-        |  FROM documents d CROSS JOIN range(0, 4160) i),
+        |         ((d.slope * i.range + d.phase) % 65536) - 32768 AS v
+        |  FROM sd d CROSS JOIN range(0, 4160) i),
         |e AS (SELECT doc_id, i // 64 AS w, SUM(v * v) AS e FROM s GROUP BY 1, 2),
         |b AS (
         |  SELECT e1.doc_id, e1.w AS bit,

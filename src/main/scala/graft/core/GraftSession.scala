@@ -25,9 +25,12 @@ object GraftSession {
       // 41 GB of sort spill per dense-join query with shuffles pinned at
       // 32 partitions (~1.5 GB/partition). This is the AQE-era sizing
       // lever: fixed shuffle.partitions states the coalesce floor, the
-      // initial count scales the ceiling.
+      // initial count scales the ceiling — and the ceiling must clear the
+      // advisory size at the largest audited SF (a 44 GB dense-join
+      // shuffle needs ~700 partitions to hit 64 MB each; at ×8 = 256 AQE
+      // could not split finer and the agg spilled 37 GB).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (shufflePartitions * 8).toString)
+        (shufflePartitions * 32).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2,7 +2,7 @@ package graft.multimodal
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -34,20 +34,69 @@ object Audio {
   private def pcmFormat: AudioFormat =
     new AudioFormat(8000f, 16, 1, true, false)
 
+  // The REAL JDK codec providers, loaded ONCE per JVM: every
+  // AudioSystem.getAudioInputStream / AudioSystem.write call re-resolves
+  // its providers through the JDK's SYNCHRONIZED JDK13Services registry,
+  // so 32 decode threads serialize on one global lock — measured round
+  // 10: distributing q152's codec pass across 32 cores made it SLOWER
+  // (13.5 → 39.7 s) until the per-call lookup went away. The SPI is
+  // public; these are the same WaveFileReader/Writer classes AudioSystem
+  // would pick.
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private lazy val wavWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def openWav(in: java.io.InputStream, where: String): AudioInputStream = {
+    wavReaders.foreach { r =>
+      try return r.getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      s"$where: no provider decodes this payload")
+  }
+
+  private def writeWav(ais: AudioInputStream, out: ByteArrayOutputStream): Unit = {
+    wavWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais)) match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, out); ()
+      case None => throw new IllegalStateException("JDK WAVE writer unavailable")
+    }
+  }
+
   /** Deterministic procedural WAV (the fixture generator and the SQL
-    * oracle share this DEFINITION, not code): sample i of pattern `seed`
-    * is v(i) = ((31·i + 1777·seed) mod 65536) − 32768 — a full-swing
-    * 16-bit sawtooth whose phase the seed shifts by ~0.9 of a 64-sample
-    * window per step, so distinct seeds produce distinct window-energy
-    * profiles while equal seeds produce byte-identical payloads (the
-    * controlled duplicate structure the dedup queries need). Encoded
+    * oracle share this DEFINITION, not code): with s1 = seed mod 256 and
+    * s2 = (seed div 256) mod 256, sample i of pattern `seed` is
+    * v(i) = (((31 + 2·s2)·i + 1777·s1) mod 65536) − 32768 — a full-swing
+    * 16-bit sawtooth whose PHASE walks ~0.9 of a 64-sample window per
+    * seed step (adjacent seeds are near-dups) and whose FREQUENCY the s2
+    * block selects (31 + 2·s2 is odd, so every slope is full-period).
+    * The slope term (round 10) is what makes the distinct-profile
+    * universe scale: with a fixed slope the phase space caps at 65536,
+    * so past ~65k payloads phase-proximity true-near-dups densify
+    * quadratically with corpus size — the sf10 audit measured q153 at
+    * 38× linear. 256 slopes × 65536 phases ≈ 16.7M distinct profiles;
+    * seeds below 256 are bit-identical to the old pattern. Encoded
     * through the REAL JDK WAVE writer. */
   def wavPayload(seed: Long, nSamples: Int): Array[Byte] = {
     require(nSamples >= 1, s"wavPayload: need nSamples >= 1, got $nSamples")
     val pcm = new Array[Byte](nSamples * 2)
+    val slope = 31L + 2L * ((seed / 256) % 256)
+    val phase = 1777L * (seed % 256)
     var i = 0
     while (i < nSamples) {
-      val v = (((31L * i + 1777L * seed) % 65536) - 32768).toInt
+      val v = (((slope * i + phase) % 65536) - 32768).toInt
       pcm(2 * i) = (v & 0xFF).toByte
       pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
       i += 1
@@ -55,7 +104,7 @@ object Audio {
     val ais = new AudioInputStream(
       new ByteArrayInputStream(pcm), pcmFormat, nSamples.toLong)
     val out = new ByteArrayOutputStream()
-    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    try writeWav(ais, out)
     finally ais.close()
     out.toByteArray
   }
@@ -84,7 +133,7 @@ object Audio {
     * oracle proves the header round-trip too, not just the samples). */
   private def decodeSamples(
       payload: Array[Byte], where: String): (Array[Int], Int) = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val ais = openWav(new ByteArrayInputStream(payload), where)
     try {
       val fmt = ais.getFormat
       require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&

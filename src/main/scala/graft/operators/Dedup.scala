@@ -445,10 +445,19 @@ object Dedup {
       .observe(obs, coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L))
         .as("mass"))
       .where(col("_df") > hotMinDf)
-      .orderBy(col("_df").desc, col("sh").asc).limit(maxHot)
+      .orderBy(col("_df").desc, col("sh").asc).limit(maxHot + 1)
       .select("sh").collect().map(_.getLong(0))
     val denseMass = obs.get("mass").asInstanceOf[Long]
-    (hot, hot.isEmpty && denseMass > broadcastPairLimit.toLong)
+    // MORE hot shingles than the demotion list holds → take the dense
+    // exit outright (round-10 sf10 audit: the cap used to TRUNCATE
+    // silently, leaving every overflow hot shingle inside the prefixes —
+    // the prefix join then meets their C(df, 2) pairs each, the exact
+    // blowup demotion exists to prevent; q129 measured 25× linear with
+    // ~200k hot shingles against the 65k cap. A corpus with > maxHot
+    // demotable shingles is template-saturated: the filter provably has
+    // no lever left, and dense meets stay Σ df² — linear in copies.)
+    if (hot.length > maxHot) (Array.empty[Long], true)
+    else (hot, hot.isEmpty && denseMass > broadcastPairLimit.toLong)
   }
 
   /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh)
@@ -552,7 +561,13 @@ object Dedup {
   def ngramContainmentPairsFromHashes(
       sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame = {
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
-    val (hot, _) = jaccardDfRouting(sh, broadcastPairLimit)
+    val (hot, hotOverflow) = jaccardDfRouting(sh, broadcastPairLimit)
+    // the Jaccard twin's tier-0 exit, honored here too (round 10): with
+    // the hot set overflowed the prefix filter provably has no lever —
+    // building the prefix anyway pays a regroup the meet-mass probe
+    // immediately throws away
+    if (hotOverflow)
+      return denseContainment(sh, sizes, tau).localCheckpoint()
     val prefix = freqOrderedPrefix(sh, tau, hot).cache()
     // both decision masses from vocab-sized aggregates — never a pair join
     val dfc = sh.groupBy("sh").agg(count(lit(1)).as("_df"))

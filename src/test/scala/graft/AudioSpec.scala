@@ -8,9 +8,11 @@ class AudioSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   /** The pattern DEFINITION both engines share (scaladoc on
-    * [[Audio.wavPayload]]) — the spec's independent arithmetic model. */
+    * [[Audio.wavPayload]]) — the spec's independent arithmetic model:
+    * slope-block form (round 10), bit-identical to the old fixed-slope
+    * sawtooth for seeds below 256. */
   private def pat(seed: Long, i: Long): Long =
-    ((31L * i + 1777L * seed) % 65536) - 32768
+    (((31L + 2L * ((seed / 256) % 256)) * i + 1777L * (seed % 256)) % 65536) - 32768
 
   test("WAV payload round-trips bit-exactly through the real JDK codec") {
     val s = spark
@@ -104,7 +106,7 @@ class AudioSpec extends AnyFunSuite {
     // seeds 0..96 as in q153 — measure the hamming profile of the REAL
     // decoded fingerprints: phase-adjacent seeds must sit within a few
     // bits, phase-opposed seeds far away (the structure the threshold cuts)
-    val docs = Seq((0L, 0L, n), (1L, 1L, n), (2L, 48L, n))
+    val docs = Seq((0L, 0L, n), (1L, 1L, n), (2L, 48L, n), (3L, 256L, n))
       .toDF("doc_id", "seed", "ns")
     val wavs = Audio.withWavPayload(docs, "doc_id", "seed", "ns")
     val fp = Audio.audioFingerprint(wavs, "doc_id", "payload", windowSamples = 64)
@@ -113,5 +115,11 @@ class AudioSpec extends AnyFunSuite {
     val far = java.lang.Long.bitCount(fp(0L) ^ fp(2L))
     assert(near <= 6, s"adjacent phase should flip few delta bits, got $near")
     assert(far > near, s"distant phase ($far) must exceed adjacent ($near)")
+    // a different slope BLOCK (seed 256: same s1 phase as seed 0, next
+    // slope) must not read as near — the round-10 scale fix's property:
+    // the distinct-profile universe grows with the slope term, so phase
+    // proximity alone cannot densify near-dups past 65k payloads
+    val cross = java.lang.Long.bitCount(fp(0L) ^ fp(3L))
+    assert(cross > 6, s"cross-block profiles must be far, got $cross")
   }
 }
