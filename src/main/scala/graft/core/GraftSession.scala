@@ -25,12 +25,15 @@ object GraftSession {
       // 41 GB of sort spill per dense-join query with shuffles pinned at
       // 32 partitions (~1.5 GB/partition). This is the AQE-era sizing
       // lever: fixed shuffle.partitions states the coalesce floor, the
-      // initial count scales the ceiling — and the ceiling must clear the
-      // advisory size at the largest audited SF (a 44 GB dense-join
-      // shuffle needs ~700 partitions to hit 64 MB each; at ×8 = 256 AQE
-      // could not split finer and the agg spilled 37 GB).
+      // initial count scales the ceiling. ×16 is the measured sweet spot
+      // of the round-10 sf10 audit: at ×8 = 256 a 44 GB dense-join
+      // shuffle ran ~170 MB/partition and its aggregate spilled 37 GB;
+      // at ×32 = 1024 the same family regressed ~2× at sf1 (map-side
+      // bucket overhead on 2-4 GB shuffles). ×16 holds ~86 MB/partition
+      // at sf10 — inside one task's execution memory — without
+      // over-sharding the board-SF map side.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (shufflePartitions * 32).toString)
+        (shufflePartitions * 16).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
