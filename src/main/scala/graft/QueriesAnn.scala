@@ -57,6 +57,25 @@ private[graft] trait QueriesAnn extends QueryHelpers {
       queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
   }
 
+  /** q64's materialized-IVF machinery under a FULL oracle (round 11 — the
+    * rows-only ANN keys were the correctness bar's weakest link): the
+    * centroids are [[QueryFixtures.gridCentroids]], planted axis-block
+    * indicators rather than k-means output, so every stage is arithmetic
+    * DuckDB replicates term-for-term — bucket assignment (cosine argmax;
+    * with all centroid norms √8 this is block-sum argmax, margins far
+    * above float noise), the sidecar round-trip (doubles through parquet,
+    * exact), the driver-side nprobe centroid ranking, and the pruned
+    * brute-force re-rank. The q140 "oracle proves the banding" discipline
+    * applied to the index family: the gate now proves the WRITE + PROBE
+    * path end-to-end, not just that it returns rows. */
+  def q156AnnIvfGrid(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val path = indexPath(dir, "ivfgrid")
+    VectorIndex.writeIvf(emb, "vec_id", "embedding", QueryFixtures.gridCentroids, path)
+    VectorIndex.ivfTopK(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
+  }
+
   /** Int8-quantized materialized IVF: same pruning as q64, the corpus
     * stored as (tinyint[64], float32 scale) — ~4× smaller on disk and over
     * the probe's wire; only the pruned candidates dequantize. Rows-only

@@ -569,16 +569,20 @@ private[graft] trait QueriesCore extends QueryHelpers {
     * bucketed scale path to q34's exact quadratic scan (exact precision,
     * approximate recall). Rows-only oracle; spec checks precision exactly
     * and recall against the exact pairs. Every 25th vector is doubled at
-    * id + 1e6 (round 10 — the r9 verdict's vacuous-gate-row fix: the raw
+    * −(id+1) (round 10 — the r9 verdict's vacuous-gate-row fix: the raw
     * corpus has no cosine ≥ 0.9 pair at gate SF, so the driver's
     * rows-only check proved only that the query doesn't throw): an exact
     * copy has identical signs under EVERY hyperplane, so sign-LSH
     * recovers it in all tables by construction — the gate row now
-    * asserts ≥ N/25 real recovered pairs at every SF, not ≥ 0. */
+    * asserts ≥ N/25 real recovered pairs at every SF, not ≥ 0. The
+    * planted ids are NEGATED, not offset (r10 ADVICE): a fixed +1e6
+    * offset collides with real vec_ids once the corpus passes 1M rows
+    * (sf≈50, inside the decade-audit range), corrupting pair identity;
+    * vec_id ≥ 0 by generation, so −(id+1) is disjoint at EVERY scale. */
   def q74DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = emb.where(pmod(col("vec_id"), lit(25)) === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .select((-col("vec_id") - 1L).as("vec_id"), col("embedding"))
     Dedup.embeddingCosinePairsLsh(emb.unionByName(planted), "vec_id", "embedding",
       tau = 0.9, bitsPerTable = 8, tables = 4, seed = 42L)
       .orderBy("a", "b")

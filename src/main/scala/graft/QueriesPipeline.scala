@@ -464,14 +464,16 @@ private[graft] trait QueriesPipeline extends QueryHelpers {
       .orderBy("doc_id")
 
   /** Perceptual near-dup payloads: every 5th doc gets a 1-byte-perturbed
-    * copy planted (id+1e6); aHash + pigeonhole hamming join recovers the
-    * planted pairs that exact digests (q73) cannot (different md5). Rows
-    * only — byte-level aHash has no SQL oracle; banding exactness and
-    * planted-pair recall are spec-pinned. */
+    * copy planted at −(id+1) — negated, not a fixed +1e6 offset, so the
+    * planted ids stay disjoint from real doc_ids at EVERY scale (the
+    * offset collided past 1M docs, inside the decade-audit range; r10
+    * ADVICE on q74, same fixture shape). aHash + pigeonhole hamming join
+    * recovers the planted pairs that exact digests (q73) cannot
+    * (different md5). Full oracle: the stub-hash arithmetic is pure SQL. */
   def q97PhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val perturbed = docs.where(pmod(col("doc_id"), lit(5)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((-col("doc_id") - 1L).as("doc_id"),
         concat(expr("substring(text, 1, length(text) - 1)"), lit("x")).as("text"))
     val corpus = docs.select("doc_id", "text").unionByName(perturbed)
     Binary.perceptualNearDups(
@@ -612,12 +614,15 @@ private[graft] trait QueriesPipeline extends QueryHelpers {
     * items (l_returnflag = 'R') so the graph is cyclic with genuine
     * dangling nodes (suppliers nobody returned to). Fixed 5 iterations;
     * ranks scaled to mean 1 and rounded so both engines' IEEE results
-    * collide at 6 decimals. */
+    * collide at 6 decimals. Supplier nodes are NEGATED keys (suppkey ≥ 1,
+    * custkey ≥ 1, so the spaces are disjoint at every SF — the old +1e6
+    * offset aliased suppliers onto customers once custkey passed 1M,
+    * sf≈10; same fixture lesson as q74/q97, r10 ADVICE). */
   def q127PageRank(spark: SparkSession, dir: String): DataFrame = {
     val joined = t(spark, dir, "orders").join(
       t(spark, dir, "lineitem"),
       col("o_orderkey") === col("l_orderkey"))
-    val supplierNode = col("l_suppkey") + lit(1000000L)
+    val supplierNode = -col("l_suppkey")
     val fwd = joined.select(col("o_custkey").as("src"), supplierNode.as("dst"))
     val back = joined.where(col("l_returnflag") === lit("R"))
       .select(supplierNode.as("src"), col("o_custkey").as("dst"))

@@ -224,6 +224,18 @@ private[graft] trait QueriesText extends QueryHelpers {
     * cost is bounded by the guard at every SF. */
   def q154FrameOverlapGuarded(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"))
+    // the oracle derives hot/cold BY CONSTRUCTION (fp < 16 hot, ≥ 1000
+    // cold), which equals the implementation's df > hotFpLimit rule only
+    // while each designed-hot fp's df ≈ docs/2 actually exceeds 64 — on a
+    // smaller fixture the implementation would take the PLAIN join
+    // (emitting cross-group hot-only pairs the oracle still suppresses),
+    // a silent mismatch. Refuse loudly below the equivalence point
+    // (r10 ADVICE): worst case df = (docs−1)/2, so docs > 2·64+1.
+    val nDocs = docs.count()
+    require(nDocs > 2L * 64 + 1,
+      s"q154: fixture has $nDocs docs — the designed-hot fps need " +
+        "df = ~docs/2 > hotFpLimit=64 for the construction-equals-df-rule " +
+        "invariant; run at a scale with > 129 documents")
     val hotF = docs
       .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("h"))
       .where(pmod(col("doc_id") + col("h"), lit(2)) === 0)

@@ -38,3 +38,17 @@ private[graft] trait QueryHelpers {
   protected def indexPath(dir: String, kind: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_index/${new java.io.File(dir).getName}/$kind"
 }
+
+/** Fixture constants shared between a query and the oracle SQL generated
+  * from the SAME values — the only way an index-family key gets a full
+  * (rows+schema+hash) gate row. */
+private[graft] object QueryFixtures {
+  /** q156's PLANTED IVF centroids: 8 axis-block indicators over the 64-dim
+    * embeddings (centroid j = 1.0 on dims [8j, 8(j+1)), else 0.0) — a
+    * deterministic grid, not k-means output, so bucket assignment is
+    * replicable arithmetic in any engine: cosine argmax ≡ block-sum argmax
+    * (all centroids share norm √8), margins far above float noise, and the
+    * DuckDB oracle regenerates these exact literals. */
+  val gridCentroids: Seq[Seq[Double]] =
+    (0 until 8).map(j => (0 until 64).map(i => if (i / 8 == j) 1.0 else 0.0))
+}

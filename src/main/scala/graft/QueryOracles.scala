@@ -27,10 +27,10 @@ private[graft] trait QueryOracles extends AnyRef {
   private def pageRankOracle(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH eraw AS (
-      |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  SELECT o_custkey AS src, -l_suppkey AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  UNION ALL
-      |  SELECT l_suppkey + 1000000 AS src, o_custkey AS dst
+      |  SELECT -l_suppkey AS src, o_custkey AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  WHERE l_returnflag = 'R'),
       |edges AS (SELECT DISTINCT src, dst FROM eraw),
@@ -55,6 +55,48 @@ private[graft] trait QueryOracles extends AnyRef {
     }
     sb ++= s"\nSELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_n FROM pr$iters ORDER BY node"
     sb.toString
+  }
+
+  /** Ordered left-fold dot product in DOUBLE — the exact association
+    * order of [[graft.functions.ArrayMath.dot]] (and of the driver-side
+    * probe ranking's Scala fold), shared by every embedding oracle. */
+  private def dotFold(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i] * $b[i])), (p, s) -> p + s)"
+
+  private def cosFold(a: String, b: String): String =
+    s"(${dotFold(a, b)} / (sqrt(${dotFold(a, a)}) * sqrt(${dotFold(b, b)})))"
+
+  /** q156: the materialized-IVF probe replicated end-to-end on the PLANTED
+    * grid centroids ([[QueryFixtures.gridCentroids]] — the literals below
+    * are generated from the same Seq). Stages mirror the implementation
+    * term for term: per-vector bucket = cosine argmax with lowest-index
+    * ties ([[graft.operators.Similarity.assignBuckets]]'s greatest +
+    * first-match), probed buckets = top-nprobe centroids by cosine to the
+    * query with lower-index ties ([[Similarity.probeBuckets]]), result =
+    * exact brute top-k over ONLY the probed buckets' rows
+    * ([[Similarity.bruteTopK]]: round 6dp THEN order, id-asc ties). */
+  private def q156Oracle: String = {
+    val cRows = QueryFixtures.gridCentroids.zipWithIndex.map { case (c, j) =>
+      s"($j, [${c.map(x => s"${x}e0").mkString(", ")}])"
+    }.mkString(",\n      |  ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+      |c(j, cv) AS (VALUES
+      |  $cRows),
+      |sims AS (SELECT v.vec_id, c.j, ${cosFold("v.ve", "c.cv")} AS s
+      |         FROM v CROSS JOIN c),
+      |best AS (SELECT vec_id, max(s) AS m FROM sims GROUP BY vec_id),
+      |bkt AS (SELECT s.vec_id, min(s.j) AS bucket FROM sims s
+      |        JOIN best b ON s.vec_id = b.vec_id AND s.s = b.m
+      |        GROUP BY s.vec_id),
+      |probe AS (SELECT c.j FROM c CROSS JOIN q
+      |          ORDER BY ${cosFold("c.cv", "q.qv")} DESC, c.j ASC LIMIT 2)
+      |SELECT v.vec_id, ROUND(${cosFold("v.ve", "q.qv")}, 6) AS cosine
+      |FROM v JOIN bkt ON v.vec_id = bkt.vec_id CROSS JOIN q
+      |WHERE bkt.bucket IN (SELECT j FROM probe) AND v.vec_id <> 0
+      |ORDER BY cosine DESC, v.vec_id ASC LIMIT 10""".stripMargin
   }
 
   /** Shared by q31 (shingle equi-join) and q129 (prefix-filtered): both
@@ -798,7 +840,7 @@ private[graft] trait QueryOracles extends AnyRef {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 1) || 'x'
+        |  SELECT -doc_id - 1, substr(text, 1, length(text) - 1) || 'x'
         |  FROM documents WHERE doc_id % 5 = 0),
         |s AS (
         |  SELECT c.doc_id, i.range AS i,
@@ -1634,6 +1676,7 @@ private[graft] trait QueryOracles extends AnyRef {
         |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
         |                               '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q156_ann_ivf_grid" -> q156Oracle,
     "q50_ann_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

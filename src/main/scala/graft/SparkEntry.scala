@@ -105,6 +105,7 @@ object Queries
     "q51_ann_ivf" -> q51AnnIvf _,
     "q63_ann_lsh" -> q63AnnLsh _,
     "q64_ann_ivf_index" -> q64AnnIvfIndex _,
+    "q156_ann_ivf_grid" -> q156AnnIvfGrid _,
     "q104_ann_ivf_q8" -> q104AnnIvfQ8 _,
     "q65_ann_lsh_index" -> q65AnnLshIndex _,
     "q52_knn_join" -> q52KnnJoin _,

@@ -48,23 +48,32 @@ object EnvShim {
     * broadcast / RDD weak reference, then ContextCleaner deletes their
     * files asynchronously — poll the local dirs while they shrink (100 ms
     * ticks, bounded by `waitMs`). Returns bytes remaining. */
-  def drainDisk(sc: SparkContext, waitMs: Long = 3000): Long = {
-    System.gc()
+  def drainDisk(sc: SparkContext, waitMs: Long = 3000): Long =
+    drainPoll(() => localDirBytes(sc), () => System.gc(), waitMs)
+
+  /** The [[drainDisk]] poll loop with its measurement, gc trigger, and
+    * tick injectable — the spec hook that lets a scripted SLOW cleaner
+    * (RPC-paced delete bursts with multi-tick pauses) prove the loop
+    * rides out stalls instead of breaking early. The cleaner deletes in
+    * bursts, so one static tick can read "done" mid-burst — require three
+    * non-shrinking ticks, and spend one more gc if a pass stops shrinking
+    * early (finalizer-promoted references often need the second
+    * collection). */
+  def drainPoll(
+      measure: () => Long, gc: () => Unit, waitMs: Long,
+      tickMs: Long = 100): Long = {
+    gc()
     val deadline = System.currentTimeMillis() + waitMs
-    var last = localDirBytes(sc)
+    var last = measure()
     var stale = 0
     var gcs = 1
-    // the cleaner deletes in RPC-paced bursts, so one static 100 ms tick
-    // can read "done" mid-burst — require three non-shrinking ticks, and
-    // spend one more gc if the first pass freed nothing (finalizer-
-    // promoted references often need the second collection)
     while (stale < 3 && System.currentTimeMillis() < deadline) {
-      Thread.sleep(100)
-      val now = localDirBytes(sc)
+      Thread.sleep(tickMs)
+      val now = measure()
       if (now < last) stale = 0
       else {
         stale += 1
-        if (stale == 2 && gcs < 2) { System.gc(); gcs += 1; stale = 0 }
+        if (stale == 2 && gcs < 2) { gc(); gcs += 1; stale = 0 }
       }
       last = now
     }

@@ -103,7 +103,11 @@ object Audio {
     }
     val ais = new AudioInputStream(
       new ByteArrayInputStream(pcm), pcmFormat, nSamples.toLong)
-    val out = new ByteArrayOutputStream()
+    // presized: RIFF header (44 B) + 2 B/sample. The default 32-byte
+    // buffer doubles-and-copies ~log2(n) times per payload — at sf10 the
+    // encode pass writes ~10 GB of WAV, so the copies were a measurable
+    // slice of q152's 12.7× decade ratio.
+    val out = new ByteArrayOutputStream(nSamples * 2 + 64)
     try writeWav(ais, out)
     finally ais.close()
     out.toByteArray

@@ -731,9 +731,33 @@ object Dedup {
         .toArray.distinct.sorted
       return nodes.map(nd => (nd, find(nd))).toSeq.toDF("id", "comp")
     }
-    val sym = typed
+    val spark = edges.sparkSession
+    // Explicit iterative sizing (the q127 lesson, Graph.scala): each
+    // round's min-label aggregate is the final stage of a localCheckpoint,
+    // which AQE never coalesces (`.rdd`-consumed), and a cached final
+    // stage materializes at the full wide-start ceiling — so the loop must
+    // not inherit the global confs. The symmetric edge list lands at
+    // hash(dst, cores) in the SAME pass that counts it (explicit
+    // repartitions are never AQE-resized); the per-round propagation joins
+    // on dst, so the edge side (the big one) never re-shuffles mid-loop.
+    // Only a graph whose row count justifies more width re-lands at p.
+    val cores = spark.sparkContext.defaultParallelism
+    val sym0 = typed
       .unionByName(typed.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
+      .repartition(cores, col("dst"))
+      .persist()
+    val mSym = sym0.count()
+    val p = graft.core.GraftSession.iterPartitions(spark, mSym)
+    val sym =
+      if (p == cores) sym0
+      else {
+        val s = sym0.repartition(p, col("dst")).persist()
+        s.count()
+        sym0.unpersist()
+        s
+      }
+    graft.core.GraftSession.withShufflePartitions(spark, p) {
+    try {
     var labels = sym.groupBy("src").agg(min("dst").as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("comp"))
       .localCheckpoint()
@@ -754,7 +778,6 @@ object Dedup {
       labels = next.select("id", "comp")
       iter += 1
     }
-    sym.unpersist()
     // exhausting maxIter without convergence would return SILENTLY WRONG
     // labels (nodes > maxIter hops from their component's min id keep a
     // stale label) — a real shape at corpus scale, where chains of
@@ -764,6 +787,8 @@ object Dedup {
         "graph has a component of diameter > maxIter; raise maxIter " +
         "(rounds are O(diameter)) or pre-contract with star contraction")
     labels
+    } finally sym.unpersist() // released on the refusal path too
+    }
   }
 
   /** Near-duplicate clusters: every document labeled with the minimum doc id

@@ -147,11 +147,18 @@ object FrameOverlap {
   private[graft] def coldFrames(
       fr: DataFrame, fpCol: String, hotFpLimit: Int): DataFrame = {
     val fp = col(fpCol)
+    // mirrors [[pairs]] exactly (r10 ADVICE): an unordered limit would pick
+    // a nondeterministic hot subset and silently truncate past MaxHotFps,
+    // letting this spec hook diverge from the production path it proves
     val hot: Array[Any] = fr.groupBy(fp.as("_fp"))
       .agg(count(lit(1)).as("_df"))
       .where(col("_df") > hotFpLimit)
-      .limit(MaxHotFps)
-      .collect().map(_.get(0))
+      .orderBy(col("_df").desc, col("_fp"))
+      .limit(MaxHotFps + 1)
+      .collect().take(MaxHotFps + 1).map(_.get(0))
+    require(hot.length <= MaxHotFps,
+      s"FrameOverlap: > $MaxHotFps fingerprints above hotFpLimit=$hotFpLimit " +
+        "— the limit is set far below corpus scale; raise it")
     if (hot.isEmpty) fr else fr.where(!fp.isin(hot.toIndexedSeq: _*))
   }
 

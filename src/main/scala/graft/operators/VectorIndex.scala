@@ -416,13 +416,28 @@ object VectorIndex {
     * plain-PQ loudly-then-repaired, never silently torn); rotation and
     * codes both new → the OPQ publish completes. The one thing repair
     * cannot restore is a rotation whose sidecar never hit disk — that
-    * requires re-running [[writeIvfPqOpq]] with the trained model. */
+    * requires re-running [[writeIvfPqOpq]] with the trained model — and a
+    * corpus whose own job commit never finished (no `_SUCCESS`): rows, not
+    * codes, are missing there, so repair refuses and points the caller at
+    * a publish re-run rather than blessing a partial row set. */
   def repairIvfPqOpq(
       spark: SparkSession, path: String, idCol: String, vecCol: String): Unit = {
     val fs = opqPendingPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(opqPendingPath(path)),
       s"$path: no pending marker — nothing to repair")
+    // repair re-encodes whatever rows are on disk, so the corpus must be a
+    // COMPLETE committed write: a crash inside the original publish's
+    // job commit leaves partially committed part files (no _SUCCESS), and
+    // re-encoding those would republish a hole-y index as "sound" (r10
+    // ADVICE). The _SUCCESS marker is the committer's own completeness
+    // receipt; nothing short of a finished corpus job writes it.
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/corpus/_SUCCESS")),
+      s"$path: corpus has no _SUCCESS commit marker — the crashed publish " +
+        "died inside its corpus write, so the rows on disk may be a " +
+        "partial set repair would silently bless. Re-run the original " +
+        "writeIvfPq/writeIvfPqOpq publish (repair only re-derives " +
+        "consistent CODES from a complete corpus; it cannot restore rows)")
     val centroids = readIvfCentroids(spark, path)
     val model = readPqMeta(spark, path)
     val residual = readPqResidual(spark, path)

@@ -524,13 +524,15 @@ class DedupSpec extends AnyFunSuite {
 
   test("registered q74 is non-vacuous at gate SF: planted exact copies recovered") {
     // the round-9 verdict's vacuous-gate-row fix, pinned: every 25th
-    // vector doubles at id+1e6, an exact copy shares all sign buckets,
-    // so the rows-only driver check now asserts real recovered pairs
+    // vector doubles at −(id+1) (negated, not offset — a fixed offset
+    // collides with real ids past 1M rows, r10 ADVICE), an exact copy
+    // shares all sign buckets, so the rows-only driver check now asserts
+    // real recovered pairs; pair (a,b) has a = −(b+1) with a < 0 ≤ b
     val got = SparkEntry.queries("q74_dedup_embedding_lsh")(
       spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Double)].collect()
     assert(got.length >= 20, s"expected >= 20 planted pairs, got ${got.length}")
-    val planted = got.filter(p => p._2 == p._1 + 1000000L)
+    val planted = got.filter(p => p._1 == -(p._2 + 1L))
     assert(planted.length == 20 && planted.forall(_._3 == 1.0),
       "all 20 planted exact copies must be recovered at cosine 1.0")
   }

@@ -319,5 +319,22 @@ class OpqSpec extends AnyFunSuite {
     VectorIndex.writeIvfPq(df, "vec_id", "embedding", centroids, opq.pq, pathPlain, residual = true)
     assert(probeRows(path) == probeRows(pathPlain),
       "repaired plain index must probe identically to a one-shot plain build")
+
+    // torn state C — the r10-ADVICE window: the crash hit INSIDE the
+    // corpus job commit itself (partially committed part files, no
+    // _SUCCESS receipt). Repair must REFUSE — re-encoding a partial row
+    // set would republish a hole-y index as sound — and direct the caller
+    // at a publish re-run, which is what restores service.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/corpus/_SUCCESS"), false)
+    markPending()
+    val errTorn = intercept[IllegalArgumentException] {
+      VectorIndex.repairIvfPqOpq(spark, path, "vec_id", "embedding")
+    }
+    assert(errTorn.getMessage.contains("_SUCCESS"), errTorn.getMessage)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_opq_pending")),
+      "a refused repair must leave the marker standing (the path stays loud)")
+    VectorIndex.writeIvfPqOpq(df, "vec_id", "embedding", centroids, opq, path, residual = true)
+    assert(probeRows(path) == healthyProbe,
+      "the directed remedy (publish re-run) must restore the healthy index")
   }
 }
