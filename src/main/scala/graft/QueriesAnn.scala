@@ -76,6 +76,26 @@ private[graft] trait QueriesAnn extends QueryHelpers {
       queryVec(spark, dir, 0L), nprobe = 2, k = 10, excludeId = Some(0L))
   }
 
+  /** q110's PQ machinery under a FULL oracle (round 11, the q156
+    * discipline extended to the compressed-storage family): the codebooks
+    * are [[QueryFixtures.pqGridBooks]], planted one-hot cells rather than
+    * Lloyd output, so every stage is arithmetic DuckDB replicates term for
+    * term — the codegen'd cell assignment ([[graft.functions.PqCodec]]:
+    * argmax_c sv·c − |c|²/2 ≡ per-subspace argmax, lowest-index ties), the
+    * float32 norm column, the exactly-collapsing ADC lookup
+    * (LUT[j][c] = q[16j+c], 4-term left-fold sum), the round-6dp shortlist
+    * ranking (top-100, id-asc ties), and the pruned exact re-rank. The
+    * gate row proves ENCODE + ADC + RERANK end-to-end; the trained
+    * variants (q110/q136/q112) stay rows-only + spec recall floors by
+    * nature. */
+  def q157AnnPqGrid(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = ProductQuantizer.PqModel(m = 4, dsub = 16, books = QueryFixtures.pqGridBooks)
+    val enc = ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+    ProductQuantizer.rerankTopK(emb, "vec_id", "embedding", enc, model,
+      queryVec(spark, dir, 0L), k = 10, shortlist = 100, excludeId = Some(0L))
+  }
+
   /** Int8-quantized materialized IVF: same pruning as q64, the corpus
     * stored as (tinyint[64], float32 scale) — ~4× smaller on disk and over
     * the probe's wire; only the pruned candidates dequantize. Rows-only

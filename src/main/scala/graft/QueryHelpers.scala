@@ -51,4 +51,15 @@ private[graft] object QueryFixtures {
     * DuckDB oracle regenerates these exact literals. */
   val gridCentroids: Seq[Seq[Double]] =
     (0 until 8).map(j => (0 until 64).map(i => if (i / 8 == j) 1.0 else 0.0))
+
+  /** q157's PLANTED PQ codebooks (m=4 subspaces × dsub=16 dims × k=16
+    * cells): cell c of every subspace is the one-hot vector e_c, so the
+    * L2 assignment score `sv·c − |c|²/2` collapses to `sv[c] − 0.5` and
+    * cell assignment ≡ per-subspace argmax with lowest-index ties —
+    * replicable arithmetic in any engine (the zero terms of the
+    * sequential-fold dot are exact: 0.0·x contributes ±0.0 and the
+    * accumulator is unchanged). The ADC lookup table likewise collapses
+    * exactly: LUT[j][c] = q[16j+c]. */
+  val pqGridBooks: Seq[Seq[Seq[Double]]] =
+    Seq.fill(4)((0 until 16).map(c => (0 until 16).map(i => if (i == c) 1.0 else 0.0).toSeq))
 }

@@ -99,6 +99,36 @@ private[graft] trait QueryOracles extends AnyRef {
       |ORDER BY cosine DESC, v.vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** q157: PQ encode + ADC shortlist + exact re-rank replicated end-to-end
+    * on the PLANTED one-hot codebooks ([[QueryFixtures.pqGridBooks]]).
+    * With cell c = e_c every stage collapses to exact arithmetic: code_j =
+    * argmax of subvector j with lowest-index ties (list_position finds the
+    * FIRST max, mirroring [[graft.functions.PqBooks.nearest]]'s strict
+    * `>`; the one-hot dot's zero terms are exact, ±0.0 never moves the
+    * accumulator); LUT[j][c] = q[16j+c] exactly; the ADC score is the
+    * 4-term left-fold sum over (pq_norm::float32 × query norm) rounded to
+    * 6dp ([[graft.operators.ProductQuantizer.adcTopK]]); shortlist =
+    * top-100 by (score desc, id asc); result = brute top-10 over ONLY the
+    * shortlist (round THEN order, id-asc ties — the q50 convention). */
+  private def q157Oracle: String = {
+    def sub(j: Int) = s"ve[${16 * j + 1}:${16 * (j + 1)}]"
+    val lut = (0 until 4).map(j =>
+      s"qv[${16 * j} + list_position(${sub(j)}, list_max(${sub(j)}))]")
+      .mkString(" +\n      |          ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+      |adc AS (SELECT vec_id, ROUND((
+      |          $lut
+      |        ) / (CAST(CAST(sqrt(${dotFold("ve", "ve")}) AS REAL) AS DOUBLE) *
+      |             sqrt(${dotFold("qv", "qv")})), 6) AS score
+      |        FROM v CROSS JOIN q WHERE vec_id <> 0),
+      |short AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT 100)
+      |SELECT v.vec_id, ROUND(${cosFold("v.ve", "q.qv")}, 6) AS cosine
+      |FROM v JOIN short USING (vec_id) CROSS JOIN q
+      |ORDER BY cosine DESC, v.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Shared by q31 (shingle equi-join) and q129 (prefix-filtered): both
     * compute the identical exact pair set, so one oracle pins both. */
   private val ngramJaccardOracle: String =
@@ -1677,6 +1707,7 @@ private[graft] trait QueryOracles extends AnyRef {
         |                               '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q156_ann_ivf_grid" -> q156Oracle,
+    "q157_ann_pq_grid" -> q157Oracle,
     "q50_ann_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

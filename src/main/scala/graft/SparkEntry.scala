@@ -149,6 +149,7 @@ object Queries
     "q108_dup_ngrams" -> q108DupNgrams _,
     "q109_url_dedup" -> q109UrlDedup _,
     "q110_pq_ann" -> q110PqAnn _,
+    "q157_ann_pq_grid" -> q157AnnPqGrid _,
     "q136_ann_opq" -> q136AnnOpq _,
     "q111_cdc_chunks" -> q111CdcChunks _,
     "q112_ann_ivfpq" -> q112AnnIvfPq _,

@@ -235,4 +235,29 @@ class ProductQuantizerSpec extends AnyFunSuite {
       assert(gotJ((r, j)) == cell(j, sv.map(_.toDouble)), s"row=$r j=$j")
     }
   }
+
+  test("planted one-hot books (q157 fixture): encode == per-subspace argmax") {
+    // The q157 oracle's load-bearing identity: with cell c = e_c the L2
+    // assignment score sv·c − |c|²/2 collapses to sv[c] − 0.5, so the
+    // codegen'd encode must equal a plain argmax with lowest-index ties —
+    // the exact arithmetic the DuckDB oracle replays via list_position.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val model = ProductQuantizer.PqModel(m = 4, dsub = 16, graft.QueryFixtures.pqGridBooks)
+    val rnd = new java.util.Random(13L)
+    val vecs = Seq.fill(60)(Seq.fill(64)(rnd.nextGaussian().toFloat)) :+
+      Seq.fill(64)(0.5f) // all-equal subvectors: ties must resolve to cell 0
+    val got = vecs.toDF("v")
+      .select(ProductQuantizer.codeCol(col("v"), model).as("code"))
+      .collect().map(_.getSeq[Byte](0))
+    vecs.zip(got).foreach { case (v, code) =>
+      val want = (0 until 4).map { j =>
+        val sv = v.slice(j * 16, (j + 1) * 16).map(_.toDouble)
+        sv.indexOf(sv.max).toByte
+      }
+      assert(code == want, s"got=$code want=$want")
+    }
+    assert(got.last == Seq[Byte](0, 0, 0, 0), "all-equal ties must pick cell 0")
+  }
 }
