@@ -122,6 +122,43 @@ private[graft] trait QueriesAnn extends QueryHelpers {
       queryVec(spark, dir, 0L), k = 10, excludeId = Some(0L))
   }
 
+  /** q63/q65's LSH machinery under a FULL oracle (round 11): the 6×4
+    * hyperplanes are [[QueryFixtures.lshGridPlanes]], planted axis
+    * differences e_{2p} − e_{2p+1} rather than seeded Gaussians, so every
+    * stage is arithmetic DuckDB replicates term for term — each sign bit
+    * is exactly `v[2p] − v[2p+1] >= 0`, each table bucket the 4-bit integer
+    * sum, the MULTIPROBE flip (nprobe=2) the lowest-|margin| plane with
+    * lowest-index ties ([[operators.Similarity.multiprobeBuckets]]), the
+    * candidate set the exact-bucket OR across tables, and the result the
+    * brute top-k over candidates only. The gate row proves bucketing +
+    * multiprobe + candidate-OR end-to-end; the seeded variants (q63/q65)
+    * stay rows-only + spec recall floors by nature. */
+  def q158AnnLshGrid(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKPlanes(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(spark, dir, 0L), QueryFixtures.lshGridPlanes,
+      k = 10, excludeId = Some(0L), nprobe = 2)
+
+  /** The FULL IVF-PQ composite (q112's machinery — materialized write,
+    * bucket pruning, residual codes, ADC + per-bucket offset, exact
+    * re-rank) under a FULL oracle (round 11): centroids are
+    * [[QueryFixtures.gridCentroids]] and codebooks
+    * [[QueryFixtures.pqGridBooks]], so the residual `v − c_b` is an exact
+    * double subtract, cell assignment a per-subspace argmax of the
+    * residual, the ADC lookup collapses to LUT[j][c] = q[16j+c] plus the
+    * replayable `q·c_b` offset, and every parquet round-trip
+    * (bucket/codes/norm/meta) is exact. The deepest index path with a
+    * rows+schema+hash gate row. */
+  def q159AnnIvfPqGrid(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = ProductQuantizer.PqModel(m = 4, dsub = 16, books = QueryFixtures.pqGridBooks)
+    val path = indexPath(dir, "ivfpqgrid")
+    VectorIndex.writeIvfPq(emb, "vec_id", "embedding",
+      QueryFixtures.gridCentroids, model, path, residual = true)
+    VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100,
+      excludeId = Some(0L))
+  }
+
   /** Product-quantized ANN (train + encode + ADC shortlist + exact
     * re-rank): 64 float dims become 4 byte codes + a norm (~32× smaller),
     * scoring is m table lookups per row, and only the shortlist loads raw

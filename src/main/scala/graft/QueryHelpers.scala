@@ -62,4 +62,18 @@ private[graft] object QueryFixtures {
     * exactly: LUT[j][c] = q[16j+c]. */
   val pqGridBooks: Seq[Seq[Seq[Double]]] =
     Seq.fill(4)((0 until 16).map(c => (0 until 16).map(i => if (i == c) 1.0 else 0.0).toSeq))
+
+  /** q158's PLANTED LSH hyperplanes (6 tables × 4 sign bits): plane p
+    * (global index, p = 4t + b) is the axis difference e_{2p} − e_{2p+1},
+    * so its dot with any vector is EXACTLY v[2p] − v[2p+1] (the
+    * sequential-fold dot's zero terms contribute ±0.0 and never move the
+    * accumulator) — sign bits, multiprobe margins (|v[2p] − v[2p+1]|,
+    * lowest-index ties) and bucket ids are all engine-replicable
+    * arithmetic. 24 planes cover dims 0..47 of the 64-dim embeddings. */
+  val lshGridPlanes: Seq[Seq[Seq[Double]]] =
+    (0 until 6).map(t => (0 until 4).map { b =>
+      val p = 4 * t + b
+      (0 until 64).map(i =>
+        if (i == 2 * p) 1.0 else if (i == 2 * p + 1) -1.0 else 0.0).toSeq
+    })
 }

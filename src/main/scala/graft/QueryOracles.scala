@@ -129,6 +129,94 @@ private[graft] trait QueryOracles extends AnyRef {
       |ORDER BY cosine DESC, v.vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** q158: multi-table sign-bit LSH + multiprobe replicated end-to-end on
+    * the PLANTED axis-difference hyperplanes
+    * ([[QueryFixtures.lshGridPlanes]] — plane p = e_{2p} − e_{2p+1}, so
+    * its sequential-fold dot is EXACTLY v[2p] − v[2p+1]). Stages mirror
+    * the implementation term for term: sign bit = `diff >= 0`
+    * ([[graft.operators.Similarity.lshBucket]]), table bucket = Σ 1<<b,
+    * multiprobe flip = the lowest-|margin| plane with lowest-index ties
+    * ([[Similarity.multiprobeBuckets]], nprobe=2 keeps the query bucket +
+    * ONE flip per table), candidates = exact-bucket OR across tables,
+    * result = brute top-k over candidates only (q50 convention). */
+  private def q158Oracle: String = {
+    val planeRows = (0 until 24).map { p =>
+      s"(${p / 4}, ${p % 4}, ${2 * p + 1}, ${2 * p + 2})"
+    }.mkString(", ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+      |pl(t, b, i1, i2) AS (VALUES $planeRows),
+      |qd AS (SELECT t, b, qv[i1] - qv[i2] AS d FROM pl CROSS JOIN q),
+      |qb AS (SELECT t, CAST(SUM(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
+      |       FROM qd GROUP BY t),
+      |flip AS (SELECT t, b FROM (
+      |           SELECT t, b, row_number() OVER (PARTITION BY t ORDER BY abs(d) ASC, b ASC) AS rn
+      |           FROM qd) WHERE rn = 1),
+      |probes AS (SELECT t, bucket FROM qb
+      |           UNION ALL
+      |           SELECT qb.t, xor(qb.bucket, CAST(1 << flip.b AS INT)) AS bucket
+      |           FROM qb JOIN flip USING (t)),
+      |vb AS (SELECT vec_id, t,
+      |              CAST(SUM(CASE WHEN ve[i1] - ve[i2] >= 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
+      |       FROM v CROSS JOIN pl GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT vec_id FROM vb JOIN probes USING (t, bucket))
+      |SELECT v.vec_id, ROUND(${cosFold("v.ve", "q.qv")}, 6) AS cosine
+      |FROM v JOIN cand USING (vec_id) CROSS JOIN q
+      |WHERE v.vec_id <> 0
+      |ORDER BY cosine DESC, v.vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** q159: the residual IVF-PQ composite replicated end-to-end on BOTH
+    * planted fixtures (grid centroids + one-hot codebooks). Mirrors
+    * [[graft.operators.VectorIndex.writeIvfPq]] (residual=true) +
+    * [[VectorIndex.ivfTopKPq]] stage for stage: bucket = centroid cosine
+    * argmax with lowest-index ties (the q156 rule), probed buckets =
+    * top-2 centroids by query cosine, residual = exact double subtract
+    * `v − c_b`, cell = per-subspace argmax of the RESIDUAL (one-hot books
+    * collapse the L2 score), ADC = Σ_j q[16j+c_j] + the per-bucket
+    * `q·c_b` offset over (float32 raw norm × query norm) rounded to 6dp,
+    * shortlist = top-100 (id-asc ties) over the PRUNED buckets only,
+    * result = brute top-10 over shortlist ∩ pruned. */
+  private def q159Oracle: String = {
+    val cRows = QueryFixtures.gridCentroids.zipWithIndex.map { case (c, j) =>
+      s"($j, [${c.map(x => s"${x}e0").mkString(", ")}])"
+    }.mkString(",\n      |  ")
+    def sub(j: Int) = s"rv[${16 * j + 1}:${16 * (j + 1)}]"
+    val lut = (0 until 4).map(j =>
+      s"qv[${16 * j} + list_position(${sub(j)}, list_max(${sub(j)}))]")
+      .mkString(" +\n      |          ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+      |c(j, cv) AS (VALUES
+      |  $cRows),
+      |sims AS (SELECT v.vec_id, c.j, ${cosFold("v.ve", "c.cv")} AS s
+      |         FROM v CROSS JOIN c),
+      |best AS (SELECT vec_id, max(s) AS m FROM sims GROUP BY vec_id),
+      |bkt AS (SELECT s.vec_id, min(s.j) AS bucket FROM sims s
+      |        JOIN best b ON s.vec_id = b.vec_id AND s.s = b.m
+      |        GROUP BY s.vec_id),
+      |probe AS (SELECT c.j FROM c CROSS JOIN q
+      |          ORDER BY ${cosFold("c.cv", "q.qv")} DESC, c.j ASC LIMIT 2),
+      |pr AS (SELECT v.vec_id, v.ve, bkt.bucket FROM v JOIN bkt USING (vec_id)
+      |       WHERE bkt.bucket IN (SELECT j FROM probe)),
+      |res AS (SELECT pr.vec_id, pr.bucket, pr.ve, c.cv,
+      |               list_transform(range(1, 65), i -> pr.ve[i] - c.cv[i]) AS rv
+      |        FROM pr JOIN c ON c.j = pr.bucket),
+      |adc AS (SELECT vec_id, ROUND((
+      |          $lut
+      |          + ${dotFold("qv", "cv")}
+      |        ) / (CAST(CAST(sqrt(${dotFold("ve", "ve")}) AS REAL) AS DOUBLE) *
+      |             sqrt(${dotFold("qv", "qv")})), 6) AS score
+      |        FROM res CROSS JOIN q WHERE vec_id <> 0),
+      |short AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT 100)
+      |SELECT pr.vec_id, ROUND(${cosFold("pr.ve", "q.qv")}, 6) AS cosine
+      |FROM pr JOIN short USING (vec_id) CROSS JOIN q
+      |WHERE pr.vec_id <> 0
+      |ORDER BY cosine DESC, pr.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Shared by q31 (shingle equi-join) and q129 (prefix-filtered): both
     * compute the identical exact pair set, so one oracle pins both. */
   private val ngramJaccardOracle: String =
@@ -1708,6 +1796,8 @@ private[graft] trait QueryOracles extends AnyRef {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q156_ann_ivf_grid" -> q156Oracle,
     "q157_ann_pq_grid" -> q157Oracle,
+    "q158_ann_lsh_grid" -> q158Oracle,
+    "q159_ann_ivfpq_grid" -> q159Oracle,
     "q50_ann_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

@@ -150,6 +150,8 @@ object Queries
     "q109_url_dedup" -> q109UrlDedup _,
     "q110_pq_ann" -> q110PqAnn _,
     "q157_ann_pq_grid" -> q157AnnPqGrid _,
+    "q158_ann_lsh_grid" -> q158AnnLshGrid _,
+    "q159_ann_ivfpq_grid" -> q159AnnIvfPqGrid _,
     "q136_ann_opq" -> q136AnnOpq _,
     "q111_cdc_chunks" -> q111CdcChunks _,
     "q112_ann_ivfpq" -> q112AnnIvfPq _,

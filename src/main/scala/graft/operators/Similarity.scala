@@ -305,10 +305,25 @@ object Similarity {
       query: Seq[Double], bitsPerTable: Int, tables: Int, seed: Long, k: Int,
       excludeId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
     require(bitsPerTable > 0 && bitsPerTable < 31 && tables > 0, "bad LSH shape")
-    require(nprobe >= 1 && nprobe <= bitsPerTable + 1,
-      s"nprobe must be in [1, bitsPerTable + 1 = ${bitsPerTable + 1}]")
     val byTable = hyperplanes(bitsPerTable * tables, query.length, seed)
       .grouped(bitsPerTable).toSeq
+    lshTopKPlanes(df, idCol, vecCol, query, byTable, k, excludeId, nprobe)
+  }
+
+  /** [[lshTopK]] with the hyperplanes INJECTED (`byTable(t)(b)` = plane
+    * `b` of table `t`) instead of seed-derived — the exact same bucketing
+    * ([[lshBucket]]), multiprobe ([[multiprobeBuckets]]) and re-rank
+    * machinery, exposed so a caller (q158's full-oracle gate) can plant
+    * engine-replicable planes. */
+  def lshTopKPlanes(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], byTable: Seq[Seq[Seq[Double]]], k: Int,
+      excludeId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
+    val bitsPerTable = byTable.head.length
+    require(bitsPerTable > 0 && bitsPerTable < 31 && byTable.nonEmpty &&
+      byTable.forall(_.length == bitsPerTable), "bad LSH shape")
+    require(nprobe >= 1 && nprobe <= bitsPerTable + 1,
+      s"nprobe must be in [1, bitsPerTable + 1 = ${bitsPerTable + 1}]")
     val candidateCond = byTable.map { planes =>
       val probes = multiprobeBuckets(planes, query, nprobe)
       lshBucket(col(vecCol), planes).isin(probes: _*)

@@ -412,4 +412,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probe() == before)
     assert(before.nonEmpty)
   }
+
+  test("lshTopKPlanes with planted axis-difference planes == driver model (q158 fixture)") {
+    // The q158 oracle's load-bearing identities: with plane p = e_{2p} −
+    // e_{2p+1}, each sign bit is exactly v[2p] − v[2p+1] >= 0, and the
+    // nprobe=2 multiprobe flip is the lowest-|margin| plane (lowest-index
+    // ties). The injected-planes entry point must equal a plain driver
+    // model of buckets + probes + brute re-rank over candidates.
+    val rnd = new java.util.Random(29L)
+    val vecs = (0 until 240).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs.head._2.map(_.toDouble)
+    val planes = QueryFixtures.lshGridPlanes
+    val got = Similarity.lshTopKPlanes(df, "vec_id", "embedding", query, planes,
+      k = 10, excludeId = Some(0L), nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+    def buckets(v: Seq[Double]): Seq[Int] = (0 until 6).map { t =>
+      (0 until 4).map { b =>
+        val p = 4 * t + b
+        if (v(2 * p) - v(2 * p + 1) >= 0) 1 << b else 0
+      }.sum
+    }
+    val qDiffs = (0 until 24).map(p => query(2 * p) - query(2 * p + 1))
+    val qBkts = buckets(query)
+    val probes: Seq[Set[Int]] = (0 until 6).map { t =>
+      val flipB = (0 until 4).minBy(b => (math.abs(qDiffs(4 * t + b)), b))
+      Set(qBkts(t), qBkts(t) ^ (1 << flipB))
+    }
+    val cand = vecs.filter { case (id, v) =>
+      id != 0L && buckets(v.map(_.toDouble)).zip(probes).exists { case (bk, pr) => pr(bk) }
+    }
+    def cos(v: Seq[Double]): Double = {
+      val d = v.zip(query).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(query.map(x => x * x).sum))
+    }
+    val want = cand
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(v.map(_.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty)
+  }
 }
