@@ -159,6 +159,29 @@ private[graft] trait QueriesAnn extends QueryHelpers {
       excludeId = Some(0L))
   }
 
+  /** q142's OPQ-rotated IVF-PQ machinery under a FULL oracle (round 11):
+    * q159's planted centroids + one-hot books, plus a PLANTED rotation —
+    * the 64×64 reversal permutation ([[QueryFixtures.reversalRotation]]),
+    * orthogonal by construction, whose codegen'd mat-vec collapses exactly
+    * to element reversal. The gate row proves the whole OPQ deploy path:
+    * the rotation sidecar's publish + read-back
+    * ([[VectorIndex.writeIvfPqOpq]]/readOpqRotation — the crash-window
+    * machinery round 9-10 hardened), rotated residual encode, the
+    * driver-side rotated ADC query, the per-bucket `q·c_b` offset in RAW
+    * space, and the raw-space exact re-rank. The trained rotation
+    * (q136/q142) stays rows-only + spec floors by nature. */
+  def q160AnnOpqPermGrid(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val pq = ProductQuantizer.PqModel(m = 4, dsub = 16, books = QueryFixtures.pqGridBooks)
+    val opq = operators.Opq.OpqModel(64, QueryFixtures.reversalRotation, pq)
+    val path = indexPath(dir, "opqgrid")
+    VectorIndex.writeIvfPqOpq(emb, "vec_id", "embedding",
+      QueryFixtures.gridCentroids, opq, path, residual = true)
+    VectorIndex.ivfTopKPq(spark, path, "vec_id", "embedding",
+      queryVec(spark, dir, 0L), nprobe = 2, k = 10, shortlist = 100,
+      excludeId = Some(0L))
+  }
+
   /** Product-quantized ANN (train + encode + ADC shortlist + exact
     * re-rank): 64 float dims become 4 byte codes + a norm (~32× smaller),
     * scoring is m table lookups per row, and only the shortlist loads raw

@@ -76,4 +76,19 @@ private[graft] object QueryFixtures {
       (0 until 64).map(i =>
         if (i == 2 * p) 1.0 else if (i == 2 * p + 1) -1.0 else 0.0).toSeq
     })
+
+  /** q160's PLANTED OPQ rotation: the 64×64 REVERSAL permutation matrix
+    * (row r = e_{63−r}, row-major flat). A permutation IS orthogonal, and
+    * the mat-vec fold collapses exactly — out[r] = v[63−r] (the zero
+    * terms contribute ±0.0 and never move the accumulator; +0.0 survives
+    * where the true element is −0.0, which IEEE comparison and addition
+    * treat identically) — so rotated encode, the rotated ADC query, and
+    * the rotation-sidecar round-trip are all engine-replicable
+    * (`list_reverse` in the DuckDB oracle). Fresh array per call: the
+    * codegen mat-vec holds it by reference. */
+  def reversalRotation: Array[Double] = {
+    val m = new Array[Double](64 * 64)
+    (0 until 64).foreach(r => m(r * 64 + (63 - r)) = 1.0)
+    m
+  }
 }

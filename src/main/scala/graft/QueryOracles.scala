@@ -217,6 +217,52 @@ private[graft] trait QueryOracles extends AnyRef {
       |ORDER BY cosine DESC, pr.vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** q160: q159's residual IVF-PQ oracle with the PLANTED reversal
+    * rotation ([[QueryFixtures.reversalRotation]]) — the codegen'd
+    * mat-vec with a permutation matrix collapses exactly to element
+    * reversal (`list_reverse`), so the rotated residual codes and the
+    * driver-side rotated ADC query are both replayed exactly; the
+    * per-bucket offset and the final re-rank stay in RAW space, exactly
+    * as [[graft.operators.VectorIndex.ivfTopKPq]] computes them. */
+  private def q160Oracle: String = {
+    val cRows = QueryFixtures.gridCentroids.zipWithIndex.map { case (c, j) =>
+      s"($j, [${c.map(x => s"${x}e0").mkString(", ")}])"
+    }.mkString(",\n      |  ")
+    def sub(j: Int) = s"rrv[${16 * j + 1}:${16 * (j + 1)}]"
+    val lut = (0 until 4).map(j =>
+      s"rqv[${16 * j} + list_position(${sub(j)}, list_max(${sub(j)}))]")
+      .mkString(" +\n      |          ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |q AS (SELECT ve AS qv, list_reverse(ve) AS rqv FROM v WHERE vec_id = 0),
+      |c(j, cv) AS (VALUES
+      |  $cRows),
+      |sims AS (SELECT v.vec_id, c.j, ${cosFold("v.ve", "c.cv")} AS s
+      |         FROM v CROSS JOIN c),
+      |best AS (SELECT vec_id, max(s) AS m FROM sims GROUP BY vec_id),
+      |bkt AS (SELECT s.vec_id, min(s.j) AS bucket FROM sims s
+      |        JOIN best b ON s.vec_id = b.vec_id AND s.s = b.m
+      |        GROUP BY s.vec_id),
+      |probe AS (SELECT c.j FROM c CROSS JOIN q
+      |          ORDER BY ${cosFold("c.cv", "q.qv")} DESC, c.j ASC LIMIT 2),
+      |pr AS (SELECT v.vec_id, v.ve, bkt.bucket FROM v JOIN bkt USING (vec_id)
+      |       WHERE bkt.bucket IN (SELECT j FROM probe)),
+      |res AS (SELECT pr.vec_id, pr.bucket, pr.ve, c.cv,
+      |               list_reverse(list_transform(range(1, 65), i -> pr.ve[i] - c.cv[i])) AS rrv
+      |        FROM pr JOIN c ON c.j = pr.bucket),
+      |adc AS (SELECT vec_id, ROUND((
+      |          $lut
+      |          + ${dotFold("qv", "cv")}
+      |        ) / (CAST(CAST(sqrt(${dotFold("ve", "ve")}) AS REAL) AS DOUBLE) *
+      |             sqrt(${dotFold("qv", "qv")})), 6) AS score
+      |        FROM res CROSS JOIN q WHERE vec_id <> 0),
+      |short AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT 100)
+      |SELECT pr.vec_id, ROUND(${cosFold("pr.ve", "q.qv")}, 6) AS cosine
+      |FROM pr JOIN short USING (vec_id) CROSS JOIN q
+      |WHERE pr.vec_id <> 0
+      |ORDER BY cosine DESC, pr.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Shared by q31 (shingle equi-join) and q129 (prefix-filtered): both
     * compute the identical exact pair set, so one oracle pins both. */
   private val ngramJaccardOracle: String =
@@ -1798,6 +1844,7 @@ private[graft] trait QueryOracles extends AnyRef {
     "q157_ann_pq_grid" -> q157Oracle,
     "q158_ann_lsh_grid" -> q158Oracle,
     "q159_ann_ivfpq_grid" -> q159Oracle,
+    "q160_ann_opq_perm_grid" -> q160Oracle,
     "q50_ann_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
         |           FROM embeddings),

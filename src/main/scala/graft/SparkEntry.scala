@@ -152,6 +152,7 @@ object Queries
     "q157_ann_pq_grid" -> q157AnnPqGrid _,
     "q158_ann_lsh_grid" -> q158AnnLshGrid _,
     "q159_ann_ivfpq_grid" -> q159AnnIvfPqGrid _,
+    "q160_ann_opq_perm_grid" -> q160AnnOpqPermGrid _,
     "q136_ann_opq" -> q136AnnOpq _,
     "q111_cdc_chunks" -> q111CdcChunks _,
     "q112_ann_ivfpq" -> q112AnnIvfPq _,

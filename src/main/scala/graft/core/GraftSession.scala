@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sized to ~2-3x total executor cores / managed by AQE).
   */
 object GraftSession {
-  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+  def builder(
+      master: String = "local[32]", shufflePartitions: Int = 32,
+      initialPartitionMultiplier: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -25,15 +27,19 @@ object GraftSession {
       // 41 GB of sort spill per dense-join query with shuffles pinned at
       // 32 partitions (~1.5 GB/partition). This is the AQE-era sizing
       // lever: fixed shuffle.partitions states the coalesce floor, the
-      // initial count scales the ceiling. ×16 is the measured sweet spot
-      // of the round-10 sf10 audit: at ×8 = 256 a 44 GB dense-join
-      // shuffle ran ~170 MB/partition and its aggregate spilled 37 GB;
-      // at ×32 = 1024 the same family regressed ~2× at sf1 (map-side
-      // bucket overhead on 2-4 GB shuffles). ×16 holds ~86 MB/partition
-      // at sf10 — inside one task's execution memory — without
-      // over-sharding the board-SF map side.
+      // initial count scales the ceiling. ×32 per round-11 A/B/A/B probes
+      // (3 arms each, calib-stamped against this host's multi-minute
+      // steal windows): the sf10 span profile (10 GB window shuffle) ran
+      // {346, 411, 512} s at ×16 = 512 vs {214, 222, 340} s at ×32 —
+      // ×32 won every pairing, by 1.0-2.0× — and the round-10 claim that
+      // ×32 regressed the sf1 dense family ~2× did NOT reproduce
+      // post-demotion-fix (paired sf1 probe: parity or faster under ×32;
+      // the original reading was a steal-window artifact). The ceiling
+      // wants to SCALE with data — on a cluster pass a larger multiplier
+      // (or higher shufflePartitions) for >10× corpora; Bench exposes
+      // SPARK_GRAFT_IPN_MULT for paired sizing probes.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (shufflePartitions * 16).toString)
+        (shufflePartitions * initialPartitionMultiplier).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -337,4 +337,27 @@ class OpqSpec extends AnyFunSuite {
     assert(probeRows(path) == healthyProbe,
       "the directed remedy (publish re-run) must restore the healthy index")
   }
+
+  test("planted reversal rotation (q160 fixture): mat-vec == exact element reversal") {
+    // The q160 oracle's load-bearing identity: with a permutation matrix
+    // the codegen'd mat-vec fold produces EXACTLY the permuted elements
+    // (±0.0 terms never move the accumulator), so DuckDB's list_reverse
+    // replays the rotation bit for bit — both the column path (rotateCol
+    // over doubles and floats) and the driver path (rotate).
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val pq = ProductQuantizer.PqModel(m = 4, dsub = 16, graft.QueryFixtures.pqGridBooks)
+    val opq = Opq.OpqModel(64, graft.QueryFixtures.reversalRotation, pq)
+    val rnd = new java.util.Random(31L)
+    val vecs = Seq.fill(20)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+    val gotCol = vecs.toDF("v")
+      .select(opq.rotateCol(col("v")).as("r"))
+      .collect().map(_.getSeq[Double](0))
+    vecs.zip(gotCol).foreach { case (v, r) =>
+      assert(r == v.reverse.map(_.toDouble), "column mat-vec must equal exact reversal")
+    }
+    val q = Seq.tabulate(64)(i => (i - 31.5) / 10.0)
+    assert(opq.rotate(q) == q.reverse, "driver rotate must equal exact reversal")
+  }
 }
