@@ -25,8 +25,11 @@ object Bench {
     // SPARK_GRAFT_IPN_MULT: AQE initial-partition multiplier override for
     // A/B sizing probes (the round-11 sf10 re-audit ran paired A/B/A
     // probes under host-steal windows — recompiling between arms would
-    // have shifted the window under the measurement).
-    val ipnMult = sys.env.getOrElse("SPARK_GRAFT_IPN_MULT", "16").toInt
+    // have shifted the window under the measurement). The fallback MUST
+    // track GraftSession's adopted default (×32 since round 11) so a
+    // default bench run reproduces committed boards; the var is purely
+    // an A/B override.
+    val ipnMult = sys.env.getOrElse("SPARK_GRAFT_IPN_MULT", "32").toInt
     val spark: SparkSession = graft.core.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
         initialPartitionMultiplier = ipnMult)
@@ -387,7 +390,7 @@ object Bench {
       // sharing sf documents must take the tier-0 dense exit, or the
       // bench fails the same way a recall-floor breach does (r8 VERDICT
       // #4 — previously a silently-dense router rode along as numbers).
-      val (tierZ, pfxZ) = Dedup.jaccardRoute(shZ, tau, 1 << 20)
+      val (tierZ, pfxZ, _) = Dedup.jaccardRoute(shZ, tau, 1 << 20)
       pfxZ.foreach(_.unpersist())
       if (tierZ != 2)
         routeBreach += s"boilerplate corpus routed tier $tierZ, expected prefix (2); "
@@ -416,7 +419,7 @@ object Bench {
       val shSf = Dedup.shingleHashes(
         graft.core.Tables.load(spark, sfDir, "documents"), "doc_id", "text", 3).cache()
       shSf.count()
-      val (tierSf, pfxSf) = Dedup.jaccardRoute(shSf, tau, 1 << 20)
+      val (tierSf, pfxSf, _) = Dedup.jaccardRoute(shSf, tau, 1 << 20)
       pfxSf.foreach(_.unpersist())
       // the sf documents must take a DENSE exit at board SFs — tier 0 at
       // sf0.1 (no shingle crosses hotMinDf, mass over the limit) and

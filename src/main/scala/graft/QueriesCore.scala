@@ -616,6 +616,22 @@ private[graft] trait QueriesCore extends QueryHelpers {
       n = 3, k = 64, bands = 16, tau = 0.6)
       .orderBy("a", "b")
 
+  /** q32's band/verify machinery under a FULL oracle (round 12 — the
+    * q156-q160 planted-fixture discipline extended to MinHash): the
+    * per-permutation mixes are PLANTED md5 orders over the raw shingle
+    * strings (`min(md5(sh || ':' || i))`, [[MinHashLSH.nearDupPairsMd5]])
+    * and band buckets the '|'-join of each slice, so signature,
+    * banding, candidate OR and the exact-Jaccard verify are all
+    * byte-replicable SQL — DuckDB replays every stage term for term.
+    * k=8, b=4, r=2 at tau=0.6; the xxhash64-seeded production key (q32)
+    * stays rows-only + spec recall floors by nature. */
+  def q162MinhashMd5Grid(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupPairsMd5(
+      Dedup.shingles(t(spark, dir, "documents"), "doc_id", "text", n = 3)
+        .withColumnRenamed("shingle", "sh"),
+      k = 8, bands = 4, tau = 0.6)
+      .orderBy("a", "b")
+
   /** 64-bit SimHash, Hamming <= 3 pairs via 4x16 pigeonhole block join.
     * Rows-only oracle; spec cross-checks against n-gram Jaccard pairs. */
   def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -377,6 +377,22 @@ private[graft] trait QueriesPipeline extends QueryHelpers {
       .select(col("vec_id"), col("label"), col("bucket"))
       .orderBy("vec_id")
 
+  /** q100's assign → within-cluster pair → connected-components →
+    * exemplar-keep machinery under a FULL oracle (round 12 — the
+    * q156-q160 planted-fixture discipline extended to SemDedup): the
+    * centroids are [[QueryFixtures.gridCentroids]] instead of k-means
+    * output, so bucket assignment is replicable block-sum argmax
+    * (lowest-index ties), within-cluster cosines are the shared fold
+    * arithmetic every embedding oracle replays, and the min-id exemplar
+    * groups are a recursive-CTE transitive closure in DuckDB. The
+    * trained verb (q100) stays rows-only by nature — k-means is
+    * initialization-dependent. */
+  def q161SemdedupGrid(spark: SparkSession, dir: String): DataFrame =
+    operators.SemDedup.semDedupWith(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", QueryFixtures.gridCentroids, tau = 0.45)
+      .select(col("vec_id"), col("label"), col("bucket"))
+      .orderBy("vec_id")
+
   /** Substring-span duplication profile (Lee et al. 2022 re-expressed):
     * per-doc count of 40-char windows (stride 1) whose text occurs at more
     * than one site corpus-wide. WINNOW-GATED (the SIGMOD'03 guarantee:

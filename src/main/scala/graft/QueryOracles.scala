@@ -254,7 +254,7 @@ private[graft] trait QueryOracles extends AnyRef {
       |          $lut
       |          + ${dotFold("qv", "cv")}
       |        ) / (CAST(CAST(sqrt(${dotFold("ve", "ve")}) AS REAL) AS DOUBLE) *
-      |             sqrt(${dotFold("qv", "qv")})), 6) AS score
+      |             sqrt(${dotFold("rqv", "rqv")})), 6) AS score
       |        FROM res CROSS JOIN q WHERE vec_id <> 0),
       |short AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT 100)
       |SELECT pr.vec_id, ROUND(${cosFold("pr.ve", "q.qv")}, 6) AS cosine
@@ -262,6 +262,89 @@ private[graft] trait QueryOracles extends AnyRef {
       |WHERE pr.vec_id <> 0
       |ORDER BY cosine DESC, pr.vec_id ASC LIMIT 10""".stripMargin
   }
+
+  /** q161: SemDedup's assign → within-cluster pair → components →
+    * exemplar-keep chain replayed on the PLANTED grid centroids
+    * ([[QueryFixtures.gridCentroids]]): bucket = cosine argmax with
+    * lowest-index ties (the q156 CTEs), within-bucket near-dup pairs the
+    * shared cosine fold at τ=0.45, and min-id exemplar groups a
+    * recursive-CTE transitive closure over the symmetric pair edges —
+    * exactly [[graft.operators.Dedup.connectedComponents]]' min-label
+    * fixpoint. Survivors are every vector whose component minimum is
+    * itself (unpaired rows trivially survive). */
+  private def q161Oracle: String = {
+    val cRows = QueryFixtures.gridCentroids.zipWithIndex.map { case (c, j) =>
+      s"($j, [${c.map(x => s"${x}e0").mkString(", ")}])"
+    }.mkString(",\n      |  ")
+    s"""WITH RECURSIVE v AS (SELECT vec_id, label,
+      |           list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |c(j, cv) AS (VALUES
+      |  $cRows),
+      |sims AS (SELECT v.vec_id, c.j, ${cosFold("v.ve", "c.cv")} AS s
+      |         FROM v CROSS JOIN c),
+      |best AS (SELECT vec_id, max(s) AS m FROM sims GROUP BY vec_id),
+      |bkt AS (SELECT s.vec_id, min(s.j) AS bucket FROM sims s
+      |        JOIN best b ON s.vec_id = b.vec_id AND s.s = b.m
+      |        GROUP BY s.vec_id),
+      |vb AS (SELECT v.vec_id, v.ve, bkt.bucket FROM v JOIN bkt USING (vec_id)),
+      |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+      |          FROM vb x JOIN vb y
+      |            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      |          WHERE ${cosFold("x.ve", "y.ve")} >= 0.45e0),
+      |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a AS id, a AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+      |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      |losers AS (SELECT id FROM comp WHERE comp <> id)
+      |SELECT v.vec_id, v.label, bkt.bucket
+      |FROM v JOIN bkt USING (vec_id)
+      |WHERE v.vec_id NOT IN (SELECT id FROM losers)
+      |ORDER BY vec_id""".stripMargin
+  }
+
+  /** q162: the planted-md5 MinHash chain replayed byte for byte — same
+    * shingle strings as the q31 oracle, per-permutation minima
+    * `min(md5(sh || ':' || i))`, '|'-joined band buckets, the banded
+    * candidate OR, and the exact-Jaccard verify over candidates only. */
+  private val q162Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |           list_transform(range(1, len(w) - 1),
+      |                          i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(w) >= 3
+      |), sigs AS (
+      |  SELECT doc_id,
+      |         min(md5(shingle || ':0')) AS h0, min(md5(shingle || ':1')) AS h1,
+      |         min(md5(shingle || ':2')) AS h2, min(md5(shingle || ':3')) AS h3,
+      |         min(md5(shingle || ':4')) AS h4, min(md5(shingle || ':5')) AS h5,
+      |         min(md5(shingle || ':6')) AS h6, min(md5(shingle || ':7')) AS h7
+      |  FROM sh GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, t.band,
+      |         CASE t.band WHEN 0 THEN h0 || '|' || h1 WHEN 1 THEN h2 || '|' || h3
+      |                     WHEN 2 THEN h4 || '|' || h5 ELSE h6 || '|' || h7 END AS bh
+      |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+      |), common AS (
+      |  SELECT c.a, c.b, COUNT(*) AS common
+      |  FROM cand c JOIN sh x ON x.doc_id = c.a
+      |              JOIN sh y ON y.doc_id = c.b AND x.shingle = y.shingle
+      |  GROUP BY c.a, c.b)
+      |SELECT a, b, ROUND(jacc, 6) AS jaccard FROM (
+      |  SELECT a, b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jacc
+      |  FROM common JOIN sizes sa ON common.a = sa.doc_id
+      |              JOIN sizes sb ON common.b = sb.doc_id)
+      |WHERE jacc >= 0.6 ORDER BY a, b""".stripMargin
 
   /** Shared by q31 (shingle equi-join) and q129 (prefix-filtered): both
     * compute the identical exact pair set, so one oracle pins both. */
@@ -1841,6 +1924,8 @@ private[graft] trait QueryOracles extends AnyRef {
         |                               '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q156_ann_ivf_grid" -> q156Oracle,
+    "q161_semdedup_grid" -> q161Oracle,
+    "q162_minhash_md5_grid" -> q162Oracle,
     "q157_ann_pq_grid" -> q157Oracle,
     "q158_ann_lsh_grid" -> q158Oracle,
     "q159_ann_ivfpq_grid" -> q159Oracle,

@@ -180,6 +180,8 @@ object Queries
     "q137_warc_ingest" -> q137WarcIngest _,
     "q147_warc_split_ingest" -> q147WarcSplitIngest _,
     "q100_semdedup" -> q100SemDedup _,
+    "q161_semdedup_grid" -> q161SemdedupGrid _,
+    "q162_minhash_md5_grid" -> q162MinhashMd5Grid _,
     "q101_dup_spans" -> q101DupSpans _,
     "q102_contam_spans" -> q102ContamSpans _,
     "q103_leakage_safe_split" -> q103LeakageSafeSplit _,

@@ -89,6 +89,26 @@ object GraftSession {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** [[withShufflePartitions]] with AQE partition COALESCING disabled for
+    * the scope — every shuffle inside executes at exactly `p` reduce
+    * tasks. Needed when a stage's OUTPUT is orders of magnitude larger
+    * than its input (pair generation from postings, any explosive
+    * generate): AQE coalesces a stage by its map-output BYTES, so a
+    * 0.5 GB postings exchange feeding a billion-row generate gets
+    * coalesced to ~cores tasks and each task's aggregation state spills
+    * (the round-12 sf10 probe measured 426 GB of spill in exactly that
+    * shape — the floor conf does not bind AQE). The caller sizes `p`
+    * from the KNOWN output mass instead. */
+  def withPinnedShuffle[T](spark: SparkSession, p: Int)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try withShufflePartitions(spark, p)(body) finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 /** Loads the benchmark tables (one parquet per table under a scale-factor dir). */

@@ -309,9 +309,22 @@ object Images {
     * distinct-video universe exactly as [[patternPayload]]'s does; ids
     * below 256 are bit-identical to the old pattern. */
   def animatedGifPayload(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try animatedGifPayloadWith(writer, id, w, h, frames)
+    finally writer.dispose()
+  }
+
+  /** [[animatedGifPayload]] with the codec instance SUPPLIED — the
+    * per-partition pooling seam (round 12): `getImageWritersByFormatName`
+    * walks the ImageIO service registry and constructs a fresh writer
+    * per call, a fixed cost that q144 paid once PER PAYLOAD (500k times
+    * at sf10 — the largest fixed overhead on the r11 board). A writer is
+    * reusable across sequences as long as each gets its own setOutput. */
+  private def animatedGifPayloadWith(
+      writer: javax.imageio.ImageWriter,
+      id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
     require(frames >= 1, s"animatedGifPayload: need frames >= 1, got $frames")
     val out = new ByteArrayOutputStream()
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val ios = ImageIO.createImageOutputStream(out)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
@@ -336,7 +349,6 @@ object Images {
     }
     writer.endWriteSequence()
     ios.close()
-    writer.dispose()
     out.toByteArray
   }
 
@@ -352,9 +364,14 @@ object Images {
         col(framesCol).cast("int"))
       .repartition(spark.sparkContext.defaultParallelism) // q152's lesson
       .as[(Long, Long, Int)]
-      .mapPartitions(_.map { case (id, seed, nf) =>
-        (id, nf, animatedGifPayload(seed, w, h, nf))
-      })
+      .mapPartitions { it =>
+        // ONE writer per partition (not per payload): the registry walk +
+        // codec construction was q144's per-row fixed cost (round 12)
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        it.map { case (id, seed, nf) =>
+          (id, nf, animatedGifPayloadWith(writer, seed, w, h, nf))
+        }
+      }
       .toDF(idCol, "n_frames", "payload")
   }
 
@@ -381,12 +398,17 @@ object Images {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // ONE reader per partition: getImageReadersByFormatName walks the
+        // ImageIO service registry and constructs a fresh GIFImageReader
+        // per call — a fixed cost q144 paid once per payload (500k times
+        // at sf10, the board's largest fixed overhead). setInput fully
+        // resets the reader for the next payload (round 12).
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
         it.flatMap { case (id, payload) =>
-          val reader = ImageIO.getImageReadersByFormatName("gif").next()
-          // hold the stream and close it explicitly: reader.dispose()
-          // does NOT close its input, and an unclosed stream was the
-          // round-9 fd leak (harmless under setUseCache(false), but the
-          // contract belongs in the code, not in a global's side effect)
+          // hold the stream and close it explicitly: the reader does NOT
+          // close its input, and an unclosed stream was the round-9 fd
+          // leak (harmless under setUseCache(false), but the contract
+          // belongs in the code, not in a global's side effect)
           val iis = ImageIO.createImageInputStream(
             new ByteArrayInputStream(payload))
           try {
@@ -414,7 +436,9 @@ object Images {
               Row(id, f, n, w, h, sum, fp)
             }
           } finally {
-            reader.dispose()
+            // the pooled reader lives for the partition; only the
+            // per-payload stream is released here (setInput on the next
+            // payload detaches the reader from this stream first)
             iis.close()
           }
         }

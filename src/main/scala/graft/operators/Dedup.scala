@@ -328,32 +328,85 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame =
     ngramJaccardPairsPrefix(df, idCol, textCol, n, tau)
 
-  /** [[ngramJaccardPairs]] over a precomputed (_id, sh) intermediate
-    * (caller controls caching — see [[graft.Graft.dedupSuite]]).
+  /** Exact meeting-pair intersection counts (a, b, sa, sb, common) for
+    * every pair a < b sharing ≥ 1 shingle — the PRE-AGGREGATED POSTINGS
+    * dense generator shared by the Jaccard and containment fallbacks.
     *
-    * Plan-shape note (sf1 audit, round 8b): the ~1.6 GB per-query spill
-    * this family shows under the bench's 32 pinned partitions is the
-    * pair-counting aggregate absorbing the 275M-row meet volume — NOT
-    * the join (a shuffle_hash-hinted variant and a groupBy+pair-explode
-    * rewrite were both measured SLOWER with the same spill; the
-    * sort-merge self-join is the fastest local shape). Spilling there is
-    * the correct degradation: meet volume is the workload, and partition
-    * counts scale with the cluster. */
-  def ngramJaccardPairsFromHashes(sh: DataFrame, tau: Double): DataFrame = {
-    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("x")
-      .join(sh.as("y"), col("x.sh") === col("y.sh"))
-      .where(col("x._id") < col("y._id"))
-      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("sz", "sa"), "a")
-      .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("sz", "sb"), "b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sa") + col("sb") - col("common")))
-      .where(col("jaccard") >= tau)
-      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    * Structure (round 12, replacing the sort-merge self-join): the
+    * exploded (_id, sh) rows are regrouped by shingle ONCE into a sorted
+    * posting array of (id, setSize) structs; every C(df, 2) candidate
+    * pair is then GENERATED from its posting row (codegen'd posexplode ×
+    * tail-slice explode) straight into the map-side partial count — the
+    * exploded rows are never re-shuffled, and set sizes RIDE the
+    * postings as struct fields, so the billion-row pair stream never
+    * joins a sizes table (a < b and sa/sb functionally depend on a/b, so
+    * grouping by all four keeps pair cardinality unchanged).
+    *
+    * The sf10 probe that motivated this (round 12, ProbeStages on q31):
+    * the old self-join's join+partial-count stage ran as 33 tasks —
+    * AQE coalesces a stage by its INPUT bytes (0.75 GB of 8-byte
+    * hashes), but this stage's OUTPUT is the ~1B-row meet volume, so
+    * each task aggregated ~30M pairs and spilled 350 GB (42 GB disk,
+    * 493 s of the query's 691 s); the downstream sizes joins sorted the
+    * pair stream twice more (another ~70 GB spill). A stage whose
+    * output is 1000× its input must be sized by its output: the meet
+    * mass Σ C(df, 2) is known EXACTLY from the routing aggregate, so the
+    * whole dense plan runs under [[graft.core.GraftSession
+    * .withShufflePartitions]] pinned to mass / `pairsPerPartition`
+    * tasks (clamped to [cores, AQE ceiling] by [[graft.core.GraftSession
+    * .iterPartitions]] — on a cluster the ceiling scales with the
+    * session's initialPartitionNum). `finish` completes the per-pair
+    * plan (threshold filter, direction explode) INSIDE the pinned scope
+    * so the materialization never checkpoints unfiltered pair volume. */
+  private[graft] def densePairCounts(
+      sh: DataFrame, massHint: Long,
+      pairsPerPartition: Long = 2L * 1000 * 1000)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    val mass =
+      if (massHint >= 0L) massHint
+      else sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+        .agg(coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L)))
+        .head().getLong(0)
+    val p = graft.core.GraftSession.iterPartitions(spark, mass, pairsPerPartition)
+    // PINNED (coalesce disabled), not just sized: AQE coalesces stages by
+    // map-output bytes, and the postings exchange is ~1000× smaller than
+    // the pair volume its consumer generates — the r12 sf10 probe
+    // measured the sized-but-coalescible variant collapsing back to
+    // ~cores tasks with 426 GB of aggregation spill.
+    graft.core.GraftSession.withPinnedShuffle(spark, p) {
+      val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
+      val postings = sh.join(sizes, "_id") // AQE broadcasts the doc-sized side
+        .groupBy("sh")
+        .agg(sort_array(collect_list(struct(col("_id").as("i"), col("sz").as("z"))))
+          .as("ps"))
+      val counts = postings
+        .select(posexplode(col("ps")).as(Seq("_p", "x")), col("ps"))
+        .select(col("x"), explode(slice(col("ps"), col("_p") + lit(2),
+          size(col("ps")) - col("_p") - lit(1))).as("y"))
+        .groupBy(col("x.i").as("a"), col("y.i").as("b"),
+          col("x.z").as("sa"), col("y.z").as("sb"))
+        .agg(count(lit(1)).as("common"))
+      finish(counts).localCheckpoint()
+    }
   }
+
+  /** [[ngramJaccardPairs]] over a precomputed (_id, sh) intermediate
+    * (caller controls caching — see [[graft.Graft.dedupSuite]]). The
+    * dense postings generator ([[densePairCounts]]) with the Jaccard
+    * threshold applied inside the mass-pinned scope; result is
+    * materialized (localCheckpoint), so the caller may release `sh`
+    * immediately. `massHint` lets the router pass the meet mass it
+    * already computed instead of re-aggregating the vocabulary. */
+  def ngramJaccardPairsFromHashes(
+      sh: DataFrame, tau: Double, massHint: Long = -1L): DataFrame =
+    densePairCounts(sh, massHint) { counts =>
+      counts
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("sa") + col("sb") - col("common")))
+        .where(col("jaccard") >= tau)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }
 
   /** Prefix-filtered exact Jaccard pairs — same output as
     * [[ngramJaccardPairs]], far fewer candidate pairs at corpus scale.
@@ -404,7 +457,7 @@ object Dedup {
     * and the materialized result released before returning (one regroup
     * in the executed plan, not two). */
   private[graft] def prefixCandidates(sh: DataFrame, tau: Double): DataFrame = {
-    val (hot, _) = jaccardDfRouting(sh, broadcastPairLimit = Int.MaxValue)
+    val (hot, _, _) = jaccardDfRouting(sh, broadcastPairLimit = Int.MaxValue)
     val prefix = freqOrderedPrefix(sh, tau, hot).cache()
     val out = prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
       .where(col("x._id") < col("y._id"))
@@ -427,10 +480,16 @@ object Dedup {
     * dense WITHOUT paying the prefix regroup it would only throw away.
     * Routing is performance-only — every path emits identical pairs
     * (spec-pinned per τ), and verifyPairs carries its own limit-probe
-    * broadcast guard independent of this decision. */
+    * broadcast guard independent of this decision.
+    *
+    * Also returns the dense meet mass itself (third element): it is the
+    * EXACT pair-row count of the dense generator, so the dense path
+    * sizes its explosive stage from it ([[densePairCounts]]) instead of
+    * letting AQE coalesce by input bytes — a stage whose output is
+    * 1000× its input must be sized by its output. */
   private[graft] def jaccardDfRouting(
       sh: DataFrame, broadcastPairLimit: Int,
-      hotMinDf: Int = 64, maxHot: Int = 1 << 16): (Array[Long], Boolean) = {
+      hotMinDf: Int = 64, maxHot: Int = 1 << 16): (Array[Long], Boolean, Long) = {
     // ONE scan, ZERO storage: the dense mass rides the hot-set collect as
     // an Observation (the TakeOrdered child evaluates every vocab row, so
     // the metric sees them all). Persisting the vocab aggregate instead
@@ -456,8 +515,8 @@ object Dedup {
     // ~200k hot shingles against the 65k cap. A corpus with > maxHot
     // demotable shingles is template-saturated: the filter provably has
     // no lever left, and dense meets stay Σ df² — linear in copies.)
-    if (hot.length > maxHot) (Array.empty[Long], true)
-    else (hot, hot.isEmpty && denseMass > broadcastPairLimit.toLong)
+    if (hot.length > maxHot) (Array.empty[Long], true, denseMass)
+    else (hot, hot.isEmpty && denseMass > broadcastPairLimit.toLong, denseMass)
   }
 
   /** [[ngramJaccardPairsPrefix]] over a precomputed (_id, sh)
@@ -482,9 +541,11 @@ object Dedup {
   def ngramJaccardPairsPrefixFromHashes(
       sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame =
     jaccardRoute(sh, tau, broadcastPairLimit) match {
-      case (_, None) =>
-        ngramJaccardPairsFromHashes(sh, tau).localCheckpoint()
-      case (_, Some(prefix)) =>
+      case (_, None, mass) =>
+        // already materialized by the dense generator (checkpoint inside
+        // its mass-pinned scope), so releasing `sh` afterwards is safe
+        ngramJaccardPairsFromHashes(sh, tau, mass)
+      case (_, Some(prefix), _) =>
         val cands = prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
           .where(col("x._id") < col("y._id"))
           .select(col("x._id").as("a"), col("y._id").as("b"))
@@ -510,20 +571,23 @@ object Dedup {
     * candidate pairs (so it also proves the broadcast safe on the
     * filtered path); probing the candidate list itself would execute
     * the very join the fallback exists to avoid. On tier 2 the returned
-    * prefix frame is CACHED — the caller must unpersist it. */
+    * prefix frame is CACHED — the caller must unpersist it. The third
+    * element is the DENSE meet mass Σ C(df, 2) from the routing
+    * aggregate — on a dense tier the fallback sizes its explosive
+    * stage from it ([[densePairCounts]]). */
   private[graft] def jaccardRoute(
       sh: DataFrame, tau: Double,
-      broadcastPairLimit: Int): (Int, Option[DataFrame]) = {
-    val (hot, tier0Dense) = jaccardDfRouting(sh, broadcastPairLimit)
-    if (tier0Dense) return (0, None)
+      broadcastPairLimit: Int): (Int, Option[DataFrame], Long) = {
+    val (hot, tier0Dense, denseMass) = jaccardDfRouting(sh, broadcastPairLimit)
+    if (tier0Dense) return (0, None, denseMass)
     val prefix = freqOrderedPrefix(sh, tau, hot).cache()
     val meetMass = prefix.groupBy("sh").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("(c * (c - 1)) DIV 2")), lit(0L)))
       .head().getLong(0)
     if (meetMass > broadcastPairLimit.toLong) {
       prefix.unpersist()
-      (1, None)
-    } else (2, Some(prefix))
+      (1, None, denseMass)
+    } else (2, Some(prefix), denseMass)
   }
 
   /** Directed word-n-gram CONTAINMENT pairs: C(a→b) = |Sa∩Sb| / |Sa| ≥
@@ -561,13 +625,13 @@ object Dedup {
   def ngramContainmentPairsFromHashes(
       sh: DataFrame, tau: Double, broadcastPairLimit: Int = 1 << 20): DataFrame = {
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
-    val (hot, hotOverflow) = jaccardDfRouting(sh, broadcastPairLimit)
+    val (hot, hotOverflow, denseMass) = jaccardDfRouting(sh, broadcastPairLimit)
     // the Jaccard twin's tier-0 exit, honored here too (round 10): with
     // the hot set overflowed the prefix filter provably has no lever —
     // building the prefix anyway pays a regroup the meet-mass probe
     // immediately throws away
     if (hotOverflow)
-      return denseContainment(sh, sizes, tau).localCheckpoint()
+      return denseContainment(sh, tau, denseMass)
     val prefix = freqOrderedPrefix(sh, tau, hot).cache()
     // both decision masses from vocab-sized aggregates — never a pair join
     val dfc = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
@@ -581,7 +645,7 @@ object Dedup {
       // lazily-returned dense plan would re-run the whole shingle pass on
       // every action — the expected regime at board SFs
       if (pm > broadcastPairLimit.toLong)
-        denseContainment(sh, sizes, tau).localCheckpoint()
+        denseContainment(sh, tau, denseMass)
       else {
         val cands = prefix.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
           .where(col("x._id") =!= col("y._id"))
@@ -596,29 +660,25 @@ object Dedup {
     out
   }
 
-  /** Single-shuffle dense directed containment (the fallback and the
-    * spec's reference implementation). The intersection is symmetric, so
-    * the join meets each pair ONCE (x < y — half the meet rows of the
-    * naive x ≠ y join, the dominant stage on the uniform-sharing corpora
-    * that route here) and both directions materialize from the grouped
-    * row in one projection: a→b divides by |Sa|, b→a by |Sb|, each
-    * filtered on its own threshold. */
+  /** Dense directed containment (the fallback and the spec's reference
+    * implementation) — [[densePairCounts]]' postings generator (the
+    * intersection is symmetric, so each pair is counted once under
+    * a < b), with both directions materialized from the grouped row in
+    * one projection: a→b divides by |Sa|, b→a by |Sb|, each filtered on
+    * its own threshold, all inside the mass-pinned scope. */
   private[graft] def denseContainment(
-      sh: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
-    sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
-      .where(col("x._id") < col("y._id"))
-      .groupBy(col("x._id").as("p"), col("y._id").as("q"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("_id", "p").withColumnRenamed("sz", "sp"), "p")
-      .join(sizes.withColumnRenamed("_id", "q").withColumnRenamed("sz", "sq"), "q")
-      .select(explode(array(
-        struct(col("p").as("a"), col("q").as("b"),
-          (col("common").cast("double") / col("sp")).as("containment")),
-        struct(col("q").as("a"), col("p").as("b"),
-          (col("common").cast("double") / col("sq")).as("containment")))).as("r"))
-      .select(col("r.a").as("a"), col("r.b").as("b"), col("r.containment"))
-      .where(col("containment") >= tau)
-      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+      sh: DataFrame, tau: Double, massHint: Long = -1L): DataFrame =
+    densePairCounts(sh, massHint) { counts =>
+      counts
+        .select(explode(array(
+          struct(col("a"), col("b"),
+            (col("common").cast("double") / col("sa")).as("containment")),
+          struct(col("b").as("a"), col("a").as("b"),
+            (col("common").cast("double") / col("sb")).as("containment")))).as("r"))
+        .select(col("r.a").as("a"), col("r.b").as("b"), col("r.containment"))
+        .where(col("containment") >= tau)
+        .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+    }
 
   /** Exact containment verification restricted to candidate pairs —
     * [[verifyPairs]]' discipline, directed: full sets semi-joined to

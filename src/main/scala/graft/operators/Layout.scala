@@ -42,6 +42,22 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Refuse to rewrite a directory that is not a COMPLETE committed
+    * write. A crash inside an upstream job's commit leaves partially
+    * committed part files and no `_SUCCESS`; a layout rewrite would read
+    * that partial set and republish it under a fresh `_SUCCESS` of its
+    * own — laundering the hole into a directory every later reader
+    * trusts. Same discipline as the index repair verbs
+    * ([[VectorIndex]]'s repair `_SUCCESS` precondition): the marker is
+    * the committer's own completeness receipt. */
+  private def requireCommitted(
+      fs: org.apache.hadoop.fs.FileSystem, srcPath: String, verb: String): Unit =
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$srcPath/_SUCCESS")),
+      s"$verb: $srcPath has no _SUCCESS commit marker — the upstream " +
+        "write died inside its job commit, so the part files may be a " +
+        "partial set this rewrite would silently bless as complete. " +
+        "Re-run (or clean up) the upstream write first")
+
   /** Write `df` z-clustered on (xCol, yCol) into `files` parquet files:
     * range-partition + sort by z-value so each file (and each row group
     * inside it) covers a tight (x, y) box, then drop the helper column.
@@ -54,6 +70,20 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** [[writeZOrdered]] as a DIRECTORY rewrite (read `srcPath`, publish
+    * z-clustered into `destPath`) — the form a table-maintenance job
+    * runs. Refuses a source with no `_SUCCESS` commit marker
+    * ([[requireCommitted]]): a z-order rewrite of a partially committed
+    * corpus would bless the hole under its own fresh commit. */
+  def zorderRewrite(
+      spark: SparkSession, srcPath: String, destPath: String,
+      xCol: String, yCol: String, files: Int, bits: Int = 16): Unit = {
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireCommitted(fs, srcPath, "zorderRewrite")
+    writeZOrdered(spark.read.parquet(srcPath), xCol, yCol, destPath, files, bits)
+  }
 
   /** Compact a parquet directory to ceil(totalBytes / targetBytes) files
     * (at least 1), rewriting into `destPath`. Returns (filesBefore,
@@ -72,6 +102,7 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcPath)
     val fs = src.getFileSystem(conf)
+    requireCommitted(fs, srcPath, "compact")
     val parts = fs.listStatus(src)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum

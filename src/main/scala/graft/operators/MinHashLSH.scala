@@ -17,21 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** (id, signature array<long>) — one row per doc, k minhash values.
-    * `shingleHashes` must be (_id, sh) distinct rows (Dedup.shingleHashes). */
-  def signatures(shingleHashes: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"_h$i"))
+  /** (id, signature array) — one row per doc, k minhash values, with the
+    * PER-PERMUTATION MIX INJECTED (`perm(i, shCol)` = the i-th
+    * permutation's image of a shingle token): the exact same one-pass
+    * k-min aggregate as [[signatures]], exposed so a caller (q162's
+    * full-oracle gate) can plant engine-replicable mixes — the q157/q158
+    * recipe applied to the MinHash family. */
+  def signaturesWith(
+      shingleHashes: DataFrame, k: Int,
+      perm: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val mins = (0 until k).map(i => min(perm(i, col("sh"))).as(s"_h$i"))
     shingleHashes.groupBy("_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("_id"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band bucket.
-    * bands * rowsPerBand must equal the signature length. */
-  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** (id, signature array<long>) — one row per doc, k minhash values.
+    * `shingleHashes` must be (_id, sh) distinct rows (Dedup.shingleHashes). */
+  def signatures(shingleHashes: DataFrame, k: Int): DataFrame =
+    signaturesWith(shingleHashes, k, (i, sh) => xxhash64(lit(i), sh))
+
+  /** [[candidatePairs]] with the BAND BUCKET KEY INJECTED
+    * (`bandKey(j, slice)` = the bucket id of band j's signature slice):
+    * identical banding topology — b rows per doc, equi-join on
+    * (band, bucket), distinct pairs — under any engine-replicable key. */
+  def candidatePairsWith(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      bandKey: (Int, Seq[org.apache.spark.sql.Column]) => org.apache.spark.sql.Column)
+      : DataFrame = {
     val bandHashes = array((0 until bands).map { j =>
       val slice = (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r))
-      xxhash64((lit(j) +: slice): _*)
+      bandKey(j, slice)
     }: _*)
     val banded = sigs.select(col("_id"), posexplode(bandHashes).as(Seq("band", "bh")))
     banded.as("x").join(banded.as("y"),
@@ -40,6 +57,12 @@ object MinHashLSH {
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
   }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket.
+    * bands * rowsPerBand must equal the signature length. */
+  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    candidatePairsWith(sigs, bands, rowsPerBand,
+      (j, slice) => xxhash64((lit(j) +: slice): _*))
 
   /** End-to-end near-dup pairs: MinHash/LSH candidates, then exact Jaccard
     * verification (>= tau) against the shingle sets. */
@@ -60,7 +83,35 @@ object MinHashLSH {
   def nearDupPairsFromHashes(
       sh: DataFrame, k: Int, bands: Int, tau: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val cands = candidatePairs(signatures(sh, k), bands, k / bands)
+    verifiedPairs(sh, candidatePairs(signatures(sh, k), bands, k / bands), tau)
+  }
+
+  /** The MinHash band/verify machinery under PLANTED md5 mixes — q162's
+    * full-oracle twin of q32 (the q156-q160 discipline: the trained/
+    * seeded key stays rows-only by nature, the planted sibling puts the
+    * SAME machinery under a rows+schema+hash gate). `sh` holds (_id, sh)
+    * with sh = the raw shingle STRING (not an xxhash64 token, which no
+    * second engine reproduces): permutation i is the lexicographic order
+    * of `md5(sh || ':' || i)` and band j's bucket key the '|'-join of its
+    * slice — both byte-replicable in any engine with md5 (lowercase-hex
+    * min/concat is plain binary string arithmetic). Same one-pass k-min
+    * signature aggregate ([[signaturesWith]]), same (band, bucket)
+    * equi-join topology ([[candidatePairsWith]]), same exact-Jaccard
+    * verification join ([[verifiedPairs]]) as the production path. */
+  def nearDupPairsMd5(
+      sh: DataFrame, k: Int, bands: Int, tau: Double): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sigs = signaturesWith(sh, k, (i, c) => md5(concat(c, lit(":" + i))))
+    val cands = candidatePairsWith(sigs, bands, k / bands,
+      (_, slice) => concat_ws("|", slice: _*))
+    verifiedPairs(sh, cands, tau)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * sets — the shared tail of every MinHash path (token-type agnostic:
+    * the counting join only needs equality on `sh`). */
+  private def verifiedPairs(
+      sh: DataFrame, cands: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
     val common = cands
       .join(sh.as("x"), col("a") === col("x._id"))

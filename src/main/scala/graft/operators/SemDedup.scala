@@ -77,9 +77,20 @@ object SemDedup {
     * topology as [[Dedup.dedupCorpus]]. */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      c: Int, iters: Int, tau: Double): DataFrame = {
-    val centroids =
-      Similarity.kMeans(graft.core.Par.fanOut(df), idCol, vecCol, c, iters)
+      c: Int, iters: Int, tau: Double): DataFrame =
+    semDedupWith(df, idCol, vecCol,
+      Similarity.kMeans(graft.core.Par.fanOut(df), idCol, vecCol, c, iters), tau)
+
+  /** [[semDedup]] with the centroids INJECTED instead of k-means-trained —
+    * the entire assign → within-cluster pair → connected-components →
+    * exemplar-keep machinery under caller-planted centroids, exposed so a
+    * caller (q161's full-oracle gate) can make every stage replicable
+    * arithmetic (the q156-q160 recipe applied to the SemDedup family; the
+    * trained verb stays rows-only by nature — k-means is
+    * initialization-dependent). */
+  def semDedupWith(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], tau: Double): DataFrame = {
     val p = pairs(df, idCol, vecCol, centroids, tau)
     val losers = Dedup.connectedComponents(p, "a", "b")
       .where(col("id") =!= col("comp"))

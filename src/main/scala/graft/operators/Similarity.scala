@@ -319,8 +319,9 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], byTable: Seq[Seq[Seq[Double]]], k: Int,
       excludeId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
+    require(byTable.nonEmpty, "bad LSH shape")
     val bitsPerTable = byTable.head.length
-    require(bitsPerTable > 0 && bitsPerTable < 31 && byTable.nonEmpty &&
+    require(bitsPerTable > 0 && bitsPerTable < 31 &&
       byTable.forall(_.length == bitsPerTable), "bad LSH shape")
     require(nprobe >= 1 && nprobe <= bitsPerTable + 1,
       s"nprobe must be in [1, bitsPerTable + 1 = ${bitsPerTable + 1}]")

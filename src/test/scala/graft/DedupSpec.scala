@@ -138,8 +138,7 @@ class DedupSpec extends AnyFunSuite {
     val corpus = (base ++ containers ++ mutated).toDF("doc_id", "text")
     for (tau <- Seq(0.4, 0.6, 0.8, 1.0)) {
       val sh = Dedup.shingleHashes(corpus, "doc_id", "text", n = 3).cache()
-      val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
-      val exp = Dedup.denseContainment(sh, sizes, tau)
+      val exp = Dedup.denseContainment(sh, tau)
         .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
       val got = Dedup.ngramContainmentPairsFromHashes(sh, tau)
         .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
@@ -151,6 +150,7 @@ class DedupSpec extends AnyFunSuite {
       val allPairs = sh.select(col("_id").as("a"))
         .crossJoin(sh.select(col("_id").as("b")))
         .where(col("a") =!= col("b")).distinct().localCheckpoint()
+      val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
       val nb = Dedup.verifyContainment(sh, sizes, allPairs, tau, broadcastPairLimit = 0)
         .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
       assert(nb == exp, s"no-broadcast tau=$tau")
@@ -202,7 +202,7 @@ class DedupSpec extends AnyFunSuite {
     val uniform = (base ++ base.take(5).map { case (id, tx) => (id + 500L, tx) })
       .toDF("doc_id", "text")
     val shU = Dedup.shingleHashes(uniform, "doc_id", "text", n = 3).cache()
-    val (hotU, t0U) = Dedup.jaccardDfRouting(shU, broadcastPairLimit = 100)
+    val (hotU, t0U, _) = Dedup.jaccardDfRouting(shU, broadcastPairLimit = 100)
     assert(hotU.isEmpty && t0U, s"uniform corpus must tier-0 dense (hot=${hotU.length})")
     // Zipfian-shaped corpus: one stock phrase in >hotMinDf docs plus
     // unique filler — the hot head exists, so tier 0 must NOT fire even
@@ -211,10 +211,10 @@ class DedupSpec extends AnyFunSuite {
       (i.toLong, s"alpha beta gamma delta o${i}a o${i}b o${i}c o${i}d o${i}e o${i}f")
     }.toDF("doc_id", "text")
     val shZ = Dedup.shingleHashes(zipf, "doc_id", "text", n = 3).cache()
-    val (hotZ, t0Z) = Dedup.jaccardDfRouting(shZ, broadcastPairLimit = 0)
+    val (hotZ, t0Z, _) = Dedup.jaccardDfRouting(shZ, broadcastPairLimit = 0)
     assert(hotZ.nonEmpty && !t0Z, s"hot-headed corpus must not tier-0 (hot=${hotZ.length})")
     // below the limit nothing fires regardless of shape
-    val (_, t0Small) = Dedup.jaccardDfRouting(shU, broadcastPairLimit = Int.MaxValue)
+    val (_, t0Small, _) = Dedup.jaccardDfRouting(shU, broadcastPairLimit = Int.MaxValue)
     assert(!t0Small, "mass under the limit must not tier-0")
     // and the routed output still equals the dense reference on the
     // degenerate corpus (the tier-0 path end-to-end)

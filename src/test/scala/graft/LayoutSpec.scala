@@ -70,6 +70,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(zScan <= 65536L / 2, s"z-order pruned too little: $zScan of 65536")
   }
 
+  test("compact and zorderRewrite refuse a source missing its _SUCCESS commit marker") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("crash-src")
+    val dst = tmp("crash-dst")
+    (1L to 100L).map(i => (i, i % 7)).toDF("id", "g")
+      .repartition(4).write.mode("overwrite").parquet(src)
+    // stage the crash window: the upstream job died inside its commit —
+    // part files present, completeness receipt absent
+    val marker = new java.io.File(src, "_SUCCESS")
+    assert(marker.exists, "fixture should have committed with _SUCCESS")
+    assert(marker.delete())
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.compact(spark, src, dst, targetBytes = Long.MaxValue)
+    }
+    assert(e1.getMessage.contains("_SUCCESS"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.zorderRewrite(spark, src, dst, "id", "g", files = 2)
+    }
+    assert(e2.getMessage.contains("_SUCCESS"), e2.getMessage)
+    // nothing was published under the destination
+    assert(!new java.io.File(dst, "_SUCCESS").exists)
+    // restoring the receipt unblocks both verbs (the refusal is the
+    // marker check, not a side effect of the staged layout)
+    assert(marker.createNewFile())
+    val (_, after) = Layout.compact(spark, src, dst, targetBytes = Long.MaxValue)
+    assert(after == 1)
+    Layout.zorderRewrite(spark, src, tmp("crash-zdst"), "id", "g", files = 2)
+  }
+
   test("compact rewrites to the byte-targeted file count, losslessly") {
     val s = spark
     import s.implicits._
