@@ -256,6 +256,39 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("planted-md5 minhash (q162 seam): verified subset of exact pairs, exact dups guaranteed, driver-model signatures") {
+    val shs = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      .withColumnRenamed("shingle", "sh").cache()
+    val got = MinHashLSH.nearDupPairsMd5(shs, k = 8, bands = 4, tau = 0.6)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect()
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+    // verification is exact: every emitted pair is a true >=tau pair with
+    // the same 6dp jaccard
+    assert(got.toSet.subsetOf(exact.toSet), s"got ${got.toSeq} vs $exact")
+    // identical shingle sets have identical signatures in EVERY band, so
+    // exact duplicates (jaccard 1.0) can never be lost to banding
+    val dups = exact.filter(_._3 == 1.0)
+    assert(dups.toSet.subsetOf(got.toSet))
+    // and the signature itself is replicable arithmetic: a driver-side
+    // model (min over md5 hex of "shingle:i") matches the engine's
+    val sets = shs.as[(Long, String)].collect().groupBy(_._1)
+      .map { case (id, rows) => id -> rows.map(_._2).toSet }
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val engineSigs = MinHashLSH.signaturesWith(shs, 8,
+        (i, c) => md5(concat(c, lit(":" + i))))
+      .as[(Long, Seq[String])].collect().toMap
+    sets.foreach { case (id, set) =>
+      val model = (0 until 8).map(i => set.map(s => md5hex(s"$s:$i")).min)
+      assert(engineSigs(id) === model, s"doc $id signature mismatch")
+    }
+    shs.unpersist()
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs not paired") {
     val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSet

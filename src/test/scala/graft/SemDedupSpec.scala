@@ -48,6 +48,25 @@ class SemDedupSpec extends AnyFunSuite {
     assert(tags(12L) === "doc12")
   }
 
+  test("semDedupWith: planted centroids drive the same machinery, hand-checked survivors") {
+    // q161's seam: axis centroids planted directly (no k-means), so bucket
+    // assignment and survivors are fully hand-computable
+    val centroids = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val out = SemDedup.semDedupWith(clustered, "vec_id", "embedding", centroids, tau = 0.999)
+    val survivors = out.select("vec_id").as[Long].collect().toSet
+    assert(survivors === Set(0L, 1L, 2L, 10L, 12L, 20L, 30L)) // 11 and 21 lose
+    val buckets = out.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    // axis centroids: bucket = argmax coordinate direction
+    assert(buckets(0L) === 0 && buckets(10L) === 0 && buckets(12L) === 0)
+    assert(buckets(1L) === 1 && buckets(20L) === 1)
+    assert(buckets(2L) === 2 && buckets(30L) === 2)
+    // and the trained verb is literally this machinery under its own centroids
+    val trained = SemDedup.semDedup(clustered, "vec_id", "embedding",
+      c = 3, iters = 3, tau = 0.999).select("vec_id").as[Long].collect().toSet
+    assert(trained === survivors)
+  }
+
   test("boundary-split pairs are the documented recall trade") {
     // A near-dup pair straddling two fixed centroids: each member lands in a
     // different bucket, so the blocked pass misses it while the exact scan
