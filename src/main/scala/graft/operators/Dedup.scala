@@ -640,10 +640,11 @@ object Dedup {
       .agg(coalesce(sum(expr("_pdf * (_df - 1)")), lit(0L)))
       .head().getLong(0)
     val out =
-      // localCheckpoint like the Jaccard twin's tier-0/1 path (r9 ADVICE):
-      // the caller unpersists `sh` before any action on the result, so a
-      // lazily-returned dense plan would re-run the whole shingle pass on
-      // every action — the expected regime at board SFs
+      // every branch returns MATERIALIZED (the dense generator checkpoints
+      // inside its mass-pinned scope; the prefix branch checkpoints here —
+      // r9 ADVICE): the caller unpersists `sh` before any action on the
+      // result, so a lazily-returned plan would re-run the whole shingle
+      // pass on every action
       if (pm > broadcastPairLimit.toLong)
         denseContainment(sh, tau, denseMass)
       else {
