@@ -1004,7 +1004,7 @@ private[graft] trait QueryOracles extends AnyRef {
       """WITH s AS (
         |  SELECT d.doc_id, CAST(2048 + (d.doc_id % 3) * 256 AS BIGINT) AS n,
         |         i.range AS i,
-        |         ((31 * i.range + 1777 * (d.doc_id % 41)) % 65536) - 32768 AS v
+        |         ((31 * i.range + (1777 * (d.doc_id % 41)) % 65536) % 65536) - 32768 AS v
         |  FROM documents d CROSS JOIN range(0, 2560) i
         |  WHERE i.range < 2048 + (d.doc_id % 3) * 256)
         |SELECT doc_id,
@@ -1050,8 +1050,8 @@ private[graft] trait QueryOracles extends AnyRef {
     // Spark must band — the q140/q143 discipline on the time axis.
     "q153_audio_fingerprint_dedup" ->
       """WITH sd AS (
-        |  SELECT doc_id, 31 + 2 * (((doc_id // 5) // 256) % 256) AS slope,
-        |         1777 * ((doc_id // 5) % 256) AS phase
+        |  SELECT doc_id, 31 + 2 * (((doc_id // 5) // 65536) % 256) AS slope,
+        |         (1777 * (doc_id // 5)) % 65536 AS phase
         |  FROM documents),
         |s AS (
         |  SELECT d.doc_id, i.range AS i,

@@ -76,24 +76,30 @@ object Audio {
   }
 
   /** Deterministic procedural WAV (the fixture generator and the SQL
-    * oracle share this DEFINITION, not code): with s1 = seed mod 256 and
-    * s2 = (seed div 256) mod 256, sample i of pattern `seed` is
-    * v(i) = (((31 + 2·s2)·i + 1777·s1) mod 65536) − 32768 — a full-swing
-    * 16-bit sawtooth whose PHASE walks ~0.9 of a 64-sample window per
-    * seed step (adjacent seeds are near-dups) and whose FREQUENCY the s2
-    * block selects (31 + 2·s2 is odd, so every slope is full-period).
-    * The slope term (round 10) is what makes the distinct-profile
-    * universe scale: with a fixed slope the phase space caps at 65536,
-    * so past ~65k payloads phase-proximity true-near-dups densify
-    * quadratically with corpus size — the sf10 audit measured q153 at
-    * 38× linear. 256 slopes × 65536 phases ≈ 16.7M distinct profiles;
-    * seeds below 256 are bit-identical to the old pattern. Encoded
-    * through the REAL JDK WAVE writer. */
+    * oracle share this DEFINITION, not code): with s2 = (seed div 65536)
+    * mod 256, sample i of pattern `seed` is
+    * v(i) = (((31 + 2·s2)·i + (1777·seed mod 65536)) mod 65536) − 32768 —
+    * a full-swing 16-bit sawtooth whose PHASE walks ~0.9 of a 64-sample
+    * window per seed step (adjacent seeds are near-dups) and whose
+    * FREQUENCY the s2 block selects (31 + 2·s2 is odd, so every slope is
+    * full-period). The phase is BIJECTIVE in seed mod 65536 (1777 is odd,
+    * hence a unit mod 2^16) — the round-12 fix: the round-10 form
+    * (phase = 1777·(seed mod 256), slope from seed div 256) realized only
+    * 256 slopes × 256 phases = 65536 distinct profiles despite its
+    * docstring's 16.7M claim, so past ~65k·5 docs the q153 DIV-5 clusters
+    * silently merged across seeds and pair volume densified quadratically
+    * (the sf30 probe read 4.7× sf10's wall for 3× data with a fresh
+    * 6.4 GB spill — §15 trap 1 at a deeper threshold). Now 256 slopes ×
+    * 65536 phases ≈ 16.7M profiles; seeds below 256 stay bit-identical to
+    * the old pattern (slope word 0 either way, and the sample's outer
+    * mod 65536 absorbs the phase reduction), so the gate-SF oracles and
+    * every spec fixture are unchanged. Encoded through the REAL JDK
+    * WAVE writer. */
   def wavPayload(seed: Long, nSamples: Int): Array[Byte] = {
     require(nSamples >= 1, s"wavPayload: need nSamples >= 1, got $nSamples")
     val pcm = new Array[Byte](nSamples * 2)
-    val slope = 31L + 2L * ((seed / 256) % 256)
-    val phase = 1777L * (seed % 256)
+    val slope = 31L + 2L * ((seed / 65536) % 256)
+    val phase = (1777L * seed) % 65536
     var i = 0
     while (i < nSamples) {
       val v = (((slope * i + phase) % 65536) - 32768).toInt

@@ -9,10 +9,11 @@ class AudioSpec extends AnyFunSuite {
 
   /** The pattern DEFINITION both engines share (scaladoc on
     * [[Audio.wavPayload]]) — the spec's independent arithmetic model:
-    * slope-block form (round 10), bit-identical to the old fixed-slope
-    * sawtooth for seeds below 256. */
+    * 16-bit bijective phase + high-word slope block (round 12; the
+    * round-10 form realized only 65536 distinct profiles and merged
+    * q153's DIV-5 clusters past ~327k docs). */
   private def pat(seed: Long, i: Long): Long =
-    (((31L + 2L * ((seed / 256) % 256)) * i + 1777L * (seed % 256)) % 65536) - 32768
+    (((31L + 2L * ((seed / 65536) % 256)) * i + (1777L * seed) % 65536) % 65536) - 32768
 
   test("WAV payload round-trips bit-exactly through the real JDK codec") {
     val s = spark
@@ -106,7 +107,7 @@ class AudioSpec extends AnyFunSuite {
     // seeds 0..96 as in q153 — measure the hamming profile of the REAL
     // decoded fingerprints: phase-adjacent seeds must sit within a few
     // bits, phase-opposed seeds far away (the structure the threshold cuts)
-    val docs = Seq((0L, 0L, n), (1L, 1L, n), (2L, 48L, n), (3L, 256L, n))
+    val docs = Seq((0L, 0L, n), (1L, 1L, n), (2L, 48L, n), (3L, 65536L, n))
       .toDF("doc_id", "seed", "ns")
     val wavs = Audio.withWavPayload(docs, "doc_id", "seed", "ns")
     val fp = Audio.audioFingerprint(wavs, "doc_id", "payload", windowSamples = 64)
@@ -115,10 +116,11 @@ class AudioSpec extends AnyFunSuite {
     val far = java.lang.Long.bitCount(fp(0L) ^ fp(2L))
     assert(near <= 6, s"adjacent phase should flip few delta bits, got $near")
     assert(far > near, s"distant phase ($far) must exceed adjacent ($near)")
-    // a different slope BLOCK (seed 256: same s1 phase as seed 0, next
-    // slope) must not read as near — the round-10 scale fix's property:
-    // the distinct-profile universe grows with the slope term, so phase
-    // proximity alone cannot densify near-dups past 65k payloads
+    // a different slope BLOCK (seed 65536: same phase as seed 0 — the
+    // 16-bit phase is bijective in seed mod 65536, round 12 — next slope
+    // word) must not read as near: the distinct-profile universe grows
+    // with the slope term, so phase proximity alone cannot densify
+    // near-dups past 16.7M payloads
     val cross = java.lang.Long.bitCount(fp(0L) ^ fp(3L))
     assert(cross > 6, s"cross-block profiles must be far, got $cross")
   }
