@@ -92,9 +92,12 @@ object Audio {
     * 6.4 GB spill — §15 trap 1 at a deeper threshold). Now 256 slopes ×
     * 65536 phases ≈ 16.7M profiles; seeds below 256 stay bit-identical to
     * the old pattern (slope word 0 either way, and the sample's outer
-    * mod 65536 absorbs the phase reduction), so the gate-SF oracles and
-    * every spec fixture are unchanged. Encoded through the REAL JDK
-    * WAVE writer. */
+    * mod 65536 absorbs the phase reduction), so consumers whose seeds
+    * stay below 256 — q141/q152 and every spec fixture — are unchanged.
+    * q153's seeds (doc_id DIV 5) exceed 255 above ~1280 docs, so its
+    * gate-SF payloads and pair set DID change with this fix, and its
+    * oracle SQL was rewritten in the same diff to match (r12). Encoded
+    * through the REAL JDK WAVE writer. */
   def wavPayload(seed: Long, nSamples: Int): Array[Byte] = {
     require(nSamples >= 1, s"wavPayload: need nSamples >= 1, got $nSamples")
     val pcm = new Array[Byte](nSamples * 2)

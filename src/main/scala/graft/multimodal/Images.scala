@@ -318,8 +318,11 @@ object Images {
     * per-partition pooling seam (round 12): `getImageWritersByFormatName`
     * walks the ImageIO service registry and constructs a fresh writer
     * per call, a fixed cost that q144 paid once PER PAYLOAD (500k times
-    * at sf10 — the largest fixed overhead on the r11 board). A writer is
-    * reusable across sequences as long as each gets its own setOutput. */
+    * at sf10 — the largest fixed overhead on the r11 board). The writer
+    * is `reset()` at the end of every sequence (round 13): reuse via
+    * bare setOutput worked on the OpenJDK GIFImageWriter but relied on
+    * an implementation detail of its state machine; reset() is the
+    * documented way to return a writer to its initial reusable state. */
   private def animatedGifPayloadWith(
       writer: javax.imageio.ImageWriter,
       id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
@@ -348,6 +351,7 @@ object Images {
       f += 1
     }
     writer.endWriteSequence()
+    writer.reset() // documented reusable state for the next sequence
     ios.close()
     out.toByteArray
   }
@@ -366,8 +370,12 @@ object Images {
       .as[(Long, Long, Int)]
       .mapPartitions { it =>
         // ONE writer per partition (not per payload): the registry walk +
-        // codec construction was q144's per-row fixed cost (round 12)
+        // codec construction was q144's per-row fixed cost (round 12).
+        // Disposed at task end (round 13) — pooled codecs otherwise leak
+        // native/heap state until GC.
         val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        org.apache.spark.TaskContext.get()
+          .addTaskCompletionListener[Unit](_ => writer.dispose())
         it.map { case (id, seed, nf) =>
           (id, nf, animatedGifPayloadWith(writer, seed, w, h, nf))
         }
@@ -402,8 +410,11 @@ object Images {
         // ImageIO service registry and constructs a fresh GIFImageReader
         // per call — a fixed cost q144 paid once per payload (500k times
         // at sf10, the board's largest fixed overhead). setInput fully
-        // resets the reader for the next payload (round 12).
+        // resets the reader for the next payload (round 12); disposed at
+        // task end (round 13) so the pooled codec never outlives its task.
         val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        org.apache.spark.TaskContext.get()
+          .addTaskCompletionListener[Unit](_ => reader.dispose())
         it.flatMap { case (id, payload) =>
           // hold the stream and close it explicitly: the reader does NOT
           // close its input, and an unclosed stream was the round-9 fd

@@ -323,7 +323,15 @@ object Dedup {
     * shingle, which is exactly where a near-dup corpus is densest. The
     * dense generator survives as [[ngramJaccardPairsFromHashes]] for
     * callers with a precomputed shingle pass (and as the spec's reference
-    * implementation). */
+    * implementation).
+    *
+    * EAGER (r12): the result is materialized (localCheckpoint) at call
+    * time — the candidate-volume stages run inside a mass-pinned shuffle
+    * scope that must close before returning, so composition over the
+    * returned pair list is NOT lazy, and the rows live in non-reliable
+    * executor storage (recomputed-from-nothing on executor loss; on a
+    * real cluster, persist the result before long downstream pipelines
+    * if executors may decommission). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame =
     ngramJaccardPairsPrefix(df, idCol, textCol, n, tau)
@@ -357,7 +365,22 @@ object Dedup {
     * .iterPartitions]] — on a cluster the ceiling scales with the
     * session's initialPartitionNum). `finish` completes the per-pair
     * plan (threshold filter, direction explode) INSIDE the pinned scope
-    * so the materialization never checkpoints unfiltered pair volume. */
+    * so the materialization never checkpoints unfiltered pair volume.
+    *
+    * Per-shingle skew bound: one shingle's posting array is ONE row, so
+    * its C(df, 2) pairs cannot split across tasks — `pairsPerPartition`
+    * is an AVERAGE, and the true per-task bound is
+    * max(pairsPerPartition, max_sh C(df_sh, 2)). The routed callers keep
+    * that bound tight structurally: the prefix path demotes every
+    * shingle with df > hotMinDf=64 (≤ 2016 pairs per posting), and the
+    * dense route is taken exactly when sharing is UNIFORM (no dominant
+    * shingle) or template-saturated via the hot-overflow exit — in the
+    * overflow case a single hot shingle CAN still concentrate C(df, 2)
+    * pairs in one task (AQE skew-split cannot help: pinned scope, single
+    * row). If that corpus shape ever shows up in a board, split
+    * oversized postings into chunked sub-arrays before the tail-slice
+    * explode (chunking the OUTER posexplode side preserves the a < b
+    * enumeration). */
   private[graft] def densePairCounts(
       sh: DataFrame, massHint: Long,
       pairsPerPartition: Long = 2L * 1000 * 1000)(
@@ -610,7 +633,9 @@ object Dedup {
     * output either way; the verification counts true intersections only
     * for candidate pairs, broadcast-guarded by the same limit-probe
     * discipline as [[ngramJaccardPairsPrefixFromHashes]]).
-    * Returns (a, b, containment), a ≠ b, containment rounded to 6dp. */
+    * Returns (a, b, containment), a ≠ b, containment rounded to 6dp.
+    * EAGER like [[ngramJaccardPairs]]: materialized at call time (every
+    * branch checkpoints), not a lazy plan. */
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
       broadcastPairLimit: Int = 1 << 20): DataFrame = {

@@ -87,9 +87,31 @@ object SimHash {
     * kept only in the FIRST shared block, decided arithmetically from
     * the two signatures already in the joined row (the q87/q74
     * discipline), where the old `.distinct()` shuffled each such
-    * candidate four times with both signatures aboard. */
+    * candidate four times with both signatures aboard.
+    *
+    * Stage sizing (round 13, the [[graft.operators.Dedup.densePairCounts]]
+    * lesson applied to its last remaining instance — but via PLAN shape,
+    * not conf scoping): the banding self-join's map output is 4 rows ×
+    * 24 bytes per signature, but each (blk, bv) bucket of df rows
+    * generates C(df, 2) candidate pairs INSIDE the join task — output ≫
+    * input, so AQE (which coalesces by map-output bytes) collapses the
+    * stage to ~cores tasks and each task streams the whole band meet
+    * volume. The band meet mass Σ_buckets C(df, 2) is known exactly from
+    * one aggregate over the 4N blocked rows (the signature table is
+    * already checkpointed, so the probe is one cheap job), and the join
+    * runs at mass / 2M tasks by REPARTITIONING the blocked table on the
+    * join keys with an explicit partition count: AQE never coalesces a
+    * user-numbered repartition, the self-join reuses its partitioning
+    * (one exchange, ReuseExchange across the two sides, zero extra
+    * shuffles), and the result stays a LAZY plan — the r13 first cut
+    * materialized the pair list inside a conf-pinned scope instead, and
+    * checkpointing 344M pairs at sf30 doubled q153's wall. Per-bucket
+    * skew caveat (same as densePairCounts): one bucket's pairs cannot
+    * split across tasks, so a single saturated 16-bit bucket still
+    * bounds a task at C(df_max, 2) pairs. */
   def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 blocks of 16 bits guarantee recall only for hamming <= 3")
+    val spark = sig.sparkSession
     def block(c: Column, j: Int): Column =
       shiftrightunsigned(c, j * 16).bitwiseAND(0xFFFFL)
     val blocks = array((0 until 4).map { j =>
@@ -104,11 +126,16 @@ object SimHash {
     // subtrees, zero ReusedExchange). Sixteen bytes per row.
     val s = sig.select(col("_id"), col("simhash")).localCheckpoint()
     val blocked = s.select(col("_id"), col("simhash"), posexplode(blocks).as(Seq("blk", "bv")))
+    val mass = blocked.groupBy("blk", "bv").agg(count(lit(1)).as("_df"))
+      .agg(coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L)))
+      .head().getLong(0)
+    val p = graft.core.GraftSession.iterPartitions(spark, mass)
+    val bx = blocked.repartition(p, col("blk"), col("bv"))
     val firstShared = !(0 until 3).map { j =>
       (col("x.blk") > j) &&
         (block(col("x.simhash"), j) === block(col("y.simhash"), j))
     }.reduce(_ || _)
-    blocked.as("x").join(blocked.as("y"),
+    bx.as("x").join(bx.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x._id") < col("y._id"))
       .where(firstShared)

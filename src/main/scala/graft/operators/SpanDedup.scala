@@ -361,7 +361,27 @@ object SpanDedup {
     // checkpointed inside [[winnowCandSpans]], so the re-run is one
     // narrow id join + substring.
     val cand = winnowCandSpans(df, idCol, textCol, l, k)
-    val dup = cand.groupBy("span").agg(count(lit(1)).as("sites"))
+    // Shuffle RAW span rows, aggregate once post-shuffle (round 13): the
+    // default partial+final plan filled a 40-byte-string hash table per
+    // map task with NEAR-UNIQUE keys (confirmed spans are duplicated, but
+    // candidates are mostly singletons, and same-span sites rarely share
+    // a partition), so the partial reduced almost nothing while its
+    // sort-fallback spilled 31.8 GB at sf10 (ProbeStages: 60 of q101's
+    // 96 s) to emit a "partial" shuffle that was already the raw volume.
+    // repartition(col) hash-distributes by span with AQE sizing the
+    // partition count by bytes; the aggregate's required distribution is
+    // then already satisfied, so both aggregate phases run post-shuffle
+    // over ~advisory-sized blocks and the map side just writes span rows
+    // (probed: 96 → 81 s, spill 31.8 → 9.2 GB — the residue is the
+    // shuffle WRITER's merge spill of the 3.6 GB map output, linear). A
+    // corpus-wide hot span lands in one task but only COUNTS there — no
+    // buffering, so the skew cost is a linear scan. (An 8-byte-hash
+    // pre-gate was probed and REJECTED: the duplicated-span spine at
+    // sf10 is millions of rows — far past any broadcast budget — so the
+    // exact-string confirm re-shuffled the full string volume anyway and
+    // the query paid both exchanges, 127 s.)
+    val dup = cand.select(col("span")).repartition(col("span"))
+      .groupBy("span").agg(count(lit(1)).as("sites"))
       .where(col("sites") > 1).localCheckpoint()
     df.select(col(idCol))
       .join(

@@ -100,23 +100,215 @@ object TextAnalysis {
     * complementing q78/q102's exact n-gram/span matching with ranked
     * lexical overlap.
     *
-    * Scale shape: the QUERY set is the small side (benchmark suites are
-    * thousands of rows) and stays broadcast everywhere — the corpus NEVER
-    * shuffles: term frequency is intra-document state, so the postings
-    * list comes out of ONE fused per-partition tokenize pass
-    * ([[bm25PostsFused]], persisted; its stats sentinels double as the
-    * (_n, _sumdl) aggregate, so there is no second text scan either).
-    * `_df` counts postings already restricted to query terms (≤ |query
-    * vocab| rows shuffle), and the scored candidate set (postings ∩ query
-    * vocab) is the only other shuffle, by (query, doc); the final top-k
-    * runs on the bounded [[graft.functions.TopK]] aggregate — no window
-    * sort over candidates.
+    * Scale shape (round 13 — document-at-a-time): the QUERY set is the
+    * small side (benchmark suites are thousands of rows) and rides as a
+    * broadcast term → (idf, query list) map; the corpus NEVER shuffles
+    * and is never cached — two fused tokenize passes (stats + df, then
+    * scoring) accumulate per-query 6dp fixed-point scores in primitive
+    * arrays and prefilter to a per-partition top-k under the SAME
+    * (score desc, id asc) total order as the final bounded
+    * [[graft.functions.TopK]] aggregate, so only partitions × queries × k
+    * rows ever cross the wire. Per-task state is queries-proportional,
+    * independent of corpus size. (The postings-join form survives as
+    * [[bm25TopKViaPostings]], the spec's reference — equal output,
+    * row-level auditable, but its dense (q, doc, term) candidate stream
+    * hash-aggregates the whole meet volume.)
     *
     * Cross-engine exactness (the q105 discipline): every per-term score
-    * is rounded to 6dp and cast to DECIMAL(20,6) BEFORE the sum, so
+    * is rounded to 6dp and summed as exact fixed-point micros — the same
+    * values the reference form's round + DECIMAL(20,6) sum produces, so
     * per-(query, doc) aggregation is order-free exact integer arithmetic;
     * libm's ln ulp vanishes against the 6dp round. */
   def bm25TopK(
+      corpus: org.apache.spark.sql.DataFrame, queries: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, qIdCol: String, qTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Document-at-a-time fused scorer (round 13). The postings-join form
+    // (kept below as [[bm25TopKViaPostings]], the spec's reference) built
+    // candidate ROWS — one per (query, matching doc, shared term) — and
+    // summed them through a hash aggregate keyed by (q_id, _id). A
+    // decontamination workload is DENSE (a 500-doc benchmark split shares
+    // vocabulary with essentially every corpus doc), so at sf10 that was
+    // ~2B candidate rows into a partial aggregate whose per-task state
+    // (~millions of distinct (q, doc) keys) overflowed into sort-fallback:
+    // ProbeStages measured 39.8 GB of spill and 670 of q120's 702 s in
+    // that single stage, on top of a 15 GB MEMORY_AND_DISK postings cache
+    // competing with it for unified memory.
+    //   Here the same arithmetic runs as primitive-array accumulation
+    // inside ONE corpus pass: the bounded query-term table (the side the
+    // old path already broadcast) is collected and inverted to
+    // term → (idf, query indices); each doc tokenizes once (identical
+    // UTF8String lower/trim + split), bumps a long[] of 6dp-fixed-point
+    // micro-scores per touched query — exactly the decimal(20,6) sum the
+    // postings form computed, in exact integer arithmetic — and offers
+    // (score, doc) into a per-partition [[graft.functions.TopKHeap]] per
+    // query under TopK's own (score desc, id asc) total order, which
+    // makes the per-partition prefilter lossless. Only ≤ partitions ×
+    // queries × k rows reach the final [[graft.functions.TopK]]
+    // aggregate: the corpus never shuffles, nothing is cached, and the
+    // per-task state is queries × (8B accumulator + k heap slots),
+    // independent of corpus size. Two narrow corpus passes total (stats +
+    // df, then scoring) replace the postings cache round-trip.
+    val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
+      .select(col("q_id"), col("term")).as[(Long, String)].collect()
+    val qIds: Array[Long] = qt.map(_._1).distinct
+    val vocab: Array[String] = qt.map(_._2).distinct
+    if (qt.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
+    // pass 1: corpus stats (N over ALL rows, Σdl over non-null texts) and
+    // per-query-term doc frequencies, one fused tokenize, merged
+    // executor-side (Dataset.reduce — one tuple reaches the driver)
+    val vIdx: Map[String, Int] = vocab.zipWithIndex.toMap
+    val bcV = spark.sparkContext.broadcast(vIdx)
+    val (nDocs, sumdl, dfArr) = graft.core.Par.fanOut(
+        corpus.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bcV.value
+        val df = new Array[Long](m.size)
+        var n = 0L
+        var dl = 0L
+        it.foreach { case (_, text) =>
+          n += 1
+          if (text != null) {
+            val u = org.apache.spark.unsafe.types.UTF8String
+              .fromString(text).toLowerCase.trim()
+            val arr = u.toString.split("\\s+", -1)
+            dl += arr.length
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i < arr.length) {
+              val t = arr(i)
+              if (t.nonEmpty) {
+                val idx = m.getOrElse(t, -1)
+                if (idx >= 0 && seen.add(t)) df(idx) += 1
+              }
+              i += 1
+            }
+          }
+        }
+        Iterator.single((n, dl, df))
+      }
+      .reduce { (a, b) =>
+        val df = new Array[Long](a._3.length)
+        var i = 0
+        while (i < df.length) { df(i) = a._3(i) + b._3(i); i += 1 }
+        (a._1 + b._1, a._2 + b._2, df)
+      }
+    // term → (idf, queries containing it); idf replicates the postings
+    // form's Catalyst expression op-for-op: long (n - df), then + 0.5
+    val avgdl = sumdl.toDouble / nDocs
+    val qIdxOf: Map[Long, Int] = qIds.zipWithIndex.toMap
+    val termQs: Array[Array[Int]] = {
+      val bs = Array.fill(vocab.length)(List.empty[Int])
+      qt.foreach { case (q, t) => val vi = vIdx(t); bs(vi) = qIdxOf(q) :: bs(vi) }
+      bs.map(_.reverse.toArray)
+    }
+    val scoringMap: Map[String, (Double, Array[Int])] =
+      vocab.indices.iterator.map { vi =>
+        val df = dfArr(vi)
+        val idf = math.log(1.0 + ((nDocs - df) + 0.5) / (df + 0.5))
+        vocab(vi) -> (idf, termQs(vi))
+      }.toMap
+    val bcScore = spark.sparkContext.broadcast(scoringMap)
+    val bcQIds = spark.sparkContext.broadcast(qIds)
+    val nQ = qIds.length
+    // pass 2: score + per-partition lossless top-k prefilter
+    val prefiltered = graft.core.Par.fanOut(
+        corpus.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val sm = bcScore.value
+        val ids = bcQIds.value
+        val acc = new Array[Long](nQ)
+        val touched = new Array[Int](nQ)
+        // per-doc generation marker: O(1) "already a candidate for q this
+        // doc?" without rescanning `touched` (a zero-micro term still
+        // makes the pair a candidate, so acc==0 can't stand in for it)
+        val gen = new Array[Int](nQ)
+        var docGen = 0
+        val heaps = new Array[graft.functions.TopKHeap](nQ)
+        it.foreach { case (docId, text) =>
+          if (text != null) {
+            val u = org.apache.spark.unsafe.types.UTF8String
+              .fromString(text).toLowerCase.trim()
+            val arr = u.toString.split("\\s+", -1)
+            val dlD = arr.length.toDouble
+            // tf over MATCHED terms only (others cannot score)
+            val tf = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i < arr.length) {
+              val t = arr(i)
+              if (t.nonEmpty && sm.contains(t)) tf.merge(t, 1L, Long.box(_) + _)
+              i += 1
+            }
+            var nTouched = 0
+            docGen += 1
+            val en = tf.entrySet().iterator()
+            while (en.hasNext) {
+              val e = en.next()
+              val (idf, qs) = sm(e.getKey)
+              val tfD = e.getValue.toDouble
+              // op order mirrors bm25Rank's Catalyst tree exactly
+              val tfn = tfD * (k1 + 1.0) /
+                (tfD + k1 * ((1.0 - b) + b * dlD / avgdl))
+              val micros = java.math.BigDecimal.valueOf(idf * tfn)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .movePointRight(6).longValueExact()
+              var j = 0
+              while (j < qs.length) {
+                val q = qs(j)
+                if (gen(q) != docGen) {
+                  gen(q) = docGen
+                  touched(nTouched) = q
+                  nTouched += 1
+                }
+                acc(q) += micros
+                j += 1
+              }
+            }
+            var s = 0
+            while (s < nTouched) {
+              val q = touched(s)
+              if (heaps(q) == null) heaps(q) = new graft.functions.TopKHeap(topK)
+              heaps(q).offer(
+                java.math.BigDecimal.valueOf(acc(q), 6).doubleValue(), docId)
+              acc(q) = 0L
+              s += 1
+            }
+          }
+        }
+        (0 until nQ).iterator.flatMap { q =>
+          val h = heaps(q)
+          if (h == null) Iterator.empty
+          else (0 until h.size).iterator.map(i => (ids(q), h.ids(i), h.scores(i)))
+        }
+      }
+      .toDF("q_id", "_id", "_s")
+    Sketches.topKPerGroup(prefiltered, Seq("q_id"), col("_s"), col("_id"), topK)
+      .select(col("q_id"), col("rank"), col("id").as("doc_id"), col("score"))
+      .localCheckpoint()
+  }
+
+  /** The postings-join form of [[bm25TopK]] — identical output
+    * (spec-pinned), kept as the declarative reference implementation: at
+    * dense decontamination scale its (q, doc, term) candidate stream and
+    * postings cache lose badly to the fused scorer (sf10: 702 → see
+    * bm25TopK's scaladoc), but its row-level plan is independently
+    * auditable against the formula. */
+  private[graft] def bm25TopKViaPostings(
       corpus: org.apache.spark.sql.DataFrame, queries: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, qIdCol: String, qTextCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {

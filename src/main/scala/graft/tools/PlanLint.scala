@@ -120,12 +120,14 @@ object PlanLint extends AdaptiveSparkPlanHelper {
         // q62 (constraints across the row). Whole-ROW dedup verbs too:
         // q84/q115 return the batch's surviving full rows (the batch side
         // must read every column; the corpus side prunes to text and is
-        // not flagged), q100 outputs (vec_id, label, bucket) so all 3
-        // embeddings columns are genuinely required.
+        // not flagged), q100/q161 output (vec_id, label, bucket) so all 3
+        // embeddings columns are genuinely required on the survivors
+        // branch (the pairs() branch prunes to (vec_id, embedding) —
+        // SemDedup.pairs selects exactly those before assignment).
         if (!Set("q03_sas_obs", "q05_col_types", "q06_csv_roundtrip",
               "q07_parquet_modified", "q62_quality_checks",
               "q84_incremental_dedup", "q115_bloom_dedup",
-              "q100_semdedup").contains(name))
+              "q100_semdedup", "q161_semdedup_grid").contains(name))
           fullWidthScans(finalPlan(df.queryExecution.executedPlan))
             .foreach { case (table, req, _) =>
               flag(s"unpruned scan: $table reads all $req columns") }

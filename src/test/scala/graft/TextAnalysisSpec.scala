@@ -246,6 +246,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(density < 0.8, s"winnowing should be sparse, got density $density")
   }
 
+  test("fused document-at-a-time bm25TopK equals the postings-join reference") {
+    val s = spark
+    import s.implicits._
+    // adversarial: multi-term overlaps, tab/newline whitespace, null and
+    // empty texts, a query term absent from the corpus, score ties
+    // (docs 7/8 identical), unicode case folding
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana\tcherry  cherry"),
+      (3L, "cherry cherry cherry cherry"),
+      (4L, ""),
+      (5L, null: String),
+      (6L, "CAFÉ apple\nbanana"),
+      (7L, "apple banana"),
+      (8L, "apple banana")).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "apple cherry zebra"),
+      (11L, "banana café"),
+      (12L, "zebra")).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val fused = graft.operators.TextAnalysis.bm25TopK(
+      corpus, queries, "doc_id", "text", "doc_id", "text", topK = 3)
+      .orderBy("q_id", "rank").collect().map(key).toSeq
+    val ref = graft.operators.TextAnalysis.bm25TopKViaPostings(
+      corpus, queries, "doc_id", "text", "doc_id", "text", topK = 3)
+      .orderBy("q_id", "rank").collect().map(key).toSeq
+    assert(fused == ref)
+    assert(fused.nonEmpty)
+    // tie-break pinned: identical docs 7/8 rank adjacently, lower id first
+    val q11 = fused.filter(_._1 == 11L)
+    val i7 = q11.indexWhere(_._3 == 7L)
+    assert(i7 >= 0 && i7 + 1 < q11.length && q11(i7 + 1)._3 == 8L)
+  }
+
   test("bm25TopK matches an independent scalar BM25 model, ranks and rounds alike") {
     val s = spark
     import s.implicits._
