@@ -61,14 +61,130 @@ object Importance {
       raw: DataFrame, target: DataFrame,
       idCol: String, textCol: String,
       sampleN: Int, hexChars: Int = 3): DataFrame = {
-    // materialize the ≤ sampleN selection, then release the rawRows cache —
-    // a lazily returned plan over it leaked the cache for the session's
-    // lifetime (ADVICE r5). The lazy twin below stays inspectable for the
-    // no-crossJoin plan spec.
-    val (plan, rawRows) = dsirResamplePlan(raw, target, idCol, textCol, sampleN, hexChars)
-    val out = plan.localCheckpoint()
-    rawRows.unpersist()
-    out
+    // Document-at-a-time fused scorer (round 13, the q120 discipline): the
+    // explode form (kept as [[dsirResamplePlan]], the spec's reference and
+    // the fallback) materialized one (id, bucket) row PER FEATURE
+    // OCCURRENCE — an sf10 corpus is ~10⁸ exploded md5-hashed rows through
+    // a MEMORY_AND_DISK cache plus two broadcast joins and a per-doc
+    // aggregate (205 s of q107's sf10 wall). Both bucket-count tables are
+    // ≤ B longs, so with B = 16^hexChars small enough for a plain array
+    // (hexChars ≤ 6) the whole model is two fused counting passes merged
+    // executor-side, a B-long broadcast of per-bucket 6dp fixed-point
+    // weight micros — bit-identical to the explode form's
+    // round+DECIMAL(20,6) per-feature terms — and ONE scoring pass that
+    // sums micros in a local long per doc. Per-task state is B longs;
+    // nothing is cached and the only shuffle carries one row per doc.
+    // Integral id required for the fused encoder — exotic id types take
+    // the explode path, as does hexChars > 6 (array too big).
+    val integralId = raw.schema.find(_.name == idCol).map(_.dataType).exists {
+      case _: org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (hexChars > 6 || !integralId) {
+      // materialize the ≤ sampleN selection, then release the rawRows
+      // cache — a lazily returned plan over it leaked the cache for the
+      // session's lifetime (ADVICE r5). The lazy twin stays inspectable
+      // for the no-crossJoin plan spec.
+      val (plan, rawRows) = dsirResamplePlan(raw, target, idCol, textCol, sampleN, hexChars)
+      val out = plan.localCheckpoint()
+      rawRows.unpersist()
+      return out
+    }
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val b = 1L << (4 * hexChars)
+    val bInt = b.toInt
+    def countsOf(side: DataFrame): Array[Long] =
+      graft.core.Par.fanOut(side.select(col(textCol).cast("string")))
+        .as[String]
+        .mapPartitions { it =>
+          val c = new Array[Long](bInt)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.foreach { text =>
+            if (text != null) foreachFeature(text, hexChars, md)(c(_) += 1)
+          }
+          Iterator.single(c)
+        }
+        .reduce { (x, y) =>
+          val out = new Array[Long](bInt)
+          var i = 0
+          while (i < bInt) { out(i) = x(i) + y(i); i += 1 }
+          out
+        }
+    val ctArr = countsOf(target)
+    val crArr = countsOf(raw)
+    val nt = ctArr.sum
+    val nr = crArr.sum
+    // per-bucket weight micros — op order mirrors the explode form's lw6
+    // Catalyst tree exactly (long 2c+1 then cast, long 2N+B denominator)
+    val micros = Array.tabulate(bInt) { i =>
+      val d = math.log((2 * ctArr(i) + 1).toDouble / (2L * nt + b)) -
+        math.log((2 * crArr(i) + 1).toDouble / (2L * nr + b))
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    }
+    val bcM = spark.sparkContext.broadcast(micros)
+    val perDoc = graft.core.Par.fanOut(
+        raw.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bcM.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            var nf = 0L
+            var s = 0L
+            foreachFeature(text, hexChars, md) { idx => nf += 1; s += m(idx) }
+            Iterator.single((id, nf, s))
+          }
+        }
+      }
+      .toDF(idCol, "_nf", "_m")
+    val u = (Sampling.hashBucket(col(idCol), 1000000) + lit(0.5)) / lit(1000000)
+    val selKey = round(col("_slw").cast("double") + -log(-log(u)), 6)
+    perDoc.groupBy(col(idCol)).agg(
+        sum(col("_nf")).as("n_features"), sum(col("_m")).as("_mm"))
+      // exact micros → DECIMAL: long × 0.000001 (decimal(1,6)) widens
+      // losslessly, so _slw is the same decimal value the explode form sums
+      .withColumn("_slw", col("_mm") * lit(java.math.BigDecimal.valueOf(1L, 6)))
+      .select(col(idCol), col("n_features"),
+        round(col("_slw").cast("double"), 6).as("logw"),
+        selKey.as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol).asc)
+      .limit(sampleN)
+      .localCheckpoint()
+  }
+
+  /** Streams `text`'s DSIR features — whitespace unigrams plus
+    * space-joined bigrams, INCLUDING empty-string tokens, exactly the
+    * rows `explode(concat(tokens(text), wordNgrams(text, 2)))` produces
+    * (SQL trim strips 0x20 only; split("\\s+", -1) keeps leading/trailing
+    * empties from tab/newline edges) — into `f` as md5-hex-prefix bucket
+    * indices. One shared MessageDigest, reset per feature by `digest`. */
+  private def foreachFeature(
+      text: String, hexChars: Int, md: java.security.MessageDigest)(
+      f: Int => Unit): Unit = {
+    val arr = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).trim().toString.split("\\s+", -1)
+    def bump(feature: String): Unit = {
+      val dig = md.digest(feature.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var idx = 0
+      var k = 0
+      while (k < hexChars) {
+        val nib = if (k % 2 == 0) (dig(k / 2) >> 4) & 0xF else dig(k / 2) & 0xF
+        idx = (idx << 4) | nib
+        k += 1
+      }
+      f(idx)
+    }
+    var i = 0
+    while (i < arr.length) { bump(arr(i)); i += 1 }
+    i = 0
+    while (i < arr.length - 1) { bump(arr(i) + " " + arr(i + 1)); i += 1 }
   }
 
   /** The lazy scoring plan plus the persisted rawRows intermediate backing

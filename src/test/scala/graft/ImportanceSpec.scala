@@ -57,6 +57,35 @@ class ImportanceSpec extends AnyFunSuite {
     assert(once.forall(_.getLong(1) == 4 + 3)) // 4 unigrams + 3 bigrams
   }
 
+  test("fused dsirResample equals the explode-plan reference on adversarial text") {
+    val s = spark
+    import s.implicits._
+    // tab/newline whitespace (leading empties survive SQL trim), empty and
+    // null texts, unicode, shared and doc-unique vocabulary, id gaps
+    val raw = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "\tbeta gamma\nalpha "),
+      (3L, ""),
+      (4L, null: String),
+      (5L, "café δ alpha"),
+      (7L, "beta beta beta"),
+      (9L, "solo")).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "alpha beta"),
+      (101L, "café alpha\tgamma"),
+      (102L, null: String)).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val fused = Importance.dsirResample(raw, target, "doc_id", "text", sampleN = 6)
+      .collect().map(key).toSeq
+    val (plan, rawRows) = Importance.dsirResamplePlan(
+      raw, target, "doc_id", "text", sampleN = 6)
+    val ref = plan.collect().map(key).toSeq
+    rawRows.unpersist()
+    assert(fused == ref)
+    assert(fused.nonEmpty)
+  }
+
   test("dsirResample scoring plan: no scalar crossJoins, totals are literals") {
     val s = spark
     import s.implicits._
