@@ -331,8 +331,25 @@ object SpanDedup {
       .agg(sort_array(collect_set(col("pos"))).as("_fpos"))
       .localCheckpoint()
     fps.unpersist()
+    // Size the explode stage by its OUTPUT (round 13): the gated-docs join
+    // output is small (text + position arrays), so AQE hands the
+    // explode+substring generate ~cores tasks, and at sf30 each task's
+    // shuffle writer multi-pass-spilled ~2 GB of generated spans (58.8 GB
+    // total spill, 687 s). Each fingerprint position expands to at most
+    // w = l−k+1 candidate windows, so the exact output ceiling
+    // w·Σ|_fpos| comes from one cheap aggregate over the checkpointed
+    // arrays; a user-NUMBERED round-robin repartition (AQE never
+    // coalesces it) of the gated rows runs the generate at
+    // mass/rowsPerPartition tasks — each writes a bounded slice of the
+    // span shuffle instead of a multi-pass merge. The extra exchange
+    // carries only the gated docs' text once.
+    val spark = df.sparkSession
+    val mass = w * candFpPos
+      .agg(coalesce(sum(size(col("_fpos"))), lit(0L))).head().getLong(0)
+    val p = graft.core.GraftSession.iterPartitions(spark, mass)
     df.select(col(idCol).cast("long").as(idCol), col(textCol).as("_t"))
       .join(candFpPos, Seq(idCol))
+      .repartition(p)
       .select(col(idCol), col("_t"),
         explode(array_distinct(flatten(transform(col("_fpos"), fpPos => {
           val lo = greatest(lit(1), fpPos - (l - k))
