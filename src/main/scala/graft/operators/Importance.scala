@@ -76,7 +76,14 @@ object Importance {
     // nothing is cached and the only shuffle carries one row per doc.
     // Integral id required for the fused encoder — exotic id types take
     // the explode path, as does hexChars > 6 (array too big).
-    val integralId = raw.schema.find(_.name == idCol).map(_.dataType).exists {
+    // argument contract holds on BOTH paths (ADVICE r13): without these,
+    // the fused path silently degenerated at hexChars=0 (single bucket,
+    // pure-Gumbel selection), died with an index error at negative
+    // hexChars, and returned empty at sampleN=0
+    require(hexChars >= 1 && hexChars <= 8, "need 1 <= hexChars <= 8")
+    require(sampleN > 0, "need sampleN > 0")
+    val idField = raw.schema.find(_.name == idCol)
+    val integralId = idField.map(_.dataType).exists {
       case _: org.apache.spark.sql.types.LongType => true
       case _: org.apache.spark.sql.types.IntegerType => true
       case _: org.apache.spark.sql.types.ShortType => true
@@ -107,12 +114,18 @@ object Importance {
           }
           Iterator.single(c)
         }
-        .reduce { (x, y) =>
+        // treeReduce, not Dataset.reduce (ADVICE r13): reduce ships one
+        // full 16^hexChars long array PER PARTITION to the driver — at the
+        // allowed hexChars=6 that is ~134 MB × tasks, past the default
+        // driver.maxResultSize on a real cluster. The tree merges
+        // executor-side; exactly one array reaches the driver.
+        .rdd
+        .treeReduce({ (x, y) =>
           val out = new Array[Long](bInt)
           var i = 0
           while (i < bInt) { out(i) = x(i) + y(i); i += 1 }
           out
-        }
+        }, depth = 2)
     val ctArr = countsOf(target)
     val crArr = countsOf(raw)
     val nt = ctArr.sum
@@ -151,7 +164,9 @@ object Importance {
       // exact micros → DECIMAL: long × 0.000001 (decimal(1,6)) widens
       // losslessly, so _slw is the same decimal value the explode form sums
       .withColumn("_slw", col("_mm") * lit(java.math.BigDecimal.valueOf(1L, 6)))
-      .select(col(idCol), col("n_features"),
+      // the fused encoder widened the id to long; return the caller's
+      // declared type so both paths yield one schema (ADVICE r13)
+      .select(col(idCol).cast(idField.get.dataType).as(idCol), col("n_features"),
         round(col("_slw").cast("double"), 6).as("logw"),
         selKey.as("sel_key"))
       .orderBy(col("sel_key").desc, col(idCol).asc)

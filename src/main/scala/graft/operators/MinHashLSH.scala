@@ -41,21 +41,67 @@ object MinHashLSH {
   /** [[candidatePairs]] with the BAND BUCKET KEY INJECTED
     * (`bandKey(j, slice)` = the bucket id of band j's signature slice):
     * identical banding topology — b rows per doc, equi-join on
-    * (band, bucket), distinct pairs — under any engine-replicable key. */
+    * (band, bucket), one row per candidate pair — under any
+    * engine-replicable key.
+    *
+    * Stage sizing (round 14, the [[SimHash.hammingPairs]] discipline
+    * applied to its last remaining instance): each (band, bucket) of df
+    * rows generates C(df, 2) pairs INSIDE the join task — output ≫
+    * map-output bytes, so AQE (which coalesces by map bytes) would
+    * collapse the stage to ~cores tasks streaming the whole band meet
+    * volume. The meet mass Σ C(df, 2) comes from one aggregate over the
+    * b·N banded rows (the band table is checkpointed first, so the probe
+    * is one cheap job — and the checkpoint also keeps the signature
+    * subtree, an md5-vocab aggregate for q162, from executing on both
+    * sides of the self-join), and when the mass wants more tasks than
+    * the default parallelism the banded table is repartitioned on the
+    * join keys with an explicit user-numbered count AQE never coalesces;
+    * the self-join reuses that distribution (one exchange, zero extras)
+    * and the result stays a LAZY plan. Small corpora skip the
+    * repartition — the default AQE plan was already optimal there and
+    * the finer blocks only cost (the r13 q140/q143 lesson).
+    *
+    * Dedup is arithmetic, not an exchange: a pair sharing several band
+    * buckets is kept only in the FIRST shared band, decided from the two
+    * band arrays already aboard the joined row (the q87/q74/SimHash
+    * discipline) — the old `.distinct()` re-shuffled every multi-band
+    * pair b times. Per-bucket skew caveat (same as densePairCounts):
+    * one bucket's C(df, 2) pairs cannot split across tasks. */
   def candidatePairsWith(
       sigs: DataFrame, bands: Int, rowsPerBand: Int,
       bandKey: (Int, Seq[org.apache.spark.sql.Column]) => org.apache.spark.sql.Column)
       : DataFrame = {
+    val spark = sigs.sparkSession
     val bandHashes = array((0 until bands).map { j =>
       val slice = (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r))
       bandKey(j, slice)
     }: _*)
-    val banded = sigs.select(col("_id"), posexplode(bandHashes).as(Seq("band", "bh")))
-    banded.as("x").join(banded.as("y"),
+    val s = sigs.select(col("_id"), bandHashes.as("_bands")).localCheckpoint()
+    val banded = s.select(col("_id"), col("_bands"),
+      posexplode(col("_bands")).as(Seq("band", "bh")))
+    val mass = banded.groupBy("band", "bh").agg(count(lit(1)).as("_df"))
+      .agg(coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L)))
+      .head().getLong(0)
+    val rowsPerTask = 2L * 1000 * 1000
+    val bx =
+      if (mass <= rowsPerTask * spark.sparkContext.defaultParallelism) banded
+      else banded.repartition(
+        graft.core.GraftSession.iterPartitions(spark, mass, rowsPerTask),
+        col("band"), col("bh"))
+    // "shared earlier band" must mean exactly "the equi-join at that band
+    // would have matched" — plain (null-rejecting) equality, coalesced to
+    // false so a null key can never veto the whole predicate
+    val firstShared =
+      if (bands == 1) lit(true)
+      else !(0 until bands - 1).map { j =>
+        coalesce(col("x.band") > j &&
+          col("x._bands").getItem(j) === col("y._bands").getItem(j), lit(false))
+      }.reduce(_ || _)
+    bx.as("x").join(bx.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x._id") < col("y._id"))
+      .where(firstShared)
       .select(col("x._id").as("a"), col("y._id").as("b"))
-      .distinct()
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
@@ -101,7 +147,20 @@ object MinHashLSH {
   def nearDupPairsMd5(
       sh: DataFrame, k: Int, bands: Int, tau: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val sigs = signaturesWith(sh, k, (i, c) => md5(concat(c, lit(":" + i))))
+    // vocab×k digesting (round 14): the md5 mix depends only on the
+    // shingle STRING, so each DISTINCT shingle is digested once per
+    // permutation in one vocab-sized select and the k-array joined back
+    // onto the (doc, shingle) rows — the q91/q119 vocab discipline. The
+    // inline form evaluated k md5 expressions per OCCURRENCE inside the
+    // min aggregate (~8× the corpus's shingle mass in MD5 rounds; q162's
+    // entire 64 s sf1 wall). The min aggregate itself is untouched —
+    // perm i just reads the precomputed digest — so signatures, banding
+    // and the verified output are byte-identical.
+    val digests = array((0 until k).map(i =>
+      md5(concat(col("sh"), lit(":" + i)))): _*)
+    val vocab = sh.select(col("sh")).distinct().select(col("sh"), digests.as("_mh"))
+    val sigs = signaturesWith(sh.join(vocab, "sh"), k,
+      (i, _) => col("_mh").getItem(i))
     val cands = candidatePairsWith(sigs, bands, k / bands,
       (_, slice) => concat_ws("|", slice: _*))
     verifiedPairs(sh, cands, tau)

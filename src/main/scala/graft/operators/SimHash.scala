@@ -129,8 +129,19 @@ object SimHash {
     val mass = blocked.groupBy("blk", "bv").agg(count(lit(1)).as("_df"))
       .agg(coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L)))
       .head().getLong(0)
-    val p = graft.core.GraftSession.iterPartitions(spark, mass)
-    val bx = blocked.repartition(p, col("blk"), col("bv"))
+    // Small-corpus skip (round 14): when the meet mass wants no more
+    // tasks than the default parallelism, the pre-r13 default AQE plan
+    // was already optimal — the explicit repartition only added an
+    // exchange with finer blocks (q140 8.2 → 15.2 s, q143 6.7 → 8.3 s at
+    // sf10 on the r13 board). The probe job above is cheap (the sig
+    // table is checkpointed); only the fine partitioning costs, so it
+    // now engages exactly when the mass says it pays.
+    val rowsPerTask = 2L * 1000 * 1000
+    val bx =
+      if (mass <= rowsPerTask * spark.sparkContext.defaultParallelism) blocked
+      else blocked.repartition(
+        graft.core.GraftSession.iterPartitions(spark, mass, rowsPerTask),
+        col("blk"), col("bv"))
     val firstShared = !(0 until 3).map { j =>
       (col("x.blk") > j) &&
         (block(col("x.simhash"), j) === block(col("y.simhash"), j))

@@ -151,8 +151,21 @@ object TextAnalysis {
     // per-task state is queries × (8B accumulator + k heap slots),
     // independent of corpus size. Two narrow corpus passes total (stats +
     // df, then scoring) replace the postings cache round-trip.
+    // Bounded collect (round 14): the fused scorer's contract is a
+    // benchmark-sized query split, but an oversized query set must not
+    // silently OOM the driver (the q113/q115 certify-or-refuse style).
+    // The collect itself is LIMIT-bounded so at most cap+1 rows can ever
+    // reach the driver, and past the cap — knob: graft.bm25.maxQueryTerms,
+    // default 4M (q_id, term) rows ≈ ~100 MB heap — the call falls back to
+    // [[bm25TopKViaPostings]], the spec-pinned-equal distributed form.
+    val cap = spark.conf.getOption("graft.bm25.maxQueryTerms")
+      .map(_.toInt).getOrElse(4 * 1000 * 1000)
+    require(cap > 0, "graft.bm25.maxQueryTerms must be positive")
     val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
-      .select(col("q_id"), col("term")).as[(Long, String)].collect()
+      .select(col("q_id"), col("term")).limit(cap + 1).as[(Long, String)].collect()
+    if (qt.length > cap)
+      return bm25TopKViaPostings(
+        corpus, queries, idCol, textCol, qIdCol, qTextCol, k1, b, topK)
     val qIds: Array[Long] = qt.map(_._1).distinct
     val vocab: Array[String] = qt.map(_._2).distinct
     if (qt.isEmpty)
