@@ -381,6 +381,27 @@ object Dedup {
     * oversized postings into chunked sub-arrays before the tail-slice
     * explode (chunking the OUTER posexplode side preserves the a < b
     * enumeration). */
+  /** Disk budget for the dense generator's pair-stream shuffle (bytes).
+    * Knob `graft.dedup.maxPairShuffleBytes` (-1 = unlimited); default on a
+    * `local[*]` master is HALF the usable space of the first shuffle
+    * local dir — every shuffle byte lands on this one host's disk, and
+    * the r12 sf30 attempt showed what ignoring that costs (ENOSPC ~70 GB
+    * into a ~150 GB pair shuffle, three dead queries and a poisoned
+    * board). On a real cluster the default is unlimited: the same bytes
+    * distribute across the executors' disks and the driver cannot see
+    * that aggregate, so a budget there is the operator's to declare. */
+  private def pairShuffleBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.dedup.maxPairShuffleBytes").map(_.toLong)
+      .filter(_ != -1L)
+      .getOrElse {
+        if (spark.sparkContext.isLocal) {
+          val dir = spark.conf.getOption("spark.local.dir")
+            .map(_.split(",").head)
+            .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+          new java.io.File(dir).getUsableSpace / 2
+        } else Long.MaxValue
+      }
+
   private[graft] def densePairCounts(
       sh: DataFrame, massHint: Long,
       pairsPerPartition: Long = 2L * 1000 * 1000)(
@@ -391,6 +412,32 @@ object Dedup {
       else sh.groupBy("sh").agg(count(lit(1)).as("_df"))
         .agg(coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L)))
         .head().getLong(0)
+    // Certify-or-refuse pre-flight (round 14, r12 VERDICT item 6): the
+    // generated pair stream is near-unique (candidates are mostly
+    // singleton meets), so the partial aggregate writes ~mass rows of
+    // (a, b, sa, sb, count) to the shuffle. On DISK those are
+    // lz4-compressed blocks, not UnsafeRows: calibrated against the r12
+    // sf10 board — 2.75e9 pairs (MassProbe) → ~17 GB/query measured ≈
+    // 6.2 B/pair — the default charges 8 B/pair (knob
+    // graft.dedup.bytesPerPair; margin for less-compressible id
+    // distributions). When the estimate cannot fit the budget, refuse
+    // LOUDLY naming the bytes instead of dying with ENOSPC mid-shuffle
+    // an hour in — the r12 sf30 attempt wrote ~70 GB of a ~150 GB
+    // (= 3×2.75e9 pairs × ~6.2 B) trio shuffle into 69 GB of free disk
+    // (the q113/q115 certify-or-refuse house style).
+    val bytesPerPair = spark.conf.getOption("graft.dedup.bytesPerPair")
+      .map(_.toLong).getOrElse(8L)
+    val estBytes =
+      if (bytesPerPair > 0 && mass > Long.MaxValue / bytesPerPair) Long.MaxValue
+      else mass * bytesPerPair
+    val budget = pairShuffleBudget(spark)
+    if (estBytes > budget) throw new IllegalStateException(
+      s"dense pair generation refused: estimated pair-stream shuffle " +
+        s"$estBytes bytes ($mass pairs x $bytesPerPair B/pair) exceeds " +
+        s"the shuffle-disk budget $budget bytes. Raise " +
+        s"graft.dedup.maxPairShuffleBytes (or set -1 to disable), free " +
+        s"local-dir disk, or cut the meet mass (higher tau / hotter " +
+        s"hot-shingle cutoff).")
     val p = graft.core.GraftSession.iterPartitions(spark, mass, pairsPerPartition)
     // PINNED (coalesce disabled), not just sized: AQE coalesces stages by
     // map-output bytes, and the postings exchange is ~1000× smaller than

@@ -289,6 +289,47 @@ class DedupSpec extends AnyFunSuite {
     shs.unpersist()
   }
 
+  test("densePairCounts: refuses loudly when the pair shuffle exceeds the disk budget") {
+    val sh = Dedup.shingleHashes(docs, "doc_id", "text", n = 3)
+    val conf = spark.conf
+    try {
+      conf.set("graft.dedup.maxPairShuffleBytes", "1")
+      val e = intercept[IllegalStateException](
+        Dedup.ngramJaccardPairsFromHashes(sh, tau = 0.6))
+      // the refusal names the estimated bytes, the mass, and the knob
+      assert(e.getMessage.contains("pairs x 8 B/pair"), e.getMessage)
+      assert(e.getMessage.contains("graft.dedup.maxPairShuffleBytes"))
+      // -1 disables the budget; the same call then runs to completion
+      conf.set("graft.dedup.maxPairShuffleBytes", "-1")
+      assert(Dedup.ngramJaccardPairsFromHashes(sh, tau = 0.6).count() > 0)
+    } finally conf.unset("graft.dedup.maxPairShuffleBytes")
+  }
+
+  test("candidatePairs: each banded pair exactly once, set equals the naive shared-bucket model") {
+    // hand-built k=8 signatures over 4 bands of 2: docs 1/2 identical
+    // (share ALL four bands), 3 meets them only in band 0, 4 meets 1/2 in
+    // the non-contiguous bands 1 and 3, 5 isolated. The first-shared-band
+    // arithmetic must emit multi-band pairs ONCE — a duplicate would
+    // double-count `common` in verifiedPairs and corrupt the jaccard.
+    val sigs = Seq(
+      (1L, Seq(10L, 11L, 20L, 21L, 30L, 31L, 40L, 41L)),
+      (2L, Seq(10L, 11L, 20L, 21L, 30L, 31L, 40L, 41L)),
+      (3L, Seq(10L, 11L, 99L, 98L, 97L, 96L, 95L, 94L)),
+      (4L, Seq(77L, 76L, 20L, 21L, 75L, 74L, 40L, 41L)),
+      (5L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    ).toDF("_id", "sig")
+    val got = MinHashLSH.candidatePairs(sigs, bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect()
+    assert(got.length == got.distinct.length, s"duplicate pairs in ${got.toSeq}")
+    val rows = sigs.as[(Long, Seq[Long])].collect()
+    val model = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      if (0 until 4).exists(j => sa.slice(2 * j, 2 * j + 2) == sb.slice(2 * j, 2 * j + 2))
+    } yield (a, b)).toSet
+    assert(model == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    assert(got.toSet == model)
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs not paired") {
     val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSet

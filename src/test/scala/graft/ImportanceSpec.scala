@@ -29,6 +29,27 @@ class ImportanceSpec extends AnyFunSuite {
     if (bW.nonEmpty) assert(aW.min > bW.max)
   }
 
+  test("dsirResample: argument contract holds on the fused path; caller id type preserved") {
+    val raw = docs((1L to 10L).map(i => i -> s"alpha beta u$i"): _*)
+    val target = docs(100L -> "alpha beta gamma")
+    // integral long id + hexChars<=6 routes to the fused scorer — the
+    // requires must fire BEFORE the path split (ADVICE r13)
+    intercept[IllegalArgumentException](
+      Importance.dsirResample(raw, target, "doc_id", "text", sampleN = 5, hexChars = 0))
+    intercept[IllegalArgumentException](
+      Importance.dsirResample(raw, target, "doc_id", "text", sampleN = 5, hexChars = 9))
+    intercept[IllegalArgumentException](
+      Importance.dsirResample(raw, target, "doc_id", "text", sampleN = 0))
+    // the fused encoder widens ids to long internally; the returned schema
+    // must carry the caller's declared type, same as the explode path
+    val intRaw = raw.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id").cast("int"))
+    val sel = Importance.dsirResample(intRaw, target, "doc_id", "text", sampleN = 5)
+    assert(sel.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(sel.count() == 5)
+  }
+
   test("dsirResample: identical distributions give logw 0 and pure-Gumbel order") {
     val corpus = docs((1L to 30L).map(i => i -> s"w${i % 5} w${(i * 7) % 11} end"): _*)
     val sel = Importance.dsirResample(corpus, corpus, "doc_id", "text", sampleN = 10)

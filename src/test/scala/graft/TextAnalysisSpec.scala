@@ -281,6 +281,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(i7 >= 0 && i7 + 1 < q11.length && q11(i7 + 1)._3 == 8L)
   }
 
+  test("bm25TopK: oversized query sets fall back to postings with equal results; non-positive cap refused") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      1L -> "apple banana apple cherry",
+      2L -> "banana cherry cherry",
+      3L -> "cherry zebra apple").toDF("doc_id", "text")
+    val queries = Seq(
+      10L -> "apple cherry zebra",
+      11L -> "banana apple").toDF("doc_id", "text")
+    def run() = graft.operators.TextAnalysis.bm25TopK(
+        corpus, queries, "doc_id", "text", "doc_id", "text", topK = 2)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fused = run() // default cap: the fused document-at-a-time scorer
+    val conf = spark.conf
+    try {
+      conf.set("graft.bm25.maxQueryTerms", "2") // 5 (q, term) rows > 2
+      assert(run() == fused) // the postings fallback is result-identical
+      conf.set("graft.bm25.maxQueryTerms", "0")
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("graft.bm25.maxQueryTerms"))
+    } finally conf.unset("graft.bm25.maxQueryTerms")
+  }
+
   test("bm25TopK matches an independent scalar BM25 model, ranks and rounds alike") {
     val s = spark
     import s.implicits._
