@@ -627,7 +627,7 @@ private[graft] trait QueriesCore extends QueryHelpers {
     * stays rows-only + spec recall floors by nature. */
   def q162MinhashMd5Grid(spark: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairsMd5(
-      Dedup.shingles(t(spark, dir, "documents"), "doc_id", "text", n = 3)
+      Dedup.shinglesFused(t(spark, dir, "documents"), "doc_id", "text", n = 3)
         .withColumnRenamed("shingle", "sh"),
       k = 8, bands = 4, tau = 0.6)
       .orderBy("a", "b")

@@ -135,6 +135,46 @@ object Dedup {
       .select(col(idCol).as("_id"), explode(sh).as("shingle"))
   }
 
+  /** [[shingles]] as one fused mapPartitions pass (tokenize → window →
+    * per-doc string dedup), preceded by a width repartition — the
+    * [[shingleHashes]] treatment for the STRING-keyed path. The
+    * declarative chain's higher-order functions are interpreted and
+    * allocate per shingle, and a local corpus arrives as a handful of
+    * parquet splits, so q162's shingle pass ran ~45 s on 2 tasks at sf1
+    * (ProbeStages r14) — the cost the round-13 board misattributed to
+    * md5. Output rows are identical to [[shingles]] (same tokenizer
+    * regex, same per-doc distinct-string set, `_id` cast to long);
+    * DedupSpec pins fused == declarative on fuzzed text. */
+  def shinglesFused(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            val sb = new java.lang.StringBuilder()
+            (0 to toks.length - n).iterator.flatMap { i =>
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j))
+                j += 1
+              }
+              val s = sb.toString
+              if (seen.add(s)) Iterator.single((id, s)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("_id", "shingle")
+  }
+
   /** Distinct shingles reduced to 64-bit xxhash64 tokens: (_id, sh) rows.
     * All downstream set arithmetic (sizes, intersections, equi-joins) runs
     * on fixed-width longs — the shuffle carries 8-byte keys instead of

@@ -147,23 +147,31 @@ object MinHashLSH {
   def nearDupPairsMd5(
       sh: DataFrame, k: Int, bands: Int, tau: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // vocab×k digesting (round 14): the md5 mix depends only on the
-    // shingle STRING, so each DISTINCT shingle is digested once per
-    // permutation in one vocab-sized select and the k-array joined back
-    // onto the (doc, shingle) rows — the q91/q119 vocab discipline. The
-    // inline form evaluated k md5 expressions per OCCURRENCE inside the
-    // min aggregate (~8× the corpus's shingle mass in MD5 rounds; q162's
-    // entire 64 s sf1 wall). The min aggregate itself is untouched —
-    // perm i just reads the precomputed digest — so signatures, banding
-    // and the verified output are byte-identical.
-    val digests = array((0 until k).map(i =>
-      md5(concat(col("sh"), lit(":" + i)))): _*)
-    val vocab = sh.select(col("sh")).distinct().select(col("sh"), digests.as("_mh"))
-    val sigs = signaturesWith(sh.join(vocab, "sh"), k,
-      (i, _) => col("_mh").getItem(i))
+    // Evaluate the shingle subtree ONCE at full width (round 14): `sh`
+    // arrives as a lazy explode over the corpus scan — parquet-split
+    // parallelism (2 tasks at sf1) — and this operator consumes it FOUR
+    // times (signatures, verify x/y, sizes). The uncached form re-ran
+    // the ~45 s two-task explode for every consumer: the whole 64.8 s
+    // sf1 wall the round-13 board pinned on md5 was actually explode
+    // re-evaluation at split-bound width (ProbeStages r14). fanOut
+    // spreads the explode across every core; the checkpoint caps it at
+    // one evaluation.
+    //
+    // The md5 mix itself stays INLINE in the min aggregate — a
+    // vocab×k-digest join was probed and REVERTED (r14): shingle rows
+    // arrive doc-major, so the inline partial aggregate collapses to
+    // one row per doc per task (~80 MB shuffle at sf10), while joining
+    // digest arrays back onto occurrence rows re-keys them by SHINGLE —
+    // the partial agg then barely reduces and the shuffle carries
+    // occurrences × 8 hex digests (9.3 GB shuffle, 8.7 GB spill,
+    // 1137 s at sf10 vs zero spill inline). k md5 rounds per occurrence
+    // are ~2 µs of codegen'd CPU each — the cheap side of the trade.
+    val s = graft.core.Par.fanOut(sh).localCheckpoint()
+    val sigs = signaturesWith(s, k,
+      (i, c) => md5(concat(c, lit(":" + i))))
     val cands = candidatePairsWith(sigs, bands, k / bands,
       (_, slice) => concat_ws("|", slice: _*))
-    verifiedPairs(sh, cands, tau)
+    verifiedPairs(s, cands, tau)
   }
 
   /** Exact-Jaccard verification of candidate pairs against the shingle

@@ -309,7 +309,7 @@ object SpanDedup {
     * Scale shape: ONE fused corpus pass (the winnow roll), a shuffle of
     * sparse 8-byte fingerprints (~1/w of the stride-1 window-key volume),
     * and exact confirmation bounded by shared-fingerprint neighborhoods. */
-  private def winnowCandSpans(
+  private[graft] def winnowCandSpans(
       df: DataFrame, idCol: String, textCol: String, l: Int, k: Int): DataFrame = {
     val w = l - k + 1
     require(k >= 2 && w >= 1, s"need 2 <= k <= l - 1 (got k=$k, l=$l)")

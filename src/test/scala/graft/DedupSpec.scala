@@ -289,6 +289,27 @@ class DedupSpec extends AnyFunSuite {
     shs.unpersist()
   }
 
+  test("shinglesFused equals the declarative shingles on fuzzed and edge-case text") {
+    val rnd = new scala.util.Random(31L)
+    val fuzz = (1 to 60).map { i =>
+      val nWords = rnd.nextInt(12)
+      val words = (0 until nWords).map(_ => f"w${rnd.nextInt(8)}")
+      (i.toLong, words.mkString(if (rnd.nextBoolean()) " " else "  "))
+    }
+    val edge = Seq(
+      (100L, ""), (101L, "   "), (102L, null: String),
+      (103L, "one two"), (104L, "a b c"), (105L, "a\tb\nc  d"),
+      (106L, "x x x x x")) // repeated token: per-doc distinct must dedup
+    val df = (fuzz ++ edge).toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val exp = Dedup.shingles(df, "doc_id", "text", n)
+        .orderBy("_id", "shingle").as[(Long, String)].collect().toSeq
+      val got = Dedup.shinglesFused(df, "doc_id", "text", n)
+        .orderBy("_id", "shingle").as[(Long, String)].collect().toSeq
+      assert(got == exp, s"n=$n mismatch")
+    }
+  }
+
   test("densePairCounts: refuses loudly when the pair shuffle exceeds the disk budget") {
     val sh = Dedup.shingleHashes(docs, "doc_id", "text", n = 3)
     val conf = spark.conf
