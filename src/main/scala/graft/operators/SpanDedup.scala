@@ -310,7 +310,15 @@ object SpanDedup {
     * sparse 8-byte fingerprints (~1/w of the stride-1 window-key volume),
     * and exact confirmation bounded by shared-fingerprint neighborhoods. */
   private[graft] def winnowCandSpans(
-      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int): DataFrame =
+    winnowCandSpansWithMass(df, idCol, textCol, l, k)._1
+
+  /** [[winnowCandSpans]] plus its own output ceiling (w·Σ|_fpos|) — the
+    * number the generate stage is already sized by, exposed so
+    * [[dupSpanStatsWinnowed]] can decide whether the dup-hash pre-gate
+    * pays without an extra counting pass. */
+  private[graft] def winnowCandSpansWithMass(
+      df: DataFrame, idCol: String, textCol: String, l: Int, k: Int): (DataFrame, Long) = {
     val w = l - k + 1
     require(k >= 2 && w >= 1, s"need 2 <= k <= l - 1 (got k=$k, l=$l)")
     // the global fingerprint count is a map-side-combinable groupBy, NOT a
@@ -324,10 +332,24 @@ object SpanDedup {
     // cached for its two consumers and released once the gated position
     // arrays are materialized (ADVICE r5 discipline)
     val fps = TextAnalysis.winnow(df, idCol, textCol, k, w).cache()
-    val dupFp = fps.groupBy("fp").agg(count(lit(1)).as("_fc"))
-      .where(col("_fc") > 1).select("fp").localCheckpoint()
+    val dupFpC = fps.groupBy("fp").agg(count(lit(1)).as("_fc"))
+      .where(col("_fc") > 1).localCheckpoint()
+    val dupFp = dupFpC.select("fp")
+    // the gated fingerprint row count (Σ _fc over the duplicated spine) is
+    // free from the checkpoint; the position-array aggregate's state is
+    // row-proportional (one collect_set entry per gated row, near-unique
+    // doc keys), so its exchange is row-sized and user-numbered — AQE's
+    // byte-sized coalesce handed it 36 tasks × millions of entries at
+    // sf30 (15.8 GB memory spill, 3.0 GB disk — probed r14)
+    val spark0 = df.sparkSession
+    val gatedFpRows = dupFpC
+      .agg(coalesce(sum(col("_fc")), lit(0L))).head().getLong(0)
+    val pFp = graft.core.GraftSession
+      .iterPartitions(spark0, gatedFpRows, 2L * 1000 * 1000)
     val candFpPos = fps.join(hintIfSmall(dupFp, 1 << 20), Seq("fp"), "left_semi")
-      .groupBy(col(idCol).cast("long").as(idCol))
+      .select(col(idCol).cast("long").as(idCol), col("pos"))
+      .repartition(pFp, col(idCol))
+      .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("pos"))).as("_fpos"))
       .localCheckpoint()
     fps.unpersist()
@@ -347,7 +369,8 @@ object SpanDedup {
     val mass = w * candFpPos
       .agg(coalesce(sum(size(col("_fpos"))), lit(0L))).head().getLong(0)
     val p = graft.core.GraftSession.iterPartitions(spark, mass)
-    df.select(col(idCol).cast("long").as(idCol), col(textCol).as("_t"))
+    val plan = df
+      .select(col(idCol).cast("long").as(idCol), col(textCol).as("_t"))
       .join(candFpPos, Seq(idCol))
       .repartition(p)
       .select(col(idCol), col("_t"),
@@ -357,6 +380,7 @@ object SpanDedup {
           when(lo <= hi, sequence(lo, hi)).otherwise(array())
         })))).as("pos"))
       .select(col(idCol), col("pos"), expr(s"substring(_t, pos, $l)").as("span"))
+    (plan, mass)
   }
 
   /** [[dupSpanStats]] via the fused winnow candidate generator: identical
@@ -377,7 +401,88 @@ object SpanDedup {
     // expensive parent (the gated per-doc position arrays) is
     // checkpointed inside [[winnowCandSpans]], so the re-run is one
     // narrow id join + substring.
-    val cand = winnowCandSpans(df, idCol, textCol, l, k)
+    val spark = df.sparkSession
+    val (rawCand, mass) = winnowCandSpansWithMass(df, idCol, textCol, l, k)
+    // Dup-hash BLOOM pre-gate (round 14, VERDICT item 3): SpanMassProbe
+    // measured 74% of the candidate rows as SINGLETON spans at sf10/sf30
+    // (174M/626M rows, dup_frac 0.25/0.26) — strings shuffled twice
+    // (count pass + stats join) only to be counted once and dropped.
+    // Phase A shuffles 8-byte xxhash64 keys and counts them exactly: a
+    // hash with count 1 PROVES its spans are singletons (string equality
+    // implies hash equality — no false negatives), so only candidates
+    // whose hash lands in the duplicated-hash spine can matter. The
+    // spine is millions of rows — far past any broadcast/InSet budget
+    // (the r13 rejection) — so it gates as a BLOOM (8 bits/item ≈ 2%
+    // fpp, built by one aggregate over the spine; the session bloom
+    // caps are raised for the build and restored): candidates are
+    // filtered MAP-SIDE before both string exchanges, and bloom false
+    // positives die in the exact string count (sites > 1), so the
+    // result is bit-identical to the ungated plan. Engaged only past
+    // graft.spandedup.hashGateMinRows (default 64M — the hash pass is
+    // an extra candidate evaluation, wasted at gate SF); spec pins
+    // gated == ungated either side of the knob.
+    val gateMin = spark.conf.getOption("graft.spandedup.hashGateMinRows")
+      .map(_.toLong).getOrElse(64L * 1000 * 1000)
+    val (cand, gatedP) =
+      if (mass < gateMin) (rawCand, None)
+      else {
+        // sized by ROWS, user-numbered: the 8-byte-key exchange is tiny in
+        // BYTES, so AQE's byte-sized coalesce handed the count aggregate
+        // ~33 tasks × 5M near-unique keys of state (25 GB memory spill,
+        // 5.3 GB disk at sf10 — probed r14); the aggregate's state is
+        // row-proportional, so the task count must be too
+        val hashCounts = rawCand.select(xxhash64(col("span")).as("_h"))
+          .repartition(
+            graft.core.GraftSession.iterPartitions(spark, mass, 2L * 1000 * 1000),
+            col("_h"))
+          .groupBy("_h").agg(count(lit(1)).as("_c"))
+          .where(col("_c") > 1).localCheckpoint()
+        val stats = hashCounts
+          .agg(count(lit(1)).as("n"), coalesce(sum(col("_c")), lit(0L)).as("r"))
+          .head()
+        val nDup = stats.getLong(0)
+        val dupRows = stats.getLong(1)
+        val spine = hashCounts.select("_h")
+        if (nDup == 0)
+          // no duplicated hash → no duplicated span anywhere: exact
+          return df.select(col(idCol), lit(0L).as("dup_spans"))
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graftshim.ColumnShim
+        import org.apache.spark.sql.types.BinaryType
+        val numBits = math.min(math.max(nDup * 8L, 64L), 1L << 31)
+        val capKeys = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+        val saved = capKeys.map(c => c -> spark.conf.getOption(c))
+        capKeys.foreach(c => spark.conf.set(c, math.max(nDup, numBits).toString))
+        // coalesce(8) before aggregating: each PARTIAL of a
+        // BloomFilterAggregate is a full-size bloom (numBits/8 bytes), so
+        // building over the spine's own ~300 partitions would shuffle
+        // partitions × bloom-size of partials (~23 GB at sf30); 8 tasks
+        // scan the checkpointed spine in ~1 s and ship 8 partials
+        val bloom =
+          try spine.coalesce(8).select(ColumnShim.column(
+              new BloomFilterAggregate(ColumnShim.expression(col("_h")),
+                Literal(nDup), Literal(numBits)).toAggregateExpression()))
+            .head.getAs[Array[Byte]](0)
+          finally saved.foreach {
+            case (c, Some(v)) => spark.conf.set(c, v)
+            case (c, None) => spark.conf.unset(c)
+          }
+        val gcand = rawCand.where(ColumnShim.column(BloomFilterMightContain(
+          Literal(bloom, BinaryType),
+          ColumnShim.expression(xxhash64(col("span"))))))
+        // the gated row count is known EXACTLY for true dups (Σ sites
+        // over the dup-hash spine) plus an fpp sliver of the singletons —
+        // size the string-count exchange by it (user-numbered): gating
+        // cut the BYTES 4×, so AQE's byte-sized coalesce would hand the
+        // count aggregate a few tasks × millions of string keys of state
+        // (15.7 GB memory spill at sf30, probed r14)
+        val gatedRows = dupRows + mass / 50
+        (gcand, Some(graft.core.GraftSession
+          .iterPartitions(spark, gatedRows, 2L * 1000 * 1000)))
+      }
     // Shuffle RAW span rows, aggregate once post-shuffle (round 13): the
     // default partial+final plan filled a 40-byte-string hash table per
     // map task with NEAR-UNIQUE keys (confirmed spans are duplicated, but
@@ -393,11 +498,12 @@ object SpanDedup {
     // shuffle WRITER's merge spill of the 3.6 GB map output, linear). A
     // corpus-wide hot span lands in one task but only COUNTS there — no
     // buffering, so the skew cost is a linear scan. (An 8-byte-hash
-    // pre-gate was probed and REJECTED: the duplicated-span spine at
-    // sf10 is millions of rows — far past any broadcast budget — so the
-    // exact-string confirm re-shuffled the full string volume anyway and
-    // the query paid both exchanges, 127 s.)
-    val dup = cand.select(col("span")).repartition(col("span"))
+    // pre-gate with an EXACT broadcast spine was probed and REJECTED in
+    // r13 — the spine never fits a broadcast; the r14 bloom form above
+    // is the map-side variant that does.)
+    val spanRows = cand.select(col("span"))
+    val dup = gatedP.fold(spanRows.repartition(col("span")))(
+        p => spanRows.repartition(p, col("span")))
       .groupBy("span").agg(count(lit(1)).as("sites"))
       .where(col("sites") > 1).localCheckpoint()
     df.select(col(idCol))

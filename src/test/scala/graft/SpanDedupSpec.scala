@@ -106,6 +106,30 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(stripG === strip)
   }
 
+  test("dup-hash bloom pre-gate: forced-on equals forced-off, empty-spine shortcut exact") {
+    // force the gate at tiny scale (knob = 1 row) and pin the output
+    // against the ungated plan — bloom false positives must die in the
+    // exact string count, and the dup-hash spine must lose no true pair
+    val conf = spark.conf
+    val ungated = SpanDedup.dupSpanStats(fixture, "doc_id", "text", l = 6, s = 1)
+      .as[(Long, Long)].collect().toMap
+    try {
+      conf.set("graft.spandedup.hashGateMinRows", "1")
+      val gated = SpanDedup.dupSpanStatsWinnowed(fixture, "doc_id", "text", l = 6, k = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(gated === ungated)
+      // a corpus with no duplicated span takes the nDup == 0 shortcut:
+      // every doc reports 0, schema unchanged
+      val clean = (1L to 8L).map(i =>
+        i -> (1 to 10).map(j => s"c$i-$j.${i * 53 + j}").mkString(" "))
+        .toDF("doc_id", "text")
+      val z = SpanDedup.dupSpanStatsWinnowed(clean, "doc_id", "text", l = 20, k = 8)
+      assert(z.columns.toSeq == Seq("doc_id", "dup_spans"))
+      val zm = z.as[(Long, Long)].collect().toMap
+      assert(zm.size == 8 && zm.values.forall(_ == 0L))
+    } finally conf.unset("graft.spandedup.hashGateMinRows")
+  }
+
   test("winnow gate cuts the enumerated window count on a mostly-clean corpus") {
     // 60 clean docs + 3 sharing one long span: the gate must shrink the
     // stride-1 window enumeration to roughly the dirty docs' share while
