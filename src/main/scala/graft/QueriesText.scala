@@ -181,7 +181,16 @@ private[graft] trait QueriesText extends QueryHelpers {
       .select(col("doc_id"), pmod(col("doc_id"), lit(41)).as("seed"),
         (lit(2048) + pmod(col("doc_id"), lit(3)) * 256).cast("int").as("ns"))
     val wavs = graft.multimodal.Audio.withWavPayload(docs, "doc_id", "seed", "ns")
+    // materialize the codec pass before ordering (round 14): orderBy's
+    // range partitioner SAMPLES its child by executing it in full, so the
+    // un-materialized form ran encode+decode TWICE — the whole "12×
+    // decade ratio" the r13 board read on this key was 2× a LINEAR codec
+    // pass (ProbeStages: 11.7 → 112.1 s stage wall for 10× payloads)
+    // plus the sort tail. The checkpoint is one features row per window
+    // (~270 MB at sf10); the sampling pass then re-reads blocks, not the
+    // codec.
     graft.multimodal.Audio.wavFeatures(wavs, "doc_id", "payload", windowSamples = 256)
+      .localCheckpoint()
       .orderBy("doc_id", "window_idx")
   }
 
