@@ -10,8 +10,10 @@ import java.nio.file.{Files, Paths}
   * except that queries whose builders run eager sizing probes (head() on
   * an aggregate, localCheckpoint) execute those probe jobs as part of
   * building the final DataFrame — the dumped plan is the one the noop
-  * sink would execute. Usage:
-  *   DumpPlans <sfDir> <outDir> <suffix> <q1,q2,...>
+  * sink would execute. The optional conf list forces scale-gated paths
+  * (e.g. graft.spandedup.hashGateMinRows=0) so a plan that only engages
+  * at large SF can be evidenced from the small test dirs. Usage:
+  *   DumpPlans <sfDir> <outDir> <suffix> <q1,q2,...> [k=v,k=v,...]
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
@@ -22,6 +24,11 @@ object DumpPlans {
     val spark: SparkSession = graft.core.GraftSession
       .builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.length > 4) args(4).split(",").map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
     Files.createDirectories(Paths.get(outDir))
     keys.foreach { name =>
       try {
