@@ -309,7 +309,7 @@ private[graft] trait QueriesAnn extends QueryHelpers {
         col("doc_id"),
         TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
         TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))
-      .orderBy("doc_id")
+      .transform(d => ckptOrderBy(d, "doc_id"))
 
   /** Quality scores: char length, punct ratio, stopword ratio, mean word len. */
   def q41TextQuality(spark: SparkSession, dir: String): DataFrame =
@@ -320,19 +320,19 @@ private[graft] trait QueriesAnn extends QueryHelpers {
         round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"))
-      .orderBy("doc_id")
+      .transform(d => ckptOrderBy(d, "doc_id"))
 
   /** Marker-word language ID with deterministic argmax. */
   def q42LangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
+      .transform(d => ckptOrderBy(d, "doc_id"))
 
   /** Normalization fingerprint (md5 of canonical form). */
   def q43Fingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
+      .transform(d => ckptOrderBy(d, "doc_id"))
 
   /** Winnowing-style rolling-hash fingerprint: min polynomial hash over
     * 16-byte windows (codegen functions.RollingMinHash; the polynomial form
@@ -341,7 +341,7 @@ private[graft] trait QueriesAnn extends QueryHelpers {
     t(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.TextHashes.rollingMinHash(col("text"), k = 16).as("rolling_fp"))
-      .orderBy("doc_id")
+      .transform(d => ckptOrderBy(d, "doc_id"))
 
   /** Robust winnowing fingerprints (MOSS selector): per-window rightmost
     * minimum of 8-char-gram polynomial hashes, window w=4 — sparse

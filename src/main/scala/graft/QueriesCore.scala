@@ -244,8 +244,12 @@ private[graft] trait QueriesCore extends QueryHelpers {
     * tools/make_oracle_fixtures.py) joined by md5(text); exact values also
     * spec-pinned against a direct Deflater fold. */
   def q58CompressRatio(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.compressionRatio(t(spark, dir, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
+    // tiny-output sort: materialize before the range sampler (see
+    // QueryHelpers.ckptOrderBy) — the un-checkpointed form deflated the
+    // whole corpus twice
+    ckptOrderBy(
+      TextAnalysis.compressionRatio(t(spark, dir, "documents"), "doc_id", "text"),
+      "doc_id")
 
   /** Global row numbering without the single-partition window: range
     * shuffle + per-partition offsets (see `operators.GlobalIndex`). The

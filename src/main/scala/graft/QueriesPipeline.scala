@@ -164,9 +164,14 @@ private[graft] trait QueriesPipeline extends QueryHelpers {
       lit(" from 10."), s(pmod(d, lit(256))),
       lit("."), s(pmod(d * 7, lit(256))),
       lit("."), s(pmod(d * 13, lit(256))))
-    val injected = t(spark, dir, "documents").select(
+    // sort BELOW the projection (round 14): the output is payload-sized,
+    // so ordering the raw rows first costs the same shuffle bytes while
+    // the regex pass runs ONCE, post-sort — un-reordered, the range
+    // sampler executed the whole redaction a second time (the q152
+    // lesson); a projection preserves its child's (doc_id-unique) order
+    val injected = t(spark, dir, "documents").orderBy("doc_id").select(
       d, when(pmod(d, lit(3)) =!= 2, pii).otherwise(col("text")).as("text"))
-    Curation.redactPii(injected, "doc_id", "text").orderBy("doc_id")
+    Curation.redactPii(injected, "doc_id", "text")
   }
 
   /** Corpus-level boilerplate removal: 4-word blocks occurring in >= 5
@@ -672,10 +677,12 @@ private[graft] trait QueriesPipeline extends QueryHelpers {
       col("doc_id").cast("string"),
       lit("</h1><p>"), col("text"),
       lit("</p><!-- note --> A&amp;B &lt;tag&gt; 1&nbsp;2</body></html>"))
+    // sort below the projection (payload-sized output — see q85's note)
     Curation.stripHtml(
-      t(spark, dir, "documents").select(col("doc_id"), html.as("html")),
+      t(spark, dir, "documents").orderBy("doc_id")
+        .select(col("doc_id"), html.as("html")),
       "html", "clean_text")
-      .select("doc_id", "clean_text").orderBy("doc_id")
+      .select("doc_id", "clean_text")
   }
 
   /** Unicode NFC normalization (native codegen expression — Spark has no
@@ -687,11 +694,11 @@ private[graft] trait QueriesPipeline extends QueryHelpers {
     * composed text is oracle-exact. */
   def q124NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
     val injected = concat(col("text"), lit(" caf"), lit("e"), lit("\u0301"), lit(" nfd"))
-    t(spark, dir, "documents").select(
+    // sort below the projection (payload-sized output \u2014 see q85's note)
+    t(spark, dir, "documents").orderBy("doc_id").select(
       col("doc_id"),
       graft.functions.TextNorm.unicodeNormalize(injected).as("norm_text"))
       .withColumn("fp", md5(col("norm_text").cast("binary")))
-      .orderBy("doc_id")
   }
 
   /** Corpus snapshot diff — the release audit (added/removed/modified/

@@ -24,7 +24,10 @@ private[graft] trait QueriesText extends QueryHelpers {
     Binary.extractFeatures(
       spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id")
       .withColumn("mean_byte", round(col("mean_byte"), 6))
-      .orderBy("doc_id")
+      // tiny-output sort: materialize before the range sampler (the q152
+      // lesson, QueryHelpers.ckptOrderBy) — un-checkpointed, the sampler
+      // re-ran the payload-synthesis + feature RDD lineage in full
+      .transform(d => ckptOrderBy(d, "doc_id"))
 
   /** Frame sampling over binary payloads: 32-byte windows every 64 bytes,
     * fingerprinted per frame (1 row in → many out, payload pruned before the
@@ -34,7 +37,8 @@ private[graft] trait QueriesText extends QueryHelpers {
     Binary.frameSample(
       spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id",
       frameBytes = 32, stride = 64)
-      .orderBy("doc_id", "frame_idx")
+      // tiny-output sort (see q70's note)
+      .transform(d => ckptOrderBy(d, "doc_id", "frame_idx"))
 
   /** Video-dedup primitive over the multimodal plumbing: payload pairs
     * sharing >= 3 sampled-frame fingerprints (the frame-hash-overlap test a
@@ -69,7 +73,9 @@ private[graft] trait QueriesText extends QueryHelpers {
         col("sum_r"), col("sum_g"), col("sum_b"),
         shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
         col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
-      .orderBy("doc_id")
+      // tiny-output sort (see q70's note): the un-checkpointed form ran
+      // the PNG encode+decode pass twice under the range sampler
+      .transform(d => ckptOrderBy(d, "doc_id"))
   }
 
   /** Perceptual near-dup IMAGE pairs on real decoded pixels: patterns
@@ -128,7 +134,9 @@ private[graft] trait QueriesText extends QueryHelpers {
       docs, "doc_id", "seed", "nf", w = 32, h = 24)
     graft.multimodal.Images.gifFrames(gifs, "doc_id", "payload")
       .where(pmod(col("frame_idx"), lit(2)) === 0)
-      .orderBy("doc_id", "frame_idx")
+      // tiny-output sort (see q70's note): the un-checkpointed form ran
+      // the GIF encode+decode pass twice under the range sampler
+      .transform(d => ckptOrderBy(d, "doc_id", "frame_idx"))
   }
 
   /** Video-dedup on REAL decoded frames — q73's overlap join upgraded
@@ -265,6 +273,7 @@ private[graft] trait QueriesText extends QueryHelpers {
   def q72Resize(spark: SparkSession, dir: String): DataFrame =
     Binary.resizeStub(
       spark, Binary.withPayload(t(spark, dir, "documents"), "text"), "doc_id", target = 16)
-      .orderBy("doc_id")
+      // tiny-output sort (see q70's note)
+      .transform(d => ckptOrderBy(d, "doc_id"))
 
 }

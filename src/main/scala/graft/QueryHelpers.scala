@@ -37,6 +37,19 @@ private[graft] trait QueryHelpers {
   /** Deterministic per-SF path for materialized ANN indexes (q64/q65). */
   protected def indexPath(dir: String, kind: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_index/${new java.io.File(dir).getName}/$kind"
+
+  /** Materialize, then globally order — for a query whose final orderBy
+    * sits directly over a map-only (exchange-free) projection with a
+    * TINY output: the range partitioner SAMPLES its child by executing it
+    * in full (the q152 lesson, round 14 board-wide), so the
+    * un-materialized form ran the projection twice — once for the sample
+    * pass, once for the real shuffle. The checkpoint is output-sized
+    * (id + a few scalars per doc, ≪ input at every scale), so it stays
+    * cheap at 100 TB; queries whose output is PAYLOAD-sized instead move
+    * the sort BELOW the projection (q85/q124/q125 — same shuffle bytes,
+    * compute once, nothing materialized). */
+  protected def ckptOrderBy(df: DataFrame, keys: String*): DataFrame =
+    df.localCheckpoint().orderBy(keys.map(col): _*)
 }
 
 /** Fixture constants shared between a query and the oracle SQL generated

@@ -940,14 +940,21 @@ object Dedup {
       val prop = sym.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("comp").as("pcomp"))
         .select(col("src").as("pid"), col("pcomp"))
-      // carry the previous label through the checkpoint so convergence is a
-      // filter over the materialized frame, not another join job
+      // carry the previous label through the checkpoint so convergence is
+      // an Observation riding the checkpoint's own job (round 14 — was a
+      // separate filter+count job per round, pure driver latency at
+      // O(diameter) rounds; metrics fire on localCheckpoint's
+      // SQLExecution, same mechanism as Graph.pageRankImpl)
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(prop, col("id") === col("pid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
           col("comp").as("ocomp"))
+        .observe(obs, coalesce(
+          sum(when(col("comp") =!= col("ocomp"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.where(col("comp") =!= col("ocomp")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("id", "comp")
       iter += 1
     }

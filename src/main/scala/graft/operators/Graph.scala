@@ -148,15 +148,19 @@ object Graph {
       // went superlinear past ~8 iterations (6.8 s at 5 iters, 125 s at
       // 10). The checkpoint rebases the plan on the materialized RDD, so
       // iteration k+1's plan is the same size as iteration 1's. The
-      // checkpoint action IS the iteration's one job.
+      // checkpoint action IS the iteration's one job — the contribution
+      // total rides it as an Observation (round 14: the separate
+      // one-row agg job per round was pure driver latency; metrics fire
+      // on the checkpoint's own SQLExecution, verified on this Spark).
+      val obsMass = org.apache.spark.sql.Observation()
       val contribs = ranks
         .join(adj, ranks("node") === adj("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("w")).as("c"))
         .withColumnRenamed("dst", "node")
+        .observe(obsMass, coalesce(sum(col("c")), lit(0.0)).as("mass"))
         .localCheckpoint()
-      val outMass = contribs.agg(coalesce(sum("c"), lit(0.0)))
-        .head.getDouble(0)
+      val outMass = obsMass.get("mass").asInstanceOf[Double]
       val dm = 1.0 - outMass
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
@@ -164,7 +168,17 @@ object Graph {
             (coalesce(col("c"), lit(0.0)) + lit(dm / n))).as("rank"))
       if (tol > 0) {
         // data-dependent stop: materialize the new vector (checkpoint —
-        // same lineage discipline) and take the L1 delta in one job
+        // same lineage discipline) and take the L1 delta in one job.
+        // NOTE (round 14): folding the delta into the checkpoint via a
+        // prev-rank join + Observation was tried and REVERTED — joining
+        // the previous checkpoint INTO the checkpointed plan makes each
+        // LogicalRDD's rewritten sizeInBytes the PRODUCT of two copies of
+        // the previous one's (stats digits double per round), and the
+        // eager stats rewrite inside localCheckpoint went from
+        // microseconds to unbounded BigInteger arithmetic (thread-dumped:
+        // SizeInBytesOnlyStatsPlanVisitor spinning in BigInteger.multiply
+        // ~30 min into a tol run). The separate one-row delta job never
+        // enters any checkpointed lineage, so stats stay linear.
         val mat = next.localCheckpoint()
         val delta = mat.as("a")
           .join(ranks.as("b"), col("a.node") === col("b.node"))
