@@ -52,8 +52,10 @@ object GraftSession {
       // feeds every downstream map side at 1024 tasks too (round-14
       // ProbeStages). Pinned scopes (withPinnedShuffle) and user-numbered
       // repartitions are unaffected — AQE never touches either.
+      // SPARK_GRAFT_CACHE_AQE=false restores the default for paired A/B
+      // probes (tools/paired_probe.sh) — the default stays ON.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
