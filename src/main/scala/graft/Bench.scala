@@ -456,6 +456,45 @@ object Bench {
       java.nio.file.Paths.get(benchFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $benchFile failed: $e") }
+    // COMPACT FINAL LINE (round 15, r14 VERDICT item 2): the driver keeps
+    // only a ~2000-char tail of stdout and parses a JSON line out of it;
+    // the full line above (158 unrounded floats + spread/shuffle/recall/
+    // regime ≈ 15 KB) has overflowed that tail since round 2 — every
+    // BENCH_r*.json carries "parsed": null because the tail begins
+    // mid-line. A complete per-query map cannot fit either: the 158 key
+    // names alone are ~2.7 KB before a single value. So the LAST stdout
+    // line is a compact summary that provably fits the tail: total /
+    // calib / failed plus the SLOWEST queries' seconds (0.01-rounded),
+    // greedily packed to a fixed character budget (slowest-first, so the
+    // keys that carry the board's wall are the ones the driver can read).
+    // Additions-only: the canonical full-precision line above and the
+    // full board in SPARK_GRAFT_BENCH_FILE are unchanged; "value" remains
+    // the sum over ALL queries, and "n_queries"/"q_shown" make the
+    // truncation explicit rather than silent.
+    val r2 = (v: Double) => math.rint(v * 100) / 100.0
+    val bySec = names.map(_._1).filter(best.contains).sortBy(k => (-best(k), k))
+    val compactBudget = 1400
+    val headC = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
+    val js = new StringBuilder(headC)
+    var first = true
+    var shown = 0
+    val itC = bySec.iterator
+    var fullC = false
+    while (itC.hasNext && !fullC) {
+      val k = itC.next()
+      val e = (if (first) "" else ",") + "\"" + k + "\":" + r2(best(k))
+      // tailC is recomputed per iteration only via shown; approximate its
+      // length with a fixed-worst-case reserve instead (shown ≤ 999)
+      val reserve = 120 + failedJson.length + sfDir.length
+      if (js.length + e.length + reserve <= compactBudget) {
+        js.append(e); first = false; shown += 1
+      } else fullC = true
+    }
+    js.append("}")
+    js.append(s""","n_queries":${names.length},"q_shown":$shown""")
+    js.append(s""","failed":$failedJson,"calib_s":${r2(calib)}""")
+    js.append(s""","sf":"$sfDir","reps":$reps}""")
+    println(js.toString)
     spark.stop()
     if (recallBreached) {
       System.err.println("[bench] RECALL FLOOR BREACH — see recall_breach in the JSON line")

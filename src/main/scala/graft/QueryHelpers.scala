@@ -47,7 +47,19 @@ private[graft] trait QueryHelpers {
     * (id + a few scalars per doc, ≪ input at every scale), so it stays
     * cheap at 100 TB; queries whose output is PAYLOAD-sized instead move
     * the sort BELOW the projection (q85/q124/q125 — same shuffle bytes,
-    * compute once, nothing materialized). */
+    * compute once, nothing materialized).
+    *
+    * SIZE BOUND per call site (r14 ADVICE): the "tiny" premise is
+    * per-DOC-output ≪ per-doc input. Frame-explosion callers (q71
+    * frameSample, q144 gifFrames) emit ~1 fingerprint row per 64 payload
+    * bytes, so their checkpoint materializes roughly input/2-scale bytes
+    * in executor MEMORY_AND_DISK — acceptable at board SFs, but on a
+    * cluster localCheckpoint blocks are NOT fault-tolerant (an executor
+    * loss fails the query). For those two the alternative that preserves
+    * the single-codec-pass win at cluster scale is `.checkpoint()` (a
+    * reliable checkpoint dir) or writing the fingerprint table out; the
+    * remaining callers' outputs are O(docs) rows of scalars and the bound
+    * holds trivially. */
   protected def ckptOrderBy(df: DataFrame, keys: String*): DataFrame =
     df.localCheckpoint().orderBy(keys.map(col): _*)
 }

@@ -124,6 +124,30 @@ object GraftSession {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Bounded wait on an Observation metric (r14 ADVICE): `Observation.get`
+    * blocks until the observed action's SQLExecutionEnd event arrives, and
+    * a dropped event (listener-bus pressure) would hang an iterative loop
+    * forever — the count()/agg jobs the Observations replaced had no hang
+    * mode. The caller's action is already complete when this is called
+    * (localCheckpoint is eager), so the metric normally arrives within
+    * milliseconds; past `timeoutSec` we log and run `fallback` — a one-row
+    * job over the already-materialized frame with the identical value. */
+  def observedOrElse[T](
+      obs: org.apache.spark.sql.Observation, key: String,
+      timeoutSec: Long = 60L)(fallback: => T): T = {
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try Await.result(Future(obs.get(key).asInstanceOf[T]), timeoutSec.seconds)
+    catch {
+      case _: TimeoutException =>
+        System.err.println(s"[graft] Observation '$key' not delivered after " +
+          s"${timeoutSec}s (dropped SQLExecutionEnd?) - falling back to a " +
+          "one-row job over the materialized frame")
+        fallback
+    }
+  }
 }
 
 /** Loads the benchmark tables (one parquet per table under a scale-factor dir). */
@@ -143,16 +167,21 @@ object Tables {
     * re-infers the same handful of files 316 times (round-14 ProbeStages:
     * 0.3-1.0 s of "parquet at GraftSession" stage per query). The DATA is
     * still scanned from parquet by every query — only the StructType is
-    * reused. Keyed by full path; benchmark inputs are immutable for a
-    * JVM's lifetime (a changed file under the same path needs a new JVM,
-    * same as a stale metastore entry needs a refresh). */
+    * reused. Keyed by (path, root mtime, root length) — r14 ADVICE: a
+    * fixture path rewritten with a DIFFERENT schema in the same JVM (test
+    * regeneration) would otherwise silently read nulls through the stale
+    * cached schema; the mtime/length key makes a rewrite a cache miss.
+    * On stores where java.io.File cannot stat the path (object stores)
+    * both fields are 0 and the key degrades to path-only — the original
+    * immutable-inputs contract. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    val f = new java.io.File(path)
+    val schema = schemaCache.computeIfAbsent((path, f.lastModified, f.length),
+      k => spark.read.parquet(k._1).schema)
     val df = spark.read.schema(schema).parquet(path)
     nanoTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)

@@ -954,7 +954,12 @@ object Dedup {
           sum(when(col("comp") =!= col("ocomp"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
         .localCheckpoint()
-      changed = obs.get("changed").asInstanceOf[Long]
+      // bounded wait + fallback job (r14 ADVICE): a dropped
+      // SQLExecutionEnd must degrade to the old one-row count, not a hang
+      changed = graft.core.GraftSession.observedOrElse[Long](obs, "changed")(
+        next.agg(coalesce(
+          sum(when(col("comp") =!= col("ocomp"), 1L).otherwise(0L)),
+          lit(0L))).head().getLong(0))
       labels = next.select("id", "comp")
       iter += 1
     }

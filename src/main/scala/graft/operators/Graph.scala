@@ -160,7 +160,11 @@ object Graph {
         .withColumnRenamed("dst", "node")
         .observe(obsMass, coalesce(sum(col("c")), lit(0.0)).as("mass"))
         .localCheckpoint()
-      val outMass = obsMass.get("mass").asInstanceOf[Double]
+      // bounded wait + fallback job (r14 ADVICE): a dropped
+      // SQLExecutionEnd must degrade to the old one-row agg, not a hang
+      val outMass = graft.core.GraftSession.observedOrElse[Double](
+        obsMass, "mass")(
+        contribs.agg(coalesce(sum(col("c")), lit(0.0))).head().getDouble(0))
       val dm = 1.0 - outMass
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),

@@ -26,10 +26,20 @@ object DumpPlans {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.length > 4) args(4).split(",").map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        // a conf entry without '=' is a typo in the invocation — fail the
+        // run with a named error instead of a bare MatchError (r14 ADVICE)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ =>
+            System.err.println(s"[plans] malformed conf entry '$kv' (need k=v)")
+            spark.stop(); sys.exit(2)
+        }
       }
     Files.createDirectories(Paths.get(outDir))
+    // A query whose dump fails must fail the INVOCATION (non-zero exit),
+    // or a missing plan-evidence file goes unnoticed and a stale
+    // before/after artifact gets mistaken for current (r14 ADVICE).
+    var nFailed = 0
     keys.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -40,9 +50,14 @@ object DumpPlans {
         println(s"[plans] wrote $name$suffix.txt (${txt.length} chars)")
       } catch {
         case e: Throwable =>
+          nFailed += 1
           System.err.println(s"[plans] $name failed: $e")
       }
     }
     spark.stop()
+    if (nFailed > 0) {
+      System.err.println(s"[plans] $nFailed of ${keys.length} dumps FAILED")
+      sys.exit(1)
+    }
   }
 }
