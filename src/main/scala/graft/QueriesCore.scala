@@ -634,7 +634,10 @@ private[graft] trait QueriesCore extends QueryHelpers {
       Dedup.shinglesFused(t(spark, dir, "documents"), "doc_id", "text", n = 3)
         .withColumnRenamed("shingle", "sh"),
       k = 8, bands = 4, tau = 0.6)
-      .orderBy("a", "b")
+      // output sort sized by the pair count (massOrderBy): the sf10 board's
+      // only spill (3.6 GB) was this orderBy sorting the pair list in
+      // AQE-byte-sized partitions; row order unchanged
+      .transform(d => massOrderBy(d, "a", "b"))
 
   /** 64-bit SimHash, Hamming <= 3 pairs via 4x16 pigeonhole block join.
     * Rows-only oracle; spec cross-checks against n-gram Jaccard pairs. */

@@ -59,6 +59,25 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A/B instrument (round 15, the SPARK_GRAFT_CACHE_AQE pattern):
+      // ';'-separated k=v pairs applied last, so paired probes can flip
+      // graft.* knobs (e.g. graft.dedup.slimPairs=false) without
+      // recompiling between arms — recompilation shifts the host-steal
+      // window under the measurement. Unset = exactly the shipped confs.
+      .applyExtraConf()
+
+  private implicit class BuilderOps(val b: SparkSession.Builder) extends AnyVal {
+    def applyExtraConf(): SparkSession.Builder =
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").map(_.trim).filter(_.nonEmpty)
+        .fold(b) { s =>
+          s.split(";").map(_.trim).filter(_.nonEmpty).foldLeft(b) { (bb, kv) =>
+            kv.split("=", 2) match {
+              case Array(k, v) => bb.config(k, v)
+              case _ => bb
+            }
+          }
+        }
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()
@@ -123,6 +142,26 @@ object GraftSession {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  /** Plan-evidence hook: when `graft.debug.planDir` is set, write `df`'s
+    * formatted plan to `<dir>/<tag>.txt` and return `df` unchanged. Exists
+    * because eager operators (densePairCounts, the span gate) checkpoint
+    * their interesting subplans away before a query-level explain can see
+    * them — evidence runs set the conf, production never does (one conf
+    * lookup when unset). */
+  def dumpPlanIfAsked(df: org.apache.spark.sql.DataFrame, tag: String): org.apache.spark.sql.DataFrame = {
+    df.sparkSession.conf.getOption("graft.debug.planDir").foreach { d =>
+      try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        java.nio.file.Files.write(java.nio.file.Paths.get(d, s"$tag.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      } catch {
+        case e: Throwable => System.err.println(s"[graft] plan dump $tag failed: $e")
+      }
+    }
+    df
   }
 
   /** Bounded wait on an Observation metric (r14 ADVICE): `Observation.get`

@@ -12,6 +12,79 @@ import org.apache.spark.sql.functions._
   * intentionally exact/quadratic variant (the approximate scale path is
   * MinHashLSH / SimHash / Similarity IVF).
   */
+/** Open-addressing long→long counter for [[Dedup.densePairCounts]]' fused
+  * pair generator: packed-pair keys (a<<32|b, a<b, both in [0,2^31)) are
+  * never 0 (b > a ≥ 0 forces a nonzero low word or a nonzero high word),
+  * so 0 marks an empty slot. Linear probing over byteswap64-spread
+  * hashes, load factor ≤ ½, grow-by-doubling until `maxEntries` — past
+  * it [[add]] returns false and the caller drains (the partial
+  * aggregate's spill-to-shuffle analogue: per-task memory stays bounded
+  * regardless of posting skew, and the downstream sum over fragments is
+  * exact). Instantiated per task inside mapPartitions — never serialized. */
+private[operators] final class PairCountMap(initialCap: Int, maxEntries: Int) {
+  private var cap = Integer.highestOneBit(math.max(initialCap, 64))
+  private var mask = cap - 1
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var n = 0
+
+  def add(k: Long): Boolean = {
+    var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+    while (true) {
+      val kk = keys(i)
+      if (kk == k) { vals(i) += 1; return true }
+      if (kk == 0L) {
+        if (n >= maxEntries) return false
+        keys(i) = k; vals(i) = 1L; n += 1
+        if (n.toLong * 2 >= cap && cap < Int.MaxValue / 2) grow()
+        return true
+      }
+      i = (i + 1) & mask
+    }
+    true
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    cap *= 2; mask = cap - 1
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    var i = 0
+    while (i < ok.length) {
+      val k = ok(i)
+      if (k != 0L) {
+        var j = (scala.util.hashing.byteswap64(k) & mask).toInt
+        while (keys(j) != 0L) j = (j + 1) & mask
+        keys(j) = k; vals(j) = ov(i)
+      }
+      i += 1
+    }
+  }
+
+  /** Snapshot every entry, then reset to empty (capacity kept). */
+  def drainAndReset(): Iterator[(Long, Long)] = {
+    val out = new Array[(Long, Long)](n)
+    var i = 0; var o = 0
+    while (i < cap) {
+      if (keys(i) != 0L) { out(o) = (keys(i), vals(i)); o += 1 }
+      i += 1
+    }
+    java.util.Arrays.fill(keys, 0L)
+    n = 0
+    out.iterator
+  }
+
+  /** Live view of the remaining entries — the caller's FINAL drain. */
+  def iterator: Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
+    private var i = 0
+    private def seek(): Unit = { while (i < cap && keys(i) == 0L) i += 1 }
+    seek()
+    def hasNext: Boolean = i < cap
+    def next(): (Long, Long) = {
+      val r = (keys(i), vals(i)); i += 1; seek(); r
+    }
+  }
+}
+
 object Dedup {
 
   /** Exact dedup: keep the minimum id per identical text. One hash-agg
@@ -479,25 +552,113 @@ object Dedup {
         s"local-dir disk, or cut the meet mass (higher tau / hotter " +
         s"hot-shingle cutoff).")
     val p = graft.core.GraftSession.iterPartitions(spark, mass, pairsPerPartition)
+    // SLIM pair stream (round 15, r14 VERDICT item 1): the legacy stream
+    // shuffles (a, b, sa, sb) + count — five longs per generated pair —
+    // and the r15 sf10 ProbeStages put 360 s of q31's 448 s wall in
+    // exactly that stage pair (49.6 GB partial-agg shuffle ≈ 18 B/pair ×
+    // 2.75e9 pairs, then a 55 s final aggregate over it). sa/sb are
+    // FUNCTIONS of a/b (they ride the key only so the threshold filter
+    // can see them), and the set sizes live in a doc-sized table — so
+    // when that table is provably broadcastable, shuffle NOTHING but the
+    // pair identity: ids narrowed to int (§2.3 narrower types), the pair
+    // packed into ONE long key (a<<32|b — hash/compare one word instead
+    // of four), postings as plain sorted int arrays (halves the regroup
+    // exchange and the collect_list peak), and sa/sb re-attached AFTER
+    // the aggregate by two broadcast hash joins in the same stage.
+    // Identical pair enumeration (ascending id order either way) and
+    // identical output columns; DedupSpec pins slim == legacy. The
+    // legacy shape remains THE path whenever the corpus is too big or
+    // the ids don't fit: > slimSizesLimit docs (the broadcast budget —
+    // ~16M rows ≈ 0.5 GB built relation), or ids outside [0, 2^31).
+    // The decision costs one doc-stats aggregate over the (caller-
+    // cached) hash rows — linear, ~1% of the pair stage it sizes.
+    val sizesPlan = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
+    val slimLimit = spark.conf.getOption("graft.dedup.slimSizesLimit")
+      .map(_.toLong).getOrElse(16L * 1000 * 1000)
+    val slimOn = spark.conf.getOption("graft.dedup.slimPairs")
+      .forall(_.toBoolean) // default true; the spec's A/B kill-switch
+    val st = sizesPlan
+      .agg(count(lit(1)).as("n"), min(col("_id")).as("lo"),
+        max(col("_id")).as("hi")).head()
+    val nDocs = st.getLong(0)
+    val idsFit = nDocs == 0L ||
+      (st.getLong(1) >= 0L && st.getLong(2) < (1L << 31))
+    val slim = slimOn && nDocs <= slimLimit && idsFit
     // PINNED (coalesce disabled), not just sized: AQE coalesces stages by
     // map-output bytes, and the postings exchange is ~1000× smaller than
     // the pair volume its consumer generates — the r12 sf10 probe
     // measured the sized-but-coalescible variant collapsing back to
     // ~cores tasks with 426 GB of aggregation spill.
     graft.core.GraftSession.withPinnedShuffle(spark, p) {
-      val sizes = sh.groupBy("_id").agg(count(lit(1)).as("sz"))
-      val postings = sh.join(sizes, "_id") // AQE broadcasts the doc-sized side
-        .groupBy("sh")
-        .agg(sort_array(collect_list(struct(col("_id").as("i"), col("sz").as("z"))))
-          .as("ps"))
-      val counts = postings
-        .select(posexplode(col("ps")).as(Seq("_p", "x")), col("ps"))
-        .select(col("x"), explode(slice(col("ps"), col("_p") + lit(2),
-          size(col("ps")) - col("_p") - lit(1))).as("y"))
-        .groupBy(col("x.i").as("a"), col("y.i").as("b"),
-          col("x.z").as("sa"), col("y.z").as("sb"))
-        .agg(count(lit(1)).as("common"))
-      finish(counts).localCheckpoint()
+      if (slim) {
+        val spark2 = spark
+        import spark2.implicits._
+        val sizes = sizesPlan.localCheckpoint() // ≤ slimLimit rows
+        val postings = sh
+          .select(col("_id").cast("int").as("i"), col("sh"))
+          .groupBy("sh")
+          .agg(sort_array(collect_list(col("i"))).as("ps"))
+        // FUSED generation + partial count (round 15): the declarative
+        // posexplode × slice-explode chain carries the FULL posting array
+        // on every outer row and allocates a fresh tail slice per
+        // position — measured ~4 µs/pair of codegen+GC (355 s for
+        // 2.75e9 pairs at sf10, the board's dominant stage). One
+        // mapPartitions pass enumerates i<j directly off the primitive
+        // int array and partial-counts into an open-addressing
+        // long→long map (the Tungsten partial aggregate's role, minus
+        // per-pair row traffic); the map flushes at a bounded entry
+        // count, so per-task memory stays capped regardless of posting
+        // skew, and the exchange carries (packed pair, partial count) —
+        // the downstream sum is exact over flush fragments.
+        val counts = postings
+          .select(col("ps")).as[Array[Int]]
+          .mapPartitions { it =>
+            val m = new PairCountMap(1 << 16, 4 << 20)
+            it.flatMap { a =>
+              var flushed: Iterator[(Long, Long)] = Iterator.empty
+              var i = 0
+              val n = a.length
+              while (i < n - 1) {
+                val hi = a(i).toLong << 32
+                var j = i + 1
+                while (j < n) {
+                  val pk = hi | a(j)
+                  if (!m.add(pk)) { // at cap: drain, then the add retries
+                    flushed = flushed ++ m.drainAndReset()
+                    m.add(pk)
+                  }
+                  j += 1
+                }
+                i += 1
+              }
+              flushed
+            } ++ m.iterator
+          }
+          .toDF("pk", "_pc")
+          .groupBy("pk").agg(sum(col("_pc")).as("common"))
+          .select(shiftrightunsigned(col("pk"), 32).cast("long").as("a"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"), col("common"))
+          .join(broadcast(sizes.select(col("_id").as("a"), col("sz").as("sa"))), "a")
+          .join(broadcast(sizes.select(col("_id").as("b"), col("sz").as("sb"))), "b")
+          .select(col("a"), col("b"), col("sa"), col("sb"), col("common"))
+        graft.core.GraftSession.dumpPlanIfAsked(
+          finish(counts), "densePairCounts_slim").localCheckpoint()
+      } else {
+        val sizes = sizesPlan
+        val postings = sh.join(sizes, "_id") // AQE broadcasts the doc-sized side
+          .groupBy("sh")
+          .agg(sort_array(collect_list(struct(col("_id").as("i"), col("sz").as("z"))))
+            .as("ps"))
+        val counts = postings
+          .select(posexplode(col("ps")).as(Seq("_p", "x")), col("ps"))
+          .select(col("x"), explode(slice(col("ps"), col("_p") + lit(2),
+            size(col("ps")) - col("_p") - lit(1))).as("y"))
+          .groupBy(col("x.i").as("a"), col("y.i").as("b"),
+            col("x.z").as("sa"), col("y.z").as("sb"))
+          .agg(count(lit(1)).as("common"))
+        graft.core.GraftSession.dumpPlanIfAsked(
+          finish(counts), "densePairCounts_legacy").localCheckpoint()
+      }
     }
   }
 
@@ -783,6 +944,15 @@ object Dedup {
       sh: DataFrame, tau: Double, massHint: Long = -1L): DataFrame =
     densePairCounts(sh, massHint) { counts =>
       counts
+        // filter BEFORE the direction explode (round 15): the explode
+        // doubles the ~mass-row aggregated stream only for the per-
+        // direction filter to drop almost all of it; a pair can survive
+        // in SOME direction iff the greater of the two quotients passes,
+        // computed with the IDENTICAL cast/divide expressions, so the
+        // per-direction filter below keeps exactly the same rows while
+        // the explode runs over qualifying pairs only
+        .where(greatest(col("common").cast("double") / col("sa"),
+          col("common").cast("double") / col("sb")) >= tau)
         .select(explode(array(
           struct(col("a"), col("b"),
             (col("common").cast("double") / col("sa")).as("containment")),

@@ -137,8 +137,17 @@ object SimHash {
     // table is checkpointed); only the fine partitioning costs, so it
     // now engages exactly when the mass says it pays.
     val rowsPerTask = 2L * 1000 * 1000
+    // graft.simhash.probeSkip: "on" forces the skip, "off" forces the
+    // repartition — the r15 A/B instrument for adjudicating the q97
+    // regression (r14 VERDICT item 3); unset = the sizing heuristic.
+    val skipConf = spark.conf.getOption("graft.simhash.probeSkip")
+    val skip = skipConf match {
+      case Some("on") => true
+      case Some("off") => false
+      case _ => mass <= rowsPerTask * spark.sparkContext.defaultParallelism
+    }
     val bx =
-      if (mass <= rowsPerTask * spark.sparkContext.defaultParallelism) blocked
+      if (skip) blocked
       else blocked.repartition(
         graft.core.GraftSession.iterPartitions(spark, mass, rowsPerTask),
         col("blk"), col("bv"))

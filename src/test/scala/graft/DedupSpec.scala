@@ -326,6 +326,50 @@ class DedupSpec extends AnyFunSuite {
     } finally conf.unset("graft.dedup.maxPairShuffleBytes")
   }
 
+  test("densePairCounts: slim packed-pair path equals the legacy wide-key path") {
+    // randomized corpus with mutation families so thresholds cut inside a
+    // family (the prefix-equality fixture's shape); exercises BOTH finish
+    // shapes (Jaccard and directed containment) on both generator paths
+    val rnd = new scala.util.Random(23L)
+    val vocab = (0 until 150).map(i => f"v$i%03d")
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 25).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val mutated = base.flatMap { case (id, text) =>
+      (1 to 2).map { m =>
+        val w = text.split(" ")
+        (0 until m * 2).foreach(_ => w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size)))
+        (id + 1000L * m, w.mkString(" "))
+      }
+    }
+    val corpus = (base ++ mutated).toDF("doc_id", "text")
+    val conf = spark.conf
+    def run() = {
+      val sh = Dedup.shingleHashes(corpus, "doc_id", "text", n = 3).cache()
+      val j = Dedup.ngramJaccardPairsFromHashes(sh, 0.5)
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      val c = Dedup.denseContainment(sh, 0.6)
+        .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+      sh.unpersist()
+      (j, c)
+    }
+    val (slimJ, slimC) = run() // default: slim fires (small ids, small corpus)
+    val (legJ, legC) =
+      try { conf.set("graft.dedup.slimPairs", "false"); run() }
+      finally conf.unset("graft.dedup.slimPairs")
+    assert(slimJ == legJ && slimJ.nonEmpty)
+    assert(slimC == legC && slimC.nonEmpty)
+    // ids past 2^31 must take the legacy path (packing needs [0, 2^31))
+    // and still produce the offset-identical pair set
+    val big = corpus.withColumn("doc_id", col("doc_id") + lit(5_000_000_000L))
+    val shB = Dedup.shingleHashes(big, "doc_id", "text", n = 3).cache()
+    val bigJ = Dedup.ngramJaccardPairsFromHashes(shB, 0.5)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+    shB.unpersist()
+    assert(bigJ == slimJ.map { case (a, b, x) =>
+      (a + 5_000_000_000L, b + 5_000_000_000L, x) })
+  }
+
   test("candidatePairs: each banded pair exactly once, set equals the naive shared-bucket model") {
     // hand-built k=8 signatures over 4 bands of 2: docs 1/2 identical
     // (share ALL four bands), 3 meets them only in band 0, 4 meets 1/2 in
