@@ -36,7 +36,10 @@ private[operators] final class PairCountMap(initialCap: Int, maxEntries: Int) {
       if (kk == 0L) {
         if (n >= maxEntries) return false
         keys(i) = k; vals(i) = 1L; n += 1
-        if (n.toLong * 2 >= cap && cap < Int.MaxValue / 2) grow()
+        // stop doubling at 2×maxEntries slots (≤ ~0.5 load at the flush
+        // cap): the last grow would double peak task memory for probe
+        // chains the flush makes unnecessary
+        if (n.toLong * 2 >= cap && cap < 2L * maxEntries) grow()
         return true
       }
       i = (i + 1) & mask
@@ -1350,9 +1353,16 @@ object Dedup {
     val comp = connectedComponents(pairs, "a", "b").localCheckpoint()
     val small = withinLimit(comp, broadcastLoserLimit)
     def hint(d: DataFrame): DataFrame = if (small) broadcast(d) else d
+    // join FIRST, score AFTER (round 15, §1.2 "don't compute what you
+    // throw away"): scores are only consumed for cluster MEMBERS (the
+    // edge-bounded comp table), but scoring before the join computed the
+    // score column — size(tokens(text)) for q133 — over the ENTIRE
+    // corpus scan. With the projection above the broadcast join, the
+    // expensive expression runs on members only; same rows, same values.
     val memberScores = df
-      .select(col(idCol).cast("long").as("id"), score.as("_score"))
+      .select(col(idCol).cast("long").as("id") +: df.columns.map(col): _*)
       .join(hint(comp), Seq("id"))
+      .select(col("id"), col("comp"), score.as("_score"))
     val winners = memberScores.groupBy(col("comp"))
       .agg(max(struct(col("_score"), (-col("id")).as("_nid"),
         col("id").as("_win"))).as("_m"))

@@ -83,8 +83,26 @@ object MinHashLSH {
       .agg(coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L)))
       .head().getLong(0)
     val rowsPerTask = 2L * 1000 * 1000
+    // skip gate retuned round 15 (see SimHash.hammingPairs — the same
+    // r14 condition assumed the default join would run ~cores tasks;
+    // AQE sizes it by bytes, so a small blocked table coalesces to ~1
+    // task streaming the whole band meet volume): the skip engages only
+    // when the mass also fits the DEFAULT plan's estimated parallelism.
+    val skip = spark.conf.getOption("graft.simhash.probeSkip") match {
+      case Some("on") => true
+      case Some("off") => false
+      case _ =>
+        val bandedRows = bands.toLong * s.count() // s checkpointed: cheap
+        val advisory = spark.conf
+          .getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(64L * 1024 * 1024)
+        val estDefaultTasks = math.max(1L, bandedRows * 16L / advisory)
+        mass <= rowsPerTask *
+          math.min(spark.sparkContext.defaultParallelism.toLong, estDefaultTasks)
+    }
     val bx =
-      if (mass <= rowsPerTask * spark.sparkContext.defaultParallelism) banded
+      if (skip) banded
       else banded.repartition(
         graft.core.GraftSession.iterPartitions(spark, mass, rowsPerTask),
         col("band"), col("bh"))

@@ -140,11 +140,35 @@ object SimHash {
     // graft.simhash.probeSkip: "on" forces the skip, "off" forces the
     // repartition — the r15 A/B instrument for adjudicating the q97
     // regression (r14 VERDICT item 3); unset = the sizing heuristic.
+    //
+    // Heuristic RETUNED (round 15): the r14 skip condition compared the
+    // mass against rowsPerTask × defaultParallelism — assuming the
+    // DEFAULT plan would run ~cores join tasks. It does not: AQE sizes
+    // the join's exchange by map-output BYTES, and a small corpus's
+    // blocked table is a few MB, so the default join coalesces to ~1
+    // task streaming the whole meet volume (q97 at sf1: paired A/B/A/B
+    // measured skip-ON 2.49 s vs skip-OFF 1.73-1.99 s at matched calib —
+    // a real ~30 % regression; r13's always-repartition 1.51 s). The
+    // skip now engages only when the mass also fits the parallelism the
+    // DEFAULT plan would actually provide — estimated from the blocked
+    // row count × ~16 B/row against the AQE advisory partition size —
+    // so tiny-byte/huge-mass corpora repartition again while the
+    // q140/q143 small-mass sf10 shape (where the extra exchange only
+    // costs) keeps the skip. sf10 A/B: q140 8.7 on / 10.0 off,
+    // q143/q153/q97 parity — the skip's win is small and real there.
     val skipConf = spark.conf.getOption("graft.simhash.probeSkip")
     val skip = skipConf match {
       case Some("on") => true
       case Some("off") => false
-      case _ => mass <= rowsPerTask * spark.sparkContext.defaultParallelism
+      case _ =>
+        val blockedRows = 4L * s.count() // s is checkpointed: cheap count
+        val advisory = spark.conf
+          .getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(64L * 1024 * 1024)
+        val estDefaultTasks = math.max(1L, blockedRows * 16L / advisory)
+        mass <= rowsPerTask *
+          math.min(spark.sparkContext.defaultParallelism.toLong, estDefaultTasks)
     }
     val bx =
       if (skip) blocked
